@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Training-data-pipeline queries over `documents` and `embeddings`:
+ * dedup (exact / minhash+LSH / simhash / n-gram jaccard), similarity search
+ * (brute-force + LSH ANN), text analysis (lang-id, quality, token counts,
+ * fingerprints), multimodal binary plumbing.
+ *
+ * Hash determinism: all hashes derive from md5 prefixes so the DuckDB oracle
+ * reproduces them bit-for-bit (see Dedup.scala / TextAnalysis.scala).
+ */
+object QueriesLLM {
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+  private val D = DecimalType(30, 10)
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---------------- exact dedup: hash-groupBy
+    "dedup_exact" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      Dedup.exactDedup(d, "text", "doc_id").orderBy("content_hash")
+    }),
+
+    // ---------------- minhash signatures (deterministic, oracle-checked)
+    "dedup_minhash_sig" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.select(col("doc_id"), Dedup.minhashSignature(Dedup.shingleHashes(col("text")), 8).as("sig"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- minhash + LSH near-dup candidate pairs w/ jaccard verify
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.0)
+        .select(col("id1"), col("id2"), org.apache.spark.sql.functions.round(col("jaccard"), 6).as("jac"))
+        .orderBy("id1", "id2")
+    }),
+
+    // ---------------- simhash signatures
+    "dedup_simhash" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- n-gram jaccard against a pivot document
+    "ngram_jaccard" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val pivot = d.filter(col("doc_id") === 0)
+        .select(Dedup.shingleHashes(col("text"), 2).as("ph"))
+      d.crossJoin(broadcast(pivot))
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.round(
+            Dedup.jaccard(Dedup.shingleHashes(col("text"), 2), col("ph")), 6).as("jac"))
+        .filter(col("doc_id") =!= 0)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- brute-force cosine top-k (exact ANN baseline)
+    "ann_cosine_topk" -> ((s, dir) => {
+      Similarity.cosineTopK(rd(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0, k = 10)
+        .select(col("vec_id"), org.apache.spark.sql.functions.round(col("cosine"), 6).as("cos"))
+    }),
+
+    // ---------------- language id (marker-token heuristic)
+    "lang_id" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- quality scoring
+    "quality_score" -> ((s, dir) => {
+      TextAnalysis.qualityScore(rd(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "n_tokens", "n_punct", "n_stop", "quality")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- token counting (whitespace + BPE-ish regex)
+    "token_count" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(rd(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "ws_tokens", "bpeish_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- document fingerprint (rolling hash)
+    "doc_fingerprint" -> ((s, dir) => {
+      rd(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- multimodal binary plumbing: payload metadata
+    "multimodal_meta" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+      graft.operators.Multimodal.withByteMeta(d, "payload")
+        .select("doc_id", "byte_len", "content_md5")
+        .orderBy("doc_id")
+    }))
+
+  val oracleSql: Seq[(String, String)] = Seq(
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "dedup_minhash_sig" -> {
+      val hashExpr = "('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647"
+      val perm = (0 until 8).map { j =>
+        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+      }.mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                i -> array_to_string(toks[i:i+2], ' ')),
+              g -> $hashExpr)) AS gh
+            FROM t)
+          SELECT doc_id, [$perm] AS sig FROM sh ORDER BY doc_id"""
+    },
+    "ngram_jaccard" -> {
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> array_to_string(toks[i:i+1], ' ')),
+              g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647)) AS gh
+            FROM t),
+          p AS (SELECT gh AS ph FROM sh WHERE doc_id = 0)
+          SELECT sh.doc_id,
+            round(CAST(len(list_intersect(sh.gh, p.ph)) AS DOUBLE) /
+                  CAST(len(list_distinct(list_concat(sh.gh, p.ph))) AS DOUBLE), 6) AS jac
+          FROM sh, p WHERE sh.doc_id != 0 ORDER BY sh.doc_id"""
+    },
+    "lang_id" -> {
+      val scores = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+        val inList = markers.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($inList))) * 8 + ${7 - i} AS s_$lang"
+      }.mkString(", ")
+      val best = "greatest(" + TextAnalysis.langMarkers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val decode = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+        s"WHEN $best % 8 = ${7 - i} THEN '$lang'"
+      }.reverse.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          sc AS (SELECT doc_id, $scores FROM t)
+          SELECT doc_id, CASE $decode ELSE 'und' END AS pred_lang FROM sc ORDER BY doc_id"""
+    },
+    "quality_score" -> {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          f AS (SELECT doc_id,
+            CAST(len(toks) AS BIGINT) AS n_tokens,
+            CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct,
+            CAST(len(list_filter(toks, t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+            CAST(length(text) AS BIGINT) AS n_chars_m
+          FROM t)
+          SELECT doc_id, n_tokens, n_punct, n_stop,
+            0.4 * least(CAST(n_tokens AS DOUBLE), 256.0) / 256.0
+            + 0.3 * (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE))
+            + 0.3 * least(4.0 * CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 1.0) AS quality
+          FROM f ORDER BY doc_id"""
+    },
+    "token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+         FROM documents ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i:i]) AS BIGINT))),
+           (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+         FROM documents ORDER BY doc_id""",
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+         md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""")
+}

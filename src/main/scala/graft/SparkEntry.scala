@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are assembled from:
+  *  - [[QueriesCore]]: the reference's operator inventory (SURVEY.md §2)
+  *  - [[QueriesLLM]]: training-data-pipeline extras (dedup, similarity,
+  *    text analysis, multimodal)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Session defaults applied by Verify/Bench/tests: reference semantics are
+    * lenient (no ANSI errors), AQE re-plans shuffles at runtime. */
+  def tune(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * filter → groupBy-agg (AggregateByValue) → sort, the §7.3 slice. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    engine.Ops.filter(li, "${l_quantity} > 5")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    (QueriesCore.queries ++ QueriesLLM.queries).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] =
+    (QueriesCore.oracleSql ++ QueriesLLM.oracleSql).toMap
 }

@@ -1,0 +1,365 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Operator library: each reference processor (SURVEY.md §2.3-§2.9)
+ * re-expressed as a declarative `DataFrame => DataFrame` stage so Catalyst
+ * plans pushdown/pruning/shuffles. Citations are reference file:line.
+ *
+ * Naming/semantics contract: the reference writes each processor's output to
+ * its `resultName` field, overwriting any existing field — mirrored here with
+ * `withColumn` semantics.
+ */
+object Ops {
+
+  // ------------------------------------------------- §2.3 projections / field ops
+
+  /** FieldFilterProcessor (app/tuktu/processors/BaseProcessors.scala:120):
+    * keep only listed dot-path fields, rename, optional default. */
+  def fieldFilter(df: DataFrame, fields: Seq[(String, String)],
+                  defaults: Map[String, Any] = Map.empty): DataFrame =
+    df.select(fields.map { case (path, alias) =>
+      defaults.get(alias) match {
+        case Some(d) => coalesce(col(path), lit(d)).alias(alias)
+        case None    => col(path).alias(alias)
+      }
+    }: _*)
+
+  /** FieldRemoveProcessor (BaseProcessors.scala:144). */
+  def fieldRemove(df: DataFrame, fields: Seq[String]): DataFrame = df.drop(fields: _*)
+
+  /** FieldCopyProcessor (BaseProcessors.scala:160): copy dot-paths to new
+    * top-level names. */
+  def fieldCopy(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.foldLeft(df) { case (d, (path, name)) => d.withColumn(name, col(path)) }
+
+  /** FieldRenameProcessor (BaseProcessors.scala:292). */
+  def fieldRename(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** JsonFetcherProcessor (BaseProcessors.scala:234): hoist nested path to top
+    * level with default. */
+  def jsonFetcher(df: DataFrame, path: String, result: String, default: Option[Any]): DataFrame =
+    df.withColumn(result, default.fold(col(path))(d => coalesce(col(path), lit(d))))
+
+  /** FieldConstantAdderProcessor (BaseProcessors.scala:574): add constant
+    * field; value supports `${}` interpolation. */
+  def constantAdder(df: DataFrame, result: String, template: String): DataFrame =
+    df.withColumn(result, Expr.interpolate(template))
+
+  /** RunningCountProcessor (BaseProcessors.scala:184): sequence number in
+    * explicit `orderBy` order — Spark requires explicit order; a global
+    * row_number is a single-partition window, so prefer per-group keys at
+    * scale, or zipWithIndex-free monotonically_increasing_id when gaps are OK. */
+  def runningCount(df: DataFrame, orderBy: Seq[Column], startAt: Long = 0, stepSize: Long = 1,
+                   result: String = "count"): DataFrame =
+    df.withColumn(result,
+      (row_number().over(Window.orderBy(orderBy: _*)) - 1) * stepSize + startAt)
+
+  /** UUIDAdderProcessor (BaseProcessors.scala:1216). */
+  def uuidAdder(df: DataFrame, result: String): DataFrame = df.withColumn(result, expr("uuid()"))
+
+  /** FieldsToListProcessor (BaseProcessors.scala:1228). */
+  def fieldsToList(df: DataFrame, fields: Seq[String], result: String): DataFrame =
+    df.withColumn(result, array(fields.map(col): _*))
+
+  /** ImploderProcessor (BaseProcessors.scala:760): merge array fields into one. */
+  def imploder(df: DataFrame, fields: Seq[String], result: String): DataFrame =
+    df.withColumn(result, concat(fields.map(col): _*))
+
+  /** KeyImploderProcessor (BaseProcessors.scala:785): collapse group: one row
+    * whose field is the list of that field across rows, in explicit order. */
+  def keyImploder(df: DataFrame, groupKeys: Seq[String], field: String, orderField: String,
+                  result: String): DataFrame =
+    df.groupBy(groupKeys.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col(orderField).as("o"), col(field).as("v")))),
+        x => x.getField("v")).as(result))
+
+  /** DataPacketWrapperProcessor (BaseProcessors.scala:986): nest each row
+    * under one field. */
+  def datumToField(df: DataFrame, result: String): DataFrame =
+    df.select(struct(df.columns.map(col): _*).as(result))
+
+  /** FlattenerProcessor (BaseProcessors.scala:844): recursively flatten
+    * nested structs into `parent<sep>child` columns. */
+  def flatten(df: DataFrame, sep: String = "."): DataFrame = {
+    def cols(prefix: String, schema: StructType, path: String): Seq[Column] =
+      schema.fields.flatMap { f =>
+        val p = if (path.isEmpty) s"`${f.name}`" else s"$path.`${f.name}`"
+        val n = if (prefix.isEmpty) f.name else s"$prefix$sep${f.name}"
+        f.dataType match {
+          case s: StructType => cols(n, s, p)
+          case _             => Seq(col(p).alias(n))
+        }
+      }
+    df.select(cols("", df.schema, ""): _*)
+  }
+
+  /** MapFlattenerProcessor (BaseProcessors.scala:1134): splice struct field's
+    * entries to top level. */
+  def mapFlattener(df: DataFrame, field: String): DataFrame =
+    df.select(col("*"), col(s"$field.*")).drop(field)
+
+  /** ListMapFlattenerProcessor (BaseProcessors.scala:1030): from
+    * array-of-structs, project inner field into array. */
+  def listMapFlattener(df: DataFrame, listField: String, innerField: String,
+                       result: String): DataFrame =
+    df.withColumn(result, transform(col(listField), x => x.getField(innerField)))
+
+  /** SequenceExploderProcessor (BaseProcessors.scala:900). */
+  def sequenceExplode(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, explode(col(field)))
+
+  /** ZipExplodeProcessor (BaseProcessors.scala:1175): zip two arrays, explode pairs. */
+  def zipExplode(df: DataFrame, f1: String, f2: String, r1: String, r2: String): DataFrame =
+    df.withColumn("__z", explode(arrays_zip(col(f1), col(f2))))
+      .withColumn(r1, col(s"__z.$f1")).withColumn(r2, col(s"__z.$f2")).drop("__z")
+
+  /** SequenceFlattenerProcessor (BaseProcessors.scala:946). */
+  def sequenceFlatten(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, org.apache.spark.sql.functions.flatten(col(field)))
+
+  /** SequenceLengthProcessor (BaseProcessors.scala:923). */
+  def sequenceLength(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, size(col(field)))
+
+  /** DistinctSequenceProcessor (BaseProcessors.scala:966). */
+  def distinctSequence(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, array_distinct(col(field)))
+
+  /** GetListElementProcessor (BaseProcessors.scala:1291) — 0-based in ref;
+    * element_at is 1-based. */
+  def getListElement(df: DataFrame, field: String, index: Int, result: String): DataFrame =
+    df.withColumn(result, element_at(col(field), index + 1))
+
+  /** HeadOfListProcessor (BaseProcessors.scala:92). */
+  def headOfList(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, element_at(col(field), 1))
+
+  /** ReplaceProcessor (BaseProcessors.scala:213): chained regex replaces. */
+  def replace(df: DataFrame, field: String, replacements: Seq[(String, String)]): DataFrame =
+    df.withColumn(field, replacements.foldLeft(col(field)) {
+      case (c, (from, to)) => regexp_replace(c, from, to)
+    })
+
+  /** StringSplitterProcessor (BaseProcessors.scala:1004). */
+  def stringSplit(df: DataFrame, field: String, sep: String, result: String): DataFrame =
+    df.withColumn(result, split(col(field), java.util.regex.Pattern.quote(sep)))
+
+  /** StringImploderProcessor (BaseProcessors.scala:668). */
+  def stringImplode(df: DataFrame, field: String, sep: String, result: String): DataFrame =
+    df.withColumn(result, array_join(col(field), sep))
+
+  /** ConvertToNumber / ConvertToBigDecimal / ConvertAnyToString / ConvertToDate
+    * (app/tuktu/processors/ConvertTo*.scala). */
+  def cast(df: DataFrame, field: String, to: DataType, result: String): DataFrame =
+    df.withColumn(result, col(field).cast(to))
+  def toDate(df: DataFrame, field: String, fmt: String, result: String): DataFrame =
+    df.withColumn(result, to_timestamp(col(field), fmt))
+
+  /** JSONParseProcessor (app/tuktu/processors/json/JSONParseProcessor.scala:15):
+    * parse a JSON-string field. Schema-on-read: caller supplies the schema DDL,
+    * or use `getJsonPath` for point lookups (no full parse). */
+  def jsonParse(df: DataFrame, field: String, schemaDdl: String, result: String): DataFrame =
+    df.withColumn(result, from_json(col(field), StructType.fromDDL(schemaDdl)))
+  def getJsonPath(df: DataFrame, field: String, path: String, result: String): DataFrame =
+    df.withColumn(result, get_json_object(col(field), path))
+
+  /** ArithmeticProcessor (app/tuktu/processors/arithmetics/ArithmeticProcessor.scala:16). */
+  def arithmetic(df: DataFrame, exprStr: String, result: String, round: Option[Int] = None): DataFrame = {
+    val c = Expr.arithmetic(df, exprStr)
+    df.withColumn(result, round.fold(c)(n => org.apache.spark.sql.functions.round(c, n)))
+  }
+
+  /** PredicateProcessor (BaseProcessors.scala:355): store predicate result as field. */
+  def predicateField(df: DataFrame, predStr: String, result: String): DataFrame =
+    df.withColumn(result, Expr.predicate(df, predStr))
+
+  /** MaxFieldByValueProcessor (app/tuktu/processors/arithmetics/MaxByFieldProcessor.scala:10). */
+  def maxOfFields(df: DataFrame, a: String, b: String, result: String): DataFrame =
+    df.withColumn(result, greatest(col(a), col(b)))
+
+  // ------------------------------------------------- §2.4 filters
+
+  /** PacketFilterProcessor (BaseProcessors.scala:374-496) — Tuktu predicate
+    * grammar compiled to a pushdown-friendly Column. */
+  def filter(df: DataFrame, predStr: String): DataFrame = df.filter(Expr.predicate(df, predStr))
+
+  /** PacketRegexFilterProcessor (BaseProcessors.scala:501-569): and/or/negate
+    * nested regex tree. */
+  sealed trait RegexNode
+  final case class RegexLeaf(field: String, pattern: String) extends RegexNode
+  final case class RegexAnd(children: Seq[RegexNode]) extends RegexNode
+  final case class RegexOr(children: Seq[RegexNode]) extends RegexNode
+  final case class RegexNot(child: RegexNode) extends RegexNode
+  def regexFilter(df: DataFrame, tree: RegexNode): DataFrame = {
+    def c(n: RegexNode): Column = n match {
+      case RegexLeaf(f, p)  => col(f).rlike(p)
+      case RegexAnd(ch)     => ch.map(c).reduce(_ && _)
+      case RegexOr(ch)      => ch.map(c).reduce(_ || _)
+      case RegexNot(child)  => !c(child)
+    }
+    df.filter(c(tree))
+  }
+
+  /** AbsentFieldsFilterProcessor (BaseProcessors.scala:1201). */
+  def absentFieldsFilter(df: DataFrame, required: Seq[String]): DataFrame =
+    df.filter(required.map(col(_).isNotNull).reduce(_ && _))
+
+  /** ContainsAllFilterProcessor (BaseProcessors.scala:1102): keep row iff
+    * array-of-structs field covers all needle values on `innerField`. */
+  def containsAllFilter(df: DataFrame, listField: String, innerField: String,
+                        needles: Seq[Any]): DataFrame =
+    df.filter(size(array_except(
+      array(needles.map(lit): _*),
+      transform(col(listField), x => x.getField(innerField)))) === 0)
+
+  // ------------------------------------------------- §2.5 aggregation / stats
+
+  /** AggregateByValueProcessor (bucket/aggregate/AggregateByValue.scala:16-72):
+    * groupBy + aggregate-expression — the flagship. Spark's partial/final
+    * HashAggregate replaces the reference's per-node fold + recombine
+    * (bucket/concurrent/BaseConcurrentProcessor.scala:61-196). */
+  def aggregateByValue(df: DataFrame, groupFields: Seq[String],
+                       aggs: Seq[(String, String)]): DataFrame = {
+    val cols = aggs.map { case (alias, e) => Expr.aggregate(df, e).as(alias) }
+    df.groupBy(groupFields.map(col): _*).agg(cols.head, cols.tail: _*)
+  }
+
+  /** Min/MaxProcessor (bucket/aggregate/NumericProcessors.scala:13, 50) —
+    * returns the whole extreme ROW; TakeOrderedAndProject in the plan, no
+    * full sort at scale. Tie-break keys make it deterministic. */
+  def minRow(df: DataFrame, field: String, tieBreak: Seq[Column] = Nil): DataFrame =
+    df.orderBy(col(field).asc +: tieBreak: _*).limit(1)
+  def maxRow(df: DataFrame, field: String, tieBreak: Seq[Column] = Nil): DataFrame =
+    df.orderBy(col(field).desc +: tieBreak: _*).limit(1)
+
+  /** CountValuesProcessor (bucket/statistics/StatisticsProcessors.scala:257):
+    * per-value histogram {key, amount}. */
+  def countValues(df: DataFrame, field: String): DataFrame =
+    df.groupBy(col(field).as("key")).agg(count(lit(1)).as("amount"))
+
+  /** ModeProcessor (StatisticsProcessors.scala:62): most frequent value and
+    * its count, deterministic tie-break on the value itself. */
+  def mode(df: DataFrame, field: String): DataFrame =
+    countValues(df, field).orderBy(col("amount").desc, col("key").asc).limit(1)
+
+  /** ArithmeticAggregateProcessor (arithmetics/ArithmeticProcessor.scala:42):
+    * aggregate over a group attached to every row — a window agg. */
+  def arithmeticAggregate(df: DataFrame, partitionBy: Seq[String], aggCol: Column,
+                          result: String): DataFrame =
+    df.withColumn(result, aggCol.over(Window.partitionBy(partitionBy.map(col): _*)))
+
+  // ------------------------------------------------- §2.6 joins / merges
+
+  /** JoinGenerator (app/tuktu/generators/JoinGenerator.scala:68-151): hash
+    * equi-join of two flows. Catalyst picks broadcast/SMJ/SHJ + AQE; pass
+    * `broadcastRight=true` to force a broadcast of a small dimension. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String], how: String = "inner",
+           broadcastRight: Boolean = false): DataFrame =
+    left.join(if (broadcastRight) broadcast(right) else right, keys, how)
+
+  /** SerialMerger (app/tuktu/processors/merge/BaseMergers.scala:90): concatenate
+    * branch outputs (schema union, missing → null). */
+  def serialMerge(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** PaddingMerger (BaseMergers.scala:60): its real-world use is attaching a
+    * 1-row branch (aggregate) to every row of the other branch — a broadcast
+    * cross join. */
+  def paddingMerge(rows: DataFrame, single: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(single))
+
+  /** RecursiveLookupProcessor (modules/nosql/.../sql/RecursiveLookup.scala:16):
+    * iterative frontier join to fixpoint; localCheckpoint stops plan growth. */
+  def recursiveLookup(edges: DataFrame, seeds: DataFrame, fromCol: String, toCol: String,
+                      maxIter: Int = 20): DataFrame = {
+    var frontier = seeds
+    var acc = seeds
+    var i = 0
+    while (i < maxIter && !frontier.isEmpty) {
+      frontier = frontier.join(edges, frontier("id") === edges(fromCol))
+        .select(edges(toCol).as("id")).distinct()
+        .join(acc, Seq("id"), "left_anti").localCheckpoint()
+      acc = acc.union(frontier)
+      i += 1
+    }
+    acc
+  }
+
+  // ------------------------------------------------- §2.7 sort / limit / sample / dedup
+
+  /** SortProcessor (bucket/SortProcessor.scala:13). */
+  def sort(df: DataFrame, cols: Seq[Column]): DataFrame = df.orderBy(cols: _*)
+
+  /** TakeProcessor (sample/TakeProcessor.scala:13). */
+  def take(df: DataFrame, n: Int): DataFrame = df.limit(n)
+
+  /** DropProcessor (sample/DropProcessor.scala:13): drop first N in explicit order. */
+  def drop(df: DataFrame, n: Int, orderBy: Seq[Column]): DataFrame =
+    df.withColumn("__rn", row_number().over(Window.orderBy(orderBy: _*)))
+      .filter(col("__rn") > n).drop("__rn")
+
+  /** DeduplicationProcessor (bucket/DeduplicationProcessor.scala:13): first-seen
+    * dedup by key in explicit order — deterministic (row_number=1), unlike a
+    * bare dropDuplicates. One shuffle on the key. */
+  def dedupFirstSeen(df: DataFrame, keys: Seq[String], orderBy: Seq[Column]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** StratifiedSamplingProcessor (sample/StratifiedSamplingProcessor.scala:14):
+    * equal-size (min class count) per-class sample, deterministic order. */
+  def stratifiedSample(df: DataFrame, classField: String, orderBy: Seq[Column]): DataFrame = {
+    val minCount = df.groupBy(col(classField)).count().agg(min("count")).first().getLong(0)
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(col(classField)).orderBy(orderBy: _*)))
+      .filter(col("__rn") <= minCount).drop("__rn")
+  }
+
+  // ------------------------------------------------- §2.8 time / windows
+
+  /** TimestampNormalizerProcessor (time/TimestampNormalizerProcessor.scala:17):
+    * floor timestamp to unit grid — the tumbling event-time window assigner. */
+  def timestampNormalize(df: DataFrame, field: String, unit: String, result: String): DataFrame =
+    df.withColumn(result, date_trunc(unit, col(field)))
+
+  /** TimestampAdderProcessor (time/TimestampAdderProcessor.scala:13). */
+  def timestampAdder(df: DataFrame, result: String): DataFrame =
+    df.withColumn(result, current_timestamp())
+
+  /** TimestampPeriodAdderProcessor (time/TimestampPeriodAdderProcessor.scala:18). */
+  def periodAdd(df: DataFrame, field: String, result: String,
+                years: Int = 0, months: Int = 0, weeks: Int = 0, days: Int = 0,
+                hours: Int = 0, minutes: Int = 0, seconds: Int = 0): DataFrame =
+    df.withColumn(result, col(field) + make_interval(
+      lit(years), lit(months), lit(weeks), lit(days), lit(hours), lit(minutes), lit(seconds)))
+
+  /** DateToMillisProcessor (time/DateToMillisProcessor.scala:15). */
+  def dateToMillis(df: DataFrame, field: String, result: String): DataFrame =
+    df.withColumn(result, unix_millis(col(field)))
+
+  /** DurationProcessor (time/DurationProcessor.scala:15): difference of two
+    * datetimes in `unit`. */
+  def duration(df: DataFrame, a: String, b: String, unit: String, result: String): DataFrame =
+    df.withColumn(result, expr(s"timestampdiff($unit, $a, $b)"))
+
+  /** GroupByProcessor + bucket op (BufferProcessors.scala:58): the packet
+    * reshaping collapses into a plain groupBy in Spark. */
+  def groupBy(df: DataFrame, keys: Seq[String]): org.apache.spark.sql.RelationalGroupedDataset =
+    df.groupBy(keys.map(col): _*)
+
+  /** SizeBufferProcessor (BufferProcessors.scala:94): N-row batches become an
+    * explicit batch-id column derived from a total order. */
+  def sizeBuffer(df: DataFrame, n: Int, orderBy: Seq[Column], result: String = "batch_id"): DataFrame =
+    df.withColumn(result, floor((row_number().over(Window.orderBy(orderBy: _*)) - 1) / n))
+
+  /** TimeBufferProcessor (BufferProcessors.scala:114) — event-time version:
+    * tumbling window bucket. */
+  def timeBuffer(df: DataFrame, tsField: String, duration: String, result: String = "window"): DataFrame =
+    df.withColumn(result, window(col(tsField), duration))
+}

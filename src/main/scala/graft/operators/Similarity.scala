@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Similarity search over an embedding column (`array<float>`).
+ *
+ * - Brute-force cosine top-k: the exact baseline. The query vector rides
+ *   along as a broadcast 1-row cross join, the dot product is a codegen'd
+ *   `zip_with`+`aggregate` fold in double precision — a single scan, no
+ *   shuffle except the final top-k (TakeOrderedAndProject), so it scales to
+ *   any corpus size at O(rows · dim).
+ * - LSH-bucketed ANN (random hyperplanes): sign-bit sketch of the embedding
+ *   against deterministic pseudo-random planes → bucket key; candidates are
+ *   pairs sharing a bucket in any table. Scale path: the per-bucket join
+ *   replaces all-pairs O(n²) with O(collisions); buckets are the only wide
+ *   stage.
+ *
+ * All arithmetic is double; the fold order over vector elements is
+ * left-to-right, matching the element order the DuckDB oracle sums in.
+ */
+object Similarity {
+
+  /** Left-to-right double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against the row of `queryId`. Deterministic
+    * tie-break on id. Plans as broadcast-cross-join + TakeOrderedAndProject. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+                 k: Int = 10): DataFrame = {
+    val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
+    df.crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cosine"))
+      .filter(col(idCol) =!= queryId)
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * md5-derived uniform in [-1, 1) — reproducible anywhere. */
+  private def planeComponent(plane: Int, d: Int): Double = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"plane:$plane:$d").substring(0, 15), 16)
+    (h % 100000L) / 50000.0 - 1.0
+  }
+
+  /** Sign-bit LSH bucket key for `nPlanes` hyperplanes (one LSH table). */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, table: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { p =>
+      val proj = (0 until dim).map { d =>
+        element_at(vec, d + 1).cast(DoubleType) * planeComponent(table * 1000 + p, d)
+      }.reduce(_ + _)
+      when(proj >= 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    concat_ws(":", lit(table.toString), bits.cast(StringType))
+  }
+
+  /** ANN top-k: candidates = rows sharing any of `tables` LSH buckets with the
+    * query, then exact cosine rank. Approximate — recall measured in tests
+    * against cosineTopK. */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              dim: Int, k: Int = 10, tables: Int = 4, nPlanes: Int = 8): DataFrame = {
+    val withBuckets = df.withColumn("__buckets",
+      array((0 until tables).map(t => lshBucket(col(vecCol), dim, nPlanes, t)): _*))
+    val q = withBuckets.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), col("__buckets").as("__qb"))
+    withBuckets.crossJoin(broadcast(q))
+      .filter(arrays_overlap(col("__buckets"), col("__qb")) && col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
+    * explode tables×bucket, self-join per bucket, exact cosine. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
+                        dim: Int = 64, tables: Int = 4, nPlanes: Int = 8): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", explode(array(
+        (0 until tables).map(t => lshBucket(col("v"), dim, nPlanes, t)): _*)))
+    val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
+    val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .distinct()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * language-ID (marker-token heuristic), quality scoring, token counting,
+ * document fingerprinting (rolling hash). All pure Column expressions —
+ * whole-stage-codegen'd, no UDFs, embarrassingly parallel per-row (no
+ * shuffle), so they scale linearly to 100 TB.
+ *
+ * Deterministic cross-engine contract: every function here has an exact
+ * DuckDB-SQL equivalent (same integer arithmetic, same regex class), used by
+ * the oracle in SparkEntry.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of lowercased, trimmed text. */
+  def tokens(c: Column): Column = split(trim(lower(c)), "\\s+")
+
+  /** Deterministic 60-bit token hash shared with the DuckDB oracle:
+    * first 15 hex chars of md5, parsed base-16. */
+  def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // ---------------------------------------------------------------- language id
+  /** Marker words per language; tiny n-gram-free heuristic. Scores are
+    * marker-token counts; argmax with alphabetical tie-break, encoded as
+    * score*8+priority so the DuckDB oracle is identical integer math. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "not"),
+    "es" -> Seq("el", "la", "los", "y", "no", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "ne", "est"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "zai4", "he2"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    // priority: alphabetically-first language wins ties
+    val keyed = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
+      val score = size(filter(toks, t => t.isin(markers: _*)))
+      (lang, score * 8 + (7 - i))
+    }
+    val best = keyed.map(_._2).reduce((a, b) => greatest(a, b))
+    langMarkers.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, _), i)) =>
+      when(best % 8 === (7 - i), lang).otherwise(acc)
+    }
+  }
+
+  // ---------------------------------------------------------------- quality
+  /** Quality scoring: length, punctuation ratio, stopword ratio, mean token
+    * length — combined to one double score with a fixed formula (identical
+    * IEEE op order in the SQL oracle). */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "not", "to", "in")
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    df.withColumn("n_tokens", size(toks).cast(LongType))
+      .withColumn("n_chars_m", length(col(textCol)).cast(LongType))
+      .withColumn("n_punct",
+        length(regexp_replace(col(textCol), "[A-Za-z0-9 ]", "")).cast(LongType))
+      .withColumn("n_stop",
+        size(filter(toks, t => t.isin(stopwords: _*))).cast(LongType))
+  }
+
+  /** score = 0.4*min(ntok,256)/256 + 0.3*(1-punct/chars) + 0.3*min(4*stop/ntok, 1) */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    qualityFeatures(df, textCol).withColumn("quality",
+      lit(0.4) * least(col("n_tokens").cast(DoubleType), lit(256.0)) / lit(256.0)
+        + lit(0.3) * (lit(1.0) - col("n_punct").cast(DoubleType) / col("n_chars_m").cast(DoubleType))
+        + lit(0.3) * least(lit(4.0) * col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType), lit(1.0)))
+
+  // ---------------------------------------------------------------- token counting
+  /** Whitespace token count plus a BPE-ish regex token count
+    * (letter-runs | single digits | single punctuation). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))).cast(LongType))
+      .withColumn("bpeish_tokens",
+        size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast(LongType))
+
+  // ---------------------------------------------------------------- fingerprint
+  /** Polynomial rolling-hash document fingerprint over codepoints,
+    * mod 2^31-1 — identical fold in the DuckDB oracle (list_reduce). */
+  def fingerprint(c: Column): Column =
+    when(length(c) === 0, lit(0L)).otherwise(aggregate(
+      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast(LongType)),
+      lit(0L),
+      (acc, ch) => (acc * 31 + ch) % 2147483647L))
+}
