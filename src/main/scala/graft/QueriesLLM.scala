@@ -29,8 +29,9 @@ object QueriesLLM {
 
     // ---------------- minhash signatures (deterministic, oracle-checked)
     "dedup_minhash_sig" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
-      d.select(col("doc_id"), Dedup.minhashSignature(Dedup.shingleHashes(col("text")), 8).as("sig"))
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+      Dedup.withShingleHashes(d, "text", "sh")
+        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -49,15 +50,21 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
-    // ---------------- n-gram jaccard against a pivot document
+    // ---------------- n-gram jaccard against a pivot document.
+    // Staged withColumns: CollapseProject won't inline the expensive HOF
+    // subtrees into multiple uses, so shingles/intersection compute once.
+    // jac = i/(|a|+|b|-i) — integer operands, so the double division is
+    // bit-identical in DuckDB without rounding.
     "ngram_jaccard" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
-      val pivot = d.filter(col("doc_id") === 0)
-        .select(Dedup.shingleHashes(col("text"), 2).as("ph"))
-      d.crossJoin(broadcast(pivot))
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+      val pivot = Dedup.withShingleHashes(d.filter(col("doc_id") === 0), "text", "ph", 2)
+        .select("ph")
+      Dedup.withShingleHashes(d, "text", "sh", 2)
+        .crossJoin(broadcast(pivot))
+        .withColumn("inter", size(array_intersect(col("sh"), col("ph"))))
         .select(col("doc_id"),
-          org.apache.spark.sql.functions.round(
-            Dedup.jaccard(Dedup.shingleHashes(col("text"), 2), col("ph")), 6).as("jac"))
+          (col("inter").cast(DoubleType) /
+            (size(col("sh")) + size(col("ph")) - col("inter")).cast(DoubleType)).as("jac"))
         .filter(col("doc_id") =!= 0)
         .orderBy("doc_id")
     }),
@@ -110,33 +117,40 @@ object QueriesLLM {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY 1""",
     "dedup_minhash_sig" -> {
-      val hashExpr = "('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647"
       val perm = (0 until 8).map { j =>
         s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
       }.mkString(", ")
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647 % 2147483647) AS th
+            FROM t),
           sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-              list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
-                i -> array_to_string(toks[i:i+2], ' ')),
-              g -> $hashExpr)) AS gh
-            FROM t)
+            SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 2 + 1),
+                i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+            END AS gh
+            FROM h)
           SELECT doc_id, [$perm] AS sig FROM sh ORDER BY doc_id"""
     },
     "ngram_jaccard" -> {
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-          sh AS (
-            SELECT doc_id, list_distinct(list_transform(
-              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
-                i -> array_to_string(toks[i:i+1], ' ')),
-              g -> ('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647)) AS gh
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647 % 2147483647) AS th
             FROM t),
+          sh AS (
+            SELECT doc_id, CASE WHEN len(th) < 2 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 1 + 1),
+                i -> (th[i] * 131 + th[i+1]) % 2147483647))
+            END AS gh
+            FROM h),
           p AS (SELECT gh AS ph FROM sh WHERE doc_id = 0)
           SELECT sh.doc_id,
-            round(CAST(len(list_intersect(sh.gh, p.ph)) AS DOUBLE) /
-                  CAST(len(list_distinct(list_concat(sh.gh, p.ph))) AS DOUBLE), 6) AS jac
+            CAST(len(list_intersect(sh.gh, p.ph)) AS DOUBLE) /
+            CAST(len(sh.gh) + len(p.ph) - len(list_intersect(sh.gh, p.ph)) AS DOUBLE) AS jac
           FROM sh, p WHERE sh.doc_id != 0 ORDER BY sh.doc_id"""
     },
     "lang_id" -> {

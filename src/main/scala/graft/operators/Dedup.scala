@@ -37,16 +37,47 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Distinct shingle hashes per document (the set MinHash samples from). */
+  /** Per-token md5-based hashes in [0, P). */
+  def tokenHashes(text: Column): Column =
+    transform(TextAnalysis.tokens(text), t => TextAnalysis.tokenHash(t) % P)
+
+  /** Shingle hash composed from a MATERIALIZED token-hash column by a rolling
+    * fold h = (h*131 + th[i]) mod P — one md5 per token instead of one per
+    * shingle (HOFs get no codegen CSE, so `thCol` must be a real column: its
+    * element_at references are then cheap attribute lookups). */
+  def shingleHashesFromTokens(thCol: Column, n: Int = 3): Column =
+    when(size(thCol) < n, array().cast(ArrayType(LongType)))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(thCol) - (n - 1)), i =>
+        (1 until n).foldLeft(element_at(thCol, i))((h, k) =>
+          (h * 131 + element_at(thCol, i + k)) % P))))
+
+  /** Attach a distinct-shingle-hash column (staged projects — see above). */
+  def withShingleHashes(df: DataFrame, textCol: String, out: String, n: Int = 3): DataFrame =
+    df.withColumn("__th", tokenHashes(col(textCol)))
+      .withColumn(out, shingleHashesFromTokens(col("__th"), n))
+      .drop("__th")
+
+  /** Distinct shingle hashes as a single expression (prefer withShingleHashes
+    * in pipelines — this form re-evaluates tokenHashes at each reference). */
   def shingleHashes(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), s => hash60(s)))
 
   /** MinHash signature: k independent affine permutations h_j(x)=(a_j·x+b_j) mod P,
-    * minimum over the document's shingle-hash set. a_j odd, deterministic. */
-  def minhashSignature(hashes: Column, k: Int = 16): Column =
-    array((0 until k).map { j =>
-      array_min(transform(hashes, x => (x * (2L * j + 1) + (12289L * j + 741)) % P))
+    * minimum over the document's shingle-hash set. a_j odd, deterministic.
+    *
+    * Single traversal of the shingle set: the accumulator is the array of k
+    * running minima, updated with zip_with against the literal (a,b) params —
+    * higher-order functions get no codegen subexpression elimination, so a
+    * per-permutation transform would re-evaluate `hashes` k times. */
+  def minhashSignature(hashes: Column, k: Int = 16): Column = {
+    val params = array((0 until k).map { j =>
+      struct(lit(2L * j + 1).as("a"), lit(12289L * j + 741).as("b"))
     }: _*)
+    val init = array(Seq.fill(k)(lit(Long.MaxValue)): _*)
+    aggregate(hashes, init,
+      (acc, x) => zip_with(acc, params,
+        (m, p) => least(m, (x * p.getField("a") + p.getField("b")) % P)))
+  }
 
   /** LSH band keys: signature split into `bands` bands of `rows` values,
     * each band rendered "j:v1:v2:…" — equal band key ⇒ candidate pair. */
@@ -74,9 +105,8 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("sh"))
+    val withSig = withShingleHashes(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
+      .drop(textCol)
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
     val l = withSig.select(col("band"), col("id").as("id1"), col("sh").as("sh1"))
@@ -93,11 +123,14 @@ object Dedup {
     * of signatures ≤ d (bit_count(xor)). */
   def simhash(text: Column, bits: Int = 60): Column = {
     val th = transform(array_distinct(TextAnalysis.tokens(text)), t => TextAnalysis.tokenHash(t))
-    (0 until bits).map { i =>
-      when(aggregate(th, lit(0L),
-        (s, h) => s + (shiftright(h, i) % 2) * 2 - 1) >= 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val masks = array((0 until bits).map(i => lit(1L << i)): _*)
+    val init = array(Seq.fill(bits)(lit(0L)): _*)
+    // one pass over tokens: per-bit vote sums via bitwiseAND against the mask
+    val votes = aggregate(th, init,
+      (acc, h) => zip_with(acc, masks,
+        (s, m) => s + when(h.bitwiseAND(m) =!= 0L, 1L).otherwise(-1L)))
+    aggregate(zip_with(votes, masks, (v, m) => when(v >= 0, m).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold via the

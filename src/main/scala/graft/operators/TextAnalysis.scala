@@ -38,15 +38,22 @@ object TextAnalysis {
 
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    // priority: alphabetically-first language wins ties
-    val keyed = langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
-      val score = size(filter(toks, t => t.isin(markers: _*)))
-      (lang, score * 8 + (7 - i))
-    }
-    val best = keyed.map(_._2).reduce((a, b) => greatest(a, b))
-    langMarkers.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, _), i)) =>
-      when(best % 8 === (7 - i), lang).otherwise(acc)
-    }
+    // one pass over tokens: per-language marker counts via zip_with against
+    // the literal marker lists (HOFs get no codegen subexpr elimination, so
+    // per-language filters would re-tokenize 5×)
+    val markerLists = array(langMarkers.map { case (_, ms) =>
+      array(ms.map(lit): _*)
+    }: _*)
+    val init = array(Seq.fill(langMarkers.size)(lit(0)): _*)
+    val counts = aggregate(toks, init,
+      (acc, t) => zip_with(acc, markerLists,
+        (c, ms) => c + when(array_contains(ms, t), 1).otherwise(0)))
+    // argmax with alphabetical tie-break, as ONE nested expression so every
+    // subtree is evaluated once: key = score*8 + (7-i); winner index = 8 - key%8
+    val prios = array(langMarkers.indices.map(i => lit(7 - i)): _*)
+    val langs = array(langMarkers.map { case (l, _) => lit(l) }: _*)
+    val best = array_max(zip_with(counts, prios, (c, p) => c * 8 + p))
+    element_at(langs, lit(8) - best % 8)
   }
 
   // ---------------------------------------------------------------- quality
@@ -85,8 +92,10 @@ object TextAnalysis {
   /** Polynomial rolling-hash document fingerprint over codepoints,
     * mod 2^31-1 — identical fold in the DuckDB oracle (list_reduce). */
   def fingerprint(c: Column): Column =
+    // split-to-chars is linear; substr(i,1) per index would seek from the
+    // string start each time (O(n²) per document)
     when(length(c) === 0, lit(0L)).otherwise(aggregate(
-      transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))).cast(LongType)),
+      transform(split(c, ""), ch => ascii(ch).cast(LongType)),
       lit(0L),
       (acc, ch) => (acc * 31 + ch) % 2147483647L))
 }
