@@ -78,6 +78,7 @@ object Multimodal {
                    stride: Int = 4, result: String = "frames"): DataFrame =
     df.withColumn(result,
       transform(
-        sequence(lit(0), greatest((length(col(payloadCol)) / (frameBytes * stride)) - 1, lit(0))),
+        sequence(lit(0), greatest(
+          floor(length(col(payloadCol)) / (frameBytes * stride)).cast(IntegerType) - 1, lit(0))),
         i => col(payloadCol).substr(lit(1) + i * (frameBytes * stride), lit(frameBytes))))
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Dedup / similarity / text-analysis / multimodal operator behavior. */
+class LLMOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat again and again"), // near dup of 0
+    (3L, "completely different content about spark query engines at scale"),
+    (4L, "el rapido zorro marron salta sobre el perro perezoso la la")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 4)
+    assert(out.filter(col("dup_count") === 2).select("keep_id").as[Long].head == 0L)
+  }
+
+  test("minhash near-dups finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", n = 3, k = 16, bands = 8,
+      threshold = 0.3).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L))) // identical pair, jaccard 1.0
+    assert(ids.contains((0L, 2L)) || ids.contains((1L, 2L))) // near pair
+    assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc excluded
+  }
+
+  test("simhash: identical texts equal, near texts close, far texts far") {
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(0L) == sh(1L))
+    assert(hamming(sh(0L), sh(2L)) <= hamming(sh(0L), sh(3L)))
+  }
+
+  test("jaccard of identical shingle sets is 1") {
+    val d = Dedup.withShingleHashes(docs, "text", "sh")
+    val a = d.filter(col("doc_id") === 0).select("sh").as[Seq[Long]].head
+    assert(a.nonEmpty)
+    val self = docs.filter(col("doc_id") === 0)
+    val out = Dedup.withShingleHashes(self, "text", "sh")
+      .select(Dedup.jaccard(col("sh"), col("sh")).as("j")).as[Double].head
+    assert(out == 1.0)
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, k = 2).collect()
+    assert(top(0).getLong(0) == 1L && math.abs(top(0).getDouble(1) - 1.0) < 1e-12)
+    assert(top(1).getLong(0) == 2L)
+  }
+
+  test("ANN via LSH reaches decent recall vs brute force") {
+    // 100 clustered vectors: 4 clusters around orthogonal axes + noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 100L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, dim = 16, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("langId picks the language with most marker tokens") {
+    val d = Seq(
+      "the cat is not a dog and the bird is free",
+      "der hund ist nicht die katze und das ist gut",
+      "el perro no es el gato y los dos no es").toDF("text")
+    val out = d.select(TextAnalysis.langId(col("text"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "es"))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val d = Seq("abc", "acb", "abc").toDF("t")
+    val fps = d.select(TextAnalysis.fingerprint(col("t"))).as[Long].collect()
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    // known value: ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
+    assert(fps(0) == 97L * 961 + 98 * 31 + 99)
+  }
+
+  test("multimodal: byte metadata + stub feature extraction batch shape") {
+    implicit val s = spark
+    val bin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
+    val meta = Multimodal.withByteMeta(bin, "payload")
+    assert(meta.filter(col("byte_len") > 0).count() == 5)
+    val feats = Multimodal.extractFeatures(bin, "doc_id", "payload")
+    val row = feats.orderBy("id").head
+    assert(row.getLong(0) == 0L)
+    assert(row.getSeq[Float](1).length == 8)
+    val frames = Multimodal.sampleFrames(bin, "payload", frameBytes = 4, stride = 2)
+    assert(frames.select(size(col("frames"))).as[Int].head > 0)
+  }
+}

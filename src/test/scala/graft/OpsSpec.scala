@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.engine.Ops
+
+/** Per-operator specs on inline frames (transliteration of the reference's
+  * BaseProcessorTestSuite shapes, FIXTURES.md §1). */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val kv = Seq(
+    ("a1", "b1", 1), ("a2", "b2", 2), ("a3", "b3", 3)
+  ).toDF("key1", "key2", "n")
+
+  test("fieldFilter selects, renames, defaults") {
+    val out = Ops.fieldFilter(kv, Seq("key1" -> "k", "n" -> "num"))
+    assert(out.columns.toSeq == Seq("k", "num"))
+    assert(out.count() == 3)
+  }
+
+  test("fieldRemove/fieldCopy/fieldRename") {
+    assert(Ops.fieldRemove(kv, Seq("key2")).columns.toSeq == Seq("key1", "n"))
+    val copied = Ops.fieldCopy(kv, Seq("key1" -> "copy1"))
+    assert(copied.filter(col("copy1") === col("key1")).count() == 3)
+    assert(Ops.fieldRename(kv, Seq("key1" -> "renamed")).columns.contains("renamed"))
+  }
+
+  test("runningCount numbers rows in order with start/step") {
+    val out = Ops.runningCount(kv, Seq(col("n")), startAt = 10, stepSize = 5, result = "seq")
+    assert(out.orderBy("n").select("seq").as[Long].collect().toSeq == Seq(10L, 15L, 20L))
+  }
+
+  test("array ops: explode, zip, flatten, distinct, element") {
+    val arrs = Seq((1, Seq("x", "y"), Seq(1, 2, 3))).toDF("id", "a", "b")
+    assert(Ops.sequenceExplode(arrs, "a", "e").count() == 2)
+    val zipped = Ops.zipExplode(arrs, "a", "b", "x", "y")
+    assert(zipped.count() == 3) // padded to longest
+    assert(zipped.filter(col("x").isNull).count() == 1)
+    val nested = Seq((1, Seq(Seq(1, 2), Seq(3)))).toDF("id", "nn")
+    assert(Ops.sequenceFlatten(nested, "nn", "f").select("f").as[Seq[Int]].head == Seq(1, 2, 3))
+    val dup = Seq((1, Seq("a", "b", "a"))).toDF("id", "arr")
+    assert(Ops.distinctSequence(dup, "arr", "d").select("d").as[Seq[String]].head == Seq("a", "b"))
+    assert(Ops.getListElement(dup, "arr", 1, "el").select("el").as[String].head == "b")
+  }
+
+  test("filter via Tuktu predicate + regex tree + absent fields") {
+    assert(Ops.filter(kv, "${n} > 1").count() == 2)
+    val re = Ops.regexFilter(kv, Ops.RegexAnd(Seq(
+      Ops.RegexLeaf("key1", "a[12]"), Ops.RegexNot(Ops.RegexLeaf("key2", "b1")))))
+    assert(re.select("key1").as[String].collect().toSeq == Seq("a2"))
+    val withNull = Seq(("x", Some(1)), ("y", None)).toDF("k", "v")
+    assert(Ops.absentFieldsFilter(withNull, Seq("v")).count() == 1)
+  }
+
+  test("dedupFirstSeen keeps first row per key in given order") {
+    val d = Seq(("k1", 2, "second"), ("k1", 1, "first"), ("k2", 5, "only"))
+      .toDF("k", "ord", "tag")
+    val out = Ops.dedupFirstSeen(d, Seq("k"), Seq(col("ord")))
+    assert(out.orderBy("k").select("tag").as[String].collect().toSeq == Seq("first", "only"))
+  }
+
+  test("stratifiedSample takes min-class count per class") {
+    val d = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5)).toDF("cls", "v")
+    val out = Ops.stratifiedSample(d, "cls", Seq(col("v")))
+    assert(out.groupBy("cls").count().select("count").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("aggregateByValue groups and evaluates aggregate expressions") {
+    val d = Seq(("g1", 1.0), ("g1", 3.0), ("g2", 10.0)).toDF("g", "v")
+    val out = Ops.aggregateByValue(d, Seq("g"), Seq(
+      "total" -> "sum(v)", "mean" -> "avg(v)", "n" -> "count(v)"))
+      .orderBy("g")
+    val rows = out.collect()
+    assert(rows(0).getDouble(1) == 4.0 && rows(0).getDouble(2) == 2.0 && rows(0).getLong(3) == 2L)
+    assert(rows(1).getDouble(1) == 10.0)
+  }
+
+  test("min/max row returns the whole extreme row") {
+    val d = Seq(("a", 3), ("b", 1), ("c", 7)).toDF("k", "v")
+    assert(Ops.maxRow(d, "v").select("k").as[String].head == "c")
+    assert(Ops.minRow(d, "v").select("k").as[String].head == "b")
+  }
+
+  test("mode returns most frequent with deterministic tie-break") {
+    val d = Seq("x", "y", "x", "z", "y").toDF("v")
+    val r = Ops.mode(d, "v").head
+    assert(r.getString(0) == "x" && r.getLong(1) == 2) // tie x/y → x (asc)
+  }
+
+  test("recursiveLookup reaches transitive closure") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Ops.recursiveLookup(edges, seeds, "src", "dst")
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("flatten spreads nested structs into dotted columns") {
+    val d = Seq((1, ("in", 2))).toDF("id", "s")
+    val out = Ops.flatten(d, "_")
+    assert(out.columns.toSet == Set("id", "s__1", "s__2"))
+  }
+
+  test("serialMerge unions mismatched schemas with nulls") {
+    val a = Seq((1, "x")).toDF("id", "a")
+    val b = Seq((2, true)).toDF("id", "b")
+    val out = Ops.serialMerge(Seq(a, b))
+    assert(out.count() == 2 && out.columns.toSet == Set("id", "a", "b"))
+  }
+
+  test("keyImploder collects ordered per-key lists") {
+    val d = Seq(("u1", 2, "b"), ("u1", 1, "a"), ("u2", 1, "z")).toDF("u", "o", "v")
+    val out = Ops.keyImploder(d, Seq("u"), "v", "o", "vs").orderBy("u")
+    assert(out.select("vs").as[Seq[String]].collect().toSeq == Seq(Seq("a", "b"), Seq("z")))
+  }
+}
