@@ -22,7 +22,7 @@ object Bench {
     try QueriesCore.queries.head._2(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = (QueriesCore.queries ++ QueriesLLM.queries).map { case (name, fn) =>
+    val results = (QueriesCore.queries ++ QueriesExtra.queries ++ QueriesLLM.queries).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write forces full materialization (count() would let Catalyst
       // prune projections away)

@@ -1,0 +1,252 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Ops
+
+/**
+ * Coverage batch 2: struct/JSON reshaping (SURVEY.md §2.3), window analytics,
+ * sessionization + as-of carry-forward (engine extras beyond the reference —
+ * §2.8 notes Tuktu has no sessionization), rollup (§2.5 extras), and the
+ * recursive lookup loop (§2.6) checked against a DuckDB recursive CTE.
+ */
+object QueriesExtra {
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+
+    // ---------------- §2.3 FlattenerProcessor — recursive struct flatten
+    "flattener" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          struct(col("o_totalprice").as("price")).as("inner")).as("meta"))
+      Ops.flatten(o, "_").orderBy("o_orderkey")
+    }),
+
+    // ---------------- §2.3 MapFlattenerProcessor — splice struct entries
+    "map_flattener" -> ((s, dir) => {
+      val r = rd(s, dir, "region")
+        .withColumn("meta", struct(col("r_name").as("name_inner")))
+      Ops.mapFlattener(r, "meta").orderBy("r_regionkey")
+    }),
+
+    // ---------------- §2.3 ListMapFlattenerProcessor — inner field of array<struct>
+    "list_map_flattener" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val grouped = li.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
+      Ops.listMapFlattener(grouped, "lines", "l_quantity", "quantities")
+        .drop("lines")
+        .orderBy("l_orderkey")
+    }),
+
+    // ---------------- §2.3 DataPacketWrapperProcessor — nest row under field
+    "datum_to_field" -> ((s, dir) => {
+      Ops.datumToField(rd(s, dir, "region"), "datum")
+        .orderBy(col("datum.r_regionkey"))
+    }),
+
+    // ---------------- §2.3 ImploderProcessor — concat array fields
+    "imploder" -> ((s, dir) => {
+      val p = rd(s, dir, "part")
+        .withColumn("a", split(col("p_name"), " "))
+        .withColumn("b", split(col("p_type"), " "))
+      Ops.imploder(p, Seq("a", "b"), "merged")
+        .select(col("p_partkey"), col("merged"))
+        .orderBy("p_partkey")
+    }),
+
+    // ---------------- §2.3 ConvertToDate — string parse roundtrip
+    "convert_to_date" -> ((s, dir) => {
+      val o = rd(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        .withColumn("ds", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      Ops.toDate(o, "ds", "yyyy-MM-dd", "parsed")
+        .select(col("o_orderkey"), col("ds"),
+          date_format(col("parsed"), "yyyy-MM-dd HH:mm:ss").as("parsed_str"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---------------- §2.7 ReverseProcessor
+    "reverse_processor" -> ((s, dir) => {
+      rd(s, dir, "events").select("event_id", "event_type")
+        .orderBy(col("event_id").desc).limit(50)
+    }),
+
+    // ---------------- §2.5 MinProcessor — whole minimum row
+    "min_row" -> ((s, dir) => {
+      Ops.minRow(rd(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal"),
+        "c_acctbal", Seq(col("c_custkey")))
+    }),
+
+    // ---------------- §2.3 JSONParseProcessor — from_json into typed struct
+    "json_parse_struct" -> ((s, dir) => {
+      val e = rd(s, dir, "events").select("event_id", "props")
+      Ops.jsonParse(e, "props", "k INT", "st")
+        .select(col("event_id"), col("st.k").as("k"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- §2.3 ConvertToJson — render struct to JSON string
+    "to_json_render" -> ((s, dir) => {
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"),
+          to_json(struct(col("o_orderkey"), col("o_orderstatus"))).as("js"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---------------- §2.5 extras: rollup (absent in reference, free in Spark)
+    "rollup_extra" -> ((s, dir) => {
+      rd(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("n"), col("sum_qty"))
+        .orderBy("flag", "status")
+    }),
+
+    // ---------------- window analytics: lag + delta per user
+    "window_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      rd(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .select(col("event_id"), col("user_id"),
+          (unix_micros(col("ts")) - col("prev_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- window analytics: running counts/sums per user
+    "running_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "events")
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("running_n"),
+          sum(floor(col("value") * lit(1000000.0)).cast(LongType)).over(w).as("running_vmicros"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- sessionization: 30-min-gap sessions per user
+    "sessionization" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = rd(s, dir, "events")
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      e.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          floor((max(col("us")) - min(col("us"))) / 1000000L).as("span_sec"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // ---------------- as-of carry-forward: last purchase time at each event
+    "asof_carry_forward" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rd(s, dir, "events")
+        .withColumn("last_purchase_us",
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(w))
+        .select(col("event_id"), col("last_purchase_us"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- §2.6 RecursiveLookupProcessor — iterative closure
+    "recursive_lookup" -> ((s, dir) => {
+      val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation")
+      val edges =
+        c.select(concat(lit("c"), col("c_custkey")).as("src"),
+          concat(lit("n"), col("c_nationkey")).as("dst"))
+          .union(n.select(concat(lit("n"), col("n_nationkey")).as("src"),
+            concat(lit("r"), col("n_regionkey")).as("dst")))
+      val seeds = c.filter(col("c_custkey") <= 50)
+        .select(concat(lit("c"), col("c_custkey")).as("id"))
+      Ops.recursiveLookup(edges, seeds, "src", "dst").orderBy("id")
+    }))
+
+  val oracleSql: Seq[(String, String)] = Seq(
+    "flattener" ->
+      """SELECT o_orderkey, o_orderstatus AS meta_status, o_totalprice AS meta_inner_price
+         FROM orders ORDER BY o_orderkey""",
+    "map_flattener" ->
+      "SELECT r_regionkey, r_name, r_name AS name_inner FROM region ORDER BY r_regionkey",
+    "list_map_flattener" ->
+      """SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "datum_to_field" ->
+      """SELECT {'r_regionkey': r_regionkey, 'r_name': r_name} AS datum
+         FROM region ORDER BY r_regionkey""",
+    "imploder" ->
+      """SELECT p_partkey, list_concat(string_split(p_name, ' '), string_split(p_type, ' ')) AS merged
+         FROM part ORDER BY p_partkey""",
+    "convert_to_date" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds,
+         strftime(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d'), '%Y-%m-%d %H:%M:%S') AS parsed_str
+         FROM orders ORDER BY o_orderkey""",
+    "reverse_processor" ->
+      "SELECT event_id, event_type FROM events ORDER BY event_id DESC LIMIT 50",
+    "min_row" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         ORDER BY c_acctbal ASC, c_custkey LIMIT 1""",
+    "json_parse_struct" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS INTEGER) AS k
+         FROM events ORDER BY event_id""",
+    "to_json_render" ->
+      """SELECT o_orderkey,
+         to_json(struct_pack(o_orderkey := o_orderkey, o_orderstatus := o_orderstatus))::VARCHAR AS js
+         FROM orders ORDER BY o_orderkey""",
+    "rollup_extra" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+         count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""",
+    "window_lead_lag" ->
+      """SELECT event_id, user_id,
+         epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         FROM events ORDER BY event_id""",
+    "running_window" ->
+      """SELECT event_id,
+         count(*) OVER w AS running_n,
+         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS running_vmicros
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "sessionization" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             event_id
+           FROM events),
+         f AS (
+           SELECT user_id, us, event_id,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM g),
+         s AS (
+           SELECT user_id, us,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM f)
+         SELECT user_id, session_id, count(*) AS n_events,
+           CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS span_sec
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    "asof_carry_forward" ->
+      """SELECT event_id,
+         max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+         FROM events ORDER BY event_id""",
+    "recursive_lookup" ->
+      """WITH RECURSIVE edges AS (
+           SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+           UNION ALL
+           SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+         r AS (
+           SELECT 'c' || c_custkey AS id FROM customer WHERE c_custkey <= 50
+           UNION
+           SELECT e.dst FROM r JOIN edges e ON e.src = r.id)
+         SELECT id FROM r ORDER BY id""")
+}

@@ -35,10 +35,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (QueriesCore.queries ++ QueriesLLM.queries).toMap
+    (QueriesCore.queries ++ QueriesExtra.queries ++ QueriesLLM.queries).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    (QueriesCore.oracleSql ++ QueriesLLM.oracleSql).toMap
+    (QueriesCore.oracleSql ++ QueriesExtra.oracleSql ++ QueriesLLM.oracleSql).toMap
 }

@@ -1,0 +1,146 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/**
+ * JSON flow-config front-end: compiles a Tuktu-style DAG
+ * (ref: app/controllers/Dispatcher.scala:348-370, configs/flowtests JSON files)
+ * to a DataFrame pipeline.
+ *
+ * Shape:
+ * {{{
+ * { "generators": [ {"id": "g", "name": "parquet",
+ *                    "config": {"path": "..."}, "next": ["p1"]} ],
+ *   "processors": [ {"id": "p1", "name": "filter",
+ *                    "config": {"predicate": "${x} > 1"}, "next": []} ] }
+ * }}}
+ *
+ * Semantics mapped per SURVEY.md §3.1: a node's input is the UNION of its
+ * predecessors' outputs (fan-in, Dispatcher.scala:106-112); `next` with
+ * several ids re-uses one DataFrame lineage in each branch (fan-out,
+ * Dispatcher.scala:298-305 — no data copying, just shared lineage); nodes
+ * unreachable from a generator are dropped (Dispatcher.scala:94-104 — free
+ * here since evaluation is demand-driven from the terminals). There is no
+ * iteratee machinery to port: Catalyst is the scheduler.
+ */
+object Flow {
+  private val mapper = new ObjectMapper()
+
+  final case class Node(id: String, name: String, config: JsonNode, next: Seq[String])
+
+  def parse(json: String): (Seq[Node], Seq[Node]) = {
+    val root = mapper.readTree(json)
+    def nodes(field: String): Seq[Node] =
+      Option(root.get(field)).map(_.elements().asScala.toSeq).getOrElse(Nil).zipWithIndex.map {
+        case (n, i) =>
+          Node(
+            id = Option(n.get("id")).map(_.asText).getOrElse(s"$field$i"),
+            name = n.get("name").asText,
+            config = Option(n.get("config")).getOrElse(mapper.createObjectNode()),
+            next = Option(n.get("next")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+      }
+    (nodes("generators"), nodes("processors"))
+  }
+
+  // ------------------------------------------------------------ generators
+  private def generate(spark: SparkSession, n: Node): DataFrame = {
+    def str(k: String): String = n.config.get(k).asText
+    def strOpt(k: String): Option[String] = Option(n.config.get(k)).map(_.asText)
+    n.name match {
+      case "parquet" => spark.read.parquet(str("path"))
+      case "csv" =>
+        spark.read
+          .option("header", strOpt("header").getOrElse("true"))
+          .option("sep", strOpt("separator").getOrElse(","))
+          .csv(str("path"))
+      case "json" => spark.read.json(str("path"))
+      case "text" => spark.read.text(str("path"))
+      // ListGenerator / CustomPacketGenerator (ref DummyGenerator.scala:120-190):
+      // inline rows as a JSON array of objects
+      case "list" =>
+        import spark.implicits._
+        val ds = spark.createDataset(
+          n.config.get("rows").elements().asScala.map(_.toString).toSeq)
+        spark.read.json(ds)
+      // DummyGenerator batch mode (ref DummyGenerator.scala:34-86)
+      case "range" => spark.range(n.config.get("n").asLong).toDF("id")
+      case other => throw new IllegalArgumentException(s"unknown generator: $other")
+    }
+  }
+
+  // ------------------------------------------------------------ processors
+  private def apply1(df: DataFrame, n: Node): DataFrame = {
+    val c = n.config
+    def str(k: String): String = c.get(k).asText
+    def strOpt(k: String): Option[String] = Option(c.get(k)).map(_.asText)
+    def pairs(k: String): Seq[(String, String)] =
+      c.get(k).properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText)
+    def strs(k: String): Seq[String] =
+      c.get(k).elements().asScala.map(_.asText).toSeq
+    def result: String = strOpt("result").getOrElse("result")
+
+    n.name match {
+      case "skip"            => df // SkipProcessor (BaseProcessors.scala:23)
+      case "field_filter"    => Ops.fieldFilter(df, pairs("fields"))
+      case "field_remove"    => Ops.fieldRemove(df, strs("fields"))
+      case "field_copy"      => Ops.fieldCopy(df, pairs("fields"))
+      case "field_rename"    => Ops.fieldRename(df, pairs("fields"))
+      case "constant_adder"  => Ops.constantAdder(df, result, str("value"))
+      case "filter"          => Ops.filter(df, str("predicate"))
+      case "predicate_field" => Ops.predicateField(df, str("predicate"), result)
+      case "arithmetic"      => Ops.arithmetic(df, str("expression"), result)
+      case "explode"         => Ops.sequenceExplode(df, str("field"), result)
+      case "split"           => Ops.stringSplit(df, str("field"), str("separator"), result)
+      case "implode"         => Ops.stringImplode(df, str("field"), str("separator"), result)
+      case "flatten"         => Ops.flatten(df, strOpt("separator").getOrElse("."))
+      case "json_path"       => Ops.getJsonPath(df, str("field"), str("path"), result)
+      case "sort" =>
+        Ops.sort(df, strs("fields").map(f =>
+          if (strOpt("order").contains("desc")) col(f).desc else col(f).asc))
+      case "take" => Ops.take(df, c.get("n").asInt)
+      case "dedup" => Ops.dedupFirstSeen(df, strs("fields"), strs("order_by").map(col))
+      // GroupByProcessor + bucket aggregate (AggregateByValue semantics)
+      case "aggregate" =>
+        Ops.aggregateByValue(df, strs("group"), pairs("aggs"))
+      case other => throw new IllegalArgumentException(s"unknown processor: $other")
+    }
+  }
+
+  /** Run a flow; returns the DataFrame of each terminal node (no `next`). */
+  def run(spark: SparkSession, json: String): Map[String, DataFrame] = {
+    val (gens, procs) = parse(json)
+    val procById = procs.map(p => p.id -> p).toMap
+    val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+
+    // predecessors: generator or processor ids pointing at a node
+    val preds: Map[String, Seq[Node]] =
+      (gens ++ procs).flatMap(n => n.next.map(_ -> n)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+
+    def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
+      val node = procById(id)
+      val inputs = preds.getOrElse(id, Nil).map {
+        case g if gens.exists(_.id == g.id) && !procById.contains(g.id) => generate(spark, g)
+        case p => eval(p.id)
+      }
+      require(inputs.nonEmpty, s"processor ${node.id} has no reachable input")
+      // fan-in = union of predecessor outputs (EOF-merge ⇄ plan union)
+      apply1(inputs.reduce(_.unionByName(_, allowMissingColumns = true)), node)
+    })
+
+    val terminals = procs.filter(_.next.isEmpty)
+    if (terminals.isEmpty)
+      gens.map(g => g.id -> generate(spark, g)).toMap
+    else terminals.map(t => t.id -> eval(t.id)).toMap
+  }
+
+  /** Single-terminal convenience. */
+  def runSingle(spark: SparkSession, json: String): DataFrame = {
+    val m = run(spark, json)
+    require(m.size == 1, s"flow has ${m.size} terminals: ${m.keys.mkString(", ")}")
+    m.head._2
+  }
+}

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming layer — the reference's stream-shape operators
+ * (SURVEY.md §2.8) on Spark's native streaming runtime, which adds what the
+ * reference lacks: event-time watermarks, late-data handling, and fault-
+ * tolerant state (BufferProcessors.scala buffers in heap ListBuffers).
+ *
+ *  - TimestampNormalizer+GroupBy+bucket agg  ⇄ tumbling `window` agg
+ *  - TimeBufferProcessor                     ⇄ processing-time trigger /
+ *                                              event-time tumbling window
+ *  - sliding windows, session windows        ⇄ engine extras (`window` with
+ *                                              slide, `session_window`)
+ *  - StreamingDeduplicationProcessor         ⇄ dropDuplicates[WithinWatermark]
+ *  - RunningCountProcessor (stream scope)    ⇄ mapGroupsWithState counter
+ *
+ * All transforms are `DataFrame => DataFrame` on streaming frames, so they
+ * compose with the batch operator library where semantics allow.
+ */
+object Streams {
+
+  /** Tumbling event-time window aggregation with watermark
+    * (ref: TimestampNormalizerProcessor.scala:17 + GroupByProcessor). */
+  def tumblingAgg(df: DataFrame, tsCol: String, duration: String, watermark: String,
+                  keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Sliding event-time window aggregation (engine extra). */
+  def slidingAgg(df: DataFrame, tsCol: String, duration: String, slide: String,
+                 watermark: String, keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration, slide) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Session windows with inactivity gap (engine extra — the reference has no
+    * sessionization, SURVEY.md §2.8). */
+  def sessionAgg(df: DataFrame, tsCol: String, gap: String, watermark: String,
+                 keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** Whole-stream dedup (ref: StreamingDeduplicationProcessor.scala:12).
+    * With a watermark the state is bounded — mandatory at 100 TB/unbounded
+    * retention; without one Spark keeps all keys forever. */
+  def streamingDedup(df: DataFrame, keys: Seq[String], tsCol: Option[String],
+                     watermark: Option[String]): DataFrame =
+    (tsCol, watermark) match {
+      case (Some(ts), Some(w)) =>
+        df.withWatermark(ts, w).dropDuplicatesWithinWatermark(keys)
+      case _ => df.dropDuplicates(keys)
+    }
+
+  /** Per-key running count over the whole stream via explicit state
+    * (ref: RunningCountProcessor.scala stream scope). Emits (key, runningCount)
+    * per input row batch. */
+  def runningCountPerKey(df: DataFrame, keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.selectExpr(s"CAST($keyCol AS STRING) AS k")
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          (key, next)
+      }
+      .toDF("key", "running_count")
+  }
+
+  /** Rate-source generator ⇄ DummyGenerator/RandomGenerator
+    * (ref: DummyGenerator.scala:34-118). */
+  def rateSource(spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
+
+  /** File-stream source ⇄ LineGenerator streaming mode
+    * (ref: FileGenerators.scala:79). */
+  def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,
+                 format: String = "parquet", schemaDdl: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format(format)
+    schemaDdl.fold(r)(d => r.schema(org.apache.spark.sql.types.StructType.fromDDL(d))).load(path)
+  }
+}

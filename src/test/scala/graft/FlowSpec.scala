@@ -1,0 +1,65 @@
+package graft
+
+import graft.engine.Flow
+
+/** JSON flow-config front-end: DAG compile, fan-out/fan-in, op configs
+  * (shape of configs/flowtests/dummy.json in the reference). */
+class FlowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linear flow: list generator → filter → arithmetic → aggregate") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 5}, {"k": "b", "v": 0}
+        ]}, "next": ["f"]} ],
+      "processors": [
+        {"id": "f", "name": "filter", "config": {"predicate": "${v} > 0"}, "next": ["m"]},
+        {"id": "m", "name": "arithmetic",
+         "config": {"expression": "${v} * 10", "result": "v10"}, "next": ["agg"]},
+        {"id": "agg", "name": "aggregate",
+         "config": {"group": ["k"], "aggs": {"total": "sum(v10)", "n": "count(v10)"}},
+         "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow).orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq(("a", 30.0, 2L), ("b", 50.0, 1L)))
+  }
+
+  test("fan-out and fan-in: one generator, two branches, merged terminal") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"x": 1}, {"x": 2}, {"x": 3}
+        ]}, "next": ["small", "big"]} ],
+      "processors": [
+        {"id": "small", "name": "filter", "config": {"predicate": "${x} <= 1"}, "next": ["merged"]},
+        {"id": "big",   "name": "filter", "config": {"predicate": "${x} >= 3"}, "next": ["merged"]},
+        {"id": "merged", "name": "constant_adder",
+         "config": {"value": "tag-${x}", "result": "tag"}, "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow).orderBy("x").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out.map(_.getString(1)).toSeq == Seq("tag-1", "tag-3"))
+  }
+
+  test("field ops and sort/take through the front-end") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "range", "config": {"n": 10}, "next": ["ops"]} ],
+      "processors": [
+        {"id": "ops", "name": "field_copy", "config": {"fields": {"id": "id2"}}, "next": ["sorted"]},
+        {"id": "sorted", "name": "sort",
+         "config": {"fields": ["id"], "order": "desc"}, "next": ["top"]},
+        {"id": "top", "name": "take", "config": {"n": 3}, "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(9L, 8L, 7L))
+    assert(out.map(_.getLong(1)).toSeq == Seq(9L, 8L, 7L))
+  }
+
+  test("unknown processor fails with a clear message") {
+    val flow = """
+    { "generators": [ {"id": "g", "name": "range", "config": {"n": 1}, "next": ["bad"]} ],
+      "processors": [ {"id": "bad", "name": "nope", "config": {}, "next": []} ] }"""
+    val e = intercept[IllegalArgumentException](Flow.runSingle(spark, flow).collect())
+    assert(e.getMessage.contains("unknown processor"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Structured Streaming semantics driven through MemoryStream sources. */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  test("tumbling window aggregation with watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = Streams.tumblingAgg(
+      in.toDF.toDF("ts", "k", "v"), "ts", "10 minutes", "1 minute",
+      Seq("k"), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+    val q = out.writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(1), "a", 1.0), (ts(5), "a", 2.0), (ts(12), "a", 4.0), (ts(3), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, n, s FROM tumbling ORDER BY k, s").collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+        Seq(("a", 2L, 3.0), ("a", 1L, 4.0), ("b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session window groups by inactivity gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streams.sessionAgg(
+      in.toDF.toDF("ts", "k"), "ts", "5 minutes", "1 minute",
+      Seq("k"), Seq(count(lit(1)).as("n")))
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      // two bursts separated by > 5 min gap → 2 sessions
+      in.addData((ts(0), "u"), (ts(2), "u"), (ts(20), "u"), (ts(21), "u"), (ts(23), "u"))
+      q.processAllAvailable()
+      val ns = spark.sql("SELECT n FROM sessions ORDER BY n").as[Long].collect().toSeq
+      assert(ns == Seq(2L, 3L))
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated keys across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Int, String)]
+    val out = Streams.streamingDedup(in.toDF.toDF("id", "v"), Seq("id"), None, None)
+    val q = out.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1, "a"), (2, "b"))
+      q.processAllAvailable()
+      in.addData((1, "a2"), (3, "c")) // id=1 already seen in earlier batch
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM dedup ORDER BY id").as[Int].collect().toSeq
+      assert(ids == Seq(1, 2, 3))
+    } finally q.stop()
+  }
+
+  test("stateful running count per key survives across batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[String]
+    val out = Streams.runningCountPerKey(in.toDF.toDF("k"), "k")
+    val q = out.writeStream.format("memory").queryName("rcount")
+      .outputMode("update").start()
+    try {
+      in.addData("a", "a", "b")
+      q.processAllAvailable()
+      in.addData("a", "b")
+      q.processAllAvailable()
+      // update mode: last emitted state per key
+      val last = spark.sql(
+        "SELECT key, max(running_count) FROM rcount GROUP BY key ORDER BY key").collect()
+      assert(last.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L), ("b", 2L)))
+    } finally q.stop()
+  }
+}
