@@ -175,9 +175,11 @@ object Ops {
     df.withColumn(result, round.fold(c)(n => org.apache.spark.sql.functions.round(c, n)))
   }
 
-  /** PredicateProcessor (BaseProcessors.scala:355): store predicate result as field. */
+  /** PredicateProcessor (BaseProcessors.scala:355): store predicate result as
+    * field. coalesce to false: as a stored value the reference never yields
+    * null (filter context doesn't need this — null already drops the row). */
   def predicateField(df: DataFrame, predStr: String, result: String): DataFrame =
-    df.withColumn(result, Expr.predicate(df, predStr))
+    df.withColumn(result, coalesce(Expr.predicate(df, predStr), lit(false)))
 
   /** MaxFieldByValueProcessor (app/tuktu/processors/arithmetics/MaxByFieldProcessor.scala:10). */
   def maxOfFields(df: DataFrame, a: String, b: String, result: String): DataFrame =

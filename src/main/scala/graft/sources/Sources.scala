@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Source operators (SURVEY.md §2.1) on Spark's readers — schema inference,
+ * partitioned listing, and predicate pushdown come from the data source API;
+ * the reference's actor/batching machinery has no equivalent here because
+ * partitioning IS the batching.
+ */
+object Sources {
+
+  /** CSVGenerator (ref: modules/csv/.../CsvGenerator.scala:111): header,
+    * separator, quote, escape, optional line range. */
+  def csv(spark: SparkSession, path: String, header: Boolean = true, sep: String = ",",
+          quote: String = "\"", escape: String = "\\",
+          startLine: Option[Long] = None, endLine: Option[Long] = None): DataFrame = {
+    val df = spark.read
+      .option("header", header).option("sep", sep)
+      .option("quote", quote).option("escape", escape)
+      .csv(path)
+    lineRange(df, startLine, endLine)
+  }
+
+  /** LineGenerator (ref: app/tuktu/generators/FileGenerators.scala:79):
+    * text lines with optional start/end offsets. A global line index is a
+    * single-partition window — only the sliced head/tail pays that cost. */
+  def lines(spark: SparkSession, path: String,
+            startLine: Option[Long] = None, endLine: Option[Long] = None): DataFrame =
+    lineRange(spark.read.text(path), startLine, endLine)
+
+  private def lineRange(df: DataFrame, start: Option[Long], end: Option[Long]): DataFrame =
+    if (start.isEmpty && end.isEmpty) df
+    else {
+      val withIdx = df.withColumn("__line", monotonically_increasing_id())
+      // monotonically_increasing_id is non-contiguous across partitions; a
+      // dense line number needs the total order:
+      val dense = df.withColumn("__line",
+        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      val lo = start.getOrElse(0L)
+      val hi = end.getOrElse(Long.MaxValue)
+      dense.filter(col("__line") >= lo && col("__line") <= hi).drop("__line")
+    }
+
+  /** JSON file source (JSONParse-at-source). */
+  def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+
+  /** FilesGenerator (ref: FileGenerators.scala:145): recursive file listing
+    * with glob, as a DataFrame of paths + metadata. */
+  def files(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*")
+      .load(glob)
+      .select(col("path"), col("length"), col("modificationTime"))
+
+  /** BinaryFileGenerator (ref: FileGenerators.scala:241). */
+  def binaryFiles(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  /** TimeGenerator (ref: app/tuktu/generators/TimeGenerator.scala:105):
+    * timestamps from start to end stepping by an interval. */
+  def timeRange(spark: SparkSession, start: String, end: String, step: String): DataFrame =
+    spark.range(1).select(explode(sequence(
+      to_timestamp(lit(start)), to_timestamp(lit(end)),
+      expr(s"INTERVAL $step"))).as("ts"))
+
+  /** ListGenerator (ref: DummyGenerator.scala:120): inline values. */
+  def list(spark: SparkSession, values: Seq[Any]): DataFrame = {
+    import spark.implicits._
+    values.headOption match {
+      case Some(_: Int) | Some(_: Long) => values.map(_.toString.toLong).toDF("value")
+      case Some(_: Double)              => values.map(_.toString.toDouble).toDF("value")
+      case _                            => values.map(String.valueOf).toDF("value")
+    }
+  }
+
+  /** SQLGenerator (ref: modules/nosql/.../sql.scala:11): JDBC read — the
+    * connector does partitioned parallel reads when bounds are given. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: Option[String] = None, lowerBound: Long = 0,
+           upperBound: Long = 0, numPartitions: Int = 1): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    partitionColumn.fold(r) { pc =>
+      r.option("partitionColumn", pc).option("lowerBound", lowerBound)
+        .option("upperBound", upperBound).option("numPartitions", numPartitions)
+    }.load()
+  }
+
+  /** XmlGenerator / XmlToMapProcessor (ref: FileGenerators.scala:215,
+    * BaseProcessors.scala:1247): parse an XML string column into a
+    * map<tag,text> of child elements + attributes (via scala-xml, as a UDF —
+    * XML parsing has no Catalyst expression). */
+  val xmlToMap: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null) null
+      else {
+        val node = scala.xml.XML.loadString(s)
+        val attrs = node.attributes.asAttrMap.map { case (k, v) => s"@$k" -> v }
+        val children = node.child.collect {
+          case e: scala.xml.Elem => e.label -> e.text
+        }.toMap
+        attrs ++ children
+      }
+    }
+}

