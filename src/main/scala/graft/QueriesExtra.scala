@@ -156,6 +156,27 @@ object QueriesExtra {
         .orderBy("event_id")
     }),
 
+    // ---------------- §2.4 ContainsAllFilterProcessor — array-of-structs coverage
+    "contains_all_filter" -> ((s, dir) => {
+      val perUser = rd(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(array_distinct(collect_list(struct(col("event_type").as("et")))).as("recs"))
+      Ops.containsAllFilter(perUser, "recs", "et", Seq("click", "purchase"))
+        .select("user_id")
+        .orderBy("user_id")
+    }),
+
+    // ---------------- §2.4 IfThenElseProcessor — predicate-routed values
+    "if_then_else" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      Ops.ifThenElse(
+        Ops.ifThenElse(o, "${o_totalprice} > 200000", lit("big"), lit("rest"), "size1"),
+        "${o_totalprice} > 100000 && ${o_totalprice} <= 200000",
+        lit("mid"), col("size1"), "bucket")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // ---------------- §2.6 RecursiveLookupProcessor — iterative closure
     "recursive_lookup" -> ((s, dir) => {
       val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation")
@@ -239,6 +260,15 @@ object QueriesExtra {
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
          FROM events ORDER BY event_id""",
+    "contains_all_filter" ->
+      """SELECT user_id FROM events GROUP BY 1
+         HAVING list_has_all(list(DISTINCT event_type), ['click', 'purchase'])
+         ORDER BY 1""",
+    "if_then_else" ->
+      """SELECT CASE WHEN o_totalprice > 200000 THEN 'big'
+                     WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 'mid'
+                     ELSE 'rest' END AS bucket, count(*) AS n
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "recursive_lookup" ->
       """WITH RECURSIVE edges AS (
            SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer

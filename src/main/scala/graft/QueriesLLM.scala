@@ -39,7 +39,7 @@ object QueriesLLM {
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
         n = 3, k = 8, bands = 4, threshold = 0.0)
-        .select(col("id1"), col("id2"), org.apache.spark.sql.functions.round(col("jaccard"), 6).as("jac"))
+        .select(col("id1"), col("id2"), col("jaccard").as("jac"))
         .orderBy("id1", "id2")
     }),
 
@@ -69,10 +69,12 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
-    // ---------------- brute-force cosine top-k (exact ANN baseline)
+    // ---------------- brute-force cosine top-k (exact ANN baseline).
+    // Raw doubles: the left-to-right fold order matches the oracle's
+    // list_reduce exactly, so the bits agree without rounding.
     "ann_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopK(rd(s, dir, "embeddings"), "vec_id", "embedding", queryId = 0, k = 10)
-        .select(col("vec_id"), org.apache.spark.sql.functions.round(col("cosine"), 6).as("cos"))
+        .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
     // ---------------- language id (marker-token heuristic)
@@ -153,6 +155,62 @@ object QueriesLLM {
             CAST(len(sh.gh) + len(p.ph) - len(list_intersect(sh.gh, p.ph)) AS DOUBLE) AS jac
           FROM sh, p WHERE sh.doc_id != 0 ORDER BY sh.doc_id"""
     },
+    "dedup_minhash_lsh" -> {
+      val perm = (0 until 8).map { j =>
+        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+      }.mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+            FROM t),
+          sh AS (
+            SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 2 + 1),
+                i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+            END AS gh
+            FROM h),
+          sig AS (SELECT doc_id, gh, [$perm] AS sig FROM sh),
+          bands AS (
+            SELECT doc_id, gh, unnest(list_transform(range(4), j ->
+              j::VARCHAR || ':' || sig[2*j+1]::VARCHAR || ':' || sig[2*j+2]::VARCHAR)) AS band
+            FROM sig),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.gh AS gh1, b.gh AS gh2
+            FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+          SELECT id1, id2,
+            CAST(len(list_intersect(gh1, gh2)) AS DOUBLE) /
+            CAST(len(list_distinct(list_concat(gh1, gh2))) AS DOUBLE) AS jac
+          FROM pairs ORDER BY id1, id2"""
+    },
+    "dedup_simhash" ->
+      """WITH t AS (
+           SELECT doc_id, list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id, list_transform(toks,
+             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
+           FROM t)
+         SELECT doc_id, list_sum(list_transform(range(16), i ->
+           CASE WHEN list_sum(list_transform(th, x ->
+             CASE WHEN (x & (1::BIGINT << i)) != 0 THEN 1 ELSE -1 END)) >= 0
+           THEN (1::BIGINT << i) ELSE 0 END)) AS simhash
+         FROM h ORDER BY doc_id""",
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         scored AS (
+           SELECT e.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(e.v, e.v), p -> p[1] * p[2])), (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)))
+             AS cos
+           FROM e, q WHERE e.vec_id != 0)
+         SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "lang_id" -> {
       val scores = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
         val inList = markers.map(m => s"'$m'").mkString(", ")

@@ -265,6 +265,25 @@ object Ops {
            broadcastRight: Boolean = false): DataFrame =
     left.join(if (broadcastRight) broadcast(right) else right, keys, how)
 
+  /** IfThenElseProcessor (app/tuktu/processors/meta/IfThenElseProcessor.scala:27):
+    * expression form — route each row's value through then/else. */
+  def ifThenElse(df: DataFrame, predStr: String, thenCol: Column, elseCol: Column,
+                 result: String): DataFrame =
+    df.withColumn(result, when(Expr.predicate(df, predStr), thenCol).otherwise(elseCol))
+
+  /** Skew-resistant equi-join: replicate the build side per salt bucket and
+    * scatter the probe side across buckets. AQE's skew-join split handles
+    * most runtime skew; this is the explicit fallback for extreme single-key
+    * hot spots (a known key taking >> 1 partition's worth of rows). */
+  def saltedJoin(probe: DataFrame, build: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val replicated = build.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** SerialMerger (app/tuktu/processors/merge/BaseMergers.scala:90): concatenate
     * branch outputs (schema union, missing → null). */
   def serialMerge(dfs: Seq[DataFrame]): DataFrame =

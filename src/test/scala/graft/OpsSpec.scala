@@ -108,6 +108,24 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 2 && out.columns.toSet == Set("id", "a", "b"))
   }
 
+  test("saltedJoin equals the plain join result under skew") {
+    val probe = (Seq.fill(500)("hot") ++ Seq("cold1", "cold2")).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "v")
+    val build = Seq(("hot", 1), ("cold1", 2), ("missing", 9)).toDF("k", "w")
+    val plain = probe.join(build, Seq("k")).select("k", "v", "w")
+      .collect().map(_.toSeq).toSet
+    val salted = Ops.saltedJoin(probe, build, Seq("k"), salts = 8)
+      .select("k", "v", "w").collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.size == 501)
+  }
+
+  test("ifThenElse routes values by Tuktu predicate") {
+    val d = Seq(1.0, 150.0).toDF("v")
+    val out = Ops.ifThenElse(d, "${v} > 100", lit("big"), lit("small"), "b")
+      .select("b").as[String].collect().toSeq
+    assert(out == Seq("small", "big"))
+  }
+
   test("keyImploder collects ordered per-key lists") {
     val d = Seq(("u1", 2, "b"), ("u1", 1, "a"), ("u2", 1, "z")).toDF("u", "o", "v")
     val out = Ops.keyImploder(d, Seq("u"), "v", "o", "vs").orderBy("u")
