@@ -177,6 +177,33 @@ object QueriesExtra {
         .orderBy("bucket")
     }),
 
+    // ---------------- §2.11 time-series: rolling statistics (ARIMA-adjacent)
+    "rolling_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      val vm = floor(col("value") * lit(1000000.0)).cast(LongType)
+      rd(s, dir, "events")
+        .select(col("event_id"),
+          count(lit(1)).over(w).as("roll_n"),
+          sum(vm).over(w).as("roll_vmicros"),
+          min(col("value")).over(w).as("roll_min"),
+          max(col("value")).over(w).as("roll_max"))
+        .orderBy("event_id")
+    }),
+
+    // ---------------- §2.11 change-point detection: deviation vs prior window
+    "changepoint" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-10, -1)
+      val vm = floor(col("value") * lit(1000000.0)).cast(LongType)
+      rd(s, dir, "events")
+        .withColumn("prior_mean",
+          sum(vm).over(w).cast(DoubleType) / count(vm).over(w).cast(DoubleType))
+        .filter(abs(vm.cast(DoubleType) - col("prior_mean")) > 25000000.0)
+        .select("event_id", "user_id")
+        .orderBy("event_id")
+    }),
+
     // ---------------- §2.6 RecursiveLookupProcessor — iterative closure
     "recursive_lookup" -> ((s, dir) => {
       val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation")
@@ -269,6 +296,28 @@ object QueriesExtra {
                      WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 'mid'
                      ELSE 'rest' END AS bucket, count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "rolling_stats" ->
+      """SELECT event_id,
+         count(*) OVER w AS roll_n,
+         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS roll_vmicros,
+         min(value) OVER w AS roll_min,
+         max(value) OVER w AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "changepoint" ->
+      """WITH p AS (
+           SELECT event_id, user_id,
+             CAST(floor(value * 1000000.0) AS BIGINT) AS vm,
+             CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS DOUBLE)
+               / CAST(count(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS DOUBLE) AS prior_mean
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id FROM p
+         WHERE abs(CAST(vm AS DOUBLE) - prior_mean) > 25000000.0
+         ORDER BY event_id""",
     "recursive_lookup" ->
       """WITH RECURSIVE edges AS (
            SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer

@@ -51,14 +51,32 @@ object Ops {
   def constantAdder(df: DataFrame, result: String, template: String): DataFrame =
     df.withColumn(result, Expr.interpolate(template))
 
+  /** Scalable global row index in `orderBy` order: range-partition on the
+    * sort keys, sort within partitions, then add per-partition offsets
+    * (computed from partition sizes — one tiny driver-side cumulative sum).
+    * Replaces `row_number().over(Window.orderBy(...))`, which funnels ALL
+    * rows through a single partition and cannot survive a 100× scale-up. */
+  def withGlobalIndex(df: DataFrame, orderBy: Seq[Column], result: String): DataFrame = {
+    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+    val spark = df.sparkSession
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField(result,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
   /** RunningCountProcessor (BaseProcessors.scala:184): sequence number in
-    * explicit `orderBy` order — Spark requires explicit order; a global
-    * row_number is a single-partition window, so prefer per-group keys at
-    * scale, or zipWithIndex-free monotonically_increasing_id when gaps are OK. */
+    * explicit `orderBy` order (reference semantics are inherently sequential;
+    * the index itself is computed scalably — see withGlobalIndex). */
   def runningCount(df: DataFrame, orderBy: Seq[Column], startAt: Long = 0, stepSize: Long = 1,
                    result: String = "count"): DataFrame =
-    df.withColumn(result,
-      (row_number().over(Window.orderBy(orderBy: _*)) - 1) * stepSize + startAt)
+    withGlobalIndex(df, orderBy, "__idx")
+      .withColumn(result, col("__idx") * stepSize + startAt)
+      .drop("__idx")
 
   /** UUIDAdderProcessor (BaseProcessors.scala:1216). */
   def uuidAdder(df: DataFrame, result: String): DataFrame = df.withColumn(result, expr("uuid()"))
@@ -375,9 +393,11 @@ object Ops {
     df.groupBy(keys.map(col): _*)
 
   /** SizeBufferProcessor (BufferProcessors.scala:94): N-row batches become an
-    * explicit batch-id column derived from a total order. */
+    * explicit batch-id column derived from a total order (scalable index). */
   def sizeBuffer(df: DataFrame, n: Int, orderBy: Seq[Column], result: String = "batch_id"): DataFrame =
-    df.withColumn(result, floor((row_number().over(Window.orderBy(orderBy: _*)) - 1) / n))
+    withGlobalIndex(df, orderBy, "__idx")
+      .withColumn(result, floor(col("__idx") / n))
+      .drop("__idx")
 
   /** TimeBufferProcessor (BufferProcessors.scala:114) — event-time version:
     * tumbling window bucket. */
