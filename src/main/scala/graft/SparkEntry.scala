@@ -19,6 +19,7 @@ object SparkEntry {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * filter → groupBy-agg (AggregateByValue) → sort, the §7.3 slice. */
