@@ -295,7 +295,11 @@ object QueriesCore {
       val li = rd(s, dir, "lineitem")
       val n = count(lit(1)).cast(DoubleType)
       val sx = sum(col("l_quantity"))
-      val pd = col("l_extendedprice").cast(M)
+      // discount (not price) as the second operand: bounded values keep every
+      // exact decimal sum within double's 53-bit exact range at any SF — a
+      // price-squared sum exceeds it and the decimal->double cast diverges
+      // between engines in the last ulp.
+      val pd = col("l_discount").cast(M)
       val qd = col("l_quantity").cast(M)
       val sy = sum(pd).cast(DoubleType)
       val sxx = sum(col("l_quantity") * col("l_quantity"))
@@ -588,10 +592,10 @@ object QueriesCore {
       """WITH s AS (SELECT
            CAST(count(*) AS DOUBLE) AS n,
            SUM(l_quantity) AS sx,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
            SUM(l_quantity * l_quantity) AS sxx,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy
          FROM lineitem)
          SELECT sxy / n - (sx / n) * (sy / n) AS covar_pop,
            (sxy / n - (sx / n) * (sy / n)) /

@@ -109,6 +109,16 @@ object Flow {
     }
   }
 
+  /** GeneratorConfigProcessor-style `#{var}` config interpolation
+    * (ref: app/tuktu/processors/meta/MetaProcessors.scala:26): substitute
+    * variables into the raw config before parsing. */
+  def interpolateVars(json: String, vars: Map[String, String]): String =
+    vars.foldLeft(json) { case (acc, (k, v)) => acc.replace(s"#{$k}", v) }
+
+  /** Run a flow; returns the DataFrame of each terminal node (no `next`). */
+  def run(spark: SparkSession, json: String, vars: Map[String, String]): Map[String, DataFrame] =
+    run(spark, interpolateVars(json, vars))
+
   /** Run a flow; returns the DataFrame of each terminal node (no `next`). */
   def run(spark: SparkSession, json: String): Map[String, DataFrame] = {
     val (gens, procs) = parse(json)

@@ -97,6 +97,18 @@ object Ops {
       .agg(transform(array_sort(collect_list(struct(col(orderField).as("o"), col(field).as("v")))),
         x => x.getField("v")).as(result))
 
+  /** DatumMergeProcessor (app/tuktu/processors/DatumMergeProcessor.scala:14):
+    * fold all rows of a group into one — last non-null value per column in
+    * the given order. */
+  def datumMerge(df: DataFrame, groupKeys: Seq[String], orderField: String): DataFrame = {
+    val valueCols = df.columns.filterNot(c => groupKeys.contains(c) || c == orderField)
+    val aggs = valueCols.map { c =>
+      // last-by-order via max_by on the materialized order key
+      max_by(col(c), when(col(c).isNotNull, col(orderField))).as(c)
+    }
+    df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** DataPacketWrapperProcessor (BaseProcessors.scala:986): nest each row
     * under one field. */
   def datumToField(df: DataFrame, result: String): DataFrame =

@@ -55,6 +55,14 @@ class FlowSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(9L, 8L, 7L))
   }
 
+  test("#{var} config interpolation substitutes before parsing") {
+    val flow = """
+    { "generators": [ {"id": "g", "name": "range", "config": {"n": #{count}}, "next": ["t"]} ],
+      "processors": [ {"id": "t", "name": "take", "config": {"n": 2}, "next": []} ] }"""
+    val out = Flow.run(spark, flow, Map("count" -> "5"))
+    assert(out.values.head.count() == 2)
+  }
+
   test("unknown processor fails with a clear message") {
     val flow = """
     { "generators": [ {"id": "g", "name": "range", "config": {"n": 1}, "next": ["bad"]} ],

@@ -126,6 +126,16 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("small", "big"))
   }
 
+  test("datumMerge folds a group to last non-null per column") {
+    val d = Seq(
+      ("g", 1, Some("a"), None: Option[Int]),
+      ("g", 2, None, Some(7)),
+      ("g", 3, Some("c"), None)
+    ).toDF("k", "ord", "s", "i")
+    val out = Ops.datumMerge(d, Seq("k"), "ord").head
+    assert(out.getString(1) == "c" && out.getInt(2) == 7)
+  }
+
   test("keyImploder collects ordered per-key lists") {
     val d = Seq(("u1", 2, "b"), ("u1", 1, "a"), ("u2", 1, "z")).toDF("u", "o", "v")
     val out = Ops.keyImploder(d, Seq("u"), "v", "o", "vs").orderBy("u")
