@@ -184,6 +184,35 @@ object Ops {
   def stringImplode(df: DataFrame, field: String, sep: String, result: String): DataFrame =
     df.withColumn(result, array_join(col(field), sep))
 
+  /** TupleListStringImploder / JsObjectImploderProcessor
+    * (BaseProcessors.scala:701, 807): render array<struct> to a joined
+    * string of "key<kvSep>value" entries. */
+  def tupleListImplode(df: DataFrame, field: String, keyField: String, valField: String,
+                       kvSep: String, entrySep: String, result: String): DataFrame =
+    df.withColumn(result, array_join(
+      transform(col(field), x =>
+        concat(x.getField(keyField).cast(StringType), lit(kvSep),
+          x.getField(valField).cast(StringType))), entrySep))
+
+  /** ColorHexToRGBProcessor (modules/web/.../ColorHexToRGB-like enrichment):
+    * '#RRGGBB' → (r, g, b) ints, pure expressions. */
+  def hexToRgb(df: DataFrame, field: String): DataFrame =
+    Seq(("r", 2), ("g", 4), ("b", 6)).foldLeft(df) { case (d, (name, off)) =>
+      d.withColumn(name, conv(substring(col(field), off, 2), 16, 10).cast(IntegerType))
+    }
+
+  /** NumberWithProbabilityProcessor (statistics/ProbabilityProcessors.scala:13):
+    * sample from a discrete distribution per row via inverse-CDF on rand. */
+  def sampleDiscrete(df: DataFrame, dist: Seq[(Double, Any)], result: String,
+                     seed: Long = 42): DataFrame = {
+    val cdf = dist.scanLeft(0.0)(_ + _._1).tail.zip(dist.map(_._2))
+    val r = rand(seed)
+    df.withColumn(result,
+      cdf.init.foldRight(lit(cdf.last._2)) { case ((p, v), acc) =>
+        when(r < p, lit(v)).otherwise(acc)
+      })
+  }
+
   /** ConvertToNumber / ConvertToBigDecimal / ConvertAnyToString / ConvertToDate
     * (app/tuktu/processors/ConvertTo*.scala). */
   def cast(df: DataFrame, field: String, to: DataType, result: String): DataFrame =

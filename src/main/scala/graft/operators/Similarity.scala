@@ -79,6 +79,40 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: k-means coarse quantizer → per-centroid
+    * posting lists → probe the `nProbe` nearest centroids only. The scale
+    * path for billion-vector corpora: train on a sample, assign in one pass
+    * (each a narrow shuffle), and a query touches nProbe/k of the data.
+    * Returns (model, assigned) — reuse `assigned` across queries. */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               seed: Long = 42): (org.apache.spark.ml.clustering.KMeansModel, DataFrame) = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("__v",
+      array_to_vector(col(vecCol).cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(seed).setFeaturesCol("__v").setPredictionCol("__centroid")
+      .fit(withVec)
+    (model, model.transform(withVec).drop("__v"))
+  }
+
+  def ivfTopK(assigned: DataFrame, model: org.apache.spark.ml.clustering.KMeansModel,
+              idCol: String, vecCol: String, queryId: Long, kResults: Int = 10,
+              nProbe: Int = 2): DataFrame = {
+    val q = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv")).head.getSeq[Float](0).toArray
+    // nearest centroids to the query (tiny driver-side computation on k rows)
+    val probes = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val d = c.toArray.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+      (i, d)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    val qvec = array(q.map(v => lit(v)): _*)
+    assigned.filter(col("__centroid").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), qvec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(kResults)
+  }
+
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
     * explode tables×bucket, self-join per bucket, exact cosine. */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,

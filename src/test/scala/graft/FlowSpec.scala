@@ -55,6 +55,19 @@ class FlowSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(9L, 8L, 7L))
   }
 
+  test("heterogeneous rows union to one schema with nulls (§7.4)") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"a": 1, "b": "x"}, {"a": 2, "c": true}, {"b": "y", "c": false}
+        ]}, "next": ["s"]} ],
+      "processors": [ {"id": "s", "name": "skip", "config": {}, "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow)
+    assert(out.columns.toSet == Set("a", "b", "c"))
+    assert(out.count() == 3)
+    assert(out.filter(out("a").isNull).count() == 1)
+  }
+
   test("#{var} config interpolation substitutes before parsing") {
     val flow = """
     { "generators": [ {"id": "g", "name": "range", "config": {"n": #{count}}, "next": ["t"]} ],

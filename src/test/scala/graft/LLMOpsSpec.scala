@@ -76,6 +76,24 @@ class LLMOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF ANN probes nearest centroids and reaches decent recall") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val (model, assigned) = Similarity.ivfIndex(vecs, "vec_id", "embedding", k = 4)
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopK(assigned, model, "vec_id", "embedding", 0L, 10, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(ivf).size / 10.0
+    assert(recall >= 0.8, s"recall $recall") // clusters are well separated
+  }
+
   test("langId picks the language with most marker tokens") {
     val d = Seq(
       "the cat is not a dog and the bird is free",

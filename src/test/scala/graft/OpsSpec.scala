@@ -126,6 +126,28 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("small", "big"))
   }
 
+  test("tupleListImplode renders array<struct> as joined entries") {
+    val d = Seq((1, Seq(("a", 1), ("b", 2)))).toDF("id", "kv")
+    val out = Ops.tupleListImplode(d, "kv", "_1", "_2", "=", ";", "s")
+      .select("s").as[String].head
+    assert(out == "a=1;b=2")
+  }
+
+  test("hexToRgb decodes hex colors with expressions") {
+    val d = Seq("#FF8000").toDF("hex")
+    val r = Ops.hexToRgb(d, "hex").select("r", "g", "b").head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((255, 128, 0)))
+  }
+
+  test("sampleDiscrete draws from the configured support") {
+    val d = spark.range(1000).toDF("id")
+    val out = Ops.sampleDiscrete(d, Seq(0.5 -> "x", 0.3 -> "y", 0.2 -> "z"), "pick")
+    val counts = out.groupBy("pick").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("x", "y", "z"))
+    assert(counts("x") > counts("z")) // rough monotonicity wrt probabilities
+  }
+
   test("datumMerge folds a group to last non-null per column") {
     val d = Seq(
       ("g", 1, Some("a"), None: Option[Int]),
