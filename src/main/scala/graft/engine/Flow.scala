@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
 object Flow {
   private val mapper = new ObjectMapper()
 
-  final case class Node(id: String, name: String, config: JsonNode, next: Seq[String])
+  final case class Node(id: String, name: String, config: JsonNode, next: Seq[String],
+                        result: String)
 
   def parse(json: String): (Seq[Node], Seq[Node]) = {
     val root = mapper.readTree(json)
@@ -40,13 +41,15 @@ object Flow {
             id = Option(n.get("id")).map(_.asText).getOrElse(s"$field$i"),
             name = n.get("name").asText,
             config = Option(n.get("config")).getOrElse(mapper.createObjectNode()),
-            next = Option(n.get("next")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+            next = Option(n.get("next")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+            result = Option(n.get("result")).map(_.asText).getOrElse("result"))
       }
     (nodes("generators"), nodes("processors"))
   }
 
   // ------------------------------------------------------------ generators
   private def generate(spark: SparkSession, n: Node): DataFrame = {
+    if (TuktuCompat.isCompat(n.name)) return TuktuCompat.generator(spark, n)
     def str(k: String): String = n.config.get(k).asText
     def strOpt(k: String): Option[String] = Option(n.config.get(k)).map(_.asText)
     n.name match {
@@ -73,6 +76,7 @@ object Flow {
 
   // ------------------------------------------------------------ processors
   private def apply1(df: DataFrame, n: Node): DataFrame = {
+    if (TuktuCompat.isCompat(n.name)) return TuktuCompat.processor(df, n)
     val c = n.config
     def str(k: String): String = c.get(k).asText
     def strOpt(k: String): Option[String] = Option(c.get(k)).map(_.asText)
