@@ -105,6 +105,29 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- NLP: PMI of co-occurring tokens (§2.11 PMIProcessor).
+    // Output is the exact integer ratio (n_xy·N)/(n_x·n_y) — monotonic in
+    // PMI — because log() is not guaranteed bit-identical across engines.
+    "pmi" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val n = d.count()
+      val toks = d.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 50)
+      val tv = toks.join(broadcast(freq), Seq("tok"))
+      val a = tv.select(col("doc_id"), col("tok").as("x"), col("df").as("nx"))
+      val b = tv.select(col("doc_id"), col("tok").as("y"), col("df").as("ny"))
+      a.join(b, Seq("doc_id")).filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y"), col("nx"), col("ny"))
+        .agg(count(lit(1)).as("nxy"))
+        .select(col("x"), col("y"), col("nxy"),
+          ((col("nxy") * n).cast(DoubleType) / (col("nx") * col("ny")).cast(DoubleType))
+            .as("pmi_ratio"))
+        .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // ---------------- multimodal binary plumbing: payload metadata
     "multimodal_meta" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -250,6 +273,20 @@ object QueriesLLM {
            list_transform(range(1, length(text) + 1), i -> CAST(unicode(text[i:i]) AS BIGINT))),
            (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
          FROM documents ORDER BY doc_id""",
+    "pmi" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+           FROM documents),
+         freq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1 HAVING count(*) >= 50),
+         tv AS (SELECT t.doc_id, t.tok, f.df FROM toks t JOIN freq f ON t.tok = f.tok),
+         pairs AS (
+           SELECT a.tok AS x, b.tok AS y, a.df AS nx, b.df AS ny, count(*) AS nxy
+           FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+           GROUP BY 1, 2, 3, 4)
+         SELECT x, y, nxy,
+           CAST(nxy * (SELECT count(*) FROM documents) AS DOUBLE)
+             / CAST(nx * ny AS DOUBLE) AS pmi_ratio
+         FROM pairs ORDER BY pmi_ratio DESC, x, y LIMIT 20""",
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
