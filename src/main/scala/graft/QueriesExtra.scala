@@ -177,6 +177,14 @@ object QueriesExtra {
         .orderBy("bucket")
     }),
 
+    // ---------------- §2.2 CSVStringProcessor — render row as CSV string field
+    "csv_render" -> ((s, dir) => {
+      rd(s, dir, "orders").select(col("o_orderkey"),
+        concat_ws(",", col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+          .as("csv"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---------------- §2.11 time-series: rolling statistics (ARIMA-adjacent)
     "rolling_stats" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -296,6 +304,9 @@ object QueriesExtra {
                      WHEN o_totalprice > 100000 AND o_totalprice <= 200000 THEN 'mid'
                      ELSE 'rest' END AS bucket, count(*) AS n
          FROM orders GROUP BY 1 ORDER BY 1""",
+    "csv_render" ->
+      """SELECT o_orderkey, o_orderkey || ',' || o_orderstatus || ',' || o_orderpriority AS csv
+         FROM orders ORDER BY o_orderkey""",
     "rolling_stats" ->
       """SELECT event_id,
          count(*) OVER w AS roll_n,

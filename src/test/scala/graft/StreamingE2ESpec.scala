@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** End-to-end streaming pipeline: file source → watermarked tumbling window
+  * aggregation → parquet file sink with checkpoint → read back. The full
+  * reference-shaped flow (source, window, sink) on real files. */
+class StreamingE2ESpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file stream → window agg → parquet sink round-trip") {
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1 lands before the stream starts
+    Seq((ts(1), "a", 1.0), (ts(4), "a", 2.0), (ts(12), "b", 8.0))
+      .toDF("ts", "k", "v").write.mode("append").parquet(inDir)
+
+    val src = Streams.fileSource(spark, inDir, "parquet",
+      Some("ts TIMESTAMP, k STRING, v DOUBLE"))
+    val agg = Streams.tumblingAgg(src, "ts", "10 minutes", "0 seconds",
+      Seq("k"), Seq(count(lit(1)).as("n"), sum(col("v")).as("s")))
+      .select(col("window.start").as("w"), col("k"), col("n"), col("s"))
+
+    def runOnce(): Unit = {
+      val q = agg.writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    runOnce()
+    // append mode emits only watermark-finalized windows: flush the last
+    // window with a later event, then re-run on the same checkpoint (twice —
+    // the watermark learned in one run finalizes windows in the next)
+    Seq((ts(25), "c", 0.0)).toDF("ts", "k", "v").write.mode("append").parquet(inDir)
+    runOnce(); runOnce()
+
+    val back = spark.read.parquet(outDir)
+    val rows = back.filter(col("k") =!= "c").orderBy("k", "w").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 8.0)))
+  }
+
+  test("foreachBatch sink invokes the callback per micro-batch") {
+    implicit val sql = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = in.toDF.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(batch.count())
+        ()
+      }
+      .start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      in.addData(4)
+      q.processAllAvailable()
+      assert(seen.get() == 4L)
+    } finally q.stop()
+  }
+}
