@@ -185,6 +185,15 @@ object QueriesExtra {
         .orderBy("o_orderkey")
     }),
 
+    // ---------------- §2.8 TimeBufferProcessor — native tumbling window fn
+    "time_window" -> ((s, dir) => {
+      val e = rd(s, dir, "events")
+      Ops.timeBuffer(e, "ts", "30 minutes")
+        .groupBy(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("w_start")
+    }),
+
     // ---------------- §2.11 time-series: rolling statistics (ARIMA-adjacent)
     "rolling_stats" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -307,6 +316,10 @@ object QueriesExtra {
     "csv_render" ->
       """SELECT o_orderkey, o_orderkey || ',' || o_orderstatus || ',' || o_orderpriority AS csv
          FROM orders ORDER BY o_orderkey""",
+    "time_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 30 MINUTE, ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+         count(*) AS n, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "rolling_stats" ->
       """SELECT event_id,
          count(*) OVER w AS roll_n,
