@@ -127,6 +127,12 @@ class ExprSpec extends SparkSpec {
     assert(!evalBool(""""3" in ${arr}"""))
   }
 
+  test("string-grammar functions: SplitGet and capitalize") {
+    assert(evalBool("""SplitGet(${s}, "Str", 1) == "my""""))
+    assert(evalBool("""SplitGet("a;b;c", ";", 2) == "b""""))
+    assert(evalBool("""capitalize("hello world") == "Hello world""""))
+  }
+
   test("interpolate: template strings") {
     val out = df.select(Expr.interpolate("v=${i}; s=${s}!").as("r")).head.getString(0)
     assert(out == "v=-182; s=myString!")
