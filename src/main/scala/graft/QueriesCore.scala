@@ -141,14 +141,19 @@ object QueriesCore {
     // ---------------- §2.3 FieldsToListProcessor + SequenceLengthProcessor
     "fields_to_list" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      // flags emitted as a joined string: the driver gate canonicalizes via
+      // pandas, which cannot sort array columns — nested outputs must be
+      // stringified on BOTH sides (same in every array-output query below).
       Ops.sequenceLength(
         Ops.fieldsToList(li, Seq("l_returnflag", "l_linestatus"), "flags"), "flags", "n_flags")
+        .withColumn("flags", array_join(col("flags"), ","))
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
     // ---------------- §2.3 StringSplitterProcessor
     "string_split" -> ((s, dir) => {
       Ops.stringSplit(rd(s, dir, "part").select("p_partkey", "p_name"), "p_name", " ", "words")
+        .withColumn("words", array_join(col("words"), "|"))
         .orderBy("p_partkey")
     }),
 
@@ -184,14 +189,15 @@ object QueriesCore {
       val p = rd(s, dir, "part").select("p_partkey", "p_name", "p_type")
         .withColumn("nested", array(split(col("p_name"), " "), split(col("p_type"), " ")))
       Ops.sequenceFlatten(p, "nested", "flat")
-        .select(col("p_partkey"), col("flat"))
+        .select(col("p_partkey"), array_join(col("flat"), "|").as("flat"))
         .orderBy("p_partkey")
     }),
 
     // ---------------- §2.3 DistinctSequenceProcessor (sorted for determinism)
     "distinct_sequence" -> ((s, dir) => {
       rd(s, dir, "part").select("p_partkey", "p_type")
-        .withColumn("toks", array_sort(array_distinct(split(lower(col("p_type")), " "))))
+        .withColumn("toks",
+          array_join(array_sort(array_distinct(split(lower(col("p_type")), " "))), ","))
         .drop("p_type")
         .orderBy("p_partkey")
     }),
@@ -437,6 +443,7 @@ object QueriesCore {
     // ---------------- §2.8 GroupByProcessor + KeyImploderProcessor
     "key_imploder" -> ((s, dir) => {
       Ops.keyImploder(rd(s, dir, "events"), Seq("user_id"), "event_type", "event_id", "types")
+        .withColumn("types", array_join(col("types"), ","))
         .orderBy("user_id")
     }),
 
@@ -519,10 +526,10 @@ object QueriesCore {
          FROM events ORDER BY event_id""",
     "fields_to_list" ->
       """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
-         [l_returnflag, l_linestatus] AS flags, 2 AS n_flags
+         array_to_string([l_returnflag, l_linestatus], ',') AS flags, 2 AS n_flags
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
     "string_split" ->
-      "SELECT p_partkey, p_name, string_split(p_name, ' ') AS words FROM part ORDER BY 1",
+      "SELECT p_partkey, p_name, array_to_string(string_split(p_name, ' '), '|') AS words FROM part ORDER BY 1",
     "string_implode" ->
       "SELECT p_partkey, p_name, array_to_string(string_split(p_name, ' '), '_') AS joined FROM part ORDER BY 1",
     "sequence_explode" ->
@@ -532,10 +539,12 @@ object QueriesCore {
       """SELECT p_partkey, unnest(string_split(p_name, ' ')) AS x, unnest(string_split(p_type, ' ')) AS y
          FROM part ORDER BY p_partkey, x, y""",
     "sequence_flatten" ->
-      """SELECT p_partkey, flatten([string_split(p_name, ' '), string_split(p_type, ' ')]) AS flat
+      """SELECT p_partkey,
+         array_to_string(flatten([string_split(p_name, ' '), string_split(p_type, ' ')]), '|') AS flat
          FROM part ORDER BY p_partkey""",
     "distinct_sequence" ->
-      """SELECT p_partkey, list_sort(list_distinct(string_split(lower(p_type), ' '))) AS toks
+      """SELECT p_partkey,
+         array_to_string(list_sort(list_distinct(string_split(lower(p_type), ' '))), ',') AS toks
          FROM part ORDER BY p_partkey""",
     "get_list_element" ->
       """SELECT p_partkey, p_name,
@@ -603,7 +612,7 @@ object QueriesCore {
          FROM s""",
     "arithmetic_aggregate" ->
       """SELECT event_id, user_id, value,
-         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (PARTITION BY user_id) AS user_sum,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (PARTITION BY user_id) AS BIGINT) AS user_sum,
          count(*) OVER (PARTITION BY user_id) AS user_n
          FROM events ORDER BY event_id""",
     "join_inner" ->
@@ -651,7 +660,7 @@ object QueriesCore {
          WHERE rn <= mn ORDER BY o_orderstatus, o_orderkey""",
     "timestamp_normalizer" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
-         count(*) AS n, SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_vmicros
+         count(*) AS n, CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_vmicros
          FROM events GROUP BY 1 ORDER BY 1""",
     "period_adder" ->
       """SELECT o_orderkey,
@@ -665,16 +674,17 @@ object QueriesCore {
          count(*) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
     "key_imploder" ->
-      """SELECT user_id, list(event_type ORDER BY event_id) AS types
+      """SELECT user_id, array_to_string(list(event_type ORDER BY event_id), ',') AS types
          FROM events GROUP BY 1 ORDER BY 1""",
     "size_buffer" ->
-      """SELECT batch_id, count(*) AS n, SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_vmicros
+      """SELECT batch_id, count(*) AS n,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_vmicros
          FROM (SELECT CAST(floor((row_number() OVER (ORDER BY event_id) - 1) / 1000) AS BIGINT) AS batch_id, value
                FROM events)
          GROUP BY 1 ORDER BY 1""",
     "eof_buffer" ->
       """SELECT count(*) AS n,
-         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS sum_vmicros,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_vmicros,
          count(DISTINCT user_id) AS n_users
          FROM events""",
     "capitalize_fn" ->

@@ -38,15 +38,20 @@ object QueriesExtra {
       val li = rd(s, dir, "lineitem")
       val grouped = li.groupBy(col("l_orderkey"))
         .agg(array_sort(collect_list(struct(col("l_linenumber"), col("l_quantity")))).as("lines"))
+      // quantities are integral doubles: emit as BIGINT-joined string — the
+      // driver's pandas canonicalization can't sort array columns.
       Ops.listMapFlattener(grouped, "lines", "l_quantity", "quantities")
         .drop("lines")
+        .withColumn("quantities",
+          array_join(transform(col("quantities"), x => x.cast(LongType).cast(StringType)), ","))
         .orderBy("l_orderkey")
     }),
 
     // ---------------- §2.3 DataPacketWrapperProcessor — nest row under field
     "datum_to_field" -> ((s, dir) => {
       Ops.datumToField(rd(s, dir, "region"), "datum")
-        .orderBy(col("datum.r_regionkey"))
+        .select(to_json(col("datum")).as("datum"))
+        .orderBy("datum")
     }),
 
     // ---------------- §2.3 ImploderProcessor — concat array fields
@@ -55,7 +60,7 @@ object QueriesExtra {
         .withColumn("a", split(col("p_name"), " "))
         .withColumn("b", split(col("p_type"), " "))
       Ops.imploder(p, Seq("a", "b"), "merged")
-        .select(col("p_partkey"), col("merged"))
+        .select(col("p_partkey"), array_join(col("merged"), "|").as("merged"))
         .orderBy("p_partkey")
     }),
 
@@ -221,6 +226,24 @@ object QueriesExtra {
         .orderBy("event_id")
     }),
 
+    // ---------------- §2.3 JSONMergerProcessor — recursive deep merge
+    // (ref utils.scala:524 mergeJson: b wins, object-object recurses; null b
+    // leaf = absent key, so a's value survives). Oracle uses DuckDB's
+    // json_merge_patch as an independent merge implementation.
+    "json_merge" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      val withAB = o.select(col("o_orderkey"),
+        struct(col("o_orderkey").as("k"),
+          struct(col("o_orderstatus").as("status"), col("o_orderpriority").as("prio")).as("meta"),
+          concat(lit("c_"), col("o_custkey")).as("clerk")).as("a"),
+        struct(when(col("o_orderkey") % 2 === 0, lit("EVEN")).as("clerk"),
+          struct(col("o_custkey").as("ship")).as("meta"),
+          lit("tag").as("src")).as("b"))
+      Ops.jsonMerge(withAB, "a", "b", "m")
+        .select(col("o_orderkey"), to_json(col("m")).as("merged"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---------------- §2.6 RecursiveLookupProcessor — iterative closure
     "recursive_lookup" -> ((s, dir) => {
       val c = rd(s, dir, "customer"); val n = rd(s, dir, "nation")
@@ -241,13 +264,15 @@ object QueriesExtra {
     "map_flattener" ->
       "SELECT r_regionkey, r_name, r_name AS name_inner FROM region ORDER BY r_regionkey",
     "list_map_flattener" ->
-      """SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS quantities
+      """SELECT l_orderkey,
+         array_to_string(list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity), ',') AS quantities
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "datum_to_field" ->
-      """SELECT {'r_regionkey': r_regionkey, 'r_name': r_name} AS datum
-         FROM region ORDER BY r_regionkey""",
+      """SELECT to_json({'r_regionkey': r_regionkey, 'r_name': r_name})::VARCHAR AS datum
+         FROM region ORDER BY 1""",
     "imploder" ->
-      """SELECT p_partkey, list_concat(string_split(p_name, ' '), string_split(p_type, ' ')) AS merged
+      """SELECT p_partkey,
+         array_to_string(list_concat(string_split(p_name, ' '), string_split(p_type, ' ')), '|') AS merged
          FROM part ORDER BY p_partkey""",
     "convert_to_date" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS ds,
@@ -276,7 +301,7 @@ object QueriesExtra {
     "running_window" ->
       """SELECT event_id,
          count(*) OVER w AS running_n,
-         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS running_vmicros
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT) AS running_vmicros
          FROM events
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
@@ -292,8 +317,8 @@ object QueriesExtra {
            FROM g),
          s AS (
            SELECT user_id, us,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM f)
          SELECT user_id, session_id, count(*) AS n_events,
            CAST(floor((max(us) - min(us)) / 1000000.0) AS BIGINT) AS span_sec
@@ -323,7 +348,7 @@ object QueriesExtra {
     "rolling_stats" ->
       """SELECT event_id,
          count(*) OVER w AS roll_n,
-         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS roll_vmicros,
+         CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT) AS roll_vmicros,
          min(value) OVER w AS roll_min,
          max(value) OVER w AS roll_max
          FROM events
@@ -342,6 +367,23 @@ object QueriesExtra {
          SELECT event_id, user_id FROM p
          WHERE abs(CAST(vm AS DOUBLE) - prior_mean) > 25000000.0
          ORDER BY event_id""",
+    "json_merge" ->
+      """WITH j AS (
+           SELECT o_orderkey,
+             to_json({'k': o_orderkey,
+                      'meta': {'status': o_orderstatus, 'prio': o_orderpriority},
+                      'clerk': 'c_' || o_custkey}) AS a,
+             CASE WHEN o_orderkey % 2 = 0
+               THEN to_json({'clerk': 'EVEN', 'meta': {'ship': o_custkey}, 'src': 'tag'})
+               ELSE to_json({'meta': {'ship': o_custkey}, 'src': 'tag'}) END AS b
+           FROM orders),
+         m AS (SELECT o_orderkey, json_merge_patch(a, b) AS mm FROM j)
+         SELECT o_orderkey,
+           to_json({'k': (mm->>'k')::BIGINT,
+                    'meta': {'status': mm->'meta'->>'status', 'prio': mm->'meta'->>'prio',
+                             'ship': (mm->'meta'->>'ship')::BIGINT},
+                    'clerk': mm->>'clerk', 'src': mm->>'src'})::VARCHAR AS merged
+         FROM m ORDER BY o_orderkey""",
     "recursive_lookup" ->
       """WITH RECURSIVE edges AS (
            SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer

@@ -30,8 +30,12 @@ object QueriesLLM {
     // ---------------- minhash signatures (deterministic, oracle-checked)
     "dedup_minhash_sig" -> ((s, dir) => {
       val d = rd(s, dir, "documents").select("doc_id", "text")
+      // signature emitted as a joined string (pandas gate can't sort arrays);
+      // empty shingle sets yield the Long.MaxValue init minima on both sides.
       Dedup.withShingleHashes(d, "text", "sh")
-        .select(col("doc_id"), Dedup.minhashSignature(col("sh"), 8).as("sig"))
+        .select(col("doc_id"),
+          array_join(transform(Dedup.minhashSignature(col("sh"), 8),
+            x => x.cast(StringType)), ",").as("sig"))
         .orderBy("doc_id")
     }),
 
@@ -110,7 +114,9 @@ object QueriesLLM {
     // PMI — because log() is not guaranteed bit-identical across engines.
     "pmi" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
-      val n = d.count()
+      // corpus size folded in as a broadcast 1-row aggregate — no eager
+      // d.count() driver job before the main plan
+      val total = d.agg(count(lit(1)).as("__n_docs"))
       val toks = d.select(col("doc_id"),
         explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
       val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -121,9 +127,10 @@ object QueriesLLM {
       a.join(b, Seq("doc_id")).filter(col("x") < col("y"))
         .groupBy(col("x"), col("y"), col("nx"), col("ny"))
         .agg(count(lit(1)).as("nxy"))
+        .crossJoin(broadcast(total))
         .select(col("x"), col("y"), col("nxy"),
-          ((col("nxy") * n).cast(DoubleType) / (col("nx") * col("ny")).cast(DoubleType))
-            .as("pmi_ratio"))
+          ((col("nxy") * col("__n_docs")).cast(DoubleType) /
+            (col("nx") * col("ny")).cast(DoubleType)).as("pmi_ratio"))
         .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
         .limit(20)
     }),
@@ -143,7 +150,7 @@ object QueriesLLM {
          FROM documents GROUP BY 1 ORDER BY 1""",
     "dedup_minhash_sig" -> {
       val perm = (0 until 8).map { j =>
-        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+        s"coalesce(list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647)), ${Long.MaxValue})"
       }.mkString(", ")
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
@@ -157,7 +164,7 @@ object QueriesLLM {
                 i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
             END AS gh
             FROM h)
-          SELECT doc_id, [$perm] AS sig FROM sh ORDER BY doc_id"""
+          SELECT doc_id, array_to_string([$perm], ',') AS sig FROM sh ORDER BY doc_id"""
     },
     "ngram_jaccard" -> {
       s"""WITH t AS (
@@ -215,10 +222,10 @@ object QueriesLLM {
            SELECT doc_id, list_transform(toks,
              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS th
            FROM t)
-         SELECT doc_id, list_sum(list_transform(range(16), i ->
+         SELECT doc_id, CAST(list_sum(list_transform(range(16), i ->
            CASE WHEN list_sum(list_transform(th, x ->
              CASE WHEN (x & (1::BIGINT << i)) != 0 THEN 1 ELSE -1 END)) >= 0
-           THEN (1::BIGINT << i) ELSE 0 END)) AS simhash
+           THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
          FROM h ORDER BY doc_id""",
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -52,21 +52,32 @@ object Ops {
     df.withColumn(result, Expr.interpolate(template))
 
   /** Scalable global row index in `orderBy` order: range-partition on the
-    * sort keys, sort within partitions, then add per-partition offsets
-    * (computed from partition sizes — one tiny driver-side cumulative sum).
+    * sort keys, sort within partitions, then number by layout.
     * Replaces `row_number().over(Window.orderBy(...))`, which funnels ALL
     * rows through a single partition and cannot survive a 100× scale-up. */
-  def withGlobalIndex(df: DataFrame, orderBy: Seq[Column], result: String): DataFrame = {
-    val sorted = df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*)
+  def withGlobalIndex(df: DataFrame, orderBy: Seq[Column], result: String): DataFrame =
+    indexByLayout(df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*), result)
+
+  /** Global index following the CURRENT layout (partition order, then row
+    * order within partition) without leaving DataFrame/Tungsten land: the
+    * within-partition index comes from monotonically_increasing_id (partition
+    * id in the upper 31 bits, local row number in the lower 33), partition
+    * start offsets from a tiny count-per-partition job broadcast-joined back.
+    * Everything stays in whole-stage codegen — no RDD round-trip, no
+    * row-object churn; the only extra cost is the same small counting job the
+    * classic rdd.zipWithIndex shape would run. */
+  def indexByLayout(df: DataFrame, result: String): DataFrame = {
     val spark = df.sparkSession
-    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
-    }
-    spark.createDataFrame(indexed,
-      org.apache.spark.sql.types.StructType(
-        sorted.schema.fields :+
-          org.apache.spark.sql.types.StructField(result,
-            org.apache.spark.sql.types.LongType, nullable = false)))
+    val tagged = df.withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+    val counts = tagged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
+    tagged.join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn(result,
+        col("__offset") + col("__mid") - shiftleft(col("__pid").cast(LongType), 33))
+      .drop("__pid", "__mid", "__offset")
   }
 
   /** RunningCountProcessor (BaseProcessors.scala:184): sequence number in
@@ -206,11 +217,15 @@ object Ops {
   def sampleDiscrete(df: DataFrame, dist: Seq[(Double, Any)], result: String,
                      seed: Long = 42): DataFrame = {
     val cdf = dist.scanLeft(0.0)(_ + _._1).tail.zip(dist.map(_._2))
-    val r = rand(seed)
-    df.withColumn(result,
-      cdf.init.foldRight(lit(cdf.last._2)) { case ((p, v), acc) =>
-        when(r < p, lit(v)).otherwise(acc)
-      })
+    // materialize ONE draw per row: rand() is nondeterministic so it gets no
+    // CSE — embedding it in every lazy CASE WHEN branch would leave each
+    // occurrence with an independent RNG state and skew the distribution
+    df.withColumn("__r", rand(seed))
+      .withColumn(result,
+        cdf.init.foldRight(lit(cdf.last._2)) { case ((p, v), acc) =>
+          when(col("__r") < p, lit(v)).otherwise(acc)
+        })
+      .drop("__r")
   }
 
   /** ConvertToNumber / ConvertToBigDecimal / ConvertAnyToString / ConvertToDate
@@ -227,6 +242,39 @@ object Ops {
     df.withColumn(result, from_json(col(field), StructType.fromDDL(schemaDdl)))
   def getJsonPath(df: DataFrame, field: String, path: String, result: String): DataFrame =
     df.withColumn(result, get_json_object(col(field), path))
+
+  /** JSONMergerProcessor deep merge (modules/api/app/tuktu/api/utils.scala:524-559
+    * mergeJson): key union, b wins on conflicts, object-object pairs merge
+    * recursively. Schemaful translation: a null field models an absent key,
+    * so leaves resolve as coalesce(b, a) and struct-struct pairs recurse.
+    * Pure expressions — the whole merge stays in codegen. */
+  def mergeStructs(a: Column, b: Column, aType: StructType, bType: StructType): Column = {
+    val bFields = bType.fields.map(f => f.name -> f).toMap
+    val merged = aType.fields.map { af =>
+      bFields.get(af.name) match {
+        case Some(bf) => (af.dataType, bf.dataType) match {
+          case (as: StructType, bs: StructType) =>
+            mergeStructs(a.getField(af.name), b.getField(af.name), as, bs).as(af.name)
+          case _ => coalesce(b.getField(af.name), a.getField(af.name)).as(af.name)
+        }
+        case None => a.getField(af.name).as(af.name)
+      }
+    } ++ bType.fields.collect {
+      case bf if !aType.fieldNames.contains(bf.name) => b.getField(bf.name).as(bf.name)
+    }
+    struct(merged: _*)
+  }
+
+  /** JSON deep-merge over two struct columns of a frame. */
+  def jsonMerge(df: DataFrame, fieldA: String, fieldB: String, result: String): DataFrame = {
+    val at = df.schema(fieldA).dataType.asInstanceOf[StructType]
+    val bt = df.schema(fieldB).dataType.asInstanceOf[StructType]
+    df.withColumn(result, mergeStructs(col(fieldA), col(fieldB), at, bt))
+  }
+
+  /** Flat map merge (utils.scala mergeMap, single level): b wins per key. */
+  def mapMerge(a: Column, b: Column): Column =
+    map_zip_with(a, b, (_, va, vb) => coalesce(vb, va))
 
   /** ArithmeticProcessor (app/tuktu/processors/arithmetics/ArithmeticProcessor.scala:16). */
   def arithmetic(df: DataFrame, exprStr: String, result: String, round: Option[Int] = None): DataFrame = {
@@ -379,10 +427,13 @@ object Ops {
   /** TakeProcessor (sample/TakeProcessor.scala:13). */
   def take(df: DataFrame, n: Int): DataFrame = df.limit(n)
 
-  /** DropProcessor (sample/DropProcessor.scala:13): drop first N in explicit order. */
+  /** DropProcessor (sample/DropProcessor.scala:13): drop first N in explicit
+    * order. Routed through the scalable global index — a bare
+    * `row_number().over(Window.orderBy(...))` would funnel every row through
+    * one task. */
   def drop(df: DataFrame, n: Int, orderBy: Seq[Column]): DataFrame =
-    df.withColumn("__rn", row_number().over(Window.orderBy(orderBy: _*)))
-      .filter(col("__rn") > n).drop("__rn")
+    withGlobalIndex(df, orderBy, "__idx")
+      .filter(col("__idx") >= n).drop("__idx")
 
   /** DeduplicationProcessor (bucket/DeduplicationProcessor.scala:13): first-seen
     * dedup by key in explicit order — deterministic (row_number=1), unlike a

@@ -83,14 +83,11 @@ object TuktuCompat {
           pairs.foldLeft(col(field)) { case (e, (s, t)) => regexp_replace(e, s, t) })
 
       // ref: BaseProcessors.scala:184 — {step_size?} ; numbering in input order
+      // (= current layout order: partition order, then row order within)
       case "tuktu.processors.RunningCountProcessor" =>
         val step = Option(c.get("step_size")).map(_.asLong).getOrElse(1L)
-        val spark = df.sparkSession
-        val indexed = df.rdd.zipWithIndex.map { case (row, i) =>
-          Row.fromSeq(row.toSeq :+ i * step)
-        }
-        spark.createDataFrame(indexed, StructType(
-          df.schema.fields :+ StructField(node.result, LongType, nullable = false)))
+        Ops.indexByLayout(df, node.result)
+          .withColumn(node.result, col(node.result) * step)
 
       // ref: BaseProcessors.scala:374 — {type: simple|negate, expression}
       case "tuktu.processors.PacketFilterProcessor" =>
@@ -98,20 +95,19 @@ object TuktuCompat {
         df.filter(if (str(c, "type").contains("negate")) !pred else pred)
 
       // ref: BaseProcessors.scala:501 — {expressions:[{type, and_or, expression, field}]}
+      // Top level is expressions.exists(...): a pure OR over the entries.
+      // and_or only combines a NESTED sub-expression array (expression: [...]).
       case "tuktu.processors.PacketRegexFilterProcessor" =>
-        val leaves = arr(c, "expressions").map { e =>
-          val base = col(e.get("field").asText).rlike(e.get("expression").asText)
-          val lit0 = if (str(e, "type").contains("negate")) !base else base
-          (str(e, "and_or").getOrElse("and"), lit0)
+        def build(e: JsonNode): Column = {
+          val base =
+            if (e.get("expression").isArray) {
+              val children = e.get("expression").elements().asScala.toSeq.map(build)
+              if (str(e, "and_or").contains("or")) children.reduce(_ || _)
+              else children.reduce(_ && _)
+            } else col(e.get("field").asText).rlike(e.get("expression").asText)
+          if (str(e, "type").contains("negate")) !base else base
         }
-        val ands = leaves.collect { case ("and", e) => e }
-        val ors = leaves.collect { case ("or", e) => e }
-        val cond = (ands.reduceOption(_ && _), ors.reduceOption(_ || _)) match {
-          case (Some(a), Some(o)) => a && o
-          case (Some(a), None)    => a
-          case (None, Some(o))    => o
-          case _                  => lit(true)
-        }
+        val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
         df.filter(cond)
 
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")

@@ -1,11 +1,11 @@
 package graft.ml
 
 import org.apache.spark.ml.{Pipeline, PipelineModel}
-import org.apache.spark.ml.classification.{LinearSVC, LogisticRegression}
+import org.apache.spark.ml.classification.{DecisionTreeClassifier, GBTClassifier, LinearSVC, LogisticRegression}
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature._
 import org.apache.spark.ml.fpm.FPGrowth
-import org.apache.spark.ml.regression.LinearRegression
+import org.apache.spark.ml.regression.{DecisionTreeRegressor, GBTRegressor, LinearRegression}
 import org.apache.spark.sql.DataFrame
 
 /**
@@ -39,6 +39,34 @@ object ML {
   def svm(df: DataFrame, features: Seq[String], label: String): PipelineModel =
     new Pipeline().setStages(Array(assemble(features),
       new LinearSVC().setLabelCol(label))).fit(df)
+
+  /** Decision tree (ref: modules/ml/.../decisiontrees/DecisionTrees.scala:12):
+    * classification and regression variants. Distributed histogram-based
+    * split search — each depth level is one pass over the data. */
+  def decisionTreeClassifier(df: DataFrame, features: Seq[String], label: String,
+                             maxDepth: Int = 5, seed: Long = 42): PipelineModel =
+    new Pipeline().setStages(Array(assemble(features),
+      new DecisionTreeClassifier().setLabelCol(label).setMaxDepth(maxDepth)
+        .setSeed(seed))).fit(df)
+
+  def decisionTreeRegressor(df: DataFrame, features: Seq[String], label: String,
+                            maxDepth: Int = 5, seed: Long = 42): PipelineModel =
+    new Pipeline().setStages(Array(assemble(features),
+      new DecisionTreeRegressor().setLabelCol(label).setMaxDepth(maxDepth)
+        .setSeed(seed))).fit(df)
+
+  /** Gradient tree boosting (ref: .../decisiontrees/GradientTreeBoost.scala:12). */
+  def gbtClassifier(df: DataFrame, features: Seq[String], label: String,
+                    maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42): PipelineModel =
+    new Pipeline().setStages(Array(assemble(features),
+      new GBTClassifier().setLabelCol(label).setMaxIter(maxIter)
+        .setMaxDepth(maxDepth).setSeed(seed))).fit(df)
+
+  def gbtRegressor(df: DataFrame, features: Seq[String], label: String,
+                   maxIter: Int = 20, maxDepth: Int = 3, seed: Long = 42): PipelineModel =
+    new Pipeline().setStages(Array(assemble(features),
+      new GBTRegressor().setLabelCol(label).setMaxIter(maxIter)
+        .setMaxDepth(maxDepth).setSeed(seed))).fit(df)
 
   /** KMeans (ref: .../KMeansProcessor.scala:12). */
   def kmeans(df: DataFrame, features: Seq[String], k: Int, seed: Long = 42): PipelineModel =

@@ -105,16 +105,24 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val withSig = withShingleHashes(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
+    val base = withShingleHashes(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
       .drop(textCol)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
-    val l = withSig.select(col("band"), col("id").as("id1"), col("sh").as("sh1"))
-    val r = withSig.select(col("band"), col("id").as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band"))
+    // Candidate generation carries ONLY (band, id): a pair sharing m bands
+    // must not shuffle both shingle arrays m times and compute Jaccard m
+    // times — dedup the id pairs first, then join the shingle sets back in
+    // (one shuffle of each side's shingles) and verify each pair ONCE.
+    val banded = base
+      .withColumn("band", explode(lshBands(minhashSignature(col("sh"), k), bands, k / bands)))
+      .select(col("band"), col("id"))
+    val candidates = banded.select(col("band"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("id").as("id2")), Seq("band"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .select("id1", "id2")
       .distinct()
+    candidates
+      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -52,14 +52,21 @@ object Similarity {
     (h % 100000L) / 50000.0 - 1.0
   }
 
-  /** Sign-bit LSH bucket key for `nPlanes` hyperplanes (one LSH table). */
+  /** Sign-bit LSH bucket key for `nPlanes` hyperplanes (one LSH table).
+    * The plane matrix is ONE ArrayType literal (typedlit) folded with
+    * zip_with/aggregate — not `dim × nPlanes` unrolled expression terms,
+    * which at embedding dims (768–1536) would blow the 64KB codegen method
+    * limit and fall back to interpreted evaluation. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, table: Int = 0): Column = {
-    val bits = (0 until nPlanes).map { p =>
-      val proj = (0 until dim).map { d =>
-        element_at(vec, d + 1).cast(DoubleType) * planeComponent(table * 1000 + p, d)
-      }.reduce(_ + _)
-      when(proj >= 0, 1L << p).otherwise(0L)
-    }.reduce(_ + _)
+    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
+      (0 until dim).map(d => planeComponent(table * 1000 + p, d))
+    }
+    val bits = aggregate(
+      zip_with(typedlit(planes), sequence(lit(0), lit(nPlanes - 1)), (plane, p) =>
+        when(aggregate(zip_with(vec, plane, (x, w) => x.cast(DoubleType) * w),
+          lit(0.0), (acc, x) => acc + x) >= 0,
+          pow(lit(2.0), p).cast(LongType)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
     concat_ws(":", lit(table.toString), bits.cast(StringType))
   }
 
@@ -114,17 +121,23 @@ object Similarity {
   }
 
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
-    * explode tables×bucket, self-join per bucket, exact cosine. */
+    * explode tables×bucket, self-join per bucket on (bucket, id) ONLY, dedup
+    * the id pairs, then join the vectors back so each pair's cosine is
+    * shuffled and computed exactly once (not once per shared bucket). */
   def lshCandidatePairs(df: DataFrame, idCol: String, vecCol: String,
                         dim: Int = 64, tables: Int = 4, nPlanes: Int = 8): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", explode(array(
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b = base.withColumn("bucket", explode(array(
         (0 until tables).map(t => lshBucket(col("v"), dim, nPlanes, t)): _*)))
-    val l = b.select(col("bucket"), col("id").as("id1"), col("v").as("v1"))
-    val r = b.select(col("bucket"), col("id").as("id2"), col("v").as("v2"))
-    l.join(r, Seq("bucket"))
+      .select("bucket", "id")
+    val candidates = b.select(col("bucket"), col("id").as("id1"))
+      .join(b.select(col("bucket"), col("id").as("id2")), Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+      .select("id1", "id2")
       .distinct()
+    candidates
+      .join(base.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
+      .join(base.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
   }
 }

@@ -128,8 +128,11 @@ class ExprSpec extends SparkSpec {
   }
 
   test("string-grammar functions: SplitGet and capitalize") {
-    assert(evalBool("""SplitGet(${s}, "Str", 1) == "my""""))
-    assert(evalBool("""SplitGet("a;b;c", ";", 2) == "b""""))
+    // ref utils.scala SplitGet: rv.split(splitChar)(splitIndex) — 0-based,
+    // separator is a regex
+    assert(evalBool("""SplitGet(${s}, "Str", 0) == "my""""))
+    assert(evalBool("""SplitGet("a;b;c", ";", 1) == "b""""))
+    assert(evalBool("""SplitGet("a1b22c", "[0-9]+", 2) == "c""""))
     assert(evalBool("""capitalize("hello world") == "Hello world""""))
   }
 

@@ -76,6 +76,27 @@ class LLMOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("ANN via LSH holds recall at embedding dim 768 (codegen-safe buckets)") {
+    // the fold-over-literal-matrix lshBucket must survive real embedding
+    // dims without blowing the 64KB codegen method limit
+    // per-dim noise scaled so total noise norm stays comparable to the
+    // dim-16 case (±0.1 × √768 would swamp the unit signal)
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 80L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(768)(0f)
+      base(c * 192) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.03f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.annTopK(vecs, "vec_id", "embedding", 0L, dim = 768, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(approx).size / 10.0
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("IVF ANN probes nearest centroids and reaches decent recall") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 200L).map { i =>

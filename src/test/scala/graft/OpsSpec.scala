@@ -31,6 +31,24 @@ class OpsSpec extends SparkSpec {
     assert(out.orderBy("n").select("seq").as[Long].collect().toSeq == Seq(10L, 15L, 20L))
   }
 
+  test("withGlobalIndex stays in DataFrame land: no RDD scan, no global window") {
+    val d = spark.range(1000).toDF("id").repartition(7)
+    val out = Ops.withGlobalIndex(d, Seq(col("id")), "idx")
+    assert(out.orderBy("id").select("idx").as[Long].collect().toSeq == (0L until 1000L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"), "RDD round-trip leaked into the plan")
+    assert(!plan.toLowerCase.contains("window"), "single-partition window leaked into the plan")
+  }
+
+  test("drop skips the first N in order without a global window") {
+    val d = spark.range(100).toDF("id").repartition(5)
+    val out = Ops.drop(d, 10, Seq(col("id")))
+    assert(out.orderBy("id").select("id").as[Long].collect().toSeq == (10L until 100L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("window"), "global window leaked into the plan")
+    assert(!plan.contains("ExistingRDD"))
+  }
+
   test("array ops: explode, zip, flatten, distinct, element") {
     val arrs = Seq((1, Seq("x", "y"), Seq(1, 2, 3))).toDF("id", "a", "b")
     assert(Ops.sequenceExplode(arrs, "a", "e").count() == 2)
@@ -131,6 +149,42 @@ class OpsSpec extends SparkSpec {
     val out = Ops.tupleListImplode(d, "kv", "_1", "_2", "=", ";", "s")
       .select("s").as[String].head
     assert(out == "a=1;b=2")
+  }
+
+  test("jsonMerge deep-merges structs: b wins, recursion, union of keys") {
+    val d = Seq((1, "x")).toDF("id", "v")
+      .select(
+        struct(lit(1).as("keep"), lit("old").as("clash"),
+          struct(lit("s1").as("inner1"), lit("o").as("iclash")).as("nested")).as("a"),
+        struct(lit("new").as("clash"), lit(null).cast("string").as("nullb"),
+          struct(lit("n").as("iclash"), lit("s2").as("inner2")).as("nested"),
+          lit(9).as("extra")).as("b"))
+      .withColumn("nullb_probe", lit("fallback"))
+    val out = Ops.jsonMerge(d, "a", "b", "m").select("m.*")
+    val r = out.head
+    assert(r.getAs[Int]("keep") == 1)             // only in a
+    assert(r.getAs[String]("clash") == "new")     // b wins
+    assert(r.getAs[Int]("extra") == 9)            // only in b
+    val nested = r.getAs[Row]("nested")
+    assert(nested.getAs[String]("inner1") == "s1")  // recursion keeps a-only
+    assert(nested.getAs[String]("iclash") == "n")   // recursion: b wins
+    assert(nested.getAs[String]("inner2") == "s2")  // recursion adds b-only
+  }
+
+  test("jsonMerge treats null b-leaf as absent key (a survives)") {
+    val d = Seq(("keepme", Option.empty[String])).toDF("av", "bv")
+      .select(struct(col("av").as("f")).as("a"), struct(col("bv").as("f")).as("b"))
+    val out = Ops.jsonMerge(d, "a", "b", "m")
+    assert(out.select("m.f").as[String].head == "keepme")
+  }
+
+  test("mapMerge merges flat maps with b precedence over the key union") {
+    val d = Seq(1).toDF("id").select(
+      map(lit("x"), lit("ax"), lit("y"), lit("ay")).as("a"),
+      map(lit("y"), lit("by"), lit("z"), lit("bz")).as("b"))
+    val m = d.select(Ops.mapMerge(col("a"), col("b")).as("m"))
+      .select(explode(col("m"))).as[(String, String)].collect().toMap
+    assert(m == Map("x" -> "ax", "y" -> "by", "z" -> "bz"))
   }
 
   test("hexToRgb decodes hex colors with expressions") {

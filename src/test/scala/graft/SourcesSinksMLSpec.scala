@@ -78,6 +78,48 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(acc >= 0.95)
   }
 
+  test("decision tree learns a planted axis-aligned split") {
+    val rows = (0 until 200).map { i =>
+      val x = i / 200.0
+      val y = (i % 7) / 7.0 // irrelevant feature
+      (x, y, if (x > 0.37) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y", "label")
+    val model = ML.decisionTreeClassifier(df, Seq("x", "y"), "label", maxDepth = 3)
+    val acc = model.transform(df)
+      .filter(col("prediction") === col("label")).count() / 200.0
+    assert(acc >= 0.99, s"acc $acc — a depth-3 tree must nail one planted threshold")
+  }
+
+  test("GBT beats a single shallow tree on planted nonlinearity (XOR)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { _ =>
+      val x = rnd.nextDouble(); val y = rnd.nextDouble()
+      (x, y, if ((x > 0.5) != (y > 0.5)) 1.0 else 0.0)
+    }
+    val df = rows.toDF("x", "y", "label")
+    def acc(m: org.apache.spark.ml.PipelineModel): Double =
+      m.transform(df).filter(col("prediction") === col("label")).count() / 300.0
+    val stump = acc(ML.decisionTreeClassifier(df, Seq("x", "y"), "label", maxDepth = 1))
+    val gbt = acc(ML.gbtClassifier(df, Seq("x", "y"), "label", maxIter = 10, maxDepth = 3))
+    assert(gbt >= 0.95, s"gbt acc $gbt")
+    assert(gbt > stump, s"gbt $gbt should beat a depth-1 stump $stump on XOR")
+  }
+
+  test("decision tree / GBT regressors fit a step function") {
+    val rows = (0 until 200).map { i =>
+      val x = i / 200.0
+      (x, if (x > 0.5) 10.0 else -10.0)
+    }
+    val df = rows.toDF("x", "label")
+    for (m <- Seq(ML.decisionTreeRegressor(df, Seq("x"), "label", maxDepth = 2),
+                  ML.gbtRegressor(df, Seq("x"), "label", maxIter = 5, maxDepth = 2))) {
+      val mae = m.transform(df)
+        .select(abs(col("prediction") - col("label"))).as[Double].collect().sum / 200.0
+      assert(mae < 1.0, s"mae $mae")
+    }
+  }
+
   test("fpGrowth finds frequent itemsets") {
     val tx = Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "d"), Seq("a", "b"))
       .toDF("items")

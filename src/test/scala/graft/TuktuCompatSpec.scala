@@ -86,5 +86,21 @@ class TuktuCompatSpec extends SparkSpec {
       """[{"type":"negate","and_or":"or","expression":"een","field":"key1"}]"""))
       .select("key1").as[String].collect().toSet
     assert(negs == Set("half", "1"))
+    // two default ('and')-typed TOP-LEVEL entries still combine with OR:
+    // the reference evaluates expressions.exists(...) at the top level
+    // (BaseProcessors.scala:501); and_or only applies to NESTED arrays
+    val topOr = Flow.runSingle(spark, flow(
+      """[{"type":"simple","and_or":"and","expression":"[0-9]+","field":"key1"},
+         {"type":"simple","and_or":"and","expression":"een","field":"key1"}]"""))
+      .select("key1").as[String].collect().toSet
+    assert(topOr == Set("een", "1"))
+    // nested sub-expression array combined with and_or=and
+    val nestedAnd = Flow.runSingle(spark, flow(
+      """[{"type":"simple","and_or":"and","expression":
+            [{"type":"simple","expression":"een","field":"key1"},
+             {"type":"simple","expression":"twee","field":"key2"}],
+          "field":""}]"""))
+      .select("key1").as[String].collect().toSet
+    assert(nestedAnd == Set("een"))
   }
 }

@@ -9,6 +9,7 @@ import json, math, subprocess, sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 SF = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].startswith("-") else "/tmp/verify_out"
@@ -32,20 +33,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-            elif isinstance(v, (list, tuple)):
-                v = tuple(v)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr), [cols[i] for i in order]
+# Mirror the driver's gate: canonicalize through PANDAS (dtype-sensitive).
+# DuckDB SUM(int)/list_sum comes back HUGEINT -> pandas float64, while Spark
+# writes int64: that is a dtype mismatch the old fetchall() compare missed.
+# Array/struct output columns make sort_values throw, exactly like the
+# driver's err rows — both classes must fail HERE before the driver sees them.
+def canon_df(rel):
+    df = rel.df()
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 passed = failed = nocheck = 0
 for name in sorted(oracle):
@@ -54,22 +52,26 @@ for name in sorted(oracle):
     if not pq.exists():
         print(f"FAIL  {name}: spark output missing"); failed += 1; continue
     try:
-        s_rel = con.sql(f"SELECT * FROM '{pq}/*.parquet'")
-        s_rows, s_cols = canon(s_rel.fetchall(), [d[0] for d in s_rel.description])
-        d_rel = con.sql(oracle[name])
-        d_rows, d_cols = canon(d_rel.fetchall(), [d[0] for d in d_rel.description])
+        s_df = canon_df(con.sql(f"SELECT * FROM '{pq}/*.parquet'"))
+        d_df = canon_df(con.sql(oracle[name]))
     except Exception as e:
         print(f"FAIL  {name}: {str(e)[:200]}"); failed += 1; continue
-    if s_cols != d_cols:
-        print(f"FAIL  {name}: columns {s_cols} != {d_cols}"); failed += 1; continue
-    if len(s_rows) != len(d_rows):
-        print(f"FAIL  {name}: rows {len(s_rows)} != {len(d_rows)}"); failed += 1; continue
-    bad = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
-    if bad:
-        print(f"FAIL  {name}: {len(bad)}/{len(s_rows)} rows differ; first: spark={bad[0][0]} duck={bad[0][1]}")
+    if list(s_df.columns) != list(d_df.columns):
+        print(f"FAIL  {name}: columns {list(s_df.columns)} != {list(d_df.columns)}"); failed += 1; continue
+    if len(s_df) != len(d_df):
+        print(f"FAIL  {name}: rows {len(s_df)} != {len(d_df)}"); failed += 1; continue
+    if list(map(str, s_df.dtypes)) != list(map(str, d_df.dtypes)):
+        print(f"FAIL  {name}: dtypes spark={list(map(str, s_df.dtypes))} duck={list(map(str, d_df.dtypes))}")
+        failed += 1; continue
+    if not s_df.equals(d_df):
+        neq = (s_df != d_df) & ~(s_df.isna() & d_df.isna())
+        bad_rows = neq.any(axis=1)
+        i = int(bad_rows.idxmax()) if bad_rows.any() else 0
+        print(f"FAIL  {name}: {int(bad_rows.sum())}/{len(s_df)} rows differ; "
+              f"first row {i}: spark={s_df.iloc[i].to_dict()} duck={d_df.iloc[i].to_dict()}")
         failed += 1
     else:
-        print(f"ok    {name} ({len(s_rows)} rows)"); passed += 1
+        print(f"ok    {name} ({len(s_df)} rows)"); passed += 1
 
 # queries without oracle: rows-only check
 for pq in sorted(Path(OUT).iterdir()):
