@@ -226,6 +226,41 @@ object QueriesExtra {
         .orderBy("event_id")
     }),
 
+    // ---------------- §2.11 ARIMA(2,0,0): per-user AR(2) fit via exact
+    // integer normal equations + Cramer's rule in doubles (identical IEEE op
+    // order on both engines — see ml/TimeSeries.arFit for the general-p form)
+    "ar2_fit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = rd(s, dir, "events")
+        .withColumn("vm", floor(col("value") * lit(1000.0)).cast(LongType))
+        .withColumn("l1", lag(col("vm"), 1).over(w))
+        .withColumn("l2", lag(col("vm"), 2).over(w))
+        .filter(col("l2").isNotNull)
+      val g = e.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n"),
+        sum(col("l1")).as("s1"), sum(col("l2")).as("s2"), sum(col("vm")).as("sy"),
+        sum(col("l1") * col("l1")).as("s11"), sum(col("l2") * col("l2")).as("s22"),
+        sum(col("l1") * col("l2")).as("s12"),
+        sum(col("vm") * col("l1")).as("sy1"), sum(col("vm") * col("l2")).as("sy2"))
+      def D(c: String) = col(c).cast(DoubleType)
+      val det = D("n") * (D("s11") * D("s22") - D("s12") * D("s12")) -
+        D("s1") * (D("s1") * D("s22") - D("s12") * D("s2")) +
+        D("s2") * (D("s1") * D("s12") - D("s11") * D("s2"))
+      val detC = D("sy") * (D("s11") * D("s22") - D("s12") * D("s12")) -
+        D("s1") * (D("sy1") * D("s22") - D("s12") * D("sy2")) +
+        D("s2") * (D("sy1") * D("s12") - D("s11") * D("sy2"))
+      val detP1 = D("n") * (D("sy1") * D("s22") - D("s12") * D("sy2")) -
+        D("sy") * (D("s1") * D("s22") - D("s12") * D("s2")) +
+        D("s2") * (D("s1") * D("sy2") - D("sy1") * D("s2"))
+      val detP2 = D("n") * (D("s11") * D("sy2") - D("sy1") * D("s12")) -
+        D("s1") * (D("s1") * D("sy2") - D("sy1") * D("s2")) +
+        D("sy") * (D("s1") * D("s12") - D("s11") * D("s2"))
+      g.filter(col("n") >= 10 && det =!= 0.0)
+        .select(col("user_id"), col("n"),
+          (detC / det).as("c0"), (detP1 / det).as("phi1"), (detP2 / det).as("phi2"))
+        .orderBy("user_id")
+    }),
+
     // ---------------- §2.3 JSONMergerProcessor — recursive deep merge
     // (ref utils.scala:524 mergeJson: b wins, object-object recurses; null b
     // leaf = absent key, so a's value survives). Oracle uses DuckDB's
@@ -367,6 +402,37 @@ object QueriesExtra {
          SELECT event_id, user_id FROM p
          WHERE abs(CAST(vm AS DOUBLE) - prior_mean) > 25000000.0
          ORDER BY event_id""",
+    "ar2_fit" ->
+      """WITH l AS (
+           SELECT user_id,
+             CAST(floor(value * 1000.0) AS BIGINT) AS vm,
+             lag(CAST(floor(value * 1000.0) AS BIGINT), 1) OVER w AS l1,
+             lag(CAST(floor(value * 1000.0) AS BIGINT), 2) OVER w AS l2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         g AS (
+           SELECT user_id, count(*) AS n,
+             CAST(SUM(l1) AS BIGINT) AS s1, CAST(SUM(l2) AS BIGINT) AS s2,
+             CAST(SUM(vm) AS BIGINT) AS sy,
+             CAST(SUM(l1*l1) AS BIGINT) AS s11, CAST(SUM(l2*l2) AS BIGINT) AS s22,
+             CAST(SUM(l1*l2) AS BIGINT) AS s12,
+             CAST(SUM(vm*l1) AS BIGINT) AS sy1, CAST(SUM(vm*l2) AS BIGINT) AS sy2
+           FROM l WHERE l2 IS NOT NULL GROUP BY 1),
+         d AS (
+           SELECT user_id, n,
+             CAST(n AS DOUBLE) AS a, CAST(s1 AS DOUBLE) AS b, CAST(s2 AS DOUBLE) AS c,
+             CAST(sy AS DOUBLE) AS y0, CAST(s11 AS DOUBLE) AS p11, CAST(s22 AS DOUBLE) AS p22,
+             CAST(s12 AS DOUBLE) AS p12, CAST(sy1 AS DOUBLE) AS y1, CAST(sy2 AS DOUBLE) AS y2
+           FROM g),
+         k AS (
+           SELECT user_id, n,
+             a * (p11 * p22 - p12 * p12) - b * (b * p22 - p12 * c) + c * (b * p12 - p11 * c) AS det,
+             y0 * (p11 * p22 - p12 * p12) - b * (y1 * p22 - p12 * y2) + c * (y1 * p12 - p11 * y2) AS detc,
+             a * (y1 * p22 - p12 * y2) - y0 * (b * p22 - p12 * c) + c * (b * y2 - y1 * c) AS detp1,
+             a * (p11 * y2 - y1 * p12) - b * (b * y2 - y1 * c) + y0 * (b * p12 - p11 * c) AS detp2
+           FROM d)
+         SELECT user_id, n, detc / det AS c0, detp1 / det AS phi1, detp2 / det AS phi2
+         FROM k WHERE n >= 10 AND det <> 0.0 ORDER BY user_id""",
     "json_merge" ->
       """WITH j AS (
            SELECT o_orderkey,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Nlp, Similarity, TextAnalysis}
 
 /**
  * Training-data-pipeline queries over `documents` and `embeddings`:
@@ -133,6 +133,22 @@ object QueriesLLM {
             (col("nx") * col("ny")).cast(DoubleType)).as("pmi_ratio"))
         .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
         .limit(20)
+    }),
+
+    // ---------------- §2.11 stem → POS-tag → RBEM polarity pipeline.
+    // No DuckDB oracle (dictionary/automaton algorithms aren't SQL-
+    // expressible offline) → driver records the weaker rows-only check;
+    // semantics are spec-verified against the published Porter vocabulary
+    // and planted RBEM sentences (NlpSpec).
+    "nlp_stem_pos_sentiment" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+      Nlp.polarity(
+        Nlp.posTags(Nlp.stemTokens(d, "toks", "stems"), "toks", "tags"),
+        "toks", "tags", "polarity")
+        .select(col("doc_id"), array_join(col("stems"), " ").as("stemmed"),
+          array_join(col("tags"), " ").as("pos_tags"), col("polarity"))
+        .orderBy("doc_id")
     }),
 
     // ---------------- multimodal binary plumbing: payload metadata

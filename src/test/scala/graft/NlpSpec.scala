@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Nlp
+
+/** Stemming / POS / RBEM sentiment (SURVEY.md §2.11; ref Snowball.scala:17,
+  * POSTagging.scala:17, Sentiment.scala:20,79). Porter expectations come from
+  * the published algorithm's example vocabulary. */
+class NlpSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("porter stemmer matches the published example vocabulary") {
+    val expected = Seq(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti", "cats" -> "cat",
+      "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
+      "motoring" -> "motor", "sing" -> "sing", "hopping" -> "hop",
+      "falling" -> "fall", "filing" -> "file", "sized" -> "size",
+      "happy" -> "happi", "sky" -> "sky", "relational" -> "relat",
+      "conditional" -> "condit", "hopefulness" -> "hope", "goodness" -> "good",
+      "replacement" -> "replac", "adjustment" -> "adjust",
+      "dependent" -> "depend", "communism" -> "commun", "activate" -> "activ",
+      "effective" -> "effect", "troubles" -> "troubl", "controlling" -> "control",
+      "rate" -> "rate", "cease" -> "ceas", "probate" -> "probat")
+    for ((in, out) <- expected)
+      assert(Nlp.porterStem(in) == out, s"$in -> ${Nlp.porterStem(in)}, want $out")
+  }
+
+  test("stemTokens stems a token-array column via the Spark surface") {
+    val d = Seq(Seq("motoring", "cats", "happily")).toDF("toks")
+    val out = Nlp.stemTokens(d, "toks", "stems").select("stems").as[Seq[String]].head
+    assert(out == Seq("motor", "cat", "happili"))
+  }
+
+  test("posTag produces sensible Penn-style tags on planted sentences") {
+    assert(Nlp.posTag("the quick brown fox jumps over the lazy dog".split(" ")) ==
+      Seq("DT", "JJ", "JJ", "NN", "VBZ", "IN", "DT", "JJ", "NN"))
+    assert(Nlp.posTag("she quickly failed the test".split(" ")) ==
+      Seq("PRP", "RB", "VBD", "DT", "NN"))
+    assert(Nlp.posTag("i will run".split(" ")) == Seq("PRP", "MD", "VB"))
+    assert(Nlp.posTag("the cats sleep".split(" ")) == Seq("DT", "NNS", "NN"))
+  }
+
+  test("rbem polarity: emission, negation flip, amplifier, attenuator, stop") {
+    def pol(s: String): Double = Nlp.rbemPolarity(s.split(" ").toSeq, Nil)
+    assert(pol("this movie is good") == 1.0)
+    assert(pol("this movie is not good") == -1.0)          // right flip
+    assert(pol("this movie is very good") == 2.0)          // amplifier
+    assert(pol("this movie is slightly bad") == -0.5)      // attenuator
+    assert(pol("the plot was bad but the acting was good") == 1.0) // stop resets left
+    assert(pol("it isn't good") == -1.0)                   // n't clitic
+    assert(pol("a completely neutral sentence") == 0.0)
+  }
+
+  test("rbem emotion scores the matching lexicon, negation-aware") {
+    val happy = Nlp.rbemEmotion(Seq("i", "am", "happy"), Nil)
+    assert(happy("happiness") > 0 && happy("anger") == 0.0)
+    val notHappy = Nlp.rbemEmotion(Seq("i", "am", "not", "happy"), Nil)
+    assert(notHappy("happiness") < 0)
+  }
+
+  test("polarity via the DataFrame surface, discretized") {
+    val d = Seq("the food was really great", "the service was not good", "plain text")
+      .toDF("text").withColumn("toks", split(col("text"), " "))
+    val out = Nlp.polarity(Nlp.posTags(d, "toks", "tags"), "toks", "tags", "pol",
+      discretize = true)
+    assert(out.select("pol").as[Double].collect().toSeq == Seq(1.0, -1.0, 0.0))
+  }
+}

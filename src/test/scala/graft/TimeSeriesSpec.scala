@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.TimeSeries
+
+/** AR(p) fit/forecast (SURVEY.md §2.11; ref timeseries/ARIMA.scala:15). */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // planted AR(2): x_t = 2 + 0.5·x_{t-1} − 0.25·x_{t-2} + ε, seeded noise
+  private def planted(n: Int, noise: Double): Seq[(String, Int, Double)] = {
+    val rnd = new scala.util.Random(42)
+    var x1 = 1.0; var x2 = 0.0
+    (0 until n).map { t =>
+      val x = 2.0 + 0.5 * x1 - 0.25 * x2 + (rnd.nextDouble() - 0.5) * noise
+      x2 = x1; x1 = x
+      ("u", t, x)
+    }
+  }
+
+  test("arFit recovers planted AR(2) coefficients via normal equations") {
+    val df = planted(500, 1.0).toDF("g", "t", "v")
+    val fit = TimeSeries.arFit(df, Seq("g"), Seq(col("t")), "v", p = 2)
+    val coef = fit.select("coef").as[Seq[Double]].head
+    assert(math.abs(coef(0) - 2.0) < 0.5, s"intercept ${coef(0)}")
+    assert(math.abs(coef(1) - 0.5) < 0.1, s"phi1 ${coef(1)}")
+    assert(math.abs(coef(2) + 0.25) < 0.1, s"phi2 ${coef(2)}")
+    assert(fit.select("n").as[Long].head == 498) // 500 minus p lags
+  }
+
+  test("arFit handles several groups independently") {
+    val a = planted(200, 1.0)
+    val b = a.map { case (_, t, v) => ("other", t, -v) } // mirrored series
+    val fit = TimeSeries.arFit((a ++ b).toDF("g", "t", "v"), Seq("g"), Seq(col("t")), "v", 2)
+      .orderBy("g")
+    val coefs = fit.select("coef").as[Seq[Double]].collect()
+    assert(coefs.length == 2)
+    assert(math.abs(coefs(0)(0) + coefs(1)(0)) < 0.2) // intercepts mirror
+    assert(math.abs(coefs(0)(1) - coefs(1)(1)) < 0.05) // slopes match
+  }
+
+  test("arFitted one-step predictions track the series") {
+    val df = planted(300, 0.2).toDF("g", "t", "v")
+    val fitted = TimeSeries.arFitted(df, Seq("g"), Seq(col("t")), "v", p = 2)
+      .filter(col("fitted").isNotNull)
+    val mae = fitted.select(abs(col("fitted") - col("v"))).as[Double].collect()
+    assert(mae.sum / mae.length < 0.2, s"mae ${mae.sum / mae.length}")
+    assert(fitted.count() == 298)
+  }
+
+  test("gaussSolve solves a known system and flags singularity with NaN") {
+    val x = TimeSeries.gaussSolve(Seq(2.0, 1.0, 1.0, 3.0), Seq(5.0, 10.0), 2)
+    assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
+    val sing = TimeSeries.gaussSolve(Seq(1.0, 2.0, 2.0, 4.0), Seq(1.0, 2.0), 2)
+    assert(sing.forall(_.isNaN))
+  }
+}
