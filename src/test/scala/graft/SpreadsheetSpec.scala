@@ -1,0 +1,130 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.Spreadsheet
+
+/** XLSX/CSV flattening generators (SURVEY.md §2.1; ref
+  * flattening/XlsxGenerator.scala:105, locators/SimpleLocators.scala).
+  * The xlsx bytes are hand-written XML emulating Excel's output (shared
+  * strings, skipped cells, numeric cells, multiple sheets) so the reader is
+  * tested against the FORMAT, not against a writer of ours. */
+class SpreadsheetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def xlsxBytes: Array[Byte] = {
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheets><sheet name="data" sheetId="1"/><sheet name="other" sheetId="2"/></sheets>
+        |</workbook>""".stripMargin
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="5" uniqueCount="5">
+        |<si><t>North</t></si><si><t>South</t></si><si><t>END</t></si><si><t>Q1</t></si><si><t>Q2</t></si>
+        |</sst>""".stripMargin
+    // quarter header row with a leading gap (no A1); ints and a double
+    val sheet1 =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="B1" t="s"><v>3</v></c><c r="C1" t="s"><v>3</v></c><c r="D1" t="s"><v>4</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2"><v>10</v></c><c r="C2"><v>20</v></c><c r="D2"><v>30</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>1</v></c><c r="B3"><v>40</v></c><c r="C3"><v>5.5</v></c><c r="D3"><v>6</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val sheet2 =
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>only</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    for ((name, content) <- Seq(
+      "xl/workbook.xml" -> workbook, "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet1, "xl/worksheets/sheet2.xml" -> sheet2)) {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    bos.toByteArray
+  }
+
+
+
+  test("xlsxRows: shared strings, cell gaps, int/double rendering, sheet by name") {
+    val rows = Spreadsheet.xlsxRows(xlsxBytes, Some("data"))
+    assert(rows(0) == IndexedSeq("", "Q1", "Q1", "Q2"))
+    assert(rows(1) == IndexedSeq("North", "10", "20", "30"))
+    assert(rows(2) == IndexedSeq("South", "40", "5.5", "6"))
+    assert(rows(3) == IndexedSeq("END"))
+    assert(Spreadsheet.xlsxRows(xlsxBytes, Some("other")) == Seq(IndexedSeq("only")))
+    assert(Spreadsheet.colIndex("A1") == 0 && Spreadsheet.colIndex("AB3") == 27)
+  }
+
+  test("xlsxFlattened emits hierarchy-resolved records and honors the end marker") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    val f = new java.io.File(dir, "book.xlsx")
+    val out = new FileOutputStream(f); out.write(xlsxBytes); out.close()
+    val df = Spreadsheet.xlsxFlattened(spark, f.getAbsolutePath, Some("data"),
+      "sales", dataColStart = 1, dataColEnd = None, SpreadsheetSpec.hierarchy _,
+      endFieldCol = 0, endField = "END")
+    val got = df.select("quarter", "region", "sales")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("Q1", "North", "10"), ("Q1", "North", "20"), ("Q2", "North", "30"),
+      ("Q1", "South", "40"), ("Q1", "South", "5.5"), ("Q2", "South", "6")))
+  }
+
+  test("csvFlattened parity: same hierarchy over the CSV cousin gives the same rows") {
+    val dir = java.nio.file.Files.createTempDirectory("csvflat").toFile
+    val f = new java.io.File(dir, "book.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println(",Q1,Q1,Q2"); w.println("North,10,20,30")
+    w.println("South,40,5.5,6"); w.println("END"); w.close()
+    val csv = Spreadsheet.csvFlattened(spark, f.getAbsolutePath, "sales",
+      dataColStart = 1, dataColEnd = None, SpreadsheetSpec.hierarchy _,
+      endFieldCol = 0, endField = "END")
+      .select("quarter", "region", "sales").as[(String, String, String)].collect().toSet
+    val xdir = java.nio.file.Files.createTempDirectory("xlsx2").toFile
+    val xf = new java.io.File(xdir, "book.xlsx")
+    val out = new FileOutputStream(xf); out.write(xlsxBytes); out.close()
+    val xlsx = Spreadsheet.xlsxFlattened(spark, xf.getAbsolutePath, Some("data"),
+      "sales", dataColStart = 1, dataColEnd = None, SpreadsheetSpec.hierarchy _,
+      endFieldCol = 0, endField = "END")
+      .select("quarter", "region", "sales").as[(String, String, String)].collect().toSet
+    assert(csv == xlsx && csv.size == 6)
+  }
+
+  test("plain xlsx read with header row") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsxp").toFile
+    val f = new java.io.File(dir, "book.xlsx")
+    val out = new FileOutputStream(f); out.write(xlsxBytes); out.close()
+    val df = Spreadsheet.xlsx(spark, f.getAbsolutePath, Some("data"), header = true)
+    // header row has a blank first cell -> positional fallback c0
+    assert(df.columns.toSeq == Seq("c0", "Q1", "Q1", "Q2"))
+    assert(df.count() == 3)
+  }
+
+  test("cellRangeSplitter expands a start/end cell across columns") {
+    val node = Spreadsheet.cellRangeSplitter("year", 0, 0, "-")
+    val rows = Iterator(
+      IndexedSeq("2020-2022"),
+      IndexedSeq("a", "b", "c"))
+    val got = Spreadsheet.flattenSheet(rows, "v", 0, None, List(node)).toSeq
+    assert(got.map(_("year")) == Seq("2020", "2020", "2021", "2022"))
+  }
+
+  test("parseCsvLine handles quotes and escaped quotes") {
+    assert(Spreadsheet.parseCsvLine("""a,"b,c",d""") == IndexedSeq("a", "b,c", "d"))
+    assert(Spreadsheet.parseCsvLine("x,\"say \"\"hi\"\"\",z") == IndexedSeq("x", "say \"hi\"", "z"))
+  }
+}
+
+/** Hierarchy factory lives outside the suite so the Spark closure doesn't
+  * capture the (non-serializable) test class. */
+object SpreadsheetSpec {
+  def hierarchy(): List[Spreadsheet.ParseNode] = List(
+    Spreadsheet.rowLocator("quarter", 0),
+    Spreadsheet.columnLocator("region", 0, rowStart = 1))
+}
