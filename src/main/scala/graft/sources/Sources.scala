@@ -26,8 +26,9 @@ object Sources {
   }
 
   /** LineGenerator (ref: app/tuktu/generators/FileGenerators.scala:79):
-    * text lines with optional start/end offsets. A global line index is a
-    * single-partition window — only the sliced head/tail pays that cost. */
+    * text lines with optional start/end offsets. The dense line number comes
+    * from the layout-order index (per-partition numbering + broadcast
+    * offsets) — no single-partition window, no RDD round-trip. */
   def lines(spark: SparkSession, path: String,
             startLine: Option[Long] = None, endLine: Option[Long] = None): DataFrame =
     lineRange(spark.read.text(path), startLine, endLine)
@@ -35,11 +36,7 @@ object Sources {
   private def lineRange(df: DataFrame, start: Option[Long], end: Option[Long]): DataFrame =
     if (start.isEmpty && end.isEmpty) df
     else {
-      val withIdx = df.withColumn("__line", monotonically_increasing_id())
-      // monotonically_increasing_id is non-contiguous across partitions; a
-      // dense line number needs the total order:
-      val dense = df.withColumn("__line",
-        row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      val dense = graft.engine.Ops.indexByLayout(df, "__line")
       val lo = start.getOrElse(0L)
       val hi = end.getOrElse(Long.MaxValue)
       dense.filter(col("__line") >= lo && col("__line") <= hi).drop("__line")
