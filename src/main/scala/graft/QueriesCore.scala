@@ -319,6 +319,17 @@ object QueriesCore {
         (covar / (sqrt(varx) * sqrt(vary))).as("corr"))
     }),
 
+    // ---------------- §2.5 CorrelationMatrixProcessor — k×k pairwise matrix
+    // in ONE aggregation pass (long form). Inputs integerized so the double
+    // sums are exact and order-independent; formula order matches the oracle.
+    "corr_matrix" -> ((s, dir) => {
+      val li = rd(s, dir, "lineitem").select(
+        col("l_quantity").cast(LongType).as("q"),
+        floor(col("l_discount") * 100.0).cast(LongType).as("d"),
+        floor(col("l_tax") * 100.0).cast(LongType).as("t"))
+      graft.ml.Stats.correlationMatrix(li, Seq("q", "d", "t")).orderBy("x", "y")
+    }),
+
     // ---------------- §2.5 ArithmeticAggregateProcessor — window agg per row
     "arithmetic_aggregate" -> ((s, dir) => {
       val e = rd(s, dir, "events").select("event_id", "user_id", "value")
@@ -461,6 +472,31 @@ object QueriesCore {
         count(lit(1)).as("n"),
         vsum(col("value")).as("sum_vmicros"),
         countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // ---------------- §2.3 DatumMergeProcessor — last non-null per column
+    "datum_merge" -> ((s, dir) => {
+      val e = rd(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("event_type"),
+        when(col("value") > 50.0, floor(col("value") * 1000.0).cast(LongType)).as("big_vm"))
+      Ops.datumMerge(e, Seq("user_id"), "event_id").orderBy("user_id")
+    }),
+
+    // ---------------- §2.3 TupleListImploder — "k=v|k=v" rendering
+    "tuple_implode" -> ((s, dir) => {
+      val grouped = rd(s, dir, "events").groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("event_id").as("k"), col("event_type").as("v")))).as("recs"))
+      Ops.tupleListImplode(grouped, "recs", "k", "v", "=", "|", "kv")
+        .drop("recs").orderBy("user_id")
+    }),
+
+    // ---------------- §2.3 ColorHexToRGB — hex decode as expressions
+    "hex_to_rgb" -> ((s, dir) => {
+      val p = rd(s, dir, "part").select(col("p_partkey"),
+        concat(lit("#"), lpad(hex(pmod(col("p_partkey") * 2654435761L, lit(16777216L))),
+          6, "0")).as("hexcol"))
+      Ops.hexToRgb(p, "hexcol").orderBy("p_partkey")
     }),
 
     // ---------------- §2.10 capitalize (first-char-only, ≠ initcap)
@@ -610,6 +646,30 @@ object QueriesCore {
            (sxy / n - (sx / n) * (sy / n)) /
              (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n))) AS corr
          FROM s""",
+    "corr_matrix" -> {
+      // same exact-sum formula, same IEEE op order as Stats.correlationMatrix
+      val f = Map("q" -> 0, "d" -> 1, "t" -> 2)
+      val rows = (for (x <- Seq("q", "d", "t"); y <- Seq("q", "d", "t")) yield {
+        val (i, j) = (f(x), f(y))
+        val (a, b) = (math.min(i, j), math.max(i, j))
+        s"""SELECT '$x' AS x, '$y' AS y,
+            (n * ss${a}$b - s$i * s$j) /
+            (sqrt(n * ss${i}$i - s$i * s$i) * sqrt(n * ss${j}$j - s$j * s$j)) AS corr
+            FROM m"""
+      }).mkString(" UNION ALL ")
+      s"""WITH v AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(floor(l_discount * 100.0) AS BIGINT) AS d,
+                   CAST(floor(l_tax * 100.0) AS BIGINT) AS t
+            FROM lineitem),
+          m AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n,
+              CAST(SUM(q) AS DOUBLE) AS s0, CAST(SUM(d) AS DOUBLE) AS s1, CAST(SUM(t) AS DOUBLE) AS s2,
+              CAST(SUM(q*q) AS DOUBLE) AS ss00, CAST(SUM(q*d) AS DOUBLE) AS ss01, CAST(SUM(q*t) AS DOUBLE) AS ss02,
+              CAST(SUM(d*d) AS DOUBLE) AS ss11, CAST(SUM(d*t) AS DOUBLE) AS ss12, CAST(SUM(t*t) AS DOUBLE) AS ss22
+            FROM v)
+          SELECT x, y, corr FROM ($rows) ORDER BY x, y"""
+    },
     "arithmetic_aggregate" ->
       """SELECT event_id, user_id, value,
          CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER (PARTITION BY user_id) AS BIGINT) AS user_sum,
@@ -687,6 +747,28 @@ object QueriesCore {
          CAST(SUM(CAST(floor(value * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_vmicros,
          count(DISTINCT user_id) AS n_users
          FROM events""",
+    "datum_merge" ->
+      """SELECT user_id,
+         arg_max(event_type, CASE WHEN event_type IS NOT NULL THEN event_id END) AS event_type,
+         arg_max(big_vm, CASE WHEN big_vm IS NOT NULL THEN event_id END) AS big_vm
+         FROM (SELECT user_id, event_id, event_type,
+                 CASE WHEN value > 50.0 THEN CAST(floor(value * 1000.0) AS BIGINT) END AS big_vm
+               FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "tuple_implode" ->
+      """SELECT user_id,
+         string_agg(event_id || '=' || event_type, '|' ORDER BY event_id) AS kv
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "hex_to_rgb" ->
+      """WITH h AS (
+           SELECT p_partkey,
+             '#' || lpad(upper(to_hex((p_partkey * 2654435761) % 16777216)), 6, '0') AS hexcol
+           FROM part)
+         SELECT p_partkey, hexcol,
+           CAST(('0x' || substr(hexcol, 2, 2))::BIGINT AS INTEGER) AS r,
+           CAST(('0x' || substr(hexcol, 4, 2))::BIGINT AS INTEGER) AS g,
+           CAST(('0x' || substr(hexcol, 6, 2))::BIGINT AS INTEGER) AS b
+         FROM h ORDER BY p_partkey""",
     "capitalize_fn" ->
       """SELECT p_partkey, p_name, upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS cap
          FROM part ORDER BY p_partkey""",

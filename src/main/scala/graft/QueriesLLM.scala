@@ -151,6 +151,12 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- §2.11 DocumentProcessor — assemble lines into documents
+    "document_assembly" -> ((s, dir) => {
+      Nlp.assembleDocument(rd(s, dir, "events"), Seq("user_id"), "event_type",
+        "event_id", "doc").orderBy("user_id")
+    }),
+
     // ---------------- multimodal binary plumbing: payload metadata
     "multimodal_meta" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -310,6 +316,10 @@ object QueriesLLM {
            CAST(nxy * (SELECT count(*) FROM documents) AS DOUBLE)
              / CAST(nx * ny AS DOUBLE) AS pmi_ratio
          FROM pairs ORDER BY pmi_ratio DESC, x, y LIMIT 20""",
+    "document_assembly" ->
+      """SELECT user_id, string_agg(event_type, ' ' ORDER BY event_id) AS doc
+         FROM events WHERE event_type IS NOT NULL AND length(event_type) > 0
+         GROUP BY 1 ORDER BY 1""",
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5

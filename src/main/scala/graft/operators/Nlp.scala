@@ -271,6 +271,71 @@ object Nlp {
       emo -> (if (discretize) math.signum(score) else score)
     }
 
+  // ------------------------------------------------------------ summarize
+
+  /** Per-document token → tf·idf map (idf = ln(N/df)), the input contract of
+    * [[summarize]] (the reference's SummarizeProcessor consumes a
+    * pre-computed TF-IDF map field). Corpus size folds in as a broadcast
+    * 1-row aggregate; document frequencies broadcast-join back. */
+  def tfidfMap(df: DataFrame, idCol: String, tokensCol: String, out: String): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__n_docs"))
+    val toks = df.select(col(idCol), explode(col(tokensCol)).as("__tok"))
+    val docFreq = toks.distinct().groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val tf = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val maps = tf.join(broadcast(docFreq), Seq("__tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol), col("__tok"),
+        (col("__tf") * log(col("__n_docs").cast("double") / col("__df"))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("__tok"), col("__s")))).as(out))
+    df.join(maps, Seq(idCol), "left")
+  }
+
+  /** SummarizeProcessor (ref Summarize.scala:14): split text into sentences,
+    * score each by mean TF-IDF of its >2-char tokens damped by
+    * base^-|len-optimal|, keep the top numLines (original order if
+    * preserveOrder). Entirely expression-level — nested HOFs over one row,
+    * no UDF, no shuffle. */
+  def summarize(df: DataFrame, textCol: String, tfidfCol: String, out: String,
+                numLines: Int = 3, optimalLength: Int = 11, base: Double = 1.1,
+                preserveOrder: Boolean = true): DataFrame = {
+    val sentences = filter(
+      transform(split(col(textCol), "[.?!]"), l => trim(l)), l => length(l) > 0)
+    val withToks = zip_with(sentences, sequence(lit(1), greatest(size(sentences), lit(1))),
+      (l, i) => struct(i.as("idx"), l.as("line"),
+        filter(split(l, "\\s+"), t => length(t) > 2).as("toks")))
+    val scored = transform(withToks, s => {
+      val toks = s.getField("toks")
+      val raw = aggregate(toks, lit(0.0),
+        (a, t) => a + coalesce(element_at(col(tfidfCol), t), lit(0.0)))
+      val score = when(size(toks) === 0, lit(0.0)).otherwise(
+        raw / size(toks).cast("double") *
+          pow(lit(base), -abs(size(toks) - lit(optimalLength)).cast("double")))
+      struct((-score).as("neg_score"), s.getField("idx").as("idx"),
+        s.getField("line").as("line"))
+    })
+    val top = slice(array_sort(scored), 1, numLines)
+    val picked =
+      if (preserveOrder)
+        array_sort(transform(top, s =>
+          struct(s.getField("idx").as("idx"), s.getField("line").as("line"))))
+      else transform(top, s =>
+        struct(s.getField("idx").as("idx"), s.getField("line").as("line")))
+    df.withColumn(out, array_join(transform(picked, _.getField("line")), ". "))
+  }
+
+  /** DocumentProcessor (ref DocumentProcessor.scala:14): merge a group of
+    * lines into one document string in explicit order, dropping empties. */
+  def assembleDocument(df: DataFrame, groupCols: Seq[String], field: String,
+                       orderField: String, out: String, sep: String = " ",
+                       removeEmpty: Boolean = true): DataFrame = {
+    val base = if (removeEmpty) df.filter(col(field).isNotNull && length(col(field)) > 0) else df
+    base.groupBy(groupCols.map(col): _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col(orderField).as("o"), col(field).as("v")))),
+        _.getField("v")), sep).as(out))
+  }
+
   // ------------------------------------------------------------ Spark surface
 
   private val stemArrayUdf = udf((toks: Seq[String]) =>

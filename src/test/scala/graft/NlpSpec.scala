@@ -58,6 +58,33 @@ class NlpSpec extends SparkSpec {
     assert(notHappy("happiness") < 0)
   }
 
+  test("summarize extracts the highest-TFIDF sentences") {
+    val text = "the cat sat down. quantum entanglement drives spooky correlation. the dog slept"
+    val d = Seq((1L, text)).toDF("id", "text")
+      .withColumn("tfidf", map(
+        lit("quantum"), lit(5.0), lit("entanglement"), lit(5.0),
+        lit("spooky"), lit(4.0), lit("correlation"), lit(4.0),
+        lit("cat"), lit(0.5), lit("dog"), lit(0.4)))
+    val one = Nlp.summarize(d, "text", "tfidf", "sum1", numLines = 1)
+      .select("sum1").as[String].head
+    assert(one == "quantum entanglement drives spooky correlation")
+    val two = Nlp.summarize(d, "text", "tfidf", "sum2", numLines = 2)
+      .select("sum2").as[String].head
+    // preserveOrder keeps document order: cat sentence precedes quantum one
+    assert(two == "the cat sat down. quantum entanglement drives spooky correlation")
+  }
+
+  test("tfidfMap scores rare tokens above ubiquitous ones") {
+    val d = Seq(
+      (1L, Seq("common", "rare")),
+      (2L, Seq("common", "other")),
+      (3L, Seq("common", "third"))).toDF("id", "toks")
+    val m = Nlp.tfidfMap(d, "id", "toks", "tfidf")
+      .filter(col("id") === 1).select("tfidf").as[Map[String, Double]].head
+    assert(m("common") == 0.0) // in every doc: idf = ln(1) = 0
+    assert(m("rare") > 1.0)    // idf = ln(3)
+  }
+
   test("polarity via the DataFrame surface, discretized") {
     val d = Seq("the food was really great", "the service was not good", "plain text")
       .toDF("text").withColumn("toks", split(col("text"), " "))

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Stats
+
+/** Correlation/covariance matrix + p-values (SURVEY.md §2.5; ref
+  * StatisticsProcessors.scala:154,189,215). */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pearsonPValue matches published t-table quantiles") {
+    // two-sided p = 0.05 at t = 2.306 with df = 8 (n = 10):
+    // r = t / sqrt(t^2 + df)
+    val t = 2.306; val df = 8.0
+    val r = t / math.sqrt(t * t + df)
+    assert(math.abs(Stats.pearsonPValue(r, 10) - 0.05) < 1e-3)
+    // p = 0.01 at t = 3.355, df = 8
+    val r2 = 3.355 / math.sqrt(3.355 * 3.355 + df)
+    assert(math.abs(Stats.pearsonPValue(r2, 10) - 0.01) < 1e-3)
+    assert(Stats.pearsonPValue(0.0, 100) > 0.999)
+    assert(Stats.pearsonPValue(1.0, 100) == 0.0)
+    assert(Stats.pearsonPValue(0.5, 2).isNaN)
+  }
+
+  test("correlationMatrix: perfect, inverse, and noisy pairs in one pass") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val x = i.toDouble
+      (x, 2.0 * x + 1.0, -x, rnd.nextDouble())
+    }
+    val df = rows.toDF("x", "y2", "neg", "noise")
+    val m = Stats.correlationMatrix(df, Seq("x", "y2", "neg", "noise"), pValues = true)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(math.abs(m(("x", "y2"))._1 - 1.0) < 1e-9)     // perfect linear
+    assert(math.abs(m(("x", "neg"))._1 + 1.0) < 1e-9)    // perfect inverse
+    assert(math.abs(m(("x", "x"))._1 - 1.0) < 1e-9)      // self
+    assert(math.abs(m(("x", "noise"))._1) < 0.2)         // uncorrelated
+    assert(m(("x", "y2"))._2 < 1e-9)                     // p ~ 0 for perfect
+    assert(m(("x", "noise"))._2 > 0.01)                  // p large for noise
+    assert(m.size == 16)
+    // symmetry
+    assert(m(("y2", "x"))._1 == m(("x", "y2"))._1)
+  }
+
+  test("covarianceMatrix computes population covariance") {
+    val df = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0)).toDF("a", "b")
+    val m = Stats.covarianceMatrix(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // var_pop(a) = 2/3; cov(a,b) = 4/3; var_pop(b) = 8/3
+    assert(math.abs(m(("a", "a")) - 2.0 / 3) < 1e-12)
+    assert(math.abs(m(("a", "b")) - 4.0 / 3) < 1e-12)
+    assert(math.abs(m(("b", "b")) - 8.0 / 3) < 1e-12)
+  }
+}
