@@ -491,6 +491,18 @@ object Ops {
       .withColumn(result, floor(col("__idx") / n))
       .drop("__idx")
 
+  /** SignalBufferProcessor (BufferProcessors.scala:171), batch shape: the
+    * reference buffers one branch's packets until the signal branch hits
+    * EOF, then releases them unchanged. In Spark's execution model "signal
+    * branch EOF" is "the signal plan fully evaluates", so the gate is an
+    * artificial broadcast dependency on the signal's 1-row aggregate: the
+    * data rows pass through untouched but cannot be produced before the
+    * signal side completes. (Streaming shape: Streams.signalBuffer.) */
+  def signalBuffer(data: DataFrame, signal: DataFrame): DataFrame = {
+    val gate = signal.agg(count(lit(1)).as("__signal_seen"))
+    data.crossJoin(broadcast(gate)).drop("__signal_seen")
+  }
+
   /** TimeBufferProcessor (BufferProcessors.scala:114) — event-time version:
     * tumbling window bucket. */
   def timeBuffer(df: DataFrame, tsField: String, duration: String, result: String = "window"): DataFrame =

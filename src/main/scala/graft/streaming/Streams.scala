@@ -75,6 +75,37 @@ object Streams {
       .toDF("key", "running_count")
   }
 
+  /** SignalBufferProcessor (ref: BufferProcessors.scala:171), streaming
+    * shape: buffer each key's data rows in state and release them only when
+    * a signal row for that key arrives — the reference's actor mailbox +
+    * "release" message as fault-tolerant keyed state. Input is the UNION of
+    * data and signal streams; `isSignalCol` marks signal rows; `payloadCol`
+    * carries the (stringified) datum. Emits payloads in arrival order at
+    * release time; signals with nothing buffered emit nothing. */
+  def signalBuffer(unioned: DataFrame, keyCol: String, isSignalCol: String,
+                   payloadCol: String): DataFrame = {
+    val spark = unioned.sparkSession
+    import spark.implicits._
+    unioned
+      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($isSignalCol AS BOOLEAN) AS sig",
+        s"CAST($payloadCol AS STRING) AS payload")
+      .as[(String, Boolean, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[String], (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Boolean, String)], state: GroupState[List[String]]) =>
+          var buffered = state.getOption.getOrElse(Nil)
+          var released = List.empty[String]
+          rows.foreach { case (_, isSignal, payload) =>
+            if (isSignal) { released = released ::: buffered.reverse; buffered = Nil }
+            else buffered = payload :: buffered
+          }
+          state.update(buffered)
+          released.iterator.map(p => (key, p))
+      }
+      .toDF("key", "payload")
+  }
+
   /** Rate-source generator ⇄ DummyGenerator/RandomGenerator
     * (ref: DummyGenerator.scala:34-118). */
   def rateSource(spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int): DataFrame =

@@ -46,6 +46,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signalBuffer holds data until the key's signal arrives, then releases in order") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, Boolean, String)]
+    val out = Streams.signalBuffer(in.toDF.toDF("k", "sig", "payload"), "k", "sig", "payload")
+    val q = out.writeStream.format("memory").queryName("sigbuf")
+      .outputMode("append").start()
+    try {
+      // batch 1: only data — nothing must be emitted yet
+      in.addData(("a", false, "a1"), ("a", false, "a2"), ("b", false, "b1"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sigbuf").count() == 0)
+      // batch 2: signal for a — releases a's buffer (in arrival order), b stays held
+      in.addData(("a", true, ""))
+      q.processAllAvailable()
+      val released = spark.sql("SELECT payload FROM sigbuf").as[String].collect().toSeq
+      assert(released == Seq("a1", "a2"))
+      // batch 3: more a-data then a second signal — only the new rows release
+      in.addData(("a", false, "a3"), ("a", true, ""))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT payload FROM sigbuf").as[String].collect().toSeq
+      assert(all.sorted == Seq("a1", "a2", "a3"))
+      assert(spark.sql("SELECT * FROM sigbuf WHERE payload LIKE 'b%'").count() == 0)
+    } finally q.stop()
+  }
+
+  test("batch signalBuffer passes data through gated on the signal plan") {
+    val data = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val signal = Seq("done").toDF("s")
+    val out = graft.engine.Ops.signalBuffer(data, signal)
+    assert(out.columns.toSeq == Seq("id", "v"))
+    assert(out.orderBy("id").as[(Int, String)].collect().toSeq == Seq((1, "x"), (2, "y")))
+  }
+
   test("streaming dedup drops repeated keys across batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Int, String)]
