@@ -63,12 +63,20 @@ object Ops {
     * within-partition index comes from monotonically_increasing_id (partition
     * id in the upper 31 bits, local row number in the lower 33), partition
     * start offsets from a tiny count-per-partition job broadcast-joined back.
-    * Everything stays in whole-stage codegen — no RDD round-trip, no
-    * row-object churn; the only extra cost is the same small counting job the
-    * classic rdd.zipWithIndex shape would run. */
+    *
+    * The layout MUST be pinned first: this needs two executions (counts, then
+    * the indexed result), and a range shuffle's sampling seed differs per
+    * execution, so an unmaterialized plan can present DIFFERENT partition
+    * boundaries to the two jobs — duplicated and missing indices.
+    * localCheckpoint materializes the partitions once and truncates lineage,
+    * so both jobs read the identical layout, and a lost partition fails
+    * loudly instead of silently recomputing into a different layout. Net
+    * cost matches the classic rdd.zipWithIndex shape (one materialization +
+    * one small counting job) while staying in whole-stage codegen. */
   def indexByLayout(df: DataFrame, result: String): DataFrame = {
     val spark = df.sparkSession
-    val tagged = df.withColumn("__pid", spark_partition_id())
+    val pinned = df.localCheckpoint()
+    val tagged = pinned.withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
     val counts = tagged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

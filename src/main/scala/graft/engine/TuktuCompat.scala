@@ -102,8 +102,8 @@ object TuktuCompat {
           val base =
             if (e.get("expression").isArray) {
               val children = e.get("expression").elements().asScala.toSeq.map(build)
-              if (str(e, "and_or").contains("or")) children.reduce(_ || _)
-              else children.reduce(_ && _)
+              if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
+              else children.reduceOption(_ && _).getOrElse(lit(true))
             } else col(e.get("field").asText).rlike(e.get("expression").asText)
           if (str(e, "type").contains("negate")) !base else base
         }

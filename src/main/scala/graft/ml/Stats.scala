@@ -32,32 +32,37 @@ object Stats {
 
   private val pValueUdf = udf((r: Double, n: Long) => pearsonPValue(r, n))
 
-  /** Long-form correlation matrix over `fields`: one row per ordered pair
-    * (x, y, corr[, p_value]). Correlations use the exact-sum formula
-    * r = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²). */
-  def correlationMatrix(df: DataFrame, fields: Seq[String],
-                        pValues: Boolean = false): DataFrame = {
+  private def s(i: Int) = col(s"__s$i")
+  private def ss(i: Int, j: Int) = if (i <= j) col(s"__ss${i}_$j") else col(s"__ss${j}_$i")
+
+  /** One row holding n, Σxᵢ and Σxᵢxⱼ for every pair — the single shared
+    * aggregation pass under both matrices. */
+  private def momentSums(df: DataFrame, fields: Seq[String]): DataFrame = {
     val k = fields.size
-    def s(i: Int) = col(s"__s$i")
-    def ss(i: Int, j: Int) = if (i <= j) col(s"__ss${i}_$j") else col(s"__ss${j}_$i")
     val sums =
       (0 until k).map(i => sum(col(fields(i)).cast(DoubleType)).as(s"__s$i")) ++
         (for (i <- 0 until k; j <- i until k)
           yield sum(col(fields(i)).cast(DoubleType) * col(fields(j)).cast(DoubleType))
             .as(s"__ss${i}_$j"))
     val aggs = count(lit(1)).as("__n") +: sums
-    val g = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Long-form correlation matrix over `fields`: one row per ordered pair
+    * (x, y, corr[, p_value]). Correlations use the exact-sum formula
+    * r = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²). */
+  def correlationMatrix(df: DataFrame, fields: Seq[String],
+                        pValues: Boolean = false): DataFrame = {
+    val k = fields.size
+    val g = momentSums(df, fields)
     val n = col("__n").cast(DoubleType)
     def corr(i: Int, j: Int): Column =
       (n * ss(i, j) - s(i) * s(j)) /
         (sqrt(n * ss(i, i) - s(i) * s(i)) * sqrt(n * ss(j, j) - s(j) * s(j)))
     val pairs = for (i <- 0 until k; j <- 0 until k) yield {
-      val base = struct(lit(fields(i)).as("x"), lit(fields(j)).as("y"),
-        corr(i, j).as("corr"))
-      if (pValues)
-        struct(base.getField("x").as("x"), base.getField("y").as("y"),
-          corr(i, j).as("corr"), pValueUdf(corr(i, j), col("__n")).as("p_value"))
-      else base
+      val xy = Seq(lit(fields(i)).as("x"), lit(fields(j)).as("y"), corr(i, j).as("corr"))
+      if (pValues) struct(xy :+ pValueUdf(corr(i, j), col("__n")).as("p_value"): _*)
+      else struct(xy: _*)
     }
     g.select(explode(array(pairs: _*)).as("__e")).select(col("__e.*"))
   }
@@ -67,15 +72,7 @@ object Stats {
     * single-pass sums. */
   def covarianceMatrix(df: DataFrame, fields: Seq[String]): DataFrame = {
     val k = fields.size
-    def s(i: Int) = col(s"__s$i")
-    def ss(i: Int, j: Int) = if (i <= j) col(s"__ss${i}_$j") else col(s"__ss${j}_$i")
-    val sums =
-      (0 until k).map(i => sum(col(fields(i)).cast(DoubleType)).as(s"__s$i")) ++
-        (for (i <- 0 until k; j <- i until k)
-          yield sum(col(fields(i)).cast(DoubleType) * col(fields(j)).cast(DoubleType))
-            .as(s"__ss${i}_$j"))
-    val aggs = count(lit(1)).as("__n") +: sums
-    val g = df.agg(aggs.head, aggs.tail: _*)
+    val g = momentSums(df, fields)
     val n = col("__n").cast(DoubleType)
     val pairs = for (i <- 0 until k; j <- 0 until k) yield
       struct(lit(fields(i)).as("x"), lit(fields(j)).as("y"),

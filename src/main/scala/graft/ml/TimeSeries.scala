@@ -85,7 +85,8 @@ object TimeSeries {
     val fit = arFit(df, groupCols, order, valueCol, p)
       .select(groupCols.map(col) :+ col("coef"): _*)
     val lagged = lagMatrix(df, groupCols, order, valueCol, p)
-    lagged.join(broadcast(fit), groupCols)
+    // left join: a group too short to fit keeps its rows with fitted = null
+    lagged.join(broadcast(fit), groupCols, "left")
       .withColumn(out,
         (1 to p).foldLeft(element_at(col("coef"), 1)) { (acc, i) =>
           acc + element_at(col("coef"), i + 1) * col(s"${valueCol}_lag$i").cast(DoubleType)

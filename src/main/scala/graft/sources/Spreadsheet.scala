@@ -149,20 +149,42 @@ object Spreadsheet {
         val x = scala.xml.XML.load(new ByteArrayInputStream(ss))
         (x \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
+    // name → worksheet part: resolve through xl/_rels/workbook.xml.rels when
+    // present (sheet order and sheetN.xml numbering decouple once sheets are
+    // deleted/reordered in Excel); fall back to positional sheetN.xml.
+    val relsNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    val relTargets: Map[String, String] =
+      entries.get("xl/_rels/workbook.xml.rels").map { rl =>
+        val x = scala.xml.XML.load(new ByteArrayInputStream(rl))
+        (x \\ "Relationship").map(r =>
+          (r \ "@Id").text -> (r \ "@Target").text.stripPrefix("/xl/").stripPrefix("./")).toMap
+      }.getOrElse(Map.empty)
     val sheetPath = sheetName.flatMap { name =>
       entries.get("xl/workbook.xml").flatMap { wb =>
         val x = scala.xml.XML.load(new ByteArrayInputStream(wb))
-        val names = (x \\ "sheet").map(s => (s \ "@name").text)
-        val i = names.indexOf(name)
-        if (i >= 0) Some(s"xl/worksheets/sheet${i + 1}.xml") else None
+        val sheets = (x \\ "sheet").map { s =>
+          val rid = s.attribute(relsNs, "id").map(_.text).getOrElse("")
+          ((s \ "@name").text, rid)
+        }
+        val i = sheets.indexWhere(_._1 == name)
+        if (i < 0) None
+        else relTargets.get(sheets(i)._2)
+          .map(t => if (t.startsWith("xl/")) t else s"xl/$t")
+          .orElse(Some(s"xl/worksheets/sheet${i + 1}.xml"))
       }
     }.getOrElse("xl/worksheets/sheet1.xml")
     val sheet = entries.getOrElse(sheetPath,
       throw new IllegalArgumentException(s"no worksheet $sheetPath in xlsx"))
     val x = scala.xml.XML.load(new ByteArrayInputStream(sheet))
     (x \ "sheetData" \ "row").map { r =>
+      // the r= cell reference is optional in OOXML: a cell without one sits
+      // immediately after the previous cell (implied sequential position)
+      var nextImplied = 0
       val cells = (r \ "c").map { c =>
-        val idx = colIndex((c \ "@r").text)
+        val ref = (c \ "@r").text
+        val idx = if (ref.isEmpty || !ref.headOption.exists(_.isLetter)) nextImplied
+                  else colIndex(ref)
+        nextImplied = idx + 1
         val v = (c \ "@t").text match {
           case "s"         => shared((c \ "v").text.trim.toInt)
           case "inlineStr" => (c \ "is" \\ "t").map(_.text).mkString
@@ -217,8 +239,12 @@ object Spreadsheet {
       val (head, data) = if (header && all.nonEmpty) (all.head, all.tail) else (IndexedSeq.empty[String], all)
       data.map(r => (head, r))
     }
+    // schema width = the widest row anywhere (a sparse first record must not
+    // truncate later columns)
+    val width =
+      if (rows.isEmpty()) 0
+      else rows.map { case (h, r) => math.max(h.size, r.size) }.max()
     val first = rows.take(1).headOption
-    val width = first.map { case (h, r) => math.max(h.size, r.size) }.getOrElse(0)
     val names = first.map(_._1).filter(_.nonEmpty)
       .map(h => (0 until width).map(i => if (i < h.size && h(i).nonEmpty) h(i) else s"c$i"))
       .getOrElse((0 until width).map(i => s"c$i"))
@@ -264,7 +290,12 @@ object Spreadsheet {
       .select("path", "content").rdd
     val records = files.flatMap { row =>
       val text = new String(row.getAs[Array[Byte]]("content"), "UTF-8")
-      val lines = text.split("\r?\n").iterator.filter(_.nonEmpty).map(parseCsvLine(_, sep))
+      // keep blank lines: locators anchor on PHYSICAL row numbers, so
+      // dropping a line would shift every rowOffset below it (the reference
+      // CsvGenerator reads every line); trim only a trailing newline artifact
+      val raw = text.split("\r?\n", -1)
+      val lines = (if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw)
+        .iterator.map(parseCsvLine(_, sep))
       flattenSheet(lines, valueName, dataColStart, dataColEnd, hierarchy(),
         endFieldCol, endField)
     }

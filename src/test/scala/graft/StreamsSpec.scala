@@ -48,25 +48,27 @@ class StreamsSpec extends SparkSpec {
 
   test("signalBuffer holds data until the key's signal arrives, then releases in order") {
     implicit val sql = spark.sqlContext
-    val in = MemoryStream[(String, Boolean, String)]
-    val out = Streams.signalBuffer(in.toDF.toDF("k", "sig", "payload"), "k", "sig", "payload")
+    val in = MemoryStream[(String, Boolean, String, Long)]
+    val out = Streams.signalBuffer(in.toDF.toDF("k", "sig", "payload", "seq"),
+      "k", "sig", "payload", "seq")
     val q = out.writeStream.format("memory").queryName("sigbuf")
       .outputMode("append").start()
     try {
       // batch 1: only data — nothing must be emitted yet
-      in.addData(("a", false, "a1"), ("a", false, "a2"), ("b", false, "b1"))
+      in.addData(("a", false, "a1", 1L), ("a", false, "a2", 2L), ("b", false, "b1", 3L))
       q.processAllAvailable()
       assert(spark.sql("SELECT * FROM sigbuf").count() == 0)
-      // batch 2: signal for a — releases a's buffer (in arrival order), b stays held
-      in.addData(("a", true, ""))
+      // batch 2: signal for a — releases a's buffer in seq order, b stays held
+      in.addData(("a", true, "", 4L))
       q.processAllAvailable()
       val released = spark.sql("SELECT payload FROM sigbuf").as[String].collect().toSeq
       assert(released == Seq("a1", "a2"))
-      // batch 3: more a-data then a second signal — only the new rows release
-      in.addData(("a", false, "a3"), ("a", true, ""))
+      // batch 3: data + signal in ONE batch — batch-granular rule releases
+      // the new row too, deterministically regardless of intra-batch order
+      in.addData(("a", false, "a3", 5L), ("a", true, "", 6L))
       q.processAllAvailable()
       val all = spark.sql("SELECT payload FROM sigbuf").as[String].collect().toSeq
-      assert(all.sorted == Seq("a1", "a2", "a3"))
+      assert(all == Seq("a1", "a2", "a3"))
       assert(spark.sql("SELECT * FROM sigbuf WHERE payload LIKE 'b%'").count() == 0)
     } finally q.stop()
   }

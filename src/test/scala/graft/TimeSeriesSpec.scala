@@ -48,6 +48,14 @@ class TimeSeriesSpec extends SparkSpec {
     assert(fitted.count() == 298)
   }
 
+  test("arFitted keeps rows of groups too short to fit, with null fitted") {
+    val long = planted(50, 0.2)
+    val short = Seq(("tiny", 0, 1.0), ("tiny", 1, 2.0)) // 2 rows < p+1
+    val out = TimeSeries.arFitted((long ++ short).toDF("g", "t", "v"), Seq("g"), Seq(col("t")), "v", p = 2)
+    assert(out.filter(col("g") === "tiny").count() == 2)
+    assert(out.filter(col("g") === "tiny" && col("fitted").isNotNull).count() == 0)
+  }
+
   test("gaussSolve solves a known system and flags singularity with NaN") {
     val x = TimeSeries.gaussSolve(Seq(2.0, 1.0, 1.0, 3.0), Seq(5.0, 10.0), 2)
     assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
