@@ -172,7 +172,7 @@ object Expr {
       case Some(TIdent("false")) => next(); BoolLit(false)
       case Some(TStr(v))         => next(); Str(v)
       case Some(TIdent(f)) if Set("toLowerCase", "toUpperCase", "capitalize", "SplitGet",
-        "JSON.stringify", "containsFields", "isNumeric",
+        "JSON.stringify", "SQL", "GetOrNull", "containsFields", "isNumeric",
         "isNull", "isJSON", "containsSubstring", "isEmptyValue", "isEmpty").contains(f) => boolCall(f)
       case _ => addSub()
     }
@@ -264,7 +264,8 @@ object Expr {
   private def stringy(df: DataFrame, a: Ast): Boolean = a match {
     case Str(_)                                    => true
     case Field(p)                                  => isStringType(df, p)
-    case Call("toLowerCase" | "toUpperCase" | "capitalize" | "SplitGet" | "JSON.stringify", _) => true
+    case Call("toLowerCase" | "toUpperCase" | "capitalize" | "SplitGet" | "JSON.stringify"
+              | "SQL" | "GetOrNull", _) => true
     case _                                         => false
   }
   private def booly(a: Ast): Boolean = a match {
@@ -337,6 +338,28 @@ object Expr {
         val sep = args(1) match { case Str(v) => v; case other => other.toString }
         val idx = args(2) match { case Num(v) => v.toInt; case Str(v) => v.toInt; case _ => 0 }
         element_at(split(a0, sep), idx + 1)
+      // GetOrNull(field): value rendered as string, absent → "null"
+      // (ref utils.scala:123-127)
+      case "GetOrNull" => coalesce(a0.cast(StringType), lit("null"))
+      // SQL(value): render as a SQL literal (ref utils.scala:97-106):
+      // null → NULL, booleans → 1/0, strings quoted with '' doubling plus
+      // Java-style escaping of backslashes/control chars, numbers verbatim
+      case "SQL" =>
+        val dt = df.select(a0).schema.head.dataType
+        dt match {
+          case BooleanType =>
+            when(a0.isNull, lit("NULL")).otherwise(when(a0, lit("1")).otherwise(lit("0")))
+          case _: org.apache.spark.sql.types.StringType =>
+            val esc = Seq(
+              "\\\\" -> "\\\\\\\\",   // backslash first: \ → \\
+              "'" -> "''",
+              "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
+              .foldLeft(a0) { case (c, (from, to)) => regexp_replace(c, from, to) }
+            when(a0.isNull, lit("NULL"))
+              .otherwise(concat(lit("'"), esc, lit("'")))
+          case _ =>
+            when(a0.isNull, lit("NULL")).otherwise(a0.cast(StringType))
+        }
       case "JSON.stringify" => to_json(a0)
       // size(field): array length / string length (ref Parsing.scala:396-399)
       case "size" =>

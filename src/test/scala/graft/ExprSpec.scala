@@ -133,6 +133,17 @@ class ExprSpec extends SparkSpec {
     assert(evalBool("""SplitGet(${s}, "Str", 0) == "my""""))
     assert(evalBool("""SplitGet("a;b;c", ";", 1) == "b""""))
     assert(evalBool("""SplitGet("a1b22c", "[0-9]+", 2) == "c""""))
+    // GetOrNull: present value renders as string; absent -> "null"
+    // (ref utils.scala:123-127)
+    assert(evalBool("""GetOrNull(${s}) == "myString""""))
+    assert(evalBool("""GetOrNull(${nul}) == "null""""))
+    assert(evalBool("""GetOrNull(${i}) == "-182""""))
+    // SQL: strings quoted with '' doubling, numbers verbatim, null -> NULL
+    // (ref utils.scala:97-106)
+    assert(evalBool("""SQL(${s}) == "'myString'""""))
+    assert(evalBool("""SQL("it's") == "'it''s'""""))
+    assert(evalBool("""SQL(${nul}) == "NULL""""))
+    assert(evalBool("""SQL(${i}) == "-182""""))
     assert(evalBool("""capitalize("hello world") == "Hello world""""))
   }
 
