@@ -54,9 +54,20 @@ object Ops {
   /** Scalable global row index in `orderBy` order: range-partition on the
     * sort keys, sort within partitions, then number by layout.
     * Replaces `row_number().over(Window.orderBy(...))`, which funnels ALL
-    * rows through a single partition and cannot survive a 100× scale-up. */
+    * rows through a single partition and cannot survive a 100× scale-up.
+    *
+    * The range shuffle MUST be pinned before numbering: indexByLayout runs
+    * two executions (counts, then the indexed result), and a range shuffle
+    * re-samples its partition boundaries per execution — without
+    * materialization the two jobs can see DIFFERENT layouts, yielding
+    * duplicated and missing indices. localCheckpoint materializes the
+    * partitions once (Tungsten binary rows, lineage truncated: a lost
+    * partition fails loudly instead of silently recomputing into a new
+    * layout). */
   def withGlobalIndex(df: DataFrame, orderBy: Seq[Column], result: String): DataFrame =
-    indexByLayout(df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*), result)
+    indexByLayout(
+      df.repartitionByRange(orderBy: _*).sortWithinPartitions(orderBy: _*).localCheckpoint(),
+      result)
 
   /** Global index following the CURRENT layout (partition order, then row
     * order within partition) without leaving DataFrame/Tungsten land: the
@@ -64,19 +75,16 @@ object Ops {
     * id in the upper 31 bits, local row number in the lower 33), partition
     * start offsets from a tiny count-per-partition job broadcast-joined back.
     *
-    * The layout MUST be pinned first: this needs two executions (counts, then
-    * the indexed result), and a range shuffle's sampling seed differs per
-    * execution, so an unmaterialized plan can present DIFFERENT partition
-    * boundaries to the two jobs — duplicated and missing indices.
-    * localCheckpoint materializes the partitions once and truncates lineage,
-    * so both jobs read the identical layout, and a lost partition fails
-    * loudly instead of silently recomputing into a different layout. Net
-    * cost matches the classic rdd.zipWithIndex shape (one materialization +
-    * one small counting job) while staying in whole-stage codegen. */
+    * Contract: the input's layout must be deterministic across executions,
+    * because this runs two jobs (counts, then result) over it. File scans
+    * and hash shuffles are deterministic; a range shuffle or a round-robin
+    * `repartition(n)` is NOT — pin those with localCheckpoint first, as
+    * withGlobalIndex does. Deterministic inputs deliberately get no pin:
+    * slicing the first lines of a huge file must not materialize the whole
+    * file into executor storage. */
   def indexByLayout(df: DataFrame, result: String): DataFrame = {
     val spark = df.sparkSession
-    val pinned = df.localCheckpoint()
-    val tagged = pinned.withColumn("__pid", spark_partition_id())
+    val tagged = df.withColumn("__pid", spark_partition_id())
       .withColumn("__mid", monotonically_increasing_id())
     val counts = tagged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -507,8 +515,11 @@ object Ops {
     * data rows pass through untouched but cannot be produced before the
     * signal side completes. (Streaming shape: Streams.signalBuffer.) */
   def signalBuffer(data: DataFrame, signal: DataFrame): DataFrame = {
-    val gate = signal.agg(count(lit(1)).as("__signal_seen"))
-    data.crossJoin(broadcast(gate)).drop("__signal_seen")
+    // unique gate column name: a bare drop("__signal_seen") would also drop
+    // a same-named column already present in data
+    val g = s"__signal_gate_${java.util.UUID.randomUUID.toString.take(8)}"
+    val gate = signal.agg(count(lit(1)).as(g))
+    data.crossJoin(broadcast(gate)).drop(g)
   }
 
   /** TimeBufferProcessor (BufferProcessors.scala:114) — event-time version:

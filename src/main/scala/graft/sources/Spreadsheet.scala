@@ -240,12 +240,20 @@ object Spreadsheet {
       data.map(r => (head, r))
     }
     // schema width = the widest row anywhere (a sparse first record must not
-    // truncate later columns)
-    val width =
-      if (rows.isEmpty()) 0
-      else rows.map { case (h, r) => math.max(h.size, r.size) }.max()
-    val first = rows.take(1).headOption
-    val names = first.map(_._1).filter(_.nonEmpty)
+    // truncate later columns). One metadata pass collects width + the first
+    // header per partition — not one job per question, which would re-read
+    // and re-parse every workbook several times.
+    val meta = rows.mapPartitionsWithIndex { case (pi, it) =>
+      var w = 0
+      var firstHeader: Option[IndexedSeq[String]] = None
+      it.foreach { case (h, r) =>
+        w = math.max(w, math.max(h.size, r.size))
+        if (firstHeader.isEmpty) firstHeader = Some(h)
+      }
+      Iterator((pi, w, firstHeader))
+    }.collect().sortBy(_._1)
+    val width = if (meta.isEmpty) 0 else meta.map(_._2).max
+    val names = meta.flatMap(_._3).headOption.filter(_.nonEmpty)
       .map(h => (0 until width).map(i => if (i < h.size && h(i).nonEmpty) h(i) else s"c$i"))
       .getOrElse((0 until width).map(i => s"c$i"))
     val schema = StructType(names.map(StructField(_, StringType, nullable = true)))

@@ -91,9 +91,14 @@ object Streams {
                    payloadCol: String, orderCol: String): DataFrame = {
     val spark = unioned.sparkSession
     import spark.implicits._
+    // signal rows naturally carry null payload/seq after the union — the
+    // primitive tuple fields must never see a null or deserialization kills
+    // the query, so default sig/seq explicitly
     unioned
-      .selectExpr(s"CAST($keyCol AS STRING) AS k", s"CAST($isSignalCol AS BOOLEAN) AS sig",
-        s"CAST($payloadCol AS STRING) AS payload", s"CAST($orderCol AS BIGINT) AS seq")
+      .selectExpr(s"CAST($keyCol AS STRING) AS k",
+        s"coalesce(CAST($isSignalCol AS BOOLEAN), false) AS sig",
+        s"CAST($payloadCol AS STRING) AS payload",
+        s"coalesce(CAST($orderCol AS BIGINT), 0) AS seq")
       .as[(String, Boolean, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, String)], (String, String)](
@@ -104,7 +109,10 @@ object Streams {
           val buffered = state.getOption.getOrElse(Nil) :::
             batch.collect { case (_, false, p, s) => (s, p) }
           if (batch.exists(_._2)) {
-            state.update(Nil)
+            // remove (not update-to-empty): an empty-list entry per released
+            // key would grow the state store without bound at high key
+            // cardinality; the entry is recreated on the key's next data row
+            state.remove()
             buffered.sortBy(_._1).iterator.map { case (_, p) => (key, p) }
           } else {
             state.update(buffered)
