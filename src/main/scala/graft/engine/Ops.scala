@@ -507,6 +507,15 @@ object Ops {
       .withColumn(result, floor(col("__idx") / n))
       .drop("__idx")
 
+  /** CountEOFProcessor (BaseProcessors.scala:74): pass-through that reports
+    * how many rows flowed past at stream end. Spark-native: an Observation
+    * metric rides the action itself — zero extra scan; read the count with
+    * `obs.get("rows")` after the first action on the returned frame. */
+  def countEof(df: DataFrame, name: String = "count_eof"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    (df.observe(obs, count(lit(1)).as("rows")), obs)
+  }
+
   /** SignalBufferProcessor (BufferProcessors.scala:171), batch shape: the
     * reference buffers one branch's packets until the signal branch hits
     * EOF, then releases them unchanged. In Spark's execution model "signal

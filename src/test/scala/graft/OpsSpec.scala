@@ -209,6 +209,13 @@ class OpsSpec extends SparkSpec {
     assert(m == Map("x" -> "ax", "y" -> "by", "z" -> "bz"))
   }
 
+  test("countEof observes the pass-through row count with the action") {
+    val d = spark.range(1234).toDF("id")
+    val (observed, obs) = Ops.countEof(d.filter(col("id") % 2 === 0))
+    assert(observed.count() == 617)
+    assert(obs.get("rows") == 617L)
+  }
+
   test("hexToRgb decodes hex colors with expressions") {
     val d = Seq("#FF8000").toDF("hex")
     val r = Ops.hexToRgb(d, "hex").select("r", "g", "b").head
