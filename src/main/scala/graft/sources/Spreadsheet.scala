@@ -13,10 +13,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
  * CsvGenerator.scala, locators/SimpleLocators.scala).
  *
  * XLSX is a zip of XML parts — parsed here with java.util.zip + scala-xml,
- * no POI dependency. Legacy binary XLS (BIFF8 inside a CFB container) needs
- * a library the container doesn't have and is out of scope, like the
- * reference's other POI-only paths (documented; the reference itself only
- * reaches XLS through POI).
+ * no POI dependency. Legacy binary XLS (BIFF8 inside a CFB container) is
+ * handled by the sibling [[XlsBiff]] parser, which shares this module's
+ * locator scan.
  *
  * Scale shape: the flattening scan is inherently sequential WITHIN a sheet
  * (locators carry values forward down rows/across columns), so the unit of

@@ -1,0 +1,273 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Minimal legacy-XLS (BIFF8 inside a CFB compound document) reader
+ * (SURVEY.md §2.1; ref modules/csv/.../flattening/XlsGenerator.scala:105,
+ * which delegates to POI HSSF). Self-contained: the CFB container and the
+ * BIFF record stream are parsed directly from the public format specs
+ * ([MS-CFB], [MS-XLS]) — no POI.
+ *
+ * Supported (the cell-data core): CFB v3 512-byte sectors with FAT/DIFAT,
+ * directory, regular-sector AND mini-stream storage of the Workbook stream;
+ * BIFF8 BOF/EOF, BOUNDSHEET (name → substream offset), SST + LABELSST
+ * (compressed and UTF-16 strings), LABEL, NUMBER, RK, MULRK, BOOLERR.
+ * Not supported (documented): encrypted workbooks (FILEPASS), SST CONTINUE
+ * spans (strings split across records — arises above ~8KB of unique
+ * strings), BIFF5 and earlier. Unknown records are skipped by length, so
+ * real-world files with formatting records parse fine.
+ *
+ * Distribution matches the xlsx path: one task per file via binaryFiles.
+ */
+object XlsBiff {
+
+  private val ENDOFCHAIN = 0xFFFFFFFEL
+  private val FREESECT = 0xFFFFFFFFL
+
+  private def u16(b: ByteBuffer, off: Int): Int = b.getShort(off) & 0xFFFF
+  private def u32(b: ByteBuffer, off: Int): Long = b.getInt(off) & 0xFFFFFFFFL
+
+  /** Read a FAT/miniFAT chain of sector ids starting at `start`. */
+  private def chain(fat: Array[Long], start: Long): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    var s = start
+    var guard = 0
+    while (s != ENDOFCHAIN && s != FREESECT && guard < fat.length + 1) {
+      out += s.toInt
+      s = fat(s.toInt)
+      guard += 1
+    }
+    out.result()
+  }
+
+  /** Extract the Workbook stream bytes from a CFB container. */
+  private[graft] def workbookStream(bytes: Array[Byte]): Array[Byte] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(u32(b, 0) == 0xE011CFD0L && u32(b, 4) == 0xE11AB1A1L, "not a CFB file")
+    val sectorSize = 1 << u16(b, 0x1E)
+    val miniSize = 1 << u16(b, 0x20)
+    val numFat = u32(b, 0x2C).toInt
+    val firstDir = u32(b, 0x30)
+    val miniCutoff = u32(b, 0x38)
+    val firstMiniFat = u32(b, 0x3C)
+    val numMiniFat = u32(b, 0x40).toInt
+    val firstDifat = u32(b, 0x44)
+    def sectorOff(sid: Int): Int = 512 + sid * sectorSize
+    // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
+    val fatSectors = {
+      val head = (0 until math.min(109, numFat)).map(i => u32(b, 0x4C + 4 * i))
+      var extra = Vector.empty[Long]
+      var ds = firstDifat
+      while (ds != ENDOFCHAIN && ds != FREESECT) {
+        val off = sectorOff(ds.toInt)
+        extra ++= (0 until sectorSize / 4 - 1).map(i => u32(b, off + 4 * i))
+        ds = u32(b, off + sectorSize - 4)
+      }
+      (head ++ extra).filter(s => s != FREESECT).take(numFat)
+    }
+    val fat: Array[Long] = fatSectors.flatMap { fs =>
+      val off = sectorOff(fs.toInt)
+      (0 until sectorSize / 4).map(i => u32(b, off + 4 * i))
+    }.toArray
+    def readChain(start: Long, size: Long): Array[Byte] = {
+      val sids = chain(fat, start)
+      val out = new Array[Byte](size.toInt)
+      var pos = 0
+      for (sid <- sids if pos < size) {
+        val n = math.min(sectorSize, size.toInt - pos)
+        System.arraycopy(bytes, sectorOff(sid), out, pos, n)
+        pos += n
+      }
+      out
+    }
+    // directory entries (128B each) from the directory chain
+    val dirBytes = {
+      val sids = chain(fat, firstDir)
+      val out = new Array[Byte](sids.size * sectorSize)
+      sids.zipWithIndex.foreach { case (sid, i) =>
+        System.arraycopy(bytes, sectorOff(sid), out, i * sectorSize, sectorSize)
+      }
+      out
+    }
+    val db = ByteBuffer.wrap(dirBytes).order(ByteOrder.LITTLE_ENDIAN)
+    case class Entry(name: String, objType: Int, start: Long, size: Long)
+    val entries = (0 until dirBytes.length / 128).map { i =>
+      val off = i * 128
+      val nameLen = u16(db, off + 64)
+      val name = if (nameLen >= 2)
+        new String(dirBytes, off, nameLen - 2, "UTF-16LE") else ""
+      Entry(name, dirBytes(off + 66) & 0xFF, u32(db, off + 116), u32(db, off + 120))
+    }
+    val root = entries.find(_.objType == 5)
+      .getOrElse(throw new IllegalArgumentException("CFB: no root entry"))
+    val wb = entries.find(e => e.objType == 2 && (e.name == "Workbook" || e.name == "Book"))
+      .getOrElse(throw new IllegalArgumentException("CFB: no Workbook stream"))
+    if (wb.size >= miniCutoff) readChain(wb.start, wb.size)
+    else {
+      // mini stream: 64-byte sectors inside the root entry's stream,
+      // chained through the mini FAT
+      val miniStream = readChain(root.start, root.size)
+      val miniFat: Array[Long] = {
+        val sids = chain(fat, firstMiniFat).take(numMiniFat max 1)
+        sids.flatMap { sid =>
+          val off = sectorOff(sid)
+          (0 until sectorSize / 4).map(i => u32(b, off + 4 * i))
+        }.toArray
+      }
+      val sids = chain(miniFat, wb.start)
+      val out = new Array[Byte](wb.size.toInt)
+      var pos = 0
+      for (sid <- sids if pos < wb.size) {
+        val n = math.min(miniSize, wb.size.toInt - pos)
+        System.arraycopy(miniStream, sid * miniSize, out, pos, n)
+        pos += n
+      }
+      out
+    }
+  }
+
+  /** Decode an RK-encoded number ([MS-XLS] 2.5.122). */
+  private[graft] def decodeRk(rk: Long): Double = {
+    val div100 = (rk & 1L) != 0
+    val isInt = (rk & 2L) != 0
+    val v =
+      if (isInt) (rk.toInt >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if (div100) v / 100.0 else v
+  }
+
+  /** Read an XLUnicodeRichExtendedString (simple form, no CONTINUE). */
+  private def readSstString(b: ByteBuffer, pos0: Int): (String, Int) = {
+    var pos = pos0
+    val cch = u16(b, pos); pos += 2
+    val flags = b.get(pos) & 0xFF; pos += 1
+    val high = (flags & 1) != 0
+    val rich = (flags & 8) != 0
+    val ext = (flags & 4) != 0
+    val cRun = if (rich) { val r = u16(b, pos); pos += 2; r } else 0
+    val cbExt = if (ext) { val e = u32(b, pos); pos += 4; e } else 0L
+    val s =
+      if (high) { val str = new String(b.array(), pos, cch * 2, "UTF-16LE"); pos += cch * 2; str }
+      else { val str = new String(b.array(), pos, cch, "ISO-8859-1"); pos += cch; str }
+    pos += cRun * 4 + cbExt.toInt
+    (s, pos)
+  }
+
+  /** Parse the Workbook stream: (sheet name → rows) in boundsheet order. */
+  private[graft] def sheets(stream: Array[Byte]): Seq[(String, Seq[IndexedSeq[String]])] = {
+    val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    // pass 1: globals — SST + BOUNDSHEETs
+    var pos = 0
+    var sst = IndexedSeq.empty[String]
+    var bounds = Vector.empty[(String, Int)] // (name, substream offset)
+    var depth = 0
+    var done = false
+    while (!done && pos + 4 <= stream.length) {
+      val rec = u16(b, pos); val len = u16(b, pos + 2); val body = pos + 4
+      rec match {
+        case 0x0809 => depth += 1
+        case 0x000A => depth -= 1; if (depth <= 0) done = true
+        case 0x00FC => // SST
+          val unique = u32(b, body + 4).toInt
+          var p = body + 8
+          val out = IndexedSeq.newBuilder[String]
+          var i = 0
+          while (i < unique && p < body + len) {
+            val (s, np) = readSstString(b, p); out += s; p = np; i += 1
+          }
+          sst = out.result()
+        case 0x0085 => // BOUNDSHEET
+          val lbPlyPos = u32(b, body).toInt
+          val cch = stream(body + 6) & 0xFF
+          val high = (stream(body + 7) & 1) != 0
+          val name =
+            if (high) new String(stream, body + 8, cch * 2, "UTF-16LE")
+            else new String(stream, body + 8, cch, "ISO-8859-1")
+          bounds :+= (name, lbPlyPos)
+        case _ => ()
+      }
+      pos = body + len
+    }
+    // pass 2: per-sheet substreams
+    bounds.map { case (name, start) =>
+      val cells = collection.mutable.ArrayBuffer[(Int, Int, String)]()
+      var p = start
+      var d = 0
+      var stop = false
+      while (!stop && p + 4 <= stream.length) {
+        val rec = u16(b, p); val len = u16(b, p + 2); val body = p + 4
+        rec match {
+          case 0x0809 => d += 1
+          case 0x000A => d -= 1; if (d <= 0) stop = true
+          case 0x00FD => // LABELSST
+            cells += ((u16(b, body), u16(b, body + 2), sst(u32(b, body + 6).toInt)))
+          case 0x0203 => // NUMBER (xnum IEEE double)
+            cells += ((u16(b, body), u16(b, body + 2),
+              Spreadsheet.renderNumeric(b.getDouble(body + 6).toString)))
+          case 0x027E => // RK
+            cells += ((u16(b, body), u16(b, body + 2),
+              Spreadsheet.renderNumeric(decodeRk(u32(b, body + 6)).toString)))
+          case 0x00BD => // MULRK: ixfe+rk pairs colFirst..colLast
+            val rw = u16(b, body); val colFirst = u16(b, body + 2)
+            val nCells = (len - 6) / 6
+            for (i <- 0 until nCells)
+              cells += ((rw, colFirst + i,
+                Spreadsheet.renderNumeric(decodeRk(u32(b, body + 4 + 6 * i + 2)).toString)))
+          case 0x0205 => // BOOLERR
+            val isBool = (stream(body + 7) & 0xFF) == 0
+            if (isBool) cells += ((u16(b, body), u16(b, body + 2),
+              if (stream(body + 6) != 0) "true" else "false"))
+          case 0x0204 => // LABEL (inline string)
+            val cch = u16(b, body + 6)
+            val high = (stream(body + 8) & 1) != 0
+            val s = if (high) new String(stream, body + 9, cch * 2, "UTF-16LE")
+                    else new String(stream, body + 9, cch, "ISO-8859-1")
+            cells += ((u16(b, body), u16(b, body + 2), s))
+          case _ => ()
+        }
+        p = body + len
+      }
+      val rows = cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+        val width = cs.map(_._2).max + 1
+        val row = Array.fill(width)("")
+        cs.foreach { case (_, c, v) => row(c) = v }
+        row.toIndexedSeq
+      }
+      (name, rows)
+    }
+  }
+
+  /** Dense string rows of one sheet of an xls byte payload (gaps → ""),
+    * parity with Spreadsheet.xlsxRows. */
+  def xlsRows(bytes: Array[Byte], sheetName: Option[String] = None): Seq[IndexedSeq[String]] = {
+    val all = sheets(workbookStream(bytes))
+    sheetName match {
+      case Some(n) => all.find(_._1 == n)
+        .getOrElse(throw new IllegalArgumentException(s"no sheet $n in xls"))._2
+      case None => all.headOption.map(_._2).getOrElse(Nil)
+    }
+  }
+
+  /** XlsGenerator flattened mode (ref XlsGenerator.scala:105): same
+    * hierarchy scan as the xlsx/CSV cousins, one task per file. */
+  def xlsFlattened(spark: SparkSession, glob: String, sheetName: Option[String],
+                   valueName: String, dataColStart: Int, dataColEnd: Option[Int],
+                   hierarchy: () => List[Spreadsheet.ParseNode],
+                   endFieldCol: Int = -1, endField: String = null): DataFrame = {
+    val names = hierarchy().map(_.name) :+ valueName
+    val files = spark.read.format("binaryFile").load(glob)
+      .select("path", "content").rdd
+    val records = files.flatMap { row =>
+      Spreadsheet.flattenSheet(
+        xlsRows(row.getAs[Array[Byte]]("content"), sheetName).iterator,
+        valueName, dataColStart, dataColEnd, hierarchy(), endFieldCol, endField)
+    }
+    val schema = org.apache.spark.sql.types.StructType(names.map(
+      org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
+    spark.createDataFrame(
+      records.map(m => org.apache.spark.sql.Row.fromSeq(names.map(m.getOrElse(_, null)))), schema)
+  }
+}
