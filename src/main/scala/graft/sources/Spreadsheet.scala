@@ -208,24 +208,32 @@ object Spreadsheet {
     spark.createDataFrame(records.map(m => Row.fromSeq(names.map(m.getOrElse(_, null)))), schema)
   }
 
-  /** XlsxGenerator flattened mode: one task per file, fresh locator state per
-    * file (locators are stateful by contract). Output columns = hierarchy
-    * names + valueName, all strings, plus nothing else — parity with the
-    * reference's emitted datum. */
+  /** Shared driver for the flattening cousins (csv/xlsx/xls): one task per
+    * file, fresh locator state per file (locators are stateful by contract),
+    * row parsing pluggable. Output columns = hierarchy names + valueName,
+    * all strings — parity with the reference's emitted datum. */
+  private[graft] def flattenedDf(spark: SparkSession, glob: String,
+                                 rowsOf: Array[Byte] => Iterator[IndexedSeq[String]],
+                                 valueName: String, dataColStart: Int, dataColEnd: Option[Int],
+                                 hierarchy: () => List[ParseNode],
+                                 endFieldCol: Int, endField: String): DataFrame = {
+    val names = hierarchy().map(_.name) :+ valueName
+    val records = spark.read.format("binaryFile").load(glob)
+      .select("path", "content").rdd
+      .flatMap { row =>
+        flattenSheet(rowsOf(row.getAs[Array[Byte]]("content")), valueName,
+          dataColStart, dataColEnd, hierarchy(), endFieldCol, endField)
+      }
+    toDf(spark, records, names)
+  }
+
+  /** XlsxGenerator flattened mode. */
   def xlsxFlattened(spark: SparkSession, glob: String, sheetName: Option[String],
                     valueName: String, dataColStart: Int, dataColEnd: Option[Int],
                     hierarchy: () => List[ParseNode],
-                    endFieldCol: Int = -1, endField: String = null): DataFrame = {
-    val names = hierarchy().map(_.name) :+ valueName
-    val files = spark.read.format("binaryFile").load(glob)
-      .select("path", "content").rdd
-    val records = files.flatMap { row =>
-      val bytes = row.getAs[Array[Byte]]("content")
-      flattenSheet(xlsxRows(bytes, sheetName).iterator, valueName,
-        dataColStart, dataColEnd, hierarchy(), endFieldCol, endField)
-    }
-    toDf(spark, records, names)
-  }
+                    endFieldCol: Int = -1, endField: String = null): DataFrame =
+    flattenedDf(spark, glob, bytes => xlsxRows(bytes, sheetName).iterator,
+      valueName, dataColStart, dataColEnd, hierarchy, endFieldCol, endField)
 
   /** Plain (non-flattened) xlsx read: first row as header (or positional
     * c0..cN), remaining rows as string columns. */
@@ -287,25 +295,16 @@ object Spreadsheet {
   }
 
   /** Flattening CsvGenerator (ref flattening/CsvGenerator.scala): the same
-    * hierarchy scan over CSV files, one task per file. */
+    * hierarchy scan over CSV files, one task per file. Blank lines are KEPT:
+    * locators anchor on physical row numbers, so dropping a line would shift
+    * every rowOffset below it; only a trailing newline artifact is trimmed. */
   def csvFlattened(spark: SparkSession, glob: String, valueName: String,
                    dataColStart: Int, dataColEnd: Option[Int],
                    hierarchy: () => List[ParseNode], sep: Char = ',',
-                   endFieldCol: Int = -1, endField: String = null): DataFrame = {
-    val names = hierarchy().map(_.name) :+ valueName
-    val files = spark.read.format("binaryFile").load(glob)
-      .select("path", "content").rdd
-    val records = files.flatMap { row =>
-      val text = new String(row.getAs[Array[Byte]]("content"), "UTF-8")
-      // keep blank lines: locators anchor on PHYSICAL row numbers, so
-      // dropping a line would shift every rowOffset below it (the reference
-      // CsvGenerator reads every line); trim only a trailing newline artifact
-      val raw = text.split("\r?\n", -1)
-      val lines = (if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw)
+                   endFieldCol: Int = -1, endField: String = null): DataFrame =
+    flattenedDf(spark, glob, { bytes =>
+      val raw = new String(bytes, "UTF-8").split("\r?\n", -1)
+      (if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw)
         .iterator.map(parseCsvLine(_, sep))
-      flattenSheet(lines, valueName, dataColStart, dataColEnd, hierarchy(),
-        endFieldCol, endField)
-    }
-    toDf(spark, records, names)
-  }
+    }, valueName, dataColStart, dataColEnd, hierarchy, endFieldCol, endField)
 }

@@ -30,12 +30,16 @@ object XlsBiff {
   private def u16(b: ByteBuffer, off: Int): Int = b.getShort(off) & 0xFFFF
   private def u32(b: ByteBuffer, off: Int): Long = b.getInt(off) & 0xFFFFFFFFL
 
-  /** Read a FAT/miniFAT chain of sector ids starting at `start`. */
+  /** Read a FAT/miniFAT chain of sector ids starting at `start`; fails
+    * loudly on out-of-range sids and cyclic chains (corrupt files must not
+    * silently truncate into wrong data). */
   private def chain(fat: Array[Long], start: Long): Seq[Int] = {
     val out = Seq.newBuilder[Int]
     var s = start
     var guard = 0
-    while (s != ENDOFCHAIN && s != FREESECT && guard < fat.length + 1) {
+    while (s != ENDOFCHAIN && s != FREESECT) {
+      require(s >= 0 && s < fat.length, s"CFB: sector id $s outside FAT (${fat.length})")
+      require(guard <= fat.length, "CFB: cyclic sector chain")
       out += s.toInt
       s = fat(s.toInt)
       guard += 1
@@ -55,16 +59,22 @@ object XlsBiff {
     val firstMiniFat = u32(b, 0x3C)
     val numMiniFat = u32(b, 0x40).toInt
     val firstDifat = u32(b, 0x44)
-    def sectorOff(sid: Int): Int = 512 + sid * sectorSize
+    // spec formula (sid+1)*sectorSize: identical to 512+sid*512 for v3 and
+    // correct for v4's 4096-byte sectors
+    def sectorOff(sid: Int): Int = (sid + 1) * sectorSize
+    val maxSectors = bytes.length / sectorSize + 1
     // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
     val fatSectors = {
       val head = (0 until math.min(109, numFat)).map(i => u32(b, 0x4C + 4 * i))
       var extra = Vector.empty[Long]
       var ds = firstDifat
+      var guard = 0
       while (ds != ENDOFCHAIN && ds != FREESECT) {
+        require(guard <= maxSectors, "CFB: cyclic or runaway DIFAT chain")
         val off = sectorOff(ds.toInt)
         extra ++= (0 until sectorSize / 4 - 1).map(i => u32(b, off + 4 * i))
         ds = u32(b, off + sectorSize - 4)
+        guard += 1
       }
       (head ++ extra).filter(s => s != FREESECT).take(numFat)
     }
@@ -179,6 +189,10 @@ object XlsBiff {
             val (s, np) = readSstString(b, p); out += s; p = np; i += 1
           }
           sst = out.result()
+          // fail with a NAMED error rather than an opaque index crash on the
+          // first LABELSST when the string table spills into CONTINUE records
+          require(sst.size == unique,
+            s"BIFF: SST spans CONTINUE records (${sst.size}/$unique strings) — unsupported")
         case 0x0085 => // BOUNDSHEET
           val lbPlyPos = u32(b, body).toInt
           val cch = stream(body + 6) & 0xFF
@@ -216,10 +230,16 @@ object XlsBiff {
             for (i <- 0 until nCells)
               cells += ((rw, colFirst + i,
                 Spreadsheet.renderNumeric(decodeRk(u32(b, body + 4 + 6 * i + 2)).toString)))
-          case 0x0205 => // BOOLERR
+          case 0x0205 => // BOOLERR: bool or error-code variant
             val isBool = (stream(body + 7) & 0xFF) == 0
-            if (isBool) cells += ((u16(b, body), u16(b, body + 2),
-              if (stream(body + 6) != 0) "true" else "false"))
+            val v =
+              if (isBool) { if (stream(body + 6) != 0) "true" else "false" }
+              else (stream(body + 6) & 0xFF) match { // keep xlsx t="e" parity
+                case 0x00 => "#NULL!"; case 0x07 => "#DIV/0!"; case 0x0F => "#VALUE!"
+                case 0x17 => "#REF!"; case 0x1D => "#NAME?"; case 0x24 => "#NUM!"
+                case 0x2A => "#N/A"; case other => s"#ERR$other"
+              }
+            cells += ((u16(b, body), u16(b, body + 2), v))
           case 0x0204 => // LABEL (inline string)
             val cch = u16(b, body + 6)
             val high = (stream(body + 8) & 1) != 0
@@ -252,22 +272,11 @@ object XlsBiff {
   }
 
   /** XlsGenerator flattened mode (ref XlsGenerator.scala:105): same
-    * hierarchy scan as the xlsx/CSV cousins, one task per file. */
+    * hierarchy scan and per-file driver as the xlsx/CSV cousins. */
   def xlsFlattened(spark: SparkSession, glob: String, sheetName: Option[String],
                    valueName: String, dataColStart: Int, dataColEnd: Option[Int],
                    hierarchy: () => List[Spreadsheet.ParseNode],
-                   endFieldCol: Int = -1, endField: String = null): DataFrame = {
-    val names = hierarchy().map(_.name) :+ valueName
-    val files = spark.read.format("binaryFile").load(glob)
-      .select("path", "content").rdd
-    val records = files.flatMap { row =>
-      Spreadsheet.flattenSheet(
-        xlsRows(row.getAs[Array[Byte]]("content"), sheetName).iterator,
-        valueName, dataColStart, dataColEnd, hierarchy(), endFieldCol, endField)
-    }
-    val schema = org.apache.spark.sql.types.StructType(names.map(
-      org.apache.spark.sql.types.StructField(_, org.apache.spark.sql.types.StringType, nullable = true)))
-    spark.createDataFrame(
-      records.map(m => org.apache.spark.sql.Row.fromSeq(names.map(m.getOrElse(_, null)))), schema)
-  }
+                   endFieldCol: Int = -1, endField: String = null): DataFrame =
+    Spreadsheet.flattenedDf(spark, glob, bytes => xlsRows(bytes, sheetName).iterator,
+      valueName, dataColStart, dataColEnd, hierarchy, endFieldCol, endField)
 }
