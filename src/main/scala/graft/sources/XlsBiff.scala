@@ -11,14 +11,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * BIFF record stream are parsed directly from the public format specs
  * ([MS-CFB], [MS-XLS]) — no POI.
  *
- * Supported (the cell-data core): CFB v3 512-byte sectors with FAT/DIFAT,
+ * Supported (the cell-data core): CFB v3/v4 sectors with FAT/DIFAT,
  * directory, regular-sector AND mini-stream storage of the Workbook stream;
  * BIFF8 BOF/EOF, BOUNDSHEET (name → substream offset), SST + LABELSST
- * (compressed and UTF-16 strings), LABEL, NUMBER, RK, MULRK, BOOLERR.
- * Not supported (documented): encrypted workbooks (FILEPASS), SST CONTINUE
- * spans (strings split across records — arises above ~8KB of unique
- * strings), BIFF5 and earlier. Unknown records are skipped by length, so
- * real-world files with formatting records parse fine.
+ * (compressed and UTF-16 strings, including strings spanning CONTINUE
+ * records with per-segment encoding re-declaration), LABEL, NUMBER, RK,
+ * MULRK, BOOLERR (bool and error-code cells). Not supported (documented):
+ * encrypted workbooks (FILEPASS), BIFF5 and earlier. Unknown records are
+ * skipped by length, so real-world files with formatting records parse
+ * fine; corrupt chains fail loudly with context.
  *
  * Distribution matches the xlsx path: one task per file via binaryFiles.
  */
@@ -149,21 +150,56 @@ object XlsBiff {
     if (div100) v / 100.0 else v
   }
 
-  /** Read an XLUnicodeRichExtendedString (simple form, no CONTINUE). */
-  private def readSstString(b: ByteBuffer, pos0: Int): (String, Int) = {
-    var pos = pos0
-    val cch = u16(b, pos); pos += 2
-    val flags = b.get(pos) & 0xFF; pos += 1
-    val high = (flags & 1) != 0
-    val rich = (flags & 8) != 0
-    val ext = (flags & 4) != 0
-    val cRun = if (rich) { val r = u16(b, pos); pos += 2; r } else 0
-    val cbExt = if (ext) { val e = u32(b, pos); pos += 4; e } else 0L
-    val s =
-      if (high) { val str = new String(b.array(), pos, cch * 2, "UTF-16LE"); pos += cch * 2; str }
-      else { val str = new String(b.array(), pos, cch, "ISO-8859-1"); pos += cch; str }
-    pos += cRun * 4 + cbExt.toInt
-    (s, pos)
+  /** Cursor over the SST body and its CONTINUE record bodies. Strings may
+    * split ONLY within character data ([MS-XLS] 2.5.293): each continuation
+    * segment re-opens with a fresh grbit byte that redefines the encoding
+    * for the remaining characters of the in-flight string. */
+  private final class SstCursor(segments: IndexedSeq[Array[Byte]]) {
+    private var seg = 0
+    private var off = 0
+    private def ensure(): Unit =
+      while (off >= segments(seg).length && seg < segments.size - 1) { seg += 1; off = 0 }
+    def hasMore: Boolean = { ensure(); off < segments(seg).length }
+    def atSegmentEnd: Boolean = off >= segments(seg).length
+    def u8(): Int = { ensure(); val v = segments(seg)(off) & 0xFF; off += 1; v }
+    def u16(): Int = u8() | (u8() << 8)
+    def u32(): Long = u16().toLong | (u16().toLong << 16)
+    def readString(): String = {
+      val cch = u16()
+      var flags = u8()
+      val rich = (flags & 8) != 0
+      val ext = (flags & 4) != 0
+      val cRun = if (rich) u16() else 0
+      val cbExt = if (ext) u32() else 0L
+      var high = (flags & 1) != 0
+      val sb = new StringBuilder
+      var remaining = cch
+      while (remaining > 0) {
+        ensure()
+        if (atSegmentEnd) throw new IllegalArgumentException("BIFF: truncated SST string")
+        val bytesLeft = segments(seg).length - off
+        val charsHere = math.min(remaining, if (high) bytesLeft / 2 else bytesLeft)
+        if (charsHere == 0) throw new IllegalArgumentException("BIFF: malformed SST split")
+        sb.append(new String(segments(seg), off,
+          if (high) charsHere * 2 else charsHere, if (high) "UTF-16LE" else "ISO-8859-1"))
+        off += (if (high) charsHere * 2 else charsHere)
+        remaining -= charsHere
+        if (remaining > 0) { // split point: next segment re-declares encoding
+          if (!atSegmentEnd)
+            throw new IllegalArgumentException("BIFF: dangling byte at SST split")
+          ensure()
+          high = (u8() & 1) != 0
+        }
+      }
+      var skip = cRun * 4L + cbExt
+      while (skip > 0) {
+        ensure()
+        val n = math.min(skip, (segments(seg).length - off).toLong).toInt
+        if (n == 0) throw new IllegalArgumentException("BIFF: truncated SST rich/ext data")
+        off += n; skip -= n
+      }
+      sb.toString
+    }
   }
 
   /** Parse the Workbook stream: (sheet name → rows) in boundsheet order. */
@@ -180,19 +216,17 @@ object XlsBiff {
       rec match {
         case 0x0809 => depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true
-        case 0x00FC => // SST
+        case 0x00FC => // SST (+ any immediately-following CONTINUE records)
           val unique = u32(b, body + 4).toInt
-          var p = body + 8
-          val out = IndexedSeq.newBuilder[String]
-          var i = 0
-          while (i < unique && p < body + len) {
-            val (s, np) = readSstString(b, p); out += s; p = np; i += 1
+          var segs = Vector(java.util.Arrays.copyOfRange(stream, body + 8, body + len))
+          var q = body + len
+          while (q + 4 <= stream.length && u16(b, q) == 0x003C) {
+            val clen = u16(b, q + 2)
+            segs :+= java.util.Arrays.copyOfRange(stream, q + 4, q + 4 + clen)
+            q += 4 + clen
           }
-          sst = out.result()
-          // fail with a NAMED error rather than an opaque index crash on the
-          // first LABELSST when the string table spills into CONTINUE records
-          require(sst.size == unique,
-            s"BIFF: SST spans CONTINUE records (${sst.size}/$unique strings) — unsupported")
+          val cur = new SstCursor(segs)
+          sst = IndexedSeq.fill(unique)(cur.readString())
         case 0x0085 => // BOUNDSHEET
           val lbPlyPos = u32(b, body).toInt
           val cch = stream(body + 6) & 0xFF

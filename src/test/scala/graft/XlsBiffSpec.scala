@@ -134,6 +134,28 @@ class XlsBiffSpec extends SparkSpec {
     intercept[IllegalArgumentException](XlsBiff.xlsRows(xlsBytes, Some("nope")))
   }
 
+  test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
+    val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    // "North" complete; "Southern" split after "Sou", continuation switches
+    // to UTF-16; "END" entirely inside the CONTINUE record
+    val sstBody = le(u32(3), u32(3),
+      le(u16(5), Array(0.toByte), ascii("North")),
+      le(u16(8), Array(0.toByte), ascii("Sou")))
+    val contBody = le(Array(1.toByte), "thern".getBytes("UTF-16LE"),
+      le(u16(3), Array(0.toByte), ascii("END")))
+    val sstRecs = le(rec(0x00FC, sstBody), rec(0x003C, contBody))
+    val sheet = le(
+      rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0))),
+      labelSst(0, 0, 0), labelSst(0, 1, 1), labelSst(0, 2, 2),
+      rec(0x0042, Array.fill[Byte](4200)(0)), eof)
+    def globals(lbPlyPos: Int): Array[Byte] = le(bofG, sstRecs,
+      rec(0x0085, le(u32(lbPlyPos), u16(0), Array(4.toByte, 0.toByte), ascii("data"))), eof)
+    val stream = le(globals(globals(0).length), sheet)
+    val rows = XlsBiff.xlsRows(cfb(stream), Some("data"))
+    assert(rows == Seq(IndexedSeq("North", "Southern", "END")))
+  }
+
   test("xlsFlattened gives the same records as the xlsx/CSV cousins") {
     val dir = java.nio.file.Files.createTempDirectory("xlsbiff").toFile
     val f = new java.io.File(dir, "book.xls")
