@@ -106,6 +106,37 @@ class SpreadsheetSpec extends SparkSpec {
     assert(df.count() == 3)
   }
 
+  test("sheet names resolve through workbook.xml.rels when order and file names decouple") {
+    // "data" is listed FIRST but its relationship targets sheet5.xml — the
+    // positional fallback would read the wrong part
+    val workbook =
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="data" sheetId="1" r:id="rId9"/>
+        |<sheet name="other" sheetId="2" r:id="rId3"/></sheets>
+        |</workbook>""".stripMargin
+    val rels =
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId9" Type="t" Target="worksheets/sheet5.xml"/>
+        |<Relationship Id="rId3" Type="t" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin
+    def sheetXml(v: String) =
+      s"""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+         |<row r="1"><c r="A1" t="inlineStr"><is><t>$v</t></is></c></row>
+         |</sheetData></worksheet>""".stripMargin
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    for ((name, content) <- Seq(
+      "xl/workbook.xml" -> workbook, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheetXml("wrong"),
+      "xl/worksheets/sheet5.xml" -> sheetXml("right"))) {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(content.getBytes("UTF-8")); zip.closeEntry()
+    }
+    zip.close()
+    assert(Spreadsheet.xlsxRows(bos.toByteArray, Some("data")) == Seq(IndexedSeq("right")))
+    assert(Spreadsheet.xlsxRows(bos.toByteArray, Some("other")) == Seq(IndexedSeq("wrong")))
+  }
+
   test("cellRangeSplitter expands a start/end cell across columns") {
     val node = Spreadsheet.cellRangeSplitter("year", 0, 0, "-")
     val rows = Iterator(

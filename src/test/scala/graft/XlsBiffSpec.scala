@@ -38,7 +38,9 @@ class XlsBiffSpec extends SparkSpec {
 
   /** The same logical grid as the xlsx spec: quarter header with a leading
     * gap, North/South rows, END marker. Mixes LABELSST/NUMBER/RK/MULRK. */
-  private def workbookStreamBytes: Array[Byte] = {
+  private def workbookStreamBytes: Array[Byte] = workbookStreamBytes(padded = true)
+
+  private def workbookStreamBytes(padded: Boolean): Array[Byte] = {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
     val strings = Seq("North", "South", "END", "Q1", "Q2")
     val sst = rec(0x00FC, le(Seq(u32(7), u32(strings.size)) ++
@@ -50,9 +52,10 @@ class XlsBiffSpec extends SparkSpec {
       labelSst(2, 0, 1), number(2, 1, 40.0), number(2, 2, 5.5), rkCell(2, 3, rkInt(6)),
       labelSst(3, 0, 2))
     val bofS = rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
-    // pad with an unknown record so the stream exceeds the 4096-byte mini
-    // cutoff and exercises regular-sector storage
-    val pad = rec(0x0042, Array.fill[Byte](4200)(0))
+    // padded: an unknown record pushes the stream over the 4096-byte mini
+    // cutoff to exercise regular-sector storage; unpadded stays in the
+    // mini stream
+    val pad = if (padded) rec(0x0042, Array.fill[Byte](4200)(0)) else Array.emptyByteArray
     val sheet = le(bofS, sheetCells, pad, eof)
     def globals(lbPlyPos: Int): Array[Byte] = {
       val name = "data"
@@ -115,6 +118,54 @@ class XlsBiffSpec extends SparkSpec {
 
   private def xlsBytes: Array[Byte] = cfb(workbookStreamBytes)
 
+  /** CFB variant storing the (small) Workbook stream in the MINI stream:
+    * sector 0 FAT, 1 directory, 2 miniFAT, 3.. the root's mini-stream data. */
+  private def cfbMini(stream: Array[Byte]): Array[Byte] = {
+    require(stream.length < 4096, "mini-stream writer needs a small stream")
+    val ss = 512
+    val nMini = (stream.length + 63) / 64
+    val nMiniSectors = (nMini * 64 + ss - 1) / ss
+    val total = 512 + (3 + nMiniSectors) * ss
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    val END = 0xFFFFFFFE
+    val FREE = 0xFFFFFFFF
+    out.putLong(0, 0xE11AB1A1E011CFD0L)
+    out.putShort(0x18, 0x003E.toShort); out.putShort(0x1A, 0x0003.toShort)
+    out.putShort(0x1C, 0xFFFE.toShort)
+    out.putShort(0x1E, 9.toShort); out.putShort(0x20, 6.toShort)
+    out.putInt(0x2C, 1); out.putInt(0x30, 1); out.putInt(0x38, 4096)
+    out.putInt(0x3C, 2); out.putInt(0x40, 1)   // miniFAT in sector 2
+    out.putInt(0x44, END); out.putInt(0x48, 0)
+    out.putInt(0x4C, 0)
+    for (i <- 1 until 109) out.putInt(0x4C + 4 * i, FREE)
+    val fatOff = 512
+    out.putInt(fatOff, 0xFFFFFFFD)  // 0: FAT
+    out.putInt(fatOff + 4, END)     // 1: directory
+    out.putInt(fatOff + 8, END)     // 2: miniFAT
+    for (i <- 0 until nMiniSectors) // 3..: root mini-stream chain
+      out.putInt(fatOff + 12 + 4 * i, if (i == nMiniSectors - 1) END else 4 + i)
+    for (i <- 3 + nMiniSectors until ss / 4) out.putInt(fatOff + 4 * i, FREE)
+    def entry(idx: Int, name: String, objType: Int, child: Int, start: Int, size: Int): Unit = {
+      val off = 512 + ss + idx * 128
+      val utf = (name + "\u0000").getBytes("UTF-16LE")
+      for (i <- utf.indices) out.put(off + i, utf(i))
+      out.putShort(off + 64, utf.length.toShort)
+      out.put(off + 66, objType.toByte); out.put(off + 67, 1.toByte)
+      out.putInt(off + 68, FREE); out.putInt(off + 72, FREE)
+      out.putInt(off + 76, child)
+      out.putInt(off + 116, start); out.putInt(off + 120, size)
+    }
+    entry(0, "Root Entry", 5, 1, 3, nMini * 64)        // root stream = mini data
+    entry(1, "Workbook", 2, FREE, 0, stream.length)    // start = mini sid 0
+    // miniFAT (sector 2): chain mini sectors 0..nMini-1
+    val mfOff = 512 + 2 * ss
+    for (i <- 0 until nMini) out.putInt(mfOff + 4 * i, if (i == nMini - 1) END else i + 1)
+    for (i <- nMini until ss / 4) out.putInt(mfOff + 4 * i, FREE)
+    // mini-stream data (sector 3..)
+    for (i <- stream.indices) out.put(512 + 3 * ss + i, stream(i))
+    out.array()
+  }
+
   // ---------------------------------------------------------- tests
 
   test("decodeRk handles int, div100 and truncated-float encodings") {
@@ -132,6 +183,13 @@ class XlsBiffSpec extends SparkSpec {
     assert(rows(3) == IndexedSeq("END"))
     assert(XlsBiff.xlsRows(xlsBytes, None) == XlsBiff.xlsRows(xlsBytes, Some("data")))
     intercept[IllegalArgumentException](XlsBiff.xlsRows(xlsBytes, Some("nope")))
+  }
+
+  test("small workbooks stored in the CFB mini stream parse identically") {
+    val mini = cfbMini(workbookStreamBytes(padded = false))
+    val rows = XlsBiff.xlsRows(mini, Some("data"))
+    assert(rows == XlsBiff.xlsRows(xlsBytes, Some("data")))
+    assert(rows(2) == IndexedSeq("South", "40", "5.5", "6"))
   }
 
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
