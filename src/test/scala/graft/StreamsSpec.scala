@@ -97,6 +97,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops data later than the threshold in append mode") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = Streams.tumblingAgg(in.toDF.toDF("ts", "k"), "ts", "10 minutes",
+      "5 minutes", Seq("k"), Seq(count(lit(1)).as("n")))
+    // append mode: a window only emits once the watermark passes its end —
+    // the real bounded-state contract (complete mode would keep everything)
+    val q = out.writeStream.format("memory").queryName("latedrop")
+      .outputMode("append").start()
+    try {
+      in.addData((ts(1), "a"), (ts(5), "a"))
+      q.processAllAvailable()
+      // advance event time far past the first window + watermark -> it closes
+      in.addData((ts(40), "a"))
+      q.processAllAvailable()
+      // this row is WAY behind the watermark (40min - 5min): must be dropped
+      in.addData((ts(2), "a"))
+      q.processAllAvailable()
+      in.addData((ts(55), "a")) // push watermark so the 40-min window closes too
+      q.processAllAvailable()
+      val ns = spark.sql("SELECT n FROM latedrop ORDER BY n").as[Long].collect().toSeq
+      // first window emitted n=2 (late row NOT counted), 40-min window n=1
+      assert(ns == Seq(1L, 2L), s"got $ns")
+    } finally q.stop()
+  }
+
   test("stateful running count per key survives across batches") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[String]
