@@ -109,6 +109,22 @@ object Flow {
       // GroupByProcessor + bucket aggregate (AggregateByValue semantics)
       case "aggregate" =>
         Ops.aggregateByValue(df, strs("group"), pairs("aggs"))
+      // round-2 operators reachable from flow configs
+      case "json_merge" => Ops.jsonMerge(df, str("a"), str("b"), result)
+      case "stem" => graft.operators.Nlp.stemTokens(df, str("field"), result)
+      case "pos_tag" => graft.operators.Nlp.posTags(df, str("field"), result)
+      case "sentiment" =>
+        graft.operators.Nlp.polarity(df, str("tokens"), str("pos"), result,
+          discretize = Option(c.get("discretize")).exists(_.asBoolean))
+      case "summarize" =>
+        graft.operators.Nlp.summarize(df, str("text_field"), str("tfidf_field"), result,
+          numLines = Option(c.get("num_lines")).map(_.asInt).getOrElse(3),
+          optimalLength = Option(c.get("optimal_sentence_length")).map(_.asInt).getOrElse(11),
+          base = Option(c.get("base")).map(_.asDouble).getOrElse(1.1))
+      case "document" =>
+        graft.operators.Nlp.assembleDocument(df, strs("group"), str("field"),
+          str("order_by"), result,
+          sep = strOpt("separator").getOrElse(" "))
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }

@@ -55,6 +55,31 @@ class FlowSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).toSeq == Seq(9L, 8L, 7L))
   }
 
+  test("NLP pipeline through the flow front-end: split -> stem -> tag -> sentiment") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"text": "the movies were really great"},
+          {"text": "the service was not good"}
+        ]}, "next": ["tok"]} ],
+      "processors": [
+        {"id": "tok", "name": "split",
+         "config": {"field": "text", "separator": " ", "result": "toks"}, "next": ["st"]},
+        {"id": "st", "name": "stem",
+         "config": {"field": "toks", "result": "stems"}, "next": ["pos"]},
+        {"id": "pos", "name": "pos_tag",
+         "config": {"field": "toks", "result": "tags"}, "next": ["sent"]},
+        {"id": "sent", "name": "sentiment",
+         "config": {"tokens": "toks", "pos": "tags", "discretize": true,
+                    "result": "polarity"}, "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow).orderBy("text").collect()
+    val byText = out.map(r => r.getAs[String]("text") -> r).toMap
+    assert(byText("the movies were really great").getAs[Double]("polarity") == 1.0)
+    assert(byText("the service was not good").getAs[Double]("polarity") == -1.0)
+    assert(byText("the movies were really great")
+      .getAs[scala.collection.Seq[String]]("stems").contains("movi"))
+  }
+
   test("heterogeneous rows union to one schema with nulls (§7.4)") {
     val flow = """
     { "generators": [
