@@ -86,6 +86,29 @@ object Sources {
     }.load()
   }
 
+  /** GeneratorWrapperProcessor's dominant shape (ref:
+    * app/tuktu/processors/meta/GeneratorWrapperProcessor.scala:69): run a
+    * generator per datum with the datum interpolated into its config —
+    * concretely, each row names a file and a line generator runs over it,
+    * attaching one output row per line alongside the original columns.
+    * Executor-side streaming reads in a flatMap (the same per-row imperative
+    * territory as the multimodal decode stage); rows whose file is missing
+    * produce nothing, mirroring the reference's skip-on-error. */
+  def linesPerRow(df: DataFrame, pathCol: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(df.schema.fields :+ StructField(out, StringType, nullable = true))
+    val rdd = df.rdd.flatMap { row =>
+      val p = row.getAs[String](pathCol)
+      val lines =
+        try {
+          val src = scala.io.Source.fromFile(p)("UTF-8")
+          try src.getLines().toVector finally src.close()
+        } catch { case _: java.io.IOException => Vector.empty }
+      lines.map(l => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ l))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** XmlGenerator / XmlToMapProcessor (ref: FileGenerators.scala:215,
     * BaseProcessors.scala:1247): parse an XML string column into a
     * map<tag,text> of child elements + attributes (via scala-xml, as a UDF —

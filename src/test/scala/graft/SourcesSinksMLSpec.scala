@@ -21,6 +21,21 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(sliced.count() == 2)
   }
 
+  test("linesPerRow runs a line generator per datum (GeneratorWrapper shape)") {
+    val dir = Files.createTempDirectory("graft_lpr").toFile
+    def write(name: String, lines: Seq[String]): String = {
+      val f = new java.io.File(dir, name)
+      val w = new java.io.PrintWriter(f); lines.foreach(w.println); w.close()
+      f.getAbsolutePath
+    }
+    val fa = write("a.txt", Seq("a1", "a2"))
+    val fb = write("b.txt", Seq("b1"))
+    val df = Seq((fa, "A"), (fb, "B"), ("/nope/missing.txt", "C")).toDF("path", "tag")
+    val out = Sources.linesPerRow(df, "path", "line")
+      .select("tag", "line").as[(String, String)].collect().toSet
+    assert(out == Set(("A", "a1"), ("A", "a2"), ("B", "b1"))) // missing file -> no rows
+  }
+
   test("partitioned parquet sink prunes partitions on read-back") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
