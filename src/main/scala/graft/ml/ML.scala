@@ -120,4 +120,46 @@ object ML {
   def impute(df: DataFrame, cols: Seq[String], strategy: String = "mean"): DataFrame =
     new Imputer().setInputCols(cols.toArray).setOutputCols(cols.toArray)
       .setStrategy(strategy).fit(df).transform(df)
+
+  /** NBSVM text classifier (ref: modules/nlp/.../NBSVM.scala via
+    * NBSVMProcessor; the public Wang & Manning 2012 recipe): binarized token
+    * presence, Naive-Bayes log-count-ratio feature scaling, linear SVM on
+    * the scaled features. The heavy passes (vocabulary, per-class feature
+    * sums, SVM fit) are all distributed; only the vocab-sized ratio vector
+    * touches the driver. Binary labels (0/1). */
+  final case class NbsvmModel(cv: org.apache.spark.ml.feature.CountVectorizerModel,
+                              scale: org.apache.spark.ml.linalg.Vector,
+                              svc: org.apache.spark.ml.classification.LinearSVCModel) {
+    def transform(df: DataFrame): DataFrame = {
+      val tf = cv.transform(df)
+      val scaled = new ElementwiseProduct().setScalingVec(scale)
+        .setInputCol("__tf").setOutputCol("__f").transform(tf)
+      svc.transform(scaled).drop("__tf", "__f")
+    }
+  }
+
+  def nbsvm(df: DataFrame, tokensCol: String, labelCol: String,
+            vocabSize: Int = 1 << 16, regParam: Double = 0.01): NbsvmModel = {
+    import org.apache.spark.sql.functions._
+    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol("__tf")
+      .setVocabSize(vocabSize).setBinary(true).fit(df)
+    val tf = cv.transform(df)
+    val sums = tf.groupBy(col(labelCol))
+      .agg(org.apache.spark.ml.stat.Summarizer.sum(col("__tf")).as("__s"))
+      .collect()
+      .map(r => r.get(0).toString.toDouble -> r.getAs[org.apache.spark.ml.linalg.Vector]("__s"))
+      .toMap
+    val dim = cv.vocabulary.length
+    val p = sums.getOrElse(1.0, org.apache.spark.ml.linalg.Vectors.zeros(dim)).toArray
+    val q = sums.getOrElse(0.0, org.apache.spark.ml.linalg.Vectors.zeros(dim)).toArray
+    val pNorm = p.map(_ + 1.0).sum
+    val qNorm = q.map(_ + 1.0).sum
+    val r = org.apache.spark.ml.linalg.Vectors.dense(
+      Array.tabulate(dim)(i => math.log((p(i) + 1.0) / pNorm) - math.log((q(i) + 1.0) / qNorm)))
+    val scaled = new ElementwiseProduct().setScalingVec(r)
+      .setInputCol("__tf").setOutputCol("__f").transform(tf)
+    val svc = new LinearSVC().setFeaturesCol("__f").setLabelCol(labelCol)
+      .setRegParam(regParam).fit(scaled)
+    NbsvmModel(cv, r, svc)
+  }
 }

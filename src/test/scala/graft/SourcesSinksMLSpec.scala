@@ -143,6 +143,24 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(itemsets.contains("a") && itemsets.contains("a,b"))
   }
 
+  test("nbsvm separates planted positive/negative vocabularies") {
+    val rnd = new scala.util.Random(17)
+    val pos = Seq("great", "superb", "love", "wonderful")
+    val neg = Seq("awful", "dreadful", "hate", "broken")
+    val noise = Seq("the", "a", "movie", "plot", "acting", "scene")
+    def doc(words: Seq[String]) =
+      Seq.fill(6)(noise(rnd.nextInt(noise.size))) ++ Seq.fill(2)(words(rnd.nextInt(words.size)))
+    val rows = (0 until 200).map { i =>
+      val label = i % 2
+      (doc(if (label == 1) pos else neg), label.toDouble)
+    }
+    val df = rows.toDF("toks", "label")
+    val model = ML.nbsvm(df, "toks", "label", vocabSize = 64)
+    val acc = model.transform(df)
+      .filter(col("prediction") === col("label")).count() / 200.0
+    assert(acc >= 0.95, s"acc $acc")
+  }
+
   test("nlp: tokenize → ngrams → tfidf → word2vec shapes") {
     val d = Seq("spark compiles plans", "spark runs fast plans").toDF("text")
     val t = ML.tokenize(d, "text", "toks")
