@@ -121,6 +121,19 @@ object ML {
     new Imputer().setInputCols(cols.toArray).setOutputCols(cols.toArray)
       .setStrategy(strategy).fit(df).transform(df)
 
+  /** LDA topic model (ref: modules/nlp/.../LDA.scala): token counts →
+    * spark.ml LDA; returns the transformed frame with `topicDistribution`.
+    * Distributed EM/online inference — the reference runs a single-node
+    * collapsed sampler. */
+  def lda(df: DataFrame, tokensCol: String, k: Int, maxIter: Int = 30,
+          seed: Long = 42): DataFrame = {
+    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol("__tf").fit(df)
+    val tf = cv.transform(df)
+    new org.apache.spark.ml.clustering.LDA()
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("__tf")
+      .fit(tf).transform(tf).drop("__tf")
+  }
+
   /** NBSVM text classifier (ref: modules/nlp/.../NBSVM.scala via
     * NBSVMProcessor; the public Wang & Manning 2012 recipe): binarized token
     * presence, Naive-Bayes log-count-ratio feature scaling, linear SVM on

@@ -161,6 +161,28 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(acc >= 0.95, s"acc $acc")
   }
 
+  test("lda separates two disjoint-vocabulary topics") {
+    val rnd = new scala.util.Random(23)
+    val sports = Seq("goal", "match", "team", "score", "league")
+    val cooking = Seq("recipe", "oven", "flour", "butter", "simmer")
+    val rows = (0 until 60).map { i =>
+      val voc = if (i % 2 == 0) sports else cooking
+      (i % 2, Seq.fill(12)(voc(rnd.nextInt(voc.size))))
+    }
+    val df = rows.toDF("cls", "toks")
+    val out = ML.lda(df, "toks", k = 2)
+    // dominant topic should align with the class for nearly all docs
+    val tdist = org.apache.spark.ml.functions.vector_to_array(col("topicDistribution"))
+    val dominant = out.select(col("cls"),
+      array_position(tdist, array_max(tdist)).as("topic"))
+      .as[(Int, Long)].collect()
+    val purity = Seq(0, 1).map { c =>
+      val topics = dominant.filter(_._1 == c).map(_._2)
+      topics.groupBy(identity).values.map(_.size).max.toDouble / topics.length
+    }.min
+    assert(purity >= 0.9, s"purity $purity")
+  }
+
   test("nlp: tokenize → ngrams → tfidf → word2vec shapes") {
     val d = Seq("spark compiles plans", "spark runs fast plans").toDF("text")
     val t = ML.tokenize(d, "text", "toks")
