@@ -259,6 +259,18 @@ object Ops {
   def getJsonPath(df: DataFrame, field: String, path: String, result: String): DataFrame =
     df.withColumn(result, get_json_object(col(field), path))
 
+  /** Data-dependent field access (the core of
+    * EvaluateNestedTuktuExpressionsProcessor, app/tuktu/processors/meta):
+    * fetch the column whose NAME is held in another field, per row. The
+    * column set is static (a DataFrame schema), so the dynamic path compiles
+    * to a literal name→value map lookup — pure expressions, no reflection.
+    * Values render as strings (the reference's datum values are untyped). */
+  def dynamicFetch(df: DataFrame, nameField: String, result: String): DataFrame = {
+    val entries = df.columns.filter(_ != nameField)
+      .flatMap(c => Seq(lit(c), col(c).cast(StringType)))
+    df.withColumn(result, element_at(map(entries.toSeq: _*), col(nameField).cast(StringType)))
+  }
+
   /** JSONMergerProcessor deep merge (modules/api/app/tuktu/api/utils.scala:524-559
     * mergeJson): key union, b wins on conflicts, object-object pairs merge
     * recursively. Schemaful translation: a null field models an absent key,

@@ -209,6 +209,14 @@ class OpsSpec extends SparkSpec {
     assert(m == Map("x" -> "ax", "y" -> "by", "z" -> "bz"))
   }
 
+  test("dynamicFetch resolves a per-row field name to that field's value") {
+    val d = Seq(("a", 1, "x"), ("b", 2, "y"), ("nope", 3, "z"))
+      .toDF("which", "a", "b")
+    val out = Ops.dynamicFetch(d, "which", "picked")
+      .select("picked").as[String].collect().toSeq
+    assert(out == Seq("1", "y", null)) // unknown name -> null
+  }
+
   test("countEof observes the pass-through row count with the action") {
     val d = spark.range(1234).toDF("id")
     val (observed, obs) = Ops.countEof(d.filter(col("id") % 2 === 0))
