@@ -268,7 +268,9 @@ object Ops {
   def dynamicFetch(df: DataFrame, nameField: String, result: String): DataFrame = {
     val entries = df.columns.filter(_ != nameField)
       .flatMap(c => Seq(lit(c), col(c).cast(StringType)))
-    df.withColumn(result, element_at(map(entries.toSeq: _*), col(nameField).cast(StringType)))
+    // try_element_at: unknown names yield null under ANSI mode too (plain
+    // element_at would throw MAP_KEY_DOES_NOT_EXIST on ANSI sessions)
+    df.withColumn(result, try_element_at(map(entries.toSeq: _*), col(nameField).cast(StringType)))
   }
 
   /** JSONMergerProcessor deep merge (modules/api/app/tuktu/api/utils.scala:524-559

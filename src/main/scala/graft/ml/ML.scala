@@ -127,11 +127,14 @@ object ML {
     * collapsed sampler. */
   def lda(df: DataFrame, tokensCol: String, k: Int, maxIter: Int = 30,
           seed: Long = 42): DataFrame = {
-    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol("__tf").fit(df)
+    // uniquified temp column: a fixed "__tf" collides with frames that
+    // already carry one (e.g. a chained lda/nbsvm output)
+    val tfCol = s"__tf_${java.util.UUID.randomUUID.toString.take(8)}"
+    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol(tfCol).fit(df)
     val tf = cv.transform(df)
     new org.apache.spark.ml.clustering.LDA()
-      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol("__tf")
-      .fit(tf).transform(tf).drop("__tf")
+      .setK(k).setMaxIter(maxIter).setSeed(seed).setFeaturesCol(tfCol)
+      .fit(tf).transform(tf).drop(tfCol)
   }
 
   /** NBSVM text classifier (ref: modules/nlp/.../NBSVM.scala via
@@ -144,21 +147,26 @@ object ML {
                               scale: org.apache.spark.ml.linalg.Vector,
                               svc: org.apache.spark.ml.classification.LinearSVCModel) {
     def transform(df: DataFrame): DataFrame = {
+      val tfCol = cv.getOutputCol
+      val fCol = svc.getFeaturesCol
       val tf = cv.transform(df)
       val scaled = new ElementwiseProduct().setScalingVec(scale)
-        .setInputCol("__tf").setOutputCol("__f").transform(tf)
-      svc.transform(scaled).drop("__tf", "__f")
+        .setInputCol(tfCol).setOutputCol(fCol).transform(tf)
+      svc.transform(scaled).drop(tfCol, fCol)
     }
   }
 
   def nbsvm(df: DataFrame, tokensCol: String, labelCol: String,
             vocabSize: Int = 1 << 16, regParam: Double = 0.01): NbsvmModel = {
     import org.apache.spark.sql.functions._
-    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol("__tf")
+    // uniquified temp columns (see lda) — the model carries them for transform
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val tfCol = s"__tf_$tag"; val fCol = s"__f_$tag"
+    val cv = new CountVectorizer().setInputCol(tokensCol).setOutputCol(tfCol)
       .setVocabSize(vocabSize).setBinary(true).fit(df)
     val tf = cv.transform(df)
     val sums = tf.groupBy(col(labelCol))
-      .agg(org.apache.spark.ml.stat.Summarizer.sum(col("__tf")).as("__s"))
+      .agg(org.apache.spark.ml.stat.Summarizer.sum(col(tfCol)).as("__s"))
       .collect()
       .map(r => r.get(0).toString.toDouble -> r.getAs[org.apache.spark.ml.linalg.Vector]("__s"))
       .toMap
@@ -170,8 +178,8 @@ object ML {
     val r = org.apache.spark.ml.linalg.Vectors.dense(
       Array.tabulate(dim)(i => math.log((p(i) + 1.0) / pNorm) - math.log((q(i) + 1.0) / qNorm)))
     val scaled = new ElementwiseProduct().setScalingVec(r)
-      .setInputCol("__tf").setOutputCol("__f").transform(tf)
-    val svc = new LinearSVC().setFeaturesCol("__f").setLabelCol(labelCol)
+      .setInputCol(tfCol).setOutputCol(fCol).transform(tf)
+    val svc = new LinearSVC().setFeaturesCol(fCol).setLabelCol(labelCol)
       .setRegParam(regParam).fit(scaled)
     NbsvmModel(cv, r, svc)
   }

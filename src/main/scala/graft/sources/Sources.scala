@@ -96,15 +96,27 @@ object Sources {
     * produce nothing, mirroring the reference's skip-on-error. */
   def linesPerRow(df: DataFrame, pathCol: String, out: String): DataFrame = {
     val spark = df.sparkSession
-    val schema = StructType(df.schema.fields :+ StructField(out, StringType, nullable = true))
-    val rdd = df.rdd.flatMap { row =>
+    val base = if (df.columns.contains(out)) df.drop(out) else df // replace, like withColumn
+    val schema = StructType(base.schema.fields :+ StructField(out, StringType, nullable = true))
+    val rdd = base.rdd.flatMap { row =>
       val p = row.getAs[String](pathCol)
-      val lines =
-        try {
-          val src = scala.io.Source.fromFile(p)("UTF-8")
-          try src.getLines().toVector finally src.close()
-        } catch { case _: java.io.IOException => Vector.empty }
-      lines.map(l => org.apache.spark.sql.Row.fromSeq(row.toSeq :+ l))
+      val reader =
+        if (p == null) null
+        else try new java.io.BufferedReader(
+          new java.io.InputStreamReader(new java.io.FileInputStream(p), "UTF-8"))
+        catch { case _: java.io.IOException => null }
+      if (reader == null) Iterator.empty
+      else new Iterator[org.apache.spark.sql.Row] {
+        // stream line-by-line: memory stays bounded per line, not per file
+        private var line = reader.readLine()
+        override def hasNext: Boolean = line != null
+        override def next(): org.apache.spark.sql.Row = {
+          val l = line
+          line = reader.readLine()
+          if (line == null) reader.close()
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ l)
+        }
+      }
     }
     spark.createDataFrame(rdd, schema)
   }
