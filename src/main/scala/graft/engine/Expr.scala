@@ -242,6 +242,33 @@ object Expr {
   def capitalize(c: Column): Column =
     concat(upper(substring(c, 1, 1)), c.substr(lit(2), length(c)))
 
+  /** escapeJava(s.replace("'", "''")) as expressions (ref utils.scala:103;
+    * commons-lang StringEscapeUtils.escapeJava): named control escapes,
+    * `"`/`\` escaped, anything outside printable ASCII → `\uXXXX` with
+    * 4-digit uppercase hex, astral code points as surrogate-pair escapes.
+    * `split(s, "")` iterates code points, so supplementary chars arrive
+    * whole and are re-split into UTF-16 surrogates arithmetically. */
+  def escapeJavaSql(c: Column): Column = {
+    def u(cp: Column): Column = concat(lit("\\u"), lpad(hex(cp), 4, "0"))
+    val escChar = (ch: Column) => {
+      val cp = ascii(ch)
+      when(ch === "", lit("")) // split artifacts; ascii("")=0 must not escape
+        .when(ch === "\\", lit("\\\\"))
+        .when(ch === "\"", lit("\\\""))
+        .when(ch === "\b", lit("\\b"))
+        .when(ch === "\n", lit("\\n"))
+        .when(ch === "\t", lit("\\t"))
+        .when(ch === "\f", lit("\\f"))
+        .when(ch === "\r", lit("\\r"))
+        .when(cp > 0xFFFF, // UTF-16 surrogate pair, as Java would emit
+          concat(u(lit(0xD800) + floor((cp - 0x10000) / 1024).cast(IntegerType)),
+                 u(lit(0xDC00) + pmod(cp - 0x10000, lit(1024)))))
+        .when(cp < 32 || cp > 127, u(cp))
+        .otherwise(ch)
+    }
+    array_join(transform(split(regexp_replace(c, "'", "''"), ""), escChar), "")
+  }
+
   private def isStringType(df: DataFrame, path: String): Boolean =
     resolveType(df, path).exists(_.isInstanceOf[StringType])
   private def isArrayType(df: DataFrame, path: String): Boolean =
@@ -342,21 +369,20 @@ object Expr {
       // (ref utils.scala:123-127)
       case "GetOrNull" => coalesce(a0.cast(StringType), lit("null"))
       // SQL(value): render as a SQL literal (ref utils.scala:97-106):
-      // null → NULL, booleans → 1/0, strings quoted with '' doubling plus
-      // Java-style escaping of backslashes/control chars, numbers verbatim
+      // null → NULL, booleans → 1/0, strings `'` + escapeJava(s.replace("'",
+      // "''")) + `'`, numbers verbatim. escapeJava semantics (commons-lang):
+      // \b \n \t \f \r short forms, `"`→\" and `\`→\\, every other char
+      // outside 0x20-0x7f → \uXXXX (4-digit UPPERCASE hex; astral code
+      // points become a UTF-16 surrogate pair of escapes). Implemented as a
+      // per-char transform — O(n) per string, no UDF.
       case "SQL" =>
         val dt = df.select(a0).schema.head.dataType
         dt match {
           case BooleanType =>
             when(a0.isNull, lit("NULL")).otherwise(when(a0, lit("1")).otherwise(lit("0")))
           case _: org.apache.spark.sql.types.StringType =>
-            val esc = Seq(
-              "\\\\" -> "\\\\\\\\",   // backslash first: \ → \\
-              "'" -> "''",
-              "\n" -> "\\\\n", "\r" -> "\\\\r", "\t" -> "\\\\t")
-              .foldLeft(a0) { case (c, (from, to)) => regexp_replace(c, from, to) }
             when(a0.isNull, lit("NULL"))
-              .otherwise(concat(lit("'"), esc, lit("'")))
+              .otherwise(concat(lit("'"), Expr.escapeJavaSql(a0), lit("'")))
           case _ =>
             when(a0.isNull, lit("NULL")).otherwise(a0.cast(StringType))
         }

@@ -84,16 +84,20 @@ object Ops {
     * file into executor storage. */
   def indexByLayout(df: DataFrame, result: String): DataFrame = {
     val spark = df.sparkSession
-    val tagged = df.withColumn("__pid", spark_partition_id())
-      .withColumn("__mid", monotonically_increasing_id())
-    val counts = tagged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    // Uniquified temp names: withColumn on a fixed name would silently
+    // replace (then drop) a same-named input column.
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    val (pid, mid, off) = (s"__pid_$tag", s"__mid_$tag", s"__offset_$tag")
+    val tagged = df.withColumn(pid, spark_partition_id())
+      .withColumn(mid, monotonically_increasing_id())
+    val counts = tagged.groupBy(col(pid)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
-    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF("__pid", "__offset")
-    tagged.join(broadcast(offsetsDf), Seq("__pid"))
+    val offsetsDf = spark.createDataFrame(offsets.toSeq).toDF(pid, off)
+    tagged.join(broadcast(offsetsDf), Seq(pid))
       .withColumn(result,
-        col("__offset") + col("__mid") - shiftleft(col("__pid").cast(LongType), 33))
-      .drop("__pid", "__mid", "__offset")
+        col(off) + col(mid) - shiftleft(col(pid).cast(LongType), 33))
+      .drop(pid, mid, off)
   }
 
   /** RunningCountProcessor (BaseProcessors.scala:184): sequence number in

@@ -98,15 +98,17 @@ object TuktuCompat {
       // Top level is expressions.exists(...): a pure OR over the entries.
       // and_or only combines a NESTED sub-expression array (expression: [...]).
       case "tuktu.processors.PacketRegexFilterProcessor" =>
-        def build(e: JsonNode): Column = {
-          val base =
-            if (e.get("expression").isArray) {
-              val children = e.get("expression").elements().asScala.toSeq.map(build)
-              if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
-              else children.reduceOption(_ && _).getOrElse(lit(true))
-            } else col(e.get("field").asText).rlike(e.get("expression").asText)
-          if (str(e, "type").contains("negate")) !base else base
-        }
+        def build(e: JsonNode): Column =
+          if (e.get("expression").isArray) {
+            // ref BaseProcessors.scala:501 ignores `type:negate` on nested
+            // expression arrays — negate applies to string leaves only.
+            val children = e.get("expression").elements().asScala.toSeq.map(build)
+            if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
+            else children.reduceOption(_ && _).getOrElse(lit(true))
+          } else {
+            val leaf = col(e.get("field").asText).rlike(e.get("expression").asText)
+            if (str(e, "type").contains("negate")) !leaf else leaf
+          }
         val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
         df.filter(cond)
 

@@ -98,28 +98,76 @@ object Sources {
     val spark = df.sparkSession
     val base = if (df.columns.contains(out)) df.drop(out) else df // replace, like withColumn
     val schema = StructType(base.schema.fields :+ StructField(out, StringType, nullable = true))
+    // Serialize the Hadoop conf once; executors resolve each path through the
+    // Hadoop FS API so hdfs:// and s3a:// URIs work, not just local paths.
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     val rdd = base.rdd.flatMap { row =>
       val p = row.getAs[String](pathCol)
       val reader =
         if (p == null) null
-        else try new java.io.BufferedReader(
-          new java.io.InputStreamReader(new java.io.FileInputStream(p), "UTF-8"))
-        catch { case _: java.io.IOException => null }
+        else try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          new java.io.BufferedReader(new java.io.InputStreamReader(
+            path.getFileSystem(serConf.value).open(path), "UTF-8"))
+        } catch { case _: java.io.IOException => null }
       if (reader == null) Iterator.empty
-      else new Iterator[org.apache.spark.sql.Row] {
-        // stream line-by-line: memory stays bounded per line, not per file
-        private var line = reader.readLine()
-        override def hasNext: Boolean = line != null
-        override def next(): org.apache.spark.sql.Row = {
-          val l = line
-          line = reader.readLine()
-          if (line == null) reader.close()
-          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ l)
+      else {
+        // Guaranteed close even when the iterator is abandoned early
+        // (limit/take) or the file is empty: task-completion listener owns
+        // the handle; eager closes below just release it sooner.
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        new Iterator[org.apache.spark.sql.Row] {
+          // stream line-by-line: memory stays bounded per line, not per file
+          private var line = { val l = reader.readLine(); if (l == null) closeOnce(); l }
+          override def hasNext: Boolean = line != null
+          override def next(): org.apache.spark.sql.Row = {
+            val l = line
+            line = reader.readLine()
+            if (line == null) closeOnce()
+            org.apache.spark.sql.Row.fromSeq(row.toSeq :+ l)
+          }
         }
       }
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** FileToStringProcessor (ref: app/tuktu/processors/file/FileToString.scala):
+    * read the ENTIRE file named by `pathCol` into one string value per row —
+    * the whole-file sibling of [[linesPerRow]], same Hadoop FS resolution so
+    * remote URIs work. Missing/unreadable files yield null (skip-on-error
+    * stays distinguishable from an empty file, which yields ""). */
+  def fileToString(df: DataFrame, pathCol: String, out: String): DataFrame = {
+    val spark = df.sparkSession
+    val base = if (df.columns.contains(out)) df.drop(out) else df
+    val schema = StructType(base.schema.fields :+ StructField(out, StringType, nullable = true))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val rdd = base.rdd.map { row =>
+      val p = row.getAs[String](pathCol)
+      val content =
+        if (p == null) null
+        else try {
+          val path = new org.apache.hadoop.fs.Path(p)
+          val in = path.getFileSystem(serConf.value).open(path)
+          try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        } catch { case _: java.io.IOException => null }
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ content)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** FileToJsonProcessor (ref: app/tuktu/processors/file/FileToJson.scala:16):
+    * whole file parsed as JSON. The reference keeps an untyped JsValue; the
+    * Spark-4 analog is the VARIANT type — `parse_json` preserves arbitrary
+    * nesting without a declared schema and stays fully codegen'd. */
+  def fileToJson(df: DataFrame, pathCol: String, out: String): DataFrame =
+    fileToString(df, pathCol, out)
+      .withColumn(out, try_parse_json(col(out)))
 
   /** XmlGenerator / XmlToMapProcessor (ref: FileGenerators.scala:215,
     * BaseProcessors.scala:1247): parse an XML string column into a

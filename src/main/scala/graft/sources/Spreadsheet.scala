@@ -74,7 +74,12 @@ object Spreadsheet {
       if (rowIndex == rowOffset && colIndex == colOffset && values.isEmpty) {
         val cell = if (colIndex < row.size) row(colIndex) else ""
         if (cell != null && cell.contains(separator)) {
-          val parts = cell.split(java.util.regex.Pattern.quote(separator))
+          // Separator is a REGEX, matching the reference's String.split
+          // contract (SimpleLocators.scala:86). Deliberate divergence: the
+          // reference's branching generates a DESCENDING list for a<=b and an
+          // EMPTY one for a>b (degenerate `start to end by +step`); we emit
+          // the range in its natural direction instead.
+          val parts = cell.split(separator)
           val (a, b) = (parts(0).trim.toInt, parts(1).trim.toInt)
           val range = if (a <= b) a to b by math.max(1, step) else a to b by -math.max(1, step)
           values ++= range.map(_.toString)

@@ -147,6 +147,20 @@ class ExprSpec extends SparkSpec {
     assert(evalBool("""capitalize("hello world") == "Hello world""""))
   }
 
+  test("SQL() string escaping matches commons-lang escapeJava (ref utils.scala:103)") {
+    val samples = Seq(
+      "plain", "it's", "say \"hi\"", "tab\there", "line\nbreak\rcr", "back\\slash",
+      "bellbs\bff\f", "café résumé", "中文࿿x",
+      "emoji 😀 end", "")
+    val d2 = samples.toDF("t")
+    val got = d2.select(Expr.escapeJavaSql(col("t"))).collect().map(_.getString(0))
+    val want = samples.map(s =>
+      org.apache.commons.lang.StringEscapeUtils.escapeJava(s.replace("'", "''")))
+    got.zip(want).zip(samples).foreach { case ((g, w), s) =>
+      assert(g == w, s"for input ${s.getBytes("UTF-8").mkString(",")}")
+    }
+  }
+
   test("interpolate: template strings") {
     val out = df.select(Expr.interpolate("v=${i}; s=${s}!").as("r")).head.getString(0)
     assert(out == "v=-182; s=myString!")

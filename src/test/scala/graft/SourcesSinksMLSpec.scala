@@ -36,6 +36,35 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(out == Set(("A", "a1"), ("A", "a2"), ("B", "b1"))) // missing file -> no rows
   }
 
+  test("linesPerRow resolves file: URIs via Hadoop FS and tolerates empty files + early abandon") {
+    val dir = Files.createTempDirectory("graft_lpr2").toFile
+    val f = new java.io.File(dir, "a.txt")
+    val w = new java.io.PrintWriter(f); Seq("a1", "a2", "a3").foreach(w.println); w.close()
+    val fe = new java.io.File(dir, "empty.txt"); fe.createNewFile()
+    val df = Seq(("file:" + f.getAbsolutePath, "A"), ("file:" + fe.getAbsolutePath, "E"))
+      .toDF("path", "tag")
+    val out = Sources.linesPerRow(df, "path", "line")
+    assert(out.count() == 3) // empty file contributes no rows (and closes its handle)
+    assert(out.limit(1).count() == 1) // abandoned iterator: completion listener closes
+  }
+
+  test("fileToString / fileToJson whole-file readers (Hadoop FS, variant JSON)") {
+    val dir = Files.createTempDirectory("graft_whole").toFile
+    val f = new java.io.File(dir, "doc.json")
+    val w = new java.io.PrintWriter(f)
+    w.print("""{"a":1,"b":{"c":"x"}}"""); w.close()
+    val df = Seq((f.getAbsolutePath, 1), ("/nope/missing.json", 2)).toDF("path", "id")
+    val s = Sources.fileToString(df, "path", "content")
+    val byId = s.select("id", "content").as[(Int, String)].collect().toMap
+    assert(byId(1) == """{"a":1,"b":{"c":"x"}}""")
+    assert(byId(2) == null) // unreadable -> null, not a failure
+    val j = Sources.fileToJson(df, "path", "doc")
+    val v = j.filter(col("id") === 1)
+      .select(expr("variant_get(doc, '$.b.c', 'string')")).head.getString(0)
+    assert(v == "x")
+    assert(j.filter(col("id") === 2).select("doc").head.isNullAt(0))
+  }
+
   test("partitioned parquet sink prunes partitions on read-back") {
     val dir = Files.createTempDirectory("graft_pq").toString
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")

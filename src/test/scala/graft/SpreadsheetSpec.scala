@@ -146,6 +146,18 @@ class SpreadsheetSpec extends SparkSpec {
     assert(got.map(_("year")) == Seq("2020", "2020", "2021", "2022"))
   }
 
+  test("cellRangeSplitter: literal contains-gate, regex split (ref SimpleLocators.scala:85-86)") {
+    // The reference gates on LITERAL contains(separator) but passes the
+    // separator to String.split as a REGEX — so a meta-character separator
+    // that never literally appears leaves the cell whole (single cycled value).
+    val node = Spreadsheet.cellRangeSplitter("year", 0, 0, "\\s*to\\s*")
+    val rows = Iterator(
+      IndexedSeq("2020 to 2022"),
+      IndexedSeq("a", "b", "c"))
+    val got = Spreadsheet.flattenSheet(rows, "v", 0, None, List(node)).toSeq
+    assert(got.map(_("year")).distinct == Seq("2020 to 2022"))
+  }
+
   test("parseCsvLine handles quotes and escaped quotes") {
     assert(Spreadsheet.parseCsvLine("""a,"b,c",d""") == IndexedSeq("a", "b,c", "d"))
     assert(Spreadsheet.parseCsvLine("x,\"say \"\"hi\"\"\",z") == IndexedSeq("x", "say \"hi\"", "z"))
