@@ -11,18 +11,52 @@ import scala.jdk.CollectionConverters._
  * (e.g. `tuktu.processors.FieldFilterProcessor`) with the reference's OWN
  * config schema, adapted onto the operator library — so existing flow
  * configs run unchanged through [[Flow]]. Config schemas transcribed from
- * the reference documentation (the documentation/processors .json.md files) and test
- * corpus (test/tuktu/test/processor/tests/BaseProcessorTestSuite.scala).
+ * the reference sources (app/tuktu/processors/BaseProcessors.scala,
+ * ConvertTo….scala, the bucket directory) and its test corpus
+ * (test/tuktu/test/processor/tests/BaseProcessorTestSuite.scala,
+ * BufferProcessorTestSuite.scala).
+ *
+ * Batch-model notes (the reference streams DataPackets; we run one
+ * DataFrame per flow):
+ *  - "per DataPacket" semantics map to the whole frame (it IS the packet);
+ *  - packet-order-dependent processors use the scalable layout index
+ *    ([[Ops.indexByLayout]]) as the reference's arrival order;
+ *  - processors whose OUTPUT SCHEMA depends on data values
+ *    (ListJsonFetcherProcessor) are rejected with a clear error — a
+ *    DataFrame schema is static by design.
  */
 object TuktuCompat {
 
   private def arr(n: JsonNode, k: String): Seq[JsonNode] =
     Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
   private def str(n: JsonNode, k: String): Option[String] = Option(n.get(k)).map(_.asText)
-  private def pathOf(n: JsonNode): String =
-    n.get("path").elements().asScala.map(_.asText).mkString(".")
+  private def strs(n: JsonNode, k: String): Seq[String] = arr(n, k).map(_.asText)
+  private def bool(n: JsonNode, k: String): Boolean =
+    Option(n.get(k)).exists(_.asBoolean)
+  private def pathList(n: JsonNode): Seq[String] = {
+    // JsonFetcher contract (BaseProcessors.scala:247-252): a single-element
+    // path containing dots is itself a dotted path
+    val p = n.get("path").elements().asScala.map(_.asText).toSeq
+    if (p.size == 1) p.head.split('.').toSeq else p
+  }
+  private def pathOf(n: JsonNode): String = pathList(n).mkString(".")
+  private def uniq(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID.toString.take(8)
 
   def isCompat(name: String): Boolean = name.startsWith("tuktu.")
+
+  /** Navigate a (possibly nested) path from the row root. */
+  private def colPath(path: Seq[String]): Column =
+    path.tail.foldLeft(col(s"`${path.head}`"))(_.getField(_))
+
+  /** Keep a whole packet iff at least `minCount` rows satisfy `cond` —
+    * the reference's `batch`/`batch_min_count` filter mode
+    * (BaseProcessors.scala:415-425). Broadcast count gate, no driver action. */
+  private def batchGate(df: DataFrame, cond: Column, minCount: Long): DataFrame = {
+    val g = uniq("__gate")
+    df.crossJoin(broadcast(df.filter(cond).select(count(lit(1)).as(g))))
+      .filter(col(g) >= minCount).drop(g)
+  }
 
   // ---------------------------------------------------------------- generators
   def generator(spark: SparkSession, node: Flow.Node): DataFrame = {
@@ -48,55 +82,102 @@ object TuktuCompat {
       // ref: BaseProcessors.scala:120 — {fields:[{path:[...], result, default?}]}
       case "tuktu.processors.FieldFilterProcessor" =>
         df.select(arr(c, "fields").map { f =>
-          val p = pathOf(f)
+          val p = pathList(f)
           val out = f.get("result").asText
           Option(f.get("default")) match {
-            case Some(d) if df.columns.contains(p.split('.').head) =>
-              coalesce(col(p), lit(d.asText)).alias(out)
+            case Some(d) if df.columns.contains(p.head) =>
+              coalesce(colPath(p), lit(d.asText)).alias(out)
             case Some(d) => lit(d.asText).alias(out) // path absent entirely
-            case None    => col(p).alias(out)
+            case None    => colPath(p).alias(out)
           }
         }: _*)
 
       // ref: BaseProcessors.scala:144 — {fields:["k1","k2"]}
       case "tuktu.processors.FieldRemoveProcessor" =>
-        df.drop(arr(c, "fields").map(_.asText): _*)
+        df.drop(strs(c, "fields"): _*)
 
       // ref: BaseProcessors.scala:160 — {fields:[{path:[...], result}]}
       case "tuktu.processors.FieldCopyProcessor" =>
         arr(c, "fields").foldLeft(df) { (d, f) =>
-          d.withColumn(f.get("result").asText, col(pathOf(f)))
+          d.withColumn(f.get("result").asText, colPath(pathList(f)))
         }
+
+      // ref: BaseProcessors.scala:292 — copy then remove the path heads,
+      // keeping results that recycle a source name
+      case "tuktu.processors.FieldRenameProcessor" =>
+        val fields = arr(c, "fields")
+        val present = fields.filter(f => df.columns.contains(pathList(f).head))
+        val copied = present.foldLeft(df) { (d, f) =>
+          d.withColumn(f.get("result").asText, colPath(pathList(f)))
+        }
+        val results = present.map(_.get("result").asText).toSet
+        copied.drop(present.map(pathList(_).head).filterNot(results.contains): _*)
+
+      // ref: BaseProcessors.scala:234 — {fields:[{path, result, default?}]};
+      // fetches (possibly nested) values as top-level citizens
+      case "tuktu.processors.JsonFetcherProcessor" =>
+        arr(c, "fields").foldLeft(df) { (d, f) =>
+          val v = colPath(pathList(f))
+          val withDefault = Option(f.get("default")).fold(v)(dv => coalesce(v, lit(dv.asText)))
+          d.withColumn(f.get("result").asText, withDefault)
+        }
+
+      // ref: BaseProcessors.scala:268 — output schema depends on the VALUES
+      // of the path list; impossible under a static DataFrame schema
+      case "tuktu.processors.ListJsonFetcherProcessor" =>
+        throw new IllegalArgumentException(
+          "ListJsonFetcherProcessor derives output column names from data values; " +
+            "use JsonFetcherProcessor with static paths, or Ops.dynamicFetch for one value")
 
       // ref: BaseProcessors.scala:574 — {value, is_numeric?} + node result
       case "tuktu.processors.FieldConstantAdderProcessor" =>
         val v = Expr.interpolate(str(c, "value").getOrElse(""))
         df.withColumn(node.result,
-          if (Option(c.get("is_numeric")).exists(_.asBoolean)) v.cast(LongType) else v)
+          if (bool(c, "is_numeric")) v.cast(LongType) else v)
 
       // ref: BaseProcessors.scala:213 — {field, sources:[regex], targets:[str]};
       // writes the replaced value to the node's result field (per test corpus)
       case "tuktu.processors.ReplaceProcessor" =>
         val field = str(c, "field").get
-        val pairs = arr(c, "sources").map(_.asText).zip(arr(c, "targets").map(_.asText))
+        val pairs = strs(c, "sources").zip(strs(c, "targets"))
         df.withColumn(node.result,
           pairs.foldLeft(col(field)) { case (e, (s, t)) => regexp_replace(e, s, t) })
 
-      // ref: BaseProcessors.scala:184 — {step_size?} ; numbering in input order
-      // (= current layout order: partition order, then row order within)
+      // ref: BaseProcessors.scala:184 — {start_at?, step_size?, per_block?};
+      // numbering in input order (= current layout order). per_block counts
+      // DataPackets: the batch frame is ONE packet, so every row gets start_at.
       case "tuktu.processors.RunningCountProcessor" =>
+        val startAt = Option(c.get("start_at")).map(_.asLong).getOrElse(0L)
         val step = Option(c.get("step_size")).map(_.asLong).getOrElse(1L)
-        Ops.indexByLayout(df, node.result)
-          .withColumn(node.result, col(node.result) * step)
+        if (bool(c, "per_block")) df.withColumn(node.result, lit(startAt))
+        else Ops.indexByLayout(df, node.result)
+          .withColumn(node.result, col(node.result) * step + startAt)
 
-      // ref: BaseProcessors.scala:374 — {type: simple|negate, expression}
+      // ref: BaseProcessors.scala:374 — {expressions:[{type, expression, and_or?}],
+      // batch?, batch_min_count?}; expression may be a nested array of
+      // sub-expressions combined per and_or. Top level is an OR (exists).
       case "tuktu.processors.PacketFilterProcessor" =>
-        val pred = Expr.predicate(df, str(c, "expression").get)
-        df.filter(if (str(c, "type").contains("negate")) !pred else pred)
+        def build(e: JsonNode): Column = {
+          val base =
+            if (e.get("expression").isArray) {
+              val children = e.get("expression").elements().asScala.toSeq.map(build)
+              if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
+              else children.reduceOption(_ && _).getOrElse(lit(true))
+            } else str(e, "type") match {
+              case Some("groovy") => throw new IllegalArgumentException(
+                "groovy expressions are not supported; use the Tuktu predicate grammar or a Scala lambda")
+              case _ => Expr.predicate(df, e.get("expression").asText)
+            }
+          if (str(e, "type").contains("negate")) !base else base
+        }
+        val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
+        if (bool(c, "batch"))
+          batchGate(df, cond, Option(c.get("batch_min_count")).map(_.asLong).getOrElse(1L))
+        else df.filter(cond)
 
-      // ref: BaseProcessors.scala:501 — {expressions:[{type, and_or, expression, field}]}
-      // Top level is expressions.exists(...): a pure OR over the entries.
-      // and_or only combines a NESTED sub-expression array (expression: [...]).
+      // ref: BaseProcessors.scala:501 — {expressions:[{type, and_or, expression, field}],
+      // batch?, batch_min_count?}. Top level is expressions.exists(...): a pure
+      // OR over the entries; and_or only combines a NESTED expression array.
       case "tuktu.processors.PacketRegexFilterProcessor" =>
         def build(e: JsonNode): Column =
           if (e.get("expression").isArray) {
@@ -110,9 +191,270 @@ object TuktuCompat {
             if (str(e, "type").contains("negate")) !leaf else leaf
           }
         val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
-        df.filter(cond)
+        if (bool(c, "batch"))
+          batchGate(df, cond, Option(c.get("batch_min_count")).map(_.asLong).getOrElse(1L))
+        else df.filter(cond)
+
+      // ref: BaseProcessors.scala:641 — pass-through (console print is a
+      // side effect; show() here would force an extra job, so it is elided)
+      case "tuktu.processors.ConsoleWriterProcessor" => df
+
+      // ref: BaseProcessors.scala:92 — {field, keep_original_field?}
+      case "tuktu.processors.HeadOfListProcessor" =>
+        df.withColumn(node.result,
+          when(size(col(str(c, "field").get)) > 0, element_at(col(str(c, "field").get), 1)))
+
+      // ref: BaseProcessors.scala:668 — {fields:[{path, separator}]};
+      // overwrites the path HEAD with the joined string
+      case "tuktu.processors.StringImploderProcessor" =>
+        arr(c, "fields").foldLeft(df) { (d, f) =>
+          val p = pathList(f)
+          d.withColumn(p.head, array_join(colPath(p), f.get("separator").asText))
+        }
+
+      // ref: BaseProcessors.scala:760 — {fields?}: concat listed fields'
+      // values (arrays splice, scalars wrap) into one list under result;
+      // without fields: all values in column-name order
+      case "tuktu.processors.ImploderProcessor" =>
+        Option(c.get("fields")) match {
+          case Some(_) =>
+            val parts = strs(c, "fields").map { f =>
+              df.schema(f).dataType match {
+                case _: ArrayType => col(f)
+                case _            => array(col(f))
+              }
+            }
+            df.withColumn(node.result, concat(parts: _*))
+          case None =>
+            val cols = df.columns.sorted.map(col(_).cast(StringType))
+            df.withColumn(node.result, array(cols.toSeq: _*))
+        }
+
+      // ref: BaseProcessors.scala:785 — {fields:[...], merge?}: collapse the
+      // WHOLE packet (frame) to one row; each listed field becomes the list
+      // of its values in arrival order; merge keeps the first row's other fields
+      case "tuktu.processors.KeyImploderProcessor" =>
+        val fields = strs(c, "fields")
+        val ord = uniq("__ord")
+        val dense = Ops.indexByLayout(df, ord)
+        val listAggs = fields.map(f =>
+          transform(array_sort(collect_list(struct(col(ord).as("o"), col(f).as("v")))),
+            x => x.getField("v")).as(f))
+        val keepAggs =
+          if (bool(c, "merge"))
+            df.columns.filterNot(fields.contains).toSeq.map(f => min_by(col(f), col(ord)).as(f))
+          else Nil
+        val aggs = keepAggs ++ listAggs
+        dense.groupBy().agg(aggs.head, aggs.tail: _*)
+
+      // ref: BaseProcessors.scala:807 — {fields:[{path, subpath, separator}]};
+      // array-of-objects → subpath strings joined, overwriting the path head
+      case "tuktu.processors.JsObjectImploderProcessor" =>
+        arr(c, "fields").foldLeft(df) { (d, f) =>
+          val p = pathList(f)
+          val sub = f.get("subpath").elements().asScala.map(_.asText).toSeq
+          d.withColumn(p.head, array_join(
+            transform(colPath(p),
+              x => sub.foldLeft(x)(_.getField(_)).cast(StringType)),
+            f.get("separator").asText))
+        }
+
+      // ref: BaseProcessors.scala:844 — {fields, separator}: hoist each named
+      // struct field's nested entries to `field<sep>sub<sep>...` columns
+      case "tuktu.processors.FlattenerProcessor" =>
+        val sep = str(c, "separator").getOrElse(".")
+        val targets = strs(c, "fields")
+        def hoist(field: String): Seq[Column] = {
+          def walk(path: Column, name: String, dt: DataType): Seq[Column] = dt match {
+            case s: StructType =>
+              s.fields.toSeq.flatMap(f => walk(path.getField(f.name), name + sep + f.name, f.dataType))
+            case _ => Seq(path.alias(name))
+          }
+          walk(col(s"`$field`"), field, df.schema(field).dataType)
+        }
+        df.select(df.columns.filterNot(targets.contains).map(col).toSeq ++
+          targets.flatMap(hoist): _*)
+
+      // ref: BaseProcessors.scala:900 — {field}: explode in place
+      case "tuktu.processors.SequenceExploderProcessor" =>
+        val f = str(c, "field").get
+        df.withColumn(f, explode(col(f)))
+
+      // ref: BaseProcessors.scala:923 — {field}
+      case "tuktu.processors.SequenceLengthProcessor" =>
+        df.withColumn(node.result, size(col(str(c, "field").get)))
+
+      // ref: BaseProcessors.scala:946 — {field}
+      case "tuktu.processors.SequenceFlattenerProcessor" =>
+        df.withColumn(node.result, flatten(col(str(c, "field").get)))
+
+      // ref: BaseProcessors.scala:966 — {field}
+      case "tuktu.processors.DistinctSequenceProcessor" =>
+        df.withColumn(node.result, array_distinct(col(str(c, "field").get)))
+
+      // ref: BaseProcessors.scala:986 — {as_whole?}: nest rows under result
+      case "tuktu.processors.DataPacketWrapperProcessor" =>
+        if (bool(c, "as_whole") || !c.has("as_whole")) {
+          val ord = uniq("__ord")
+          Ops.indexByLayout(df, ord).groupBy().agg(
+            transform(array_sort(collect_list(struct(col(ord).as("o"),
+              struct(df.columns.map(col).toSeq: _*).as("v")))),
+              x => x.getField("v")).as(node.result))
+        } else Ops.datumToField(df, node.result)
+
+      // ref: BaseProcessors.scala:1004 — {field, separator, remove_empty?};
+      // separator is a REGEX (String.split)
+      case "tuktu.processors.StringSplitterProcessor" =>
+        val parts = split(col(str(c, "field").get), str(c, "separator").get)
+        val cleaned =
+          if (Option(c.get("remove_empty")).forall(_.asBoolean)) // default true
+            filter(parts, x => x =!= "")
+          else parts
+        df.withColumn(node.result, cleaned)
+
+      // ref: BaseProcessors.scala:1030 — {list_field, map_field} → result list
+      case "tuktu.processors.ListMapFlattenerProcessor" =>
+        df.withColumn(node.result,
+          transform(col(str(c, "list_field").get), x => x.getField(str(c, "map_field").get)))
+
+      // ref: BaseProcessors.scala:1066 — {list_field, map_fields}: one
+      // top-level list per inner field, original list kept
+      case "tuktu.processors.MultiListMapFlattenerProcessor" =>
+        strs(c, "map_fields").foldLeft(df) { (d, f) =>
+          d.withColumn(f, transform(col(str(c, "list_field").get), x => x.getField(f)))
+        }
+
+      // ref: BaseProcessors.scala:1102 — {field, contains_field, field_list}:
+      // keep row iff every value in contains_field appears at `field` in the
+      // list-of-maps under field_list
+      case "tuktu.processors.ContainsAllFilterProcessor" =>
+        val inner = str(c, "field").get
+        df.filter(forall(col(str(c, "contains_field").get),
+          v => exists(col(str(c, "field_list").get), m => m.getField(inner) === v)))
+
+      // ref: BaseProcessors.scala:1134 — {field}: hoist entries, KEEP original
+      // (the reference's datum ++ map only adds)
+      case "tuktu.processors.MapFlattenerProcessor" =>
+        df.select(col("*"), col(s"`${str(c, "field").get}`.*"))
+
+      // ref: BaseProcessors.scala:1175 — {field_1, field_2}: zip + explode,
+      // overwriting both
+      case "tuktu.processors.ZipExplodeProcessor" =>
+        val (f1, f2) = (str(c, "field_1").get, str(c, "field_2").get)
+        Ops.zipExplode(df, f1, f2, f1, f2)
+
+      // ref: BaseProcessors.scala:1201 — {fields}
+      case "tuktu.processors.AbsentFieldsFilterProcessor" =>
+        Ops.absentFieldsFilter(df, strs(c, "fields"))
+
+      // ref: BaseProcessors.scala:1216
+      case "tuktu.processors.UUIDAdderProcessor" =>
+        Ops.uuidAdder(df, node.result)
+
+      // ref: BaseProcessors.scala:1228 — {fields}
+      case "tuktu.processors.FieldsToListProcessor" =>
+        Ops.fieldsToList(df, strs(c, "fields"), node.result)
+
+      // ref: BaseProcessors.scala:1247 — {field, trim?, non_empty?, flattened?}
+      case "tuktu.processors.XmlToMapProcessor" =>
+        df.withColumn(node.result,
+          graft.sources.Sources.xmlToMap(col(str(c, "field").get)))
+
+      // ref: BaseProcessors.scala:1291 — {field, index} (0-based)
+      case "tuktu.processors.GetListElementProcessor" =>
+        Ops.getListElement(df, str(c, "field").get, str(c, "index").get.toInt, node.result)
+
+      // ref: ConvertToNumber.scala:16 — {field, number_type?}: overwrite
+      case "tuktu.processors.ConvertToNumber" =>
+        val f = str(c, "field").get
+        val t: DataType = str(c, "number_type").getOrElse("double") match {
+          case "int"  => IntegerType
+          case "long" => LongType
+          case _      => DoubleType
+        }
+        df.withColumn(f, col(f).cast(t))
+
+      // ref: ConvertToBigDecimal.scala:16 — {field}: overwrite; lists convert
+      // elementwise
+      case "tuktu.processors.ConvertToBigDecimal" =>
+        val f = str(c, "field").get
+        val dec = DecimalType(38, 18)
+        df.schema(f).dataType match {
+          case _: ArrayType => df.withColumn(f, transform(col(f), _.cast(dec)))
+          case _            => df.withColumn(f, col(f).cast(dec))
+        }
+
+      // ref: ConvertToDate.scala:19 — {field, format?}: overwrite
+      case "tuktu.processors.ConvertToDate" =>
+        val f = str(c, "field").get
+        val fmt = str(c, "format").getOrElse("EEE MMM dd HH:mm:ss zzz yyyy")
+        df.withColumn(f, to_timestamp(col(f), fmt))
+
+      // ref: BufferProcessorTestSuite.scala:24 / BufferProcessors.scala —
+      // {size}: tag rows with a batch id every `size` rows in arrival order
+      // (packets become batch groups; downstream groupBy(result) = packets)
+      case "tuktu.processors.SizeBufferProcessor" =>
+        val ord = uniq("__ord")
+        Ops.indexByLayout(df, ord)
+          .withColumn(node.result, floor(col(ord) / c.get("size").asInt))
+          .drop(ord)
+
+      // buffer all until EOF: the batch frame already IS the EOF buffer
+      case "tuktu.processors.EOFBufferProcessor" => df
+      // one datum per packet: packets are partitions here — by-design
+      case "tuktu.processors.DataPacketSplitterProcessor" => df
+
+      // ref: BufferProcessors.scala GroupByProcessor — {fields}: co-locate
+      // groups (the packet-split analog is hash partitioning)
+      case "tuktu.processors.GroupByProcessor" =>
+        df.repartition(strs(c, "fields").map(col): _*)
+
+      // ref: bucket/SortProcessor.scala:13 — {field, asc_desc?}
+      case "tuktu.processors.bucket.SortProcessor" =>
+        val f = col(str(c, "field").get)
+        Ops.sort(df, Seq(if (str(c, "asc_desc").contains("desc")) f.desc else f.asc))
+
+      // ref: bucket/DeduplicationProcessor.scala:13 — {fields}: first-seen in
+      // arrival order
+      case "tuktu.processors.bucket.DeduplicationProcessor" =>
+        val ord = uniq("__ord")
+        Ops.dedupFirstSeen(Ops.indexByLayout(df, ord), strs(c, "fields"), Seq(col(ord)))
+          .drop(ord)
+
+      // ref: bucket/aggregate/AggregateByValue.scala:16 — {group, base_value,
+      // expression}: expression's bare agg fns apply to the evaluated base
+      case "tuktu.processors.bucket.aggregate.AggregateByValueProcessor" =>
+        val baseCol = uniq("__base")
+        val withBase = df.withColumn(baseCol,
+          Expr.arithmetic(df, str(c, "base_value").get))
+        val aggFns = Seq("count", "distinct", "avg", "median", "sum", "max", "min", "stdev")
+        val exprStr = aggFns.foldLeft(str(c, "expression").get) { (a, fn) =>
+          a.replace(fn + "()", fn + "(${" + baseCol + "})")
+        }
+        withBase.groupBy(strs(c, "group").map(col): _*)
+          .agg(Expr.aggregate(withBase, exprStr).as(node.result))
+
+      // ref: bucket/statistics/StatisticsProcessors.scala — {fields}: one row,
+      // one column per field
+      case "tuktu.processors.bucket.statistics.MeanProcessor" =>
+        statsRow(df, c, f => avg(col(f).cast(DoubleType)))
+      case "tuktu.processors.bucket.statistics.MedianProcessor" =>
+        statsRow(df, c, f => median(col(f).cast(DoubleType)))
+      case "tuktu.processors.bucket.statistics.StDevProcessor" =>
+        statsRow(df, c, f => stddev_pop(col(f).cast(DoubleType)))
+      case "tuktu.processors.bucket.statistics.VarProcessor" =>
+        statsRow(df, c, f => var_pop(col(f).cast(DoubleType)))
+      case "tuktu.processors.bucket.statistics.MidrangeProcessor" =>
+        statsRow(df, c, f =>
+          (max(col(f).cast(DoubleType)) + min(col(f).cast(DoubleType))) / 2)
 
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
+  }
+
+  private def statsRow(df: DataFrame, c: JsonNode, agg: String => Column): DataFrame = {
+    val fields = strs(c, "fields")
+    df.groupBy().agg(agg(fields.head).as(fields.head),
+      fields.tail.map(f => agg(f).as(f)): _*)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, size}
 import graft.engine.Flow
 
 /** Verbatim reference configs through the compat layer — including the
@@ -64,6 +65,308 @@ class TuktuCompatSpec extends SparkSpec {
          "result": "result", "config": {"step_size": 3}, "next": []} ] }"""
     val out = Flow.runSingle(spark, flow).orderBy("result").collect()
     assert(out.map(_.getAs[Long]("result")).toSeq == Seq(0L, 3L, 6L))
+  }
+
+  // --- round-3 breadth: the rest of the reference BaseProcessorTestSuite ---
+
+  private def listFlow(rowsJson: String, procs: String): String =
+    s"""{ "generators": [ {"id": "g", "name": "list", "config": {"rows": $rowsJson},
+          "next": ["p0"]} ],
+        "processors": [ $procs ] }"""
+
+  test("FieldRenameProcessor removes sources, keeps results (corpus: nested path)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": {"subkey1": "val1"}, "key2": "val2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.FieldRenameProcessor",
+         "config": {"fields": [ {"path": ["key1", "subkey1"], "result": "key3"},
+                                {"path": ["key2"], "result": "key4"} ]}, "next": []}"""))
+    assert(out.columns.toSet == Set("key3", "key4"))
+    val r = out.head
+    assert(r.getAs[String]("key3") == "val1" && r.getAs[String]("key4") == "val2")
+  }
+
+  test("JsonFetcherProcessor hoists nested values with default (corpus schema)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"json": {"key1": "val1", "key2": {"key3": "val3"}}}]""",
+      """{"id": "p0", "name": "tuktu.processors.JsonFetcherProcessor",
+         "config": {"fields": [ {"path": ["json","key2","key3"], "result": "key4",
+                                 "default": "nothing"},
+                                {"path": ["json.key1"], "result": "k1"} ]}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[String]("key4") == "val3")
+    assert(r.getAs[String]("k1") == "val1") // dotted single-element path
+  }
+
+  test("StringImploderProcessor overwrites the path head with the joined string") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": ["val1","val2","val3"], "key2": ["val4"]}]""",
+      """{"id": "p0", "name": "tuktu.processors.StringImploderProcessor",
+         "config": {"fields": [ {"path": ["key1"], "separator": ","} ]}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[String]("key1") == "val1,val2,val3")
+    assert(r.getAs[scala.collection.Seq[String]]("key2").toList == List("val4")) // untouched
+  }
+
+  test("KeyImploderProcessor collapses the packet into one row of lists") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"keyholes": "keyhole1"}, {"keyholes": "keyhole2"}, {"keyholes": "keyhole3"}]""",
+      """{"id": "p0", "name": "tuktu.processors.KeyImploderProcessor",
+         "config": {"fields": ["keyholes"]}, "next": []}"""))
+    assert(out.count() == 1)
+    assert(out.head.getAs[scala.collection.Seq[String]]("keyholes").toList == List("keyhole1", "keyhole2", "keyhole3"))
+  }
+
+  test("JsObjectImploderProcessor joins subpath strings, overwriting the ancestor") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"keys": [{"key1": "val1"}, {"key1": "val2"}, {"key1": "val3"}]}]""",
+      """{"id": "p0", "name": "tuktu.processors.JsObjectImploderProcessor",
+         "config": {"fields": [ {"path": ["keys"], "subpath": ["key1"],
+                                 "separator": ","} ]}, "next": []}"""))
+    assert(out.head.getAs[String]("keys") == "val1,val2,val3")
+  }
+
+  test("FlattenerProcessor hoists nested keys joined by the separator") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": {"subkey1": "val1"}, "other": "x"}]""",
+      """{"id": "p0", "name": "tuktu.processors.FlattenerProcessor",
+         "config": {"fields": ["key1"], "separator": ","}, "next": []}"""))
+    assert(out.columns.toSet == Set("other", "key1,subkey1"))
+    assert(out.select(col("`key1,subkey1`")).head.getString(0) == "val1")
+  }
+
+  test("SequenceExploderProcessor explodes in place (corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"keyholes": ["keyhole1", "keyhole2", "keyhole3"]}]""",
+      """{"id": "p0", "name": "tuktu.processors.SequenceExploderProcessor",
+         "config": {"field": "keyholes"}, "next": []}"""))
+    assert(out.select("keyholes").as[String].collect().toSeq ==
+      Seq("keyhole1", "keyhole2", "keyhole3"))
+  }
+
+  test("Sequence length/flatten/distinct + HeadOfList + GetListElement") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"xs": [[1,2],[2,3]]}]""",
+      """{"id": "p0", "name": "tuktu.processors.SequenceFlattenerProcessor",
+         "result": "flat", "config": {"field": "xs"}, "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.DistinctSequenceProcessor",
+          "result": "dis", "config": {"field": "flat"}, "next": ["p2"]},
+         {"id": "p2", "name": "tuktu.processors.SequenceLengthProcessor",
+          "result": "len", "config": {"field": "dis"}, "next": ["p3"]},
+         {"id": "p3", "name": "tuktu.processors.HeadOfListProcessor",
+          "result": "head", "config": {"field": "dis"}, "next": ["p4"]},
+         {"id": "p4", "name": "tuktu.processors.GetListElementProcessor",
+          "result": "second", "config": {"field": "dis", "index": "1"}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[scala.collection.Seq[Long]]("flat").toList == List(1L, 2L, 2L, 3L))
+    assert(r.getAs[scala.collection.Seq[Long]]("dis").toList == List(1L, 2L, 3L))
+    assert(r.getAs[Int]("len") == 3)
+    assert(r.getAs[Long]("head") == 1L)
+    assert(r.getAs[Long]("second") == 2L)
+  }
+
+  test("StringSplitterProcessor splits on a REGEX separator, dropping empties by default") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": "value1,,value2,value3", "key2": "value4"}]""",
+      """{"id": "p0", "name": "tuktu.processors.StringSplitterProcessor",
+         "result": "result", "config": {"field": "key1", "separator": ","}, "next": []}"""))
+    assert(out.head.getAs[scala.collection.Seq[String]]("result").toList == List("value1", "value2", "value3"))
+    val regex = Flow.runSingle(spark, listFlow(
+      """[{"key1": "a1b22c", "key2": "x"}]""",
+      """{"id": "p0", "name": "tuktu.processors.StringSplitterProcessor",
+         "result": "result", "config": {"field": "key1", "separator": "[0-9]+"}, "next": []}"""))
+    assert(regex.head.getAs[scala.collection.Seq[String]]("result").toList == List("a", "b", "c"))
+  }
+
+  test("ListMapFlattenerProcessor + MultiListMapFlattenerProcessor (corpus)") {
+    val rows = """[{"keys": [
+      {"key1": "value1", "key2": "value2", "key3": "value3"},
+      {"key1": "value4", "key2": "value5", "key3": "value6"},
+      {"key1": "value7", "key2": "value8", "key3": "value9"}]}]"""
+    val single = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.ListMapFlattenerProcessor",
+         "result": "result", "config": {"list_field": "keys", "map_field": "key1"},
+         "next": []}"""))
+    assert(single.head.getAs[scala.collection.Seq[String]]("result").toList == List("value1", "value4", "value7"))
+    val multi = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.MultiListMapFlattenerProcessor",
+         "config": {"list_field": "keys", "map_fields": ["key1", "key3"]}, "next": []}"""))
+    val r = multi.head
+    assert(r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("keys").size == 3) // original kept
+    assert(r.getAs[scala.collection.Seq[String]]("key1").toList == List("value1", "value4", "value7"))
+    assert(r.getAs[scala.collection.Seq[String]]("key3").toList == List("value3", "value6", "value9"))
+  }
+
+  test("ContainsAllFilterProcessor keeps rows whose list covers all needles (corpus)") {
+    val rows = """[
+      {"maps": [{"key1": "value1"}, {"key1": "value4"}], "values": ["value1"], "tag": "keep"},
+      {"maps": [{"key1": "value4"}], "values": ["value1"], "tag": "drop"}]"""
+    val out = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.ContainsAllFilterProcessor",
+         "config": {"field": "key1", "contains_field": "values", "field_list": "maps"},
+         "next": []}"""))
+    assert(out.select("tag").as[String].collect().toSeq == Seq("keep"))
+  }
+
+  test("MapFlattenerProcessor hoists entries and KEEPS the original (corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"keys": {"key1": "value1", "key2": "value2"}}]""",
+      """{"id": "p0", "name": "tuktu.processors.MapFlattenerProcessor",
+         "config": {"field": "keys"}, "next": []}"""))
+    assert(out.columns.toSet == Set("keys", "key1", "key2"))
+    val r = out.head
+    assert(r.getAs[String]("key1") == "value1" && r.getAs[String]("key2") == "value2")
+  }
+
+  test("ZipExplodeProcessor zips two lists and overwrites both fields (corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"keys": ["key1", "key2"], "values": ["value1", "value2"]}]""",
+      """{"id": "p0", "name": "tuktu.processors.ZipExplodeProcessor",
+         "config": {"field_1": "keys", "field_2": "values"}, "next": []}"""))
+    assert(out.select("keys", "values").as[(String, String)].collect().toSeq ==
+      Seq(("key1", "value1"), ("key2", "value2")))
+  }
+
+  test("AbsentFieldsFilterProcessor drops rows missing any required field (corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": 1, "key2": 2, "key3": 3}, {"key1": 4, "key3": 5, "key4": 6},
+          {"key1": 7, "key3": 8, "key4": 9}]""",
+      """{"id": "p0", "name": "tuktu.processors.AbsentFieldsFilterProcessor",
+         "config": {"fields": ["key1", "key2"]}, "next": []}"""))
+    assert(out.select("key1").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("ImploderProcessor splices arrays and wraps scalars into one list (corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"a": ["x", "y"], "b": "z"}]""",
+      """{"id": "p0", "name": "tuktu.processors.ImploderProcessor",
+         "result": "result", "config": {"fields": ["a", "b"]}, "next": []}"""))
+    assert(out.head.getAs[scala.collection.Seq[String]]("result").toList == List("x", "y", "z"))
+  }
+
+  test("FieldsToListProcessor + DataPacketWrapperProcessor") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"a": "1", "b": "2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.FieldsToListProcessor",
+         "result": "lst", "config": {"fields": ["a", "b"]}, "next": []}"""))
+    assert(out.head.getAs[scala.collection.Seq[String]]("lst").toList == List("1", "2"))
+    val wrapped = Flow.runSingle(spark, listFlow(
+      """[{"a": "1"}, {"a": "2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.DataPacketWrapperProcessor",
+         "result": "data", "config": {}, "next": []}"""))
+    assert(wrapped.count() == 1)
+    assert(wrapped.select(size(col("data"))).head.getInt(0) == 2)
+  }
+
+  test("ConvertTo{Number,BigDecimal,Date} overwrite the field (corpus types)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"n": "17", "d": "2024-03-01", "xs": [3, 183], "x": 1.337}]""",
+      """{"id": "p0", "name": "tuktu.processors.ConvertToNumber",
+         "config": {"field": "n", "number_type": "long"}, "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.ConvertToBigDecimal",
+          "config": {"field": "x"}, "next": ["p2"]},
+         {"id": "p2", "name": "tuktu.processors.ConvertToBigDecimal",
+          "config": {"field": "xs"}, "next": ["p3"]},
+         {"id": "p3", "name": "tuktu.processors.ConvertToDate",
+          "config": {"field": "d", "format": "yyyy-MM-dd"}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[Long]("n") == 17L)
+    assert(r.getAs[java.math.BigDecimal]("x").doubleValue == 1.337)
+    assert(r.getAs[scala.collection.Seq[java.math.BigDecimal]]("xs").map(_.longValue).toList == List(3L, 183L))
+    assert(r.getAs[java.sql.Timestamp]("d").toString.startsWith("2024-03-01"))
+  }
+
+  test("RunningCountProcessor start_at and per_block (one frame = one packet)") {
+    val startAt = Flow.runSingle(spark, listFlow(
+      """[{"one": 1}, {"one": 1}, {"one": 1}]""",
+      """{"id": "p0", "name": "tuktu.processors.RunningCountProcessor",
+         "result": "result", "config": {"start_at": 5}, "next": []}"""))
+    assert(startAt.select("result").as[Long].collect().sorted.toSeq == Seq(5L, 6L, 7L))
+    val perBlock = Flow.runSingle(spark, listFlow(
+      """[{"one": 1}, {"one": 1}]""",
+      """{"id": "p0", "name": "tuktu.processors.RunningCountProcessor",
+         "result": "result", "config": {"per_block": true}, "next": []}"""))
+    assert(perBlock.select("result").as[Long].collect().toSeq == Seq(0L, 0L))
+  }
+
+  test("PacketFilterProcessor nested expression arrays and batch gate (corpus)") {
+    val rows = """[{"key1": 1, "key2": 3, "key3": "value1"},
+                   {"key1": 2, "key2": 2, "key3": "value2"},
+                   {"key1": 3, "key2": 1, "key3": "value3"}]"""
+    def f(exprs: String, extra: String = "") = listFlow(rows,
+      s"""{"id": "p0", "name": "tuktu.processors.PacketFilterProcessor",
+          "config": {"expressions": $exprs$extra}, "next": []}""")
+    // joint (AND) sub-expressions: key2 > 1 && key2 < 3
+    val joint = Flow.runSingle(spark, f(
+      """[{"type": "simple", "expression": [
+           {"expression": "${key2} > 1", "type": "simple"},
+           {"expression": "${key2} < 3", "type": "simple"}]}]"""))
+    assert(joint.select("key1").as[Long].collect().toSeq == Seq(2L))
+    // disjoint (OR): key2 > 2 || key2 < 2
+    val disjoint = Flow.runSingle(spark, f(
+      """[{"type": "simple", "and_or": "or", "expression": [
+           {"expression": "${key2} > 2", "type": "simple"},
+           {"expression": "${key2} < 2", "type": "simple"}]}]"""))
+    assert(disjoint.select("key1").as[Long].collect().toSet == Set(1L, 3L))
+    // negate on a string leaf
+    val neg = Flow.runSingle(spark, f(
+      """[{"type": "negate", "expression": "${key3} == \"value3\""}]"""))
+    assert(neg.select("key1").as[Long].collect().toSet == Set(1L, 2L))
+    // batch: 2 rows satisfy key1 > 1 which meets batch_min_count 2 → ALL pass
+    val batch = Flow.runSingle(spark, f(
+      """[{"type": "simple", "expression": "${key1} > 1"}]""",
+      """, "batch": true, "batch_min_count": 2"""))
+    assert(batch.count() == 3)
+  }
+
+  test("PacketRegexFilterProcessor batch mode keeps the whole packet (corpus case 4)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key1": "een", "key2": "twee"}, {"key1": "half", "key2": "een"},
+          {"key1": "1", "key2": "2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.PacketRegexFilterProcessor",
+         "config": {"expressions": [
+           {"type": "simple", "and_or": "or", "expression": "[0-9]+", "field": "key1"},
+           {"type": "simple", "and_or": "or", "expression": "half", "field": "key1"}],
+           "batch": true, "batch_min_count": 2}, "next": []}"""))
+    assert(out.count() == 3)
+  }
+
+  test("SizeBufferProcessor tags arrival-order batches (buffer corpus)") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key": 1}, {"key": 2}, {"key": 3}, {"key": 4}]""",
+      """{"id": "p0", "name": "tuktu.processors.SizeBufferProcessor",
+         "result": "batch", "config": {"size": 2}, "next": []}"""))
+    assert(out.groupBy("batch").count().count() == 2)
+  }
+
+  test("bucket Sort + Deduplication with reference configs") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"v": 3, "k": "a"}, {"v": 1, "k": "b"}, {"v": 2, "k": "a"}]""",
+      """{"id": "p0", "name": "tuktu.processors.bucket.SortProcessor",
+         "config": {"field": "v", "asc_desc": "desc"}, "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.bucket.DeduplicationProcessor",
+          "config": {"fields": ["k"]}, "next": []}"""))
+    // desc sort: 3(a),2(a),1(b); first-seen dedup on k → 3(a),1(b)
+    assert(out.select("v").as[Long].collect().toSet == Set(3L, 1L))
+  }
+
+  test("AggregateByValueProcessor groups and aggregates the base expression") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"k": "a", "v": 1}, {"k": "a", "v": 2}, {"k": "b", "v": 3}]""",
+      """{"id": "p0", "name": "tuktu.processors.bucket.aggregate.AggregateByValueProcessor",
+         "result": "result",
+         "config": {"group": ["k"], "base_value": "${v}", "expression": "sum()"},
+         "next": []}"""))
+    val m = out.collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("result")).toMap
+    assert(m == Map("a" -> 3.0, "b" -> 3.0))
+  }
+
+  test("bucket statistics processors produce one row of per-field stats") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"x": 1, "y": 10}, {"x": 2, "y": 20}, {"x": 3, "y": 30}]""",
+      """{"id": "p0", "name": "tuktu.processors.bucket.statistics.MeanProcessor",
+         "config": {"fields": ["x", "y"]}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[Double]("x") == 2.0 && r.getAs[Double]("y") == 20.0)
   }
 
   test("PacketRegexFilterProcessor or/and/negate semantics from the test corpus") {
