@@ -111,6 +111,18 @@ object Flow {
         Ops.aggregateByValue(df, strs("group"), pairs("aggs"))
       // round-2 operators reachable from flow configs
       case "json_merge" => Ops.jsonMerge(df, str("a"), str("b"), result)
+      // HTTP enrichment family (ref modules/web processors)
+      case "rest" =>
+        graft.operators.Http.restEnrich(df, str("url"), result,
+          method = strOpt("http_method").getOrElse("GET"),
+          bodyTemplate = strOpt("body"))
+      case "url_check" =>
+        graft.operators.Http.urlChecker(df, str("url"), result,
+          codes = Option(c.get("codes")).map(_.elements().asScala.map(_.asInt).toSeq))
+      case "geoip" =>
+        graft.operators.Http.freeGeoIp(df, str("ip"), result,
+          geoipUrl = strOpt("geoipurl").getOrElse("http://freegeoip.net"),
+          format = strOpt("format").getOrElse("json"))
       case "stem" => graft.operators.Nlp.stemTokens(df, str("field"), result)
       case "pos_tag" => graft.operators.Nlp.posTags(df, str("field"), result)
       case "sentiment" =>

@@ -448,6 +448,26 @@ object TuktuCompat {
         statsRow(df, c, f =>
           (max(col(f).cast(DoubleType)) + min(col(f).cast(DoubleType))) / 2)
 
+      // ref: modules/web/app/tuktu/web/processors/RESTProcessor.scala:20 —
+      // {url, http_method?, body?}; body JSON is re-rendered as a template
+      case "tuktu.web.processors.RESTProcessor" =>
+        graft.operators.Http.restEnrich(df, str(c, "url").get, node.result,
+          method = str(c, "http_method").getOrElse("get"),
+          bodyTemplate = Option(c.get("body")).map(b =>
+            if (b.isTextual) b.asText else b.toString))
+
+      // ref: URLCheckerProcessor.scala — {url, codes?}; the data-dependent
+      // `field` code list is not supported (static config only)
+      case "tuktu.web.processors.URLCheckerProcessor" =>
+        graft.operators.Http.urlChecker(df, str(c, "url").get, node.result,
+          codes = Option(c.get("codes")).map(_.elements().asScala.map(_.asInt).toSeq))
+
+      // ref: FreeGeoIPProcessor.scala — {ip (field name), geoipurl?, format?}
+      case "tuktu.web.processors.FreeGeoIPProcessor" =>
+        graft.operators.Http.freeGeoIp(df, str(c, "ip").get, node.result,
+          geoipUrl = str(c, "geoipurl").getOrElse("http://freegeoip.net"),
+          format = str(c, "format").getOrElse("json"))
+
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }

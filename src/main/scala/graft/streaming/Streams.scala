@@ -122,6 +122,38 @@ object Streams {
       .toDF("key", "payload")
   }
 
+  /** FileStreamProcessor, streaming mode (ref: FileProcessors.scala:25):
+    * append sink with exactly-once file output via the checkpoint — the
+    * reference's open-writer-per-flow with at-most-once semantics is strictly
+    * weaker. Returns the started query; callers own its lifecycle. */
+  def fileSink(df: DataFrame, path: String, checkpoint: String,
+               format: String = "parquet", partitionBy: Seq[String] = Nil,
+               availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream.format(format)
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+    val p = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    (if (availableNow)
+      p.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else p).start()
+  }
+
+  /** FileRotatingStreamProcessor (ref: FileProcessors.scala:64-149): the
+    * reference swaps a BufferedWriter every `rotation_time` wall-clock
+    * interval; the streaming-native shape derives the rotation bucket from
+    * EVENT time (tumbling `window(ts, rotation)` start, rendered as a
+    * directory-safe string) and partitions the file sink by it. Each bucket
+    * is a directory that stops growing once the watermark passes it, and
+    * readers prune on the bucket column — rotation and read-side pruning from
+    * the same mechanism. */
+  def rotatingFileSink(df: DataFrame, tsCol: String, rotation: String,
+                       path: String, checkpoint: String,
+                       format: String = "parquet", bucketCol: String = "bucket",
+                       availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    fileSink(
+      df.withColumn(bucketCol,
+        date_format(window(col(tsCol), rotation).getField("start"), "yyyyMMdd_HHmmss")),
+      path, checkpoint, format, Seq(bucketCol), availableNow)
+
   /** Rate-source generator ⇄ DummyGenerator/RandomGenerator
     * (ref: DummyGenerator.scala:34-118). */
   def rateSource(spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int): DataFrame =

