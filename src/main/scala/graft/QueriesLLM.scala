@@ -145,6 +145,21 @@ object QueriesLLM {
         .limit(20)
     }),
 
+    // ---------------- §2.11 tokenization + array plumbing, split out of the
+    // NLP UDF pipeline so the expression-level part is oracle-checked and
+    // only the dictionary/automaton UDF outputs stay rows-only.
+    "nlp_tokenize" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      rd(s, dir, "documents").select(
+        col("doc_id"),
+        array_join(toks, " ").as("toks"),
+        size(toks).cast(LongType).as("n_tokens"), // BIGINT on both sides: the
+        size(array_distinct(toks)).cast(LongType).as("n_distinct"), // pandas gate is dtype-sensitive
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- §2.11 stem → POS-tag → RBEM polarity pipeline.
     // No DuckDB oracle (dictionary/automaton algorithms aren't SQL-
     // expressible offline) → driver records the weaker rows-only check;
@@ -198,6 +213,14 @@ object QueriesLLM {
             FROM h)
           SELECT doc_id, array_to_string([$perm], ',') AS sig FROM sh ORDER BY doc_id"""
     },
+    "nlp_tokenize" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+         SELECT doc_id, array_to_string(toks, ' ') AS toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           toks[1] AS first_tok, toks[-1] AS last_tok
+         FROM t ORDER BY doc_id""",
     "ngram_jaccard" -> {
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),

@@ -270,8 +270,14 @@ object Ops {
     * to a literal name→value map lookup — pure expressions, no reflection.
     * Values render as strings (the reference's datum values are untyped). */
   def dynamicFetch(df: DataFrame, nameField: String, result: String): DataFrame = {
-    val entries = df.columns.filter(_ != nameField)
-      .flatMap(c => Seq(lit(c), col(c).cast(StringType)))
+    // When every candidate column shares ONE type the lookup preserves it —
+    // the stringified fallback only applies to genuinely mixed schemas
+    // (matching the reference's untyped datums).
+    val candidates = df.columns.filter(_ != nameField)
+    val types = candidates.map(c => df.schema(c).dataType).distinct
+    val entries =
+      if (types.sizeIs == 1) candidates.flatMap(c => Seq(lit(c), col(c)))
+      else candidates.flatMap(c => Seq(lit(c), col(c).cast(StringType)))
     // try_element_at: unknown names yield null under ANSI mode too (plain
     // element_at would throw MAP_KEY_DOES_NOT_EXIST on ANSI sessions)
     df.withColumn(result, try_element_at(map(entries.toSeq: _*), col(nameField).cast(StringType)))

@@ -217,6 +217,17 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq("1", "y", null)) // unknown name -> null
   }
 
+  test("dynamicFetch preserves the value type when candidates share one type") {
+    val longs = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("which", "a", "b")
+    val out = Ops.dynamicFetch(longs, "which", "picked")
+    assert(out.schema("picked").dataType == org.apache.spark.sql.types.LongType)
+    assert(out.select("picked").as[Long].collect().toSeq == Seq(1L, 20L))
+    val doubles = Seq(("b", 1.5, 2.5)).toDF("which", "a", "b")
+    val dOut = Ops.dynamicFetch(doubles, "which", "picked")
+    assert(dOut.schema("picked").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(dOut.select("picked").as[Double].head == 2.5)
+  }
+
   test("countEof observes the pass-through row count with the action") {
     val d = spark.range(1234).toDF("id")
     val (observed, obs) = Ops.countEof(d.filter(col("id") % 2 === 0))
