@@ -168,11 +168,8 @@ object QueriesLLM {
     "nlp_stem_pos_sentiment" -> ((s, dir) => {
       val d = rd(s, dir, "documents").select("doc_id", "text")
         .withColumn("toks", TextAnalysis.tokens(col("text")))
-      Nlp.polarity(
-        Nlp.posTags(Nlp.stemTokens(d, "toks", "stems"), "toks", "tags"),
-        "toks", "tags", "polarity")
-        .select(col("doc_id"), array_join(col("stems"), " ").as("stemmed"),
-          array_join(col("tags"), " ").as("pos_tags"), col("polarity"))
+      Nlp.nlpPipeline(d, "toks", "stemmed", "pos_tags", "polarity")
+        .select(col("doc_id"), col("stemmed"), col("pos_tags"), col("polarity"))
         .orderBy("doc_id")
     }),
 

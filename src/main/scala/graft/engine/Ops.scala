@@ -375,6 +375,20 @@ object Ops {
     * (bucket/concurrent/BaseConcurrentProcessor.scala:61-196). */
   def aggregateByValue(df: DataFrame, groupFields: Seq[String],
                        aggs: Seq[(String, String)]): DataFrame = {
+    // Mixing a DISTINCT aggregate with an object-hash aggregate (median) in
+    // one Aggregate makes Catalyst expand the input 2× and push every stream
+    // through the sort-based fallback — profiled 3× slower than the parts.
+    // Split the two families into separate aggregations and join on the
+    // group keys (group-cardinality rows, broadcast under AQE).
+    val (dist, plain) = aggs.partition(_._2.contains("distinct("))
+    if (dist.nonEmpty && plain.nonEmpty && groupFields.nonEmpty) {
+      def aggOf(part: Seq[(String, String)]) = {
+        val cols = part.map { case (alias, e) => Expr.aggregate(df, e).as(alias) }
+        df.groupBy(groupFields.map(col): _*).agg(cols.head, cols.tail: _*)
+      }
+      return aggOf(plain).join(aggOf(dist), groupFields)
+        .select((groupFields ++ aggs.map(_._1)).map(col): _*) // declared order
+    }
     val cols = aggs.map { case (alias, e) => Expr.aggregate(df, e).as(alias) }
     df.groupBy(groupFields.map(col): _*).agg(cols.head, cols.tail: _*)
   }

@@ -92,4 +92,22 @@ class NlpSpec extends SparkSpec {
       discretize = true)
     assert(out.select("pol").as[Double].collect().toSeq == Seq(1.0, -1.0, 0.0))
   }
+
+  test("fused nlpPipeline equals the chained stem/pos/polarity operators") {
+    val docs = Seq(
+      "the quick brown fox is not very happy today",
+      "good great excellent but terribly sad and not good",
+      "",
+      "running runner ran quickly caresses ponies")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+      .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
+    val chained = Nlp.polarity(
+      Nlp.posTags(Nlp.stemTokens(docs, "toks", "stems"), "toks", "tags"),
+      "toks", "tags", "pol")
+      .select(col("id"), array_join(col("stems"), " ").as("st"),
+        array_join(col("tags"), " ").as("tg"), col("pol"))
+    val fused = Nlp.nlpPipeline(docs, "toks", "st", "tg", "pol")
+      .select("id", "st", "tg", "pol")
+    assert(chained.orderBy("id").collect().toSeq == fused.orderBy("id").collect().toSeq)
+  }
 }
