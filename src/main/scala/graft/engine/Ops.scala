@@ -283,6 +283,38 @@ object Ops {
     df.withColumn(result, try_element_at(map(entries.toSeq: _*), col(nameField).cast(StringType)))
   }
 
+  /** EvaluateNestedTuktuExpressionsProcessor (BaseProcessors.scala:332):
+    * substitute `${field}` until the string stops changing, so a field VALUE
+    * may itself contain `${other}` references resolved in later passes.
+    * Per-row iterative rewriting with data-dependent names has no expression
+    * primitive — the UDF takes the row's name→value map (columns are static,
+    * so the map is built as a plain expression). Unknown names stay verbatim,
+    * which is also what terminates the fixpoint; `maxIters` guards cycles
+    * (a↦"${b}", b↦"${a}"). */
+  def evaluateNested(df: DataFrame, template: String, result: String,
+                     maxIters: Int = 100): DataFrame = {
+    val entries = df.columns.flatMap(c => Seq(lit(c), col(c).cast(StringType)))
+    val re = "\\$\\{([^}]*)\\}".r
+    val fix = udf { (s: String, m: Map[String, String]) =>
+      if (s == null) null
+      else {
+        var cur = s
+        var i = 0
+        var changed = true
+        while (changed && i < maxIters) {
+          val next = re.replaceAllIn(cur, mm =>
+            scala.util.matching.Regex.quoteReplacement(
+              m.get(mm.group(1)).flatMap(Option(_)).getOrElse(mm.matched)))
+          changed = next != cur
+          cur = next
+          i += 1
+        }
+        cur
+      }
+    }
+    df.withColumn(result, fix(lit(template), map(entries.toSeq: _*)))
+  }
+
   /** JSONMergerProcessor deep merge (modules/api/app/tuktu/api/utils.scala:524-559
     * mergeJson): key union, b wins on conflicts, object-object pairs merge
     * recursively. Schemaful translation: a null field models an absent key,

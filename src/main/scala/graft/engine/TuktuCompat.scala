@@ -71,6 +71,28 @@ object TuktuCompat {
         val n = Option(c.get("max_amount")).map(_.asLong).getOrElse(1L)
         val v = str(c, "message").orElse(str(c, "value")).getOrElse("")
         spark.range(n).select(lit(v).as(node.result))
+      // ref: app/tuktu/generators/FileGenerators.scala:79 —
+      // {filename, start_line?, end_line?}; one line per row under result
+      case "tuktu.generators.LineGenerator" =>
+        graft.sources.Sources.lines(spark, str(c, "filename").get,
+          startLine = Option(c.get("start_line")).map(_.asLong),
+          endLine = Option(c.get("end_line")).map(_.asLong))
+          .withColumnRenamed("value", node.result)
+
+      // ref: modules/csv/app/tuktu/csv/generators/CsvGenerator.scala:111 —
+      // {filename, has_headers?, predef_headers?, separator?(default ';'),
+      //  quote?, escape?, start_line?, end_line?}
+      case "tuktu.csv.generators.CSVGenerator" =>
+        val base = graft.sources.Sources.csv(spark, str(c, "filename").get,
+          header = bool(c, "has_headers"),
+          sep = str(c, "separator").getOrElse(";"),
+          quote = str(c, "quote").getOrElse("\""),
+          escape = str(c, "escape").getOrElse("\\"),
+          startLine = Option(c.get("start_line")).map(_.asLong),
+          endLine = Option(c.get("end_line")).map(_.asLong))
+        val predef = strs(c, "predef_headers")
+        if (predef.nonEmpty) base.toDF(predef: _*) else base
+
       case other => throw new IllegalArgumentException(s"unsupported compat generator: $other")
     }
   }
@@ -128,6 +150,10 @@ object TuktuCompat {
         throw new IllegalArgumentException(
           "ListJsonFetcherProcessor derives output column names from data values; " +
             "use JsonFetcherProcessor with static paths, or Ops.dynamicFetch for one value")
+
+      // ref: BaseProcessors.scala:332 — {expression}: fixpoint ${} resolution
+      case "tuktu.processors.EvaluateNestedTuktuExpressionsProcessor" =>
+        Ops.evaluateNested(df, str(c, "expression").get, node.result)
 
       // ref: BaseProcessors.scala:574 — {value, is_numeric?} + node result
       case "tuktu.processors.FieldConstantAdderProcessor" =>

@@ -228,6 +228,22 @@ class OpsSpec extends SparkSpec {
     assert(dOut.select("picked").as[Double].head == 2.5)
   }
 
+  test("evaluateNested resolves chained ${} references to a fixpoint") {
+    val d = Seq(("${b}", "${c}", "42"), ("plain", "x", "y"))
+      .toDF("a", "b", "c")
+    val out = Ops.evaluateNested(d, "v=${a}", "r")
+      .select("r").as[String].collect().toSeq
+    assert(out == Seq("v=42", "v=plain")) // a -> b -> c chain fully resolved
+    // unknown names stay verbatim (and terminate the loop)
+    val unk = Ops.evaluateNested(d, "${nope}-${c}", "r")
+      .select("r").as[String].collect().toSeq
+    assert(unk == Seq("${nope}-42", "${nope}-y"))
+    // a cycle terminates at maxIters instead of hanging
+    val cyc = Seq(("${b}", "${a}")).toDF("a", "b")
+    assert(Ops.evaluateNested(cyc, "${a}", "r", maxIters = 7)
+      .select("r").as[String].head.startsWith("${"))
+  }
+
   test("countEof observes the pass-through row count with the action") {
     val d = spark.range(1234).toDF("id")
     val (observed, obs) = Ops.countEof(d.filter(col("id") % 2 === 0))

@@ -67,6 +67,33 @@ class TuktuCompatSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("result")).toSeq == Seq(0L, 3L, 6L))
   }
 
+  test("LineGenerator / CSVGenerator FQCN configs read files verbatim") {
+    val dir = Files.createTempDirectory("graft_gen").toFile
+    val lines = new java.io.File(dir, "lines.txt")
+    val lw = new java.io.PrintWriter(lines)
+    (1 to 5).foreach(i => lw.println(s"line$i")); lw.close()
+    val csvf = new java.io.File(dir, "data.csv")
+    val cw = new java.io.PrintWriter(csvf)
+    cw.println("a;b"); cw.println("1;x"); cw.println("2;y"); cw.close()
+
+    val lineFlow = s"""
+    { "generators": [ {"id": "g", "name": "tuktu.generators.LineGenerator",
+        "result": "line",
+        "config": {"filename": "${lines.getAbsolutePath}", "start_line": 1, "end_line": 3},
+        "next": []} ] }"""
+    val got = Flow.run(spark, lineFlow).values.head
+      .select("line").as[String].collect().toSet
+    assert(got == Set("line2", "line3", "line4")) // lines 1..3, 0-based
+
+    val csvFlow = s"""
+    { "generators": [ {"id": "g", "name": "tuktu.csv.generators.CSVGenerator",
+        "config": {"filename": "${csvf.getAbsolutePath}", "has_headers": true},
+        "next": []} ] }"""
+    val rows = Flow.run(spark, csvFlow).values.head
+      .orderBy("a").select("a", "b").as[(String, String)].collect().toSeq
+    assert(rows == Seq(("1", "x"), ("2", "y"))) // ';' default separator
+  }
+
   // --- round-3 breadth: the rest of the reference BaseProcessorTestSuite ---
 
   private def listFlow(rowsJson: String, procs: String): String =
