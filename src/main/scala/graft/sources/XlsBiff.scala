@@ -16,10 +16,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * BIFF8 BOF/EOF, BOUNDSHEET (name → substream offset), SST + LABELSST
  * (compressed and UTF-16 strings, including strings spanning CONTINUE
  * records with per-segment encoding re-declaration), LABEL, NUMBER, RK,
- * MULRK, BOOLERR (bool and error-code cells). Not supported (documented):
- * encrypted workbooks (FILEPASS), BIFF5 and earlier. Unknown records are
- * skipped by length, so real-world files with formatting records parse
- * fine; corrupt chains fail loudly with context.
+ * MULRK, BOOLERR (bool and error-code cells); BIFF5/7 workbooks ("Book"
+ * stream, CODEPAGE-encoded inline byte strings in BOUNDSHEET/LABEL/RSTRING).
+ * Not supported (documented): encrypted workbooks (FILEPASS — fails with an
+ * explicit error), BIFF4 and earlier. Unknown records are skipped by
+ * length, so real-world files with formatting records parse fine; corrupt
+ * chains fail loudly with context.
  *
  * Distribution matches the xlsx path: one task per file via binaryFiles.
  */
@@ -202,9 +204,24 @@ object XlsBiff {
     }
   }
 
-  /** Parse the Workbook stream: (sheet name → rows) in boundsheet order. */
+  /** Windows codepage id → JVM charset for BIFF5 byte strings. */
+  private def codepageName(cp: Int): String = cp match {
+    case 1200  => "UTF-16LE"
+    case 10000 => "x-MacRoman"
+    case other =>
+      val candidate = if (other >= 1250 && other <= 1258) s"windows-$other" else s"cp$other"
+      if (java.nio.charset.Charset.isSupported(candidate)) candidate else "windows-1252"
+  }
+
+  /** Parse the Workbook stream: (sheet name → rows) in boundsheet order.
+    * Handles BIFF8 and BIFF5/7 ([MS-XLS] 2.4.21 BOF.vers): BIFF5 has no
+    * SST/LABELSST — strings are inline byte strings in the CODEPAGE
+    * encoding, and BOUNDSHEET/LABEL carry no grbit flags byte. */
   private[graft] def sheets(stream: Array[Byte]): Seq[(String, Seq[IndexedSeq[String]])] = {
     val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    require(stream.length >= 6 && u16(b, 0) == 0x0809, "BIFF: stream does not start with BOF")
+    val biff5 = u16(b, 4) != 0 && u16(b, 4) < 0x0600
+    var codepage = "windows-1252" // CODEPAGE record overrides
     // pass 1: globals — SST + BOUNDSHEETs
     var pos = 0
     var sst = IndexedSeq.empty[String]
@@ -216,6 +233,9 @@ object XlsBiff {
       rec match {
         case 0x0809 => depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true
+        case 0x002F => throw new IllegalArgumentException(
+          "BIFF: encrypted workbook (FILEPASS) is not supported")
+        case 0x0042 => codepage = codepageName(u16(b, body))
         case 0x00FC => // SST (+ any immediately-following CONTINUE records)
           val unique = u32(b, body + 4).toInt
           var segs = Vector(java.util.Arrays.copyOfRange(stream, body + 8, body + len))
@@ -227,12 +247,13 @@ object XlsBiff {
           }
           val cur = new SstCursor(segs)
           sst = IndexedSeq.fill(unique)(cur.readString())
-        case 0x0085 => // BOUNDSHEET
+        case 0x0085 => // BOUNDSHEET (BIFF5: byte string, no flags byte)
           val lbPlyPos = u32(b, body).toInt
           val cch = stream(body + 6) & 0xFF
-          val high = (stream(body + 7) & 1) != 0
           val name =
-            if (high) new String(stream, body + 8, cch * 2, "UTF-16LE")
+            if (biff5) new String(stream, body + 7, cch, codepage)
+            else if ((stream(body + 7) & 1) != 0)
+              new String(stream, body + 8, cch * 2, "UTF-16LE")
             else new String(stream, body + 8, cch, "ISO-8859-1")
           bounds :+= (name, lbPlyPos)
         case _ => ()
@@ -274,12 +295,16 @@ object XlsBiff {
                 case 0x2A => "#N/A"; case other => s"#ERR$other"
               }
             cells += ((u16(b, body), u16(b, body + 2), v))
-          case 0x0204 => // LABEL (inline string)
+          case 0x0204 | 0x00D6 => // LABEL / BIFF5 RSTRING (inline string)
             val cch = u16(b, body + 6)
-            val high = (stream(body + 8) & 1) != 0
-            val s = if (high) new String(stream, body + 9, cch * 2, "UTF-16LE")
-                    else new String(stream, body + 9, cch, "ISO-8859-1")
+            val s =
+              if (biff5) new String(stream, body + 8, cch, codepage) // no flags byte
+              else if ((stream(body + 8) & 1) != 0)
+                new String(stream, body + 9, cch * 2, "UTF-16LE")
+              else new String(stream, body + 9, cch, "ISO-8859-1")
             cells += ((u16(b, body), u16(b, body + 2), s))
+          case 0x002F => throw new IllegalArgumentException(
+            "BIFF: encrypted workbook (FILEPASS) is not supported")
           case _ => ()
         }
         p = body + len

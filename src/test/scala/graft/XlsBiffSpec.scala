@@ -192,6 +192,43 @@ class XlsBiffSpec extends SparkSpec {
     assert(rows(2) == IndexedSeq("South", "40", "5.5", "6"))
   }
 
+  test("BIFF5 workbooks parse: inline byte strings, CODEPAGE, no flags bytes") {
+    val bofG = rec(0x0809, le(u16(0x0500), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+    val codepage = rec(0x0042, u16(1252))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val bofS = rec(0x0809, le(u16(0x0500), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
+    def label5(rw: Int, col: Int, s: String): Array[Byte] = {
+      val bytes = s.getBytes("windows-1252")
+      rec(0x0204, le(u16(rw), u16(col), u16(0), u16(bytes.length), bytes))
+    }
+    def rstring5(rw: Int, col: Int, s: String): Array[Byte] = {
+      val bytes = s.getBytes("windows-1252")
+      rec(0x00D6, le(u16(rw), u16(col), u16(0), u16(bytes.length), bytes))
+    }
+    val sheet = le(bofS,
+      label5(0, 0, "café"), rstring5(0, 1, "nörd"), number(0, 2, 7.0), eof)
+    def globals(lbPlyPos: Int): Array[Byte] = {
+      val name = "dat5"
+      // BIFF5 BOUNDSHEET: lbPlyPos, grbit, cch byte, then codepage bytes
+      val bs = rec(0x0085, le(u32(lbPlyPos), u16(0),
+        Array(name.length.toByte), ascii(name)))
+      le(bofG, codepage, bs, eof)
+    }
+    val stream = le(globals(globals(0).length), sheet)
+    val rows = XlsBiff.xlsRows(cfbMini(stream), Some("dat5"))
+    assert(rows == Seq(IndexedSeq("café", "nörd", "7")))
+  }
+
+  test("FILEPASS (encrypted) workbooks fail with an explicit error") {
+    val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+    val filepass = rec(0x002F, le(u16(1), u16(1), Array.fill[Byte](48)(0)))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val ex = intercept[IllegalArgumentException] {
+      XlsBiff.xlsRows(cfbMini(le(bofG, filepass, eof)), None)
+    }
+    assert(ex.getMessage.contains("FILEPASS"))
+  }
+
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
     val eof = rec(0x000A, Array.emptyByteArray)
