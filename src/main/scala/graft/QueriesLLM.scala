@@ -59,8 +59,12 @@ object QueriesLLM {
 
     // ---------------- simhash signatures
     "dedup_simhash" -> ((s, dir) => {
-      rd(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text"), bits = 16).as("simhash"))
+      // codegen path (simhashAgg == simhash, spec-proven); every doc emits a
+      // row because even empty text tokenizes to one "" token
+      Dedup.simhashAgg(
+        rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", bits = 16)
+        .select(col("id").as("doc_id"), col("simhash"))
         .orderBy("doc_id")
     }),
 
@@ -70,15 +74,21 @@ object QueriesLLM {
     // jac = i/(|a|+|b|-i) — integer operands, so the double division is
     // bit-identical in DuckDB without rounding.
     "ngram_jaccard" -> ((s, dir) => {
+      // codegen shingle path (minhashBase with k=0); docs too short for a
+      // 2-gram are absent from base and re-enter with an empty set via the
+      // left join (jac 0), matching the HOF pipeline and the oracle
       val d = rd(s, dir, "documents").select("doc_id", "text")
-      val pivot = Dedup.withShingleHashes(d.filter(col("doc_id") === 0), "text", "ph", 2)
-        .select("ph")
-      Dedup.withShingleHashes(d, "text", "sh", 2)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val base = Dedup.minhashBase(d, "doc_id", "text", n = 2, k = 0, collectShingles = true)
+        .select(col("id").as("doc_id"), col("sh"))
+      val pivot = base.filter(col("doc_id") === 0).select(col("sh").as("ph"))
+      d.select("doc_id").join(base, Seq("doc_id"), "left")
         .crossJoin(broadcast(pivot))
-        .withColumn("inter", size(array_intersect(col("sh"), col("ph"))))
+        .withColumn("inter", coalesce(size(array_intersect(col("sh"), col("ph"))), lit(0)))
+        .withColumn("shn", coalesce(size(col("sh")), lit(0)))
         .select(col("doc_id"),
           (col("inter").cast(DoubleType) /
-            (size(col("sh")) + size(col("ph")) - col("inter")).cast(DoubleType)).as("jac"))
+            (col("shn") + size(col("ph")) - col("inter")).cast(DoubleType)).as("jac"))
         .filter(col("doc_id") =!= 0)
         .orderBy("doc_id")
     }),

@@ -111,6 +111,7 @@ object Dedup {
     * callers that must emit them join back against the id universe. */
   def minhashBase(df: DataFrame, idCol: String, textCol: String,
                   n: Int = 3, k: Int = 16, collectShingles: Boolean = false): DataFrame = {
+    require(k > 0 || collectShingles, "minhashBase: nothing to compute")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
     val th = df
@@ -123,13 +124,36 @@ object Dedup {
       .withColumn("sh", (1 until n).foldLeft(col("th"))((h, j) =>
         (h * 131 + lead(col("th"), j).over(w)) % P))
       .filter(col("sh").isNotNull)
+    // k = 0 skips the signature entirely (shingle-set-only consumers)
     val sigAggs = (0 until k).map { j =>
       min((col("sh") * (2L * j + 1) + (12289L * j + 741)) % P).as(s"__m$j")
     }
-    val aggs = if (collectShingles) sigAggs :+ collect_set(col("sh")).as("sh") else sigAggs
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val aggs = (if (collectShingles) sigAggs :+ collect_set(col("sh")).as("sh") else sigAggs).toSeq
+    val agged = sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    if (k == 0) agged
+    else agged
       .withColumn("sig", array((0 until k).map(j => col(s"__m$j")): _*))
       .drop((0 until k).map(j => s"__m$j"): _*)
+  }
+
+  /** Codegen-path SimHash (same result as [[simhash]]): explode distinct
+    * tokens, per-bit ±1 votes as `bits` native sum aggregates, signature
+    * assembled from the vote signs — no interpreted lambdas (the array-HOF
+    * form allocates a `bits`-wide array per token). One doc-keyed shuffle
+    * with map-side partial sums. */
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String, bits: Int = 60): DataFrame = {
+    val th = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+      .select(col("id"), TextAnalysis.tokenHash(col("tok")).as("th"))
+    val votes = (0 until bits).map { i =>
+      sum(when(col("th").bitwiseAND(lit(1L << i)) =!= 0L, 1L).otherwise(-1L)).as(s"__v$i")
+    }
+    th.groupBy("id").agg(votes.head, votes.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(i =>
+          when(col(s"__v$i") >= 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+      .drop((0 until bits).map(i => s"__v$i"): _*)
   }
 
   /** Exact dedup by content hash: per duplicate-cluster keep the smallest id.

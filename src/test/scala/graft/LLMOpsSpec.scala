@@ -38,6 +38,30 @@ class LLMOpsSpec extends SparkSpec {
     assert(hamming(sh(0L), sh(2L)) <= hamming(sh(0L), sh(3L)))
   }
 
+  test("simhashAgg (codegen path) equals the expression simhash") {
+    val docs = Seq((0, "the quick brown fox jumps"), (1, "the the the"),
+      (2, ""), (3, "unique words appear here now"))
+      .toDF("doc_id", "text")
+    val a = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("s"))
+      .orderBy("doc_id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val b = Dedup.simhashAgg(docs, "doc_id", "text", 16)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(a == b)
+  }
+
+  test("minhashBase k=0 shingle sets equal withShingleHashes") {
+    val docs = Seq((0, "a b c d e"), (1, "x"), (2, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val hof = Dedup.withShingleHashes(docs, "text", "sh", 2)
+      .select(col("doc_id"), array_sort(col("sh")).as("sh"))
+      .orderBy("doc_id").collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList)).toSeq
+    val cg = Dedup.minhashBase(docs, "doc_id", "text", n = 2, k = 0, collectShingles = true)
+      .select(col("id"), array_sort(col("sh")).as("sh"))
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getSeq[Long](1).toList)).toSeq
+    // docs with <n tokens are absent from the codegen base by contract
+    assert(cg == hof.filter(_._2.nonEmpty))
+  }
+
   test("jaccard of identical shingle sets is 1") {
     val d = Dedup.withShingleHashes(docs, "text", "sh")
     val a = d.filter(col("doc_id") === 0).select("sh").as[Seq[Long]].head
