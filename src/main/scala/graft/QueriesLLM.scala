@@ -59,12 +59,14 @@ object QueriesLLM {
 
     // ---------------- simhash signatures
     "dedup_simhash" -> ((s, dir) => {
-      // codegen path (simhashAgg == simhash, spec-proven); every doc emits a
-      // row because even empty text tokenizes to one "" token
-      Dedup.simhashAgg(
-        rd(s, dir, "documents").repartition(s.sparkContext.defaultParallelism, col("doc_id")),
-        "doc_id", "text", bits = 16)
-        .select(col("id").as("doc_id"), col("simhash"))
+      // codegen path (simhashAgg == simhash, spec-proven); left join back to
+      // the id universe so a NULL-text doc (explode emits nothing) still
+      // appears, with the null signature the expression form also yields
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      d.select("doc_id")
+        .join(Dedup.simhashAgg(d, "doc_id", "text", bits = 16)
+          .select(col("id").as("doc_id"), col("simhash")), Seq("doc_id"), "left")
         .orderBy("doc_id")
     }),
 
@@ -81,7 +83,11 @@ object QueriesLLM {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val base = Dedup.minhashBase(d, "doc_id", "text", n = 2, k = 0, collectShingles = true)
         .select(col("id").as("doc_id"), col("sh"))
-      val pivot = base.filter(col("doc_id") === 0).select(col("sh").as("ph"))
+      // pivot must be exactly ONE row even when doc 0 is too short to have
+      // shingles (absent from base) — else the cross join annihilates output
+      val pivot = d.filter(col("doc_id") === 0).select("doc_id")
+        .join(base, Seq("doc_id"), "left")
+        .select(coalesce(col("sh"), array().cast(ArrayType(LongType))).as("ph"))
       d.select("doc_id").join(base, Seq("doc_id"), "left")
         .crossJoin(broadcast(pivot))
         .withColumn("inter", coalesce(size(array_intersect(col("sh"), col("ph"))), lit(0)))

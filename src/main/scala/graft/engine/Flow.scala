@@ -115,7 +115,9 @@ object Flow {
       case "rest" =>
         graft.operators.Http.restEnrich(df, str("url"), result,
           method = strOpt("http_method").getOrElse("GET"),
-          bodyTemplate = strOpt("body"))
+          // object-shaped bodies render as JSON (asText on a container is "")
+          bodyTemplate = Option(c.get("body")).map(b =>
+            if (b.isTextual) b.asText else b.toString))
       case "url_check" =>
         graft.operators.Http.urlChecker(df, str("url"), result,
           codes = Option(c.get("codes")).map(_.elements().asScala.map(_.asInt).toSeq))

@@ -418,7 +418,12 @@ object Ops {
         val cols = part.map { case (alias, e) => Expr.aggregate(df, e).as(alias) }
         df.groupBy(groupFields.map(col): _*).agg(cols.head, cols.tail: _*)
       }
-      return aggOf(plain).join(aggOf(dist), groupFields)
+      // null-SAFE join on the keys: a null group key is a real group in both
+      // aggregations, and an EqualTo join would silently drop it
+      val (a, b) = (aggOf(plain), aggOf(dist))
+      return a.join(b, groupFields.map(k => a(k) <=> b(k)).reduce(_ && _))
+        .select(groupFields.map(a(_)) ++
+          plain.map(p => a(p._1)) ++ dist.map(d => b(d._1)): _*)
         .select((groupFields ++ aggs.map(_._1)).map(col): _*) // declared order
     }
     val cols = aggs.map { case (alias, e) => Expr.aggregate(df, e).as(alias) }

@@ -118,22 +118,26 @@ object TuktuCompat {
       case "tuktu.processors.FieldRemoveProcessor" =>
         df.drop(strs(c, "fields"): _*)
 
-      // ref: BaseProcessors.scala:160 — {fields:[{path:[...], result}]}
+      // ref: BaseProcessors.scala:160 — {fields:[{path:[...], result}]}.
+      // One select with every copy read from the ORIGINAL row: sequential
+      // withColumn would let a later copy read an earlier copy's overwrite.
       case "tuktu.processors.FieldCopyProcessor" =>
-        arr(c, "fields").foldLeft(df) { (d, f) =>
-          d.withColumn(f.get("result").asText, colPath(pathList(f)))
-        }
+        val copies = arr(c, "fields").map(f => (pathList(f), f.get("result").asText))
+        val newNames = copies.map(_._2).toSet
+        df.select(df.columns.filterNot(newNames.contains).map(col).toSeq ++
+          copies.map { case (p, r) => colPath(p).alias(r) }: _*)
 
       // ref: BaseProcessors.scala:292 — copy then remove the path heads,
-      // keeping results that recycle a source name
+      // keeping results that recycle a source name; all sources read from
+      // the original row (same single-select rationale as FieldCopy)
       case "tuktu.processors.FieldRenameProcessor" =>
-        val fields = arr(c, "fields")
-        val present = fields.filter(f => df.columns.contains(pathList(f).head))
-        val copied = present.foldLeft(df) { (d, f) =>
-          d.withColumn(f.get("result").asText, colPath(pathList(f)))
-        }
-        val results = present.map(_.get("result").asText).toSet
-        copied.drop(present.map(pathList(_).head).filterNot(results.contains): _*)
+        val present = arr(c, "fields").filter(f => df.columns.contains(pathList(f).head))
+        val renames = present.map(f => (pathList(f), f.get("result").asText))
+        val results = renames.map(_._2).toSet
+        val cleanUp = present.map(pathList(_).head).toSet -- results
+        df.select(
+          df.columns.filterNot(n => results.contains(n) || cleanUp.contains(n)).map(col).toSeq ++
+            renames.map { case (p, r) => colPath(p).alias(r) }: _*)
 
       // ref: BaseProcessors.scala:234 — {fields:[{path, result, default?}]};
       // fetches (possibly nested) values as top-level citizens
@@ -179,24 +183,30 @@ object TuktuCompat {
         else Ops.indexByLayout(df, node.result)
           .withColumn(node.result, col(node.result) * step + startAt)
 
-      // ref: BaseProcessors.scala:374 — {expressions:[{type, expression, and_or?}],
-      // batch?, batch_min_count?}; expression may be a nested array of
-      // sub-expressions combined per and_or. Top level is an OR (exists).
+      // ref: BaseProcessors.scala:374-497 — the CURRENT reference schema is
+      // FLAT: {type: simple|negate|groovy, expression, batch?,
+      // batch_min_count?}. The legacy test-corpus schema ({expressions:
+      // [{type, and_or?, expression|[...]}]}, OR at the top level, exists
+      // over an empty list = drop all) is accepted as a fallback so older
+      // configs keep running.
       case "tuktu.processors.PacketFilterProcessor" =>
-        def build(e: JsonNode): Column = {
-          val base =
-            if (e.get("expression").isArray) {
-              val children = e.get("expression").elements().asScala.toSeq.map(build)
-              if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
-              else children.reduceOption(_ && _).getOrElse(lit(true))
-            } else str(e, "type") match {
-              case Some("groovy") => throw new IllegalArgumentException(
-                "groovy expressions are not supported; use the Tuktu predicate grammar or a Scala lambda")
-              case _ => Expr.predicate(df, e.get("expression").asText)
-            }
-          if (str(e, "type").contains("negate")) !base else base
+        def leaf(tp: Option[String], e: JsonNode): Column = {
+          val base = tp match {
+            case Some("groovy") => throw new IllegalArgumentException(
+              "groovy expressions are not supported; use the Tuktu predicate grammar or a Scala lambda")
+            case _ => Expr.predicate(df, e.asText)
+          }
+          if (tp.contains("negate")) !base else base
         }
-        val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
+        def build(e: JsonNode): Column =
+          if (e.get("expression").isArray) {
+            val children = e.get("expression").elements().asScala.toSeq.map(build)
+            if (str(e, "and_or").contains("or")) children.reduceOption(_ || _).getOrElse(lit(false))
+            else children.reduceOption(_ && _).getOrElse(lit(true))
+          } else leaf(str(e, "type"), e.get("expression"))
+        val cond =
+          if (c.has("expression")) leaf(str(c, "type"), c.get("expression"))
+          else arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(false))
         if (bool(c, "batch"))
           batchGate(df, cond, Option(c.get("batch_min_count")).map(_.asLong).getOrElse(1L))
         else df.filter(cond)
@@ -216,7 +226,8 @@ object TuktuCompat {
             val leaf = col(e.get("field").asText).rlike(e.get("expression").asText)
             if (str(e, "type").contains("negate")) !leaf else leaf
           }
-        val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(true))
+        // exists over an empty expressions list is false: drop everything
+        val cond = arr(c, "expressions").map(build).reduceOption(_ || _).getOrElse(lit(false))
         if (bool(c, "batch"))
           batchGate(df, cond, Option(c.get("batch_min_count")).map(_.asLong).getOrElse(1L))
         else df.filter(cond)
@@ -225,10 +236,17 @@ object TuktuCompat {
       // side effect; show() here would force an extra job, so it is elided)
       case "tuktu.processors.ConsoleWriterProcessor" => df
 
-      // ref: BaseProcessors.scala:92 — {field, keep_original_field?}
+      // ref: BaseProcessors.scala:92 — {field, keep_original_field?}: on an
+      // empty list the reference REMOVES the result field (null here) unless
+      // keep_original_field, which preserves a pre-existing result value
       case "tuktu.processors.HeadOfListProcessor" =>
-        df.withColumn(node.result,
-          when(size(col(str(c, "field").get)) > 0, element_at(col(str(c, "field").get), 1)))
+        val f = col(str(c, "field").get)
+        val head = when(size(f) > 0, element_at(f, 1))
+        val out =
+          if (bool(c, "keep_original_field") && df.columns.contains(node.result))
+            coalesce(head, col(node.result))
+          else head
+        df.withColumn(node.result, out)
 
       // ref: BaseProcessors.scala:668 — {fields:[{path, separator}]};
       // overwrites the path HEAD with the joined string
@@ -244,12 +262,18 @@ object TuktuCompat {
       case "tuktu.processors.ImploderProcessor" =>
         Option(c.get("fields")) match {
           case Some(_) =>
-            val parts = strs(c, "fields").map { f =>
+            // element types must agree for concat; heterogeneous fields fall
+            // back to strings like the reference's untyped datum (and the
+            // no-fields branch below)
+            val typed = strs(c, "fields").map { f =>
               df.schema(f).dataType match {
-                case _: ArrayType => col(f)
-                case _            => array(col(f))
+                case ArrayType(et, _) => (col(f), et)
+                case dt               => (array(col(f)), dt)
               }
             }
+            val parts =
+              if (typed.map(_._2).distinct.sizeIs == 1) typed.map(_._1)
+              else typed.map(_._1.cast(ArrayType(StringType)))
             df.withColumn(node.result, concat(parts: _*))
           case None =>
             val cols = df.columns.sorted.map(col(_).cast(StringType))
@@ -410,11 +434,23 @@ object TuktuCompat {
           case _            => df.withColumn(f, col(f).cast(dec))
         }
 
-      // ref: ConvertToDate.scala:19 — {field, format?}: overwrite
+      // ref: ConvertToDate.scala:19 — {field, format?}: overwrite. The
+      // reference default ("EEE MMM dd HH:mm:ss zzz yyyy", java.util.Date
+      // toString) uses pattern letters Spark's parser rejects — that path
+      // goes through a SimpleDateFormat UDF instead of failing analysis.
       case "tuktu.processors.ConvertToDate" =>
         val f = str(c, "field").get
-        val fmt = str(c, "format").getOrElse("EEE MMM dd HH:mm:ss zzz yyyy")
-        df.withColumn(f, to_timestamp(col(f), fmt))
+        str(c, "format") match {
+          case Some(fmt) => df.withColumn(f, to_timestamp(col(f), fmt))
+          case None =>
+            val parse = udf { (s: String) =>
+              if (s == null) null
+              else try new java.sql.Timestamp(new java.text.SimpleDateFormat(
+                "EEE MMM dd HH:mm:ss zzz yyyy", java.util.Locale.US).parse(s).getTime)
+              catch { case _: java.text.ParseException => null }
+            }
+            df.withColumn(f, parse(col(f)))
+        }
 
       // ref: BufferProcessorTestSuite.scala:24 / BufferProcessors.scala —
       // {size}: tag rows with a batch id every `size` rows in arrival order

@@ -139,12 +139,15 @@ object Http {
   def urlChecker(df: DataFrame, urlTemplate: String, result: String,
                  codes: Option[Seq[Int]] = None, maxInFlight: Int = 8,
                  transport: Transport = JdkTransport): DataFrame = {
-    val checked = restEnrich(df, urlTemplate, "__chk", method = "HEAD",
+    // uniquified temp name: a fixed one would collide with (and then drop)
+    // a same-named input column
+    val tmp = "__chk_" + java.util.UUID.randomUUID.toString.take(8)
+    val checked = restEnrich(df, urlTemplate, tmp, method = "HEAD",
       maxInFlight = maxInFlight, transport = transport)
     import org.apache.spark.sql.functions._
-    val status = col("__chk_status")
+    val status = col(tmp + "_status")
     val out = codes.fold[org.apache.spark.sql.Column](status)(cs => status.isInCollection(cs))
-    checked.withColumn(result, out).drop("__chk", "__chk_status")
+    checked.withColumn(result, out).drop(tmp, tmp + "_status")
   }
 
   /** FreeGeoIPProcessor: GET `<geoipurl>/<format>/<ip>` per row. */

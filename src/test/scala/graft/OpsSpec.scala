@@ -228,6 +228,16 @@ class OpsSpec extends SparkSpec {
     assert(dOut.select("picked").as[Double].head == 2.5)
   }
 
+  test("aggregateByValue keeps a null group key when distinct and median mix") {
+    val d = Seq((Some("a"), 1, 10), (Some("a"), 2, 20), (None, 3, 30), (None, 3, 40))
+      .toDF("k", "o", "v")
+    val out = Ops.aggregateByValue(d, Seq("k"), Seq(
+      "med" -> "median(${v})", "nd" -> "distinct(${o})"))
+    assert(out.count() == 2) // the null-key group survives the split join
+    val nullRow = out.filter(col("k").isNull).head
+    assert(nullRow.getAs[Double]("med") == 35.0 && nullRow.getAs[Long]("nd") == 1L)
+  }
+
   test("evaluateNested resolves chained ${} references to a fixpoint") {
     val d = Seq(("${b}", "${c}", "42"), ("plain", "x", "y"))
       .toDF("a", "b", "c")

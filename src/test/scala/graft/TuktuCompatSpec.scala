@@ -345,6 +345,61 @@ class TuktuCompatSpec extends SparkSpec {
     assert(batch.count() == 3)
   }
 
+  test("FieldRename/FieldCopy read sources from the ORIGINAL row, not prior renames") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"a": "1", "b": "2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.FieldRenameProcessor",
+         "config": {"fields": [ {"path": ["a"], "result": "b"},
+                                {"path": ["b"], "result": "c"} ]}, "next": []}"""))
+    val r = out.head
+    // b gets a's value; c gets the ORIGINAL b (reference reads the datum)
+    assert(r.getAs[String]("b") == "1" && r.getAs[String]("c") == "2")
+    assert(out.columns.toSet == Set("b", "c")) // a cleaned up
+  }
+
+  test("PacketFilterProcessor flat reference schema {type, expression}") {
+    val rows = """[{"v": 1}, {"v": 5}]"""
+    val kept = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.PacketFilterProcessor",
+         "config": {"type": "simple", "expression": "${v} > 3"}, "next": []}"""))
+    assert(kept.select("v").as[Long].collect().toSeq == Seq(5L))
+    val negated = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.PacketFilterProcessor",
+         "config": {"type": "negate", "expression": "${v} > 3"}, "next": []}"""))
+    assert(negated.select("v").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("HeadOfListProcessor: empty list nulls result unless keep_original_field") {
+    val rows = """[{"xs": [7, 8], "result": 99}, {"xs": [], "result": 42}]"""
+    val plain = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.HeadOfListProcessor",
+         "result": "result", "config": {"field": "xs"}, "next": []}"""))
+    assert(plain.orderBy("xs").select("result").collect().map(r =>
+      if (r.isNullAt(0)) null else r.getLong(0)).toSeq == Seq(null, 7L))
+    val keep = Flow.runSingle(spark, listFlow(rows,
+      """{"id": "p0", "name": "tuktu.processors.HeadOfListProcessor",
+         "result": "result",
+         "config": {"field": "xs", "keep_original_field": true}, "next": []}"""))
+    assert(keep.orderBy("xs").select("result").as[Long].collect().toSeq == Seq(42L, 7L))
+  }
+
+  test("ConvertToDate default format parses java.util.Date toString strings") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"d": "Mon Mar 04 10:30:00 UTC 2024"}]""",
+      """{"id": "p0", "name": "tuktu.processors.ConvertToDate",
+         "config": {"field": "d"}, "next": []}"""))
+    val ts = out.head.getAs[java.sql.Timestamp]("d")
+    assert(ts != null && ts.toInstant.toString.startsWith("2024-03-04"))
+  }
+
+  test("ImploderProcessor mixes array and scalar of different types via strings") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"tags": ["x", "y"], "count": 7}]""",
+      """{"id": "p0", "name": "tuktu.processors.ImploderProcessor",
+         "result": "result", "config": {"fields": ["tags", "count"]}, "next": []}"""))
+    assert(out.head.getAs[scala.collection.Seq[String]]("result").toList == List("x", "y", "7"))
+  }
+
   test("PacketRegexFilterProcessor batch mode keeps the whole packet (corpus case 4)") {
     val out = Flow.runSingle(spark, listFlow(
       """[{"key1": "een", "key2": "twee"}, {"key1": "half", "key2": "een"},
