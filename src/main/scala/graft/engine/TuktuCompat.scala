@@ -27,6 +27,8 @@ import scala.jdk.CollectionConverters._
  */
 object TuktuCompat {
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   private def arr(n: JsonNode, k: String): Seq[JsonNode] =
     Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
   private def str(n: JsonNode, k: String): Option[String] = Option(n.get(k)).map(_.asText)
@@ -495,6 +497,55 @@ object TuktuCompat {
         }
         withBase.groupBy(strs(c, "group").map(col): _*)
           .agg(Expr.aggregate(withBase, exprStr).as(node.result))
+
+      // ref: arithmetics/ArithmeticProcessor.scala:16 — {calculate,
+      // number_of_decimals?, do_rounding?}
+      case "tuktu.processors.arithmetics.ArithmeticProcessor" =>
+        val round =
+          if (bool(c, "do_rounding"))
+            Some(Option(c.get("number_of_decimals")).map(_.asInt).getOrElse(0))
+          else None
+        Ops.arithmetic(df, str(c, "calculate").get, node.result, round)
+
+      // ref: arithmetics/MaxByFieldProcessor.scala:10 — {fields}
+      case "tuktu.processors.arithmetics.MaxFieldByValueProcessor" =>
+        df.withColumn(node.result, greatest(strs(c, "fields").map(col): _*))
+
+      // ref: BaseProcessors.scala:355 — {predicate}
+      case "tuktu.processors.PredicateProcessor" =>
+        Ops.predicateField(df, str(c, "predicate").get, node.result)
+
+      // ref: json/JSONParseProcessor.scala:15 — {field}: the reference keeps
+      // an untyped JsValue; the Spark-4 analog is the variant type
+      case "tuktu.processors.json.JSONParseProcessor" =>
+        df.withColumn(node.result, try_parse_json(col(str(c, "field").get).cast(StringType)))
+
+      // ref: time/TimestampNormalizerProcessor.scala:17 — {datetime_field,
+      // datetime_format?, time:{unit: n}}: floor to n-unit buckets. n>1 is
+      // integer bucket math on epoch seconds; n=1 months/years via trunc.
+      case "tuktu.processors.time.TimestampNormalizerProcessor" =>
+        val f = str(c, "datetime_field").get
+        val ts = str(c, "datetime_format") match {
+          case Some(fmt) => to_timestamp(col(f).cast(StringType), fmt)
+          case None      => col(f).cast(TimestampType)
+        }
+        val t = Option(c.get("time")).getOrElse(mapper.createObjectNode())
+        def n(k: String): Int = Option(t.get(k)).map(_.asInt).getOrElse(0)
+        val unitSecs = Seq("seconds" -> 1L, "minutes" -> 60L, "hours" -> 3600L,
+          "days" -> 86400L, "weeks" -> 604800L)
+        val out = Seq("years", "months").find(u => n(u) == 1)
+          .map(u => date_trunc(u.stripSuffix("s"), ts))
+          .orElse(unitSecs.reverse.collectFirst { case (u, secs) if n(u) > 0 =>
+            val bucket = secs * n(u)
+            timestamp_seconds(floor(unix_timestamp(ts) / bucket) * bucket)
+          })
+          .getOrElse(date_trunc("second", ts)) // reference default: seconds=1
+        df.withColumn(node.result, out)
+
+      // ref: time/DateToMillisProcessor.scala:16 — {field}
+      case "tuktu.processors.time.DateToMillisProcessor" =>
+        df.withColumn(node.result,
+          (unix_timestamp(col(str(c, "field").get).cast(TimestampType)) * 1000))
 
       // ref: bucket/statistics/StatisticsProcessors.scala — {fields}: one row,
       // one column per field

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.functions.{col, size}
+import org.apache.spark.sql.functions.{col, expr, size}
 import graft.engine.Flow
 
 /** Verbatim reference configs through the compat layer — including the
@@ -440,6 +440,32 @@ class TuktuCompatSpec extends SparkSpec {
          "next": []}"""))
     val m = out.collect().map(r => r.getAs[String]("k") -> r.getAs[Double]("result")).toMap
     assert(m == Map("a" -> 3.0, "b" -> 3.0))
+  }
+
+  test("Arithmetic/Predicate/JSONParse/time FQCNs run with reference configs") {
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"a": 3, "b": 4, "j": "{\"x\": {\"y\": 9}}",
+           "ts": "2024-03-04 10:17:45"}]""",
+      """{"id": "p0", "name": "tuktu.processors.arithmetics.ArithmeticProcessor",
+         "result": "calc",
+         "config": {"calculate": "${a} + ${b} * 2", "do_rounding": true,
+                    "number_of_decimals": 0}, "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.PredicateProcessor",
+          "result": "pred", "config": {"predicate": "${a} < ${b}"}, "next": ["p2"]},
+         {"id": "p2", "name": "tuktu.processors.json.JSONParseProcessor",
+          "result": "parsed", "config": {"field": "j"}, "next": ["p3"]},
+         {"id": "p3", "name": "tuktu.processors.time.TimestampNormalizerProcessor",
+          "result": "bucket",
+          "config": {"datetime_field": "ts", "datetime_format": "yyyy-MM-dd HH:mm:ss",
+                     "time": {"minutes": 5}}, "next": ["p4"]},
+         {"id": "p4", "name": "tuktu.processors.time.DateToMillisProcessor",
+          "result": "ms", "config": {"field": "bucket"}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[Double]("calc") == 11.0)
+    assert(r.getAs[Boolean]("pred"))
+    assert(out.select(expr("variant_get(parsed, '$.x.y', 'int')")).head.getInt(0) == 9)
+    assert(r.getAs[java.sql.Timestamp]("bucket").toString.endsWith("10:15:00.0"))
+    assert(r.getAs[Long]("ms") % 300000L == 0L)
   }
 
   test("bucket statistics processors produce one row of per-field stats") {
