@@ -168,23 +168,33 @@ object Dedup {
     * Returns (id1, id2, jaccard). */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       n: Int = 3, k: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5, cacheBase: Boolean = false): DataFrame = {
     // One aggregation pass produces BOTH the signature (banding) and the
     // distinct shingle set (exact verify) — see minhashBase for why this
     // codegen shape beats the array-HOF fold. Docs with <n tokens have no
     // shingles, can never pair, and are correctly absent.
     //
-    // The shingle sets ride the band exchange: both self-join sides shuffle
-    // the identical (band, id, sh) plan, so ReusedExchange materializes it
-    // ONCE — base is computed a single time with no persist. Jaccard is
-    // verified in the join output (before any further shuffle); pairs sharing
-    // several bands re-verify per band (bounded by `bands`, CPU-only — the
-    // groupBy that dedups them afterwards shuffles just (id1, id2, jaccard)
-    // scalars, never the shingle arrays). The alternative pair-once shape
-    // (dedup ids first, join the sets back per side) shuffles the full
-    // shingle table twice more and compiles three extra join stages — it
-    // loses at both bench scale and 100 TB unless band collisions dominate.
-    val base = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
+    // The shingle sets ride the band self-join, whose two sides are the
+    // same (band, id, sh) pipeline. Exchange reuse does NOT kick in
+    // (plan-audited: the sides canonicalize differently and AQE broadcasts
+    // one side at small scale), so the base pipeline runs once per side.
+    // That duplicate is the cheaper default: the codegen pipeline re-runs
+    // faster than MEMORY_AND_DISK can columnar-encode the shingle arrays
+    // (measured 0.4s recompute vs ~2s cache build at sf0.1). `cacheBase`
+    // flips to an explicit persist for expensive upstream sources (cold
+    // object store, decompression-heavy input) where a rescan dominates.
+    // Jaccard is verified in the join output (before any further shuffle);
+    // pairs sharing several bands re-verify per band (bounded by `bands`,
+    // CPU-only — the groupBy that dedups them afterwards shuffles just
+    // (id1, id2, jaccard) scalars, never the shingle arrays). The
+    // alternative pair-once shape (dedup ids first, join the sets back per
+    // side) shuffles the full shingle table twice more and compiles three
+    // extra join stages — it loses at both bench scale and 100 TB unless
+    // band collisions dominate.
+    val built = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
+    val base =
+      if (cacheBase) built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else built
     val banded = base
       .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
       .select(col("band"), col("id"), col("sh"))
