@@ -182,7 +182,9 @@ object QueriesLLM {
     // semantics are spec-verified against the published Porter vocabulary
     // and planted RBEM sentences (NlpSpec).
     "nlp_stem_pos_sentiment" -> ((s, dir) => {
+      // small source = one scan partition; spread the dictionary UDF work
       val d = rd(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("toks", TextAnalysis.tokens(col("text")))
       Nlp.nlpPipeline(d, "toks", "stemmed", "pos_tags", "polarity")
         .select(col("doc_id"), col("stemmed"), col("pos_tags"), col("polarity"))
