@@ -1,0 +1,52 @@
+package graft.ml
+
+import org.apache.spark.ml.{PipelineModel, Transformer}
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+/**
+ * Model lifecycle (ref: modules/ml/app/tuktu/ml/processors/
+ * BaseMLProcessor.scala:22-239 — train / apply / serialize / deserialize /
+ * destroy processors over a cluster-replicated in-memory model repository):
+ * named spark.ml Transformers in a process-local registry. Serialization is
+ * MLWritable `save` / `PipelineModel.load`, so a persisted model outlives
+ * the session and loads identically on any cluster — the durable path the
+ * reference's replicated heap map lacks. Apply is `transform`, which keeps
+ * scoring fully distributed and codegen-friendly.
+ */
+object ModelRegistry {
+  private val models = TrieMap.empty[String, Transformer]
+
+  /** TrainProcessor: fit (caller supplies the fit) and register. */
+  def train(name: String, fit: => Transformer): Transformer = {
+    val m = fit
+    models.put(name, m)
+    m
+  }
+
+  def put(name: String, model: Transformer): Unit = models.put(name, model)
+  def get(name: String): Option[Transformer] = models.get(name)
+  def names: Seq[String] = models.keys.toSeq.sorted
+
+  /** ApplyProcessor: score with a registered model. */
+  def apply(name: String, df: DataFrame): DataFrame =
+    models.getOrElse(name,
+      throw new IllegalArgumentException(s"no model '$name' in registry")).transform(df)
+
+  /** SerializeProcessor: persist to any Hadoop-visible path. */
+  def serialize(name: String, path: String): Unit =
+    models.getOrElse(name,
+      throw new IllegalArgumentException(s"no model '$name' in registry")) match {
+      case w: MLWritable => w.write.overwrite().save(path)
+      case other => throw new IllegalArgumentException(
+        s"model '$name' (${other.getClass.getSimpleName}) is not MLWritable")
+    }
+
+  /** DeserializeProcessor: load a previously saved pipeline model. */
+  def deserialize(name: String, path: String): Transformer =
+    train(name, PipelineModel.load(path))
+
+  /** DestroyProcessor. */
+  def destroy(name: String): Unit = models.remove(name)
+}

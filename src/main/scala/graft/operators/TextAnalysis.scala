@@ -88,6 +88,33 @@ object TextAnalysis {
       .withColumn("bpeish_tokens",
         size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast(LongType))
 
+  // ---------------------------------------------------------------- tagging
+  /** Social keyword tagger (ref: modules/social/app/tuktu/social/processors/
+    * SocialProcessors.scala:30 TwitterTaggerProcessor keywords branch —
+    * users/geos are platform-object fields, out of scope): tag each row with
+    * the keywords its text matches. `exact` matches whole tokens
+    * (arrays_overlap), otherwise substring; `caseSensitive` skips the lower
+    * fold. Pure expressions — the keyword list compiles into the plan.
+    * `excludeOnNone` mirrors the reference's drop-untagged flag. */
+  final case class Keyword(keyword: String, caseSensitive: Boolean = false,
+                           exact: Boolean = false)
+  def keywordTagger(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    keywords: Seq[Keyword], result: String,
+                    excludeOnNone: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val matched = keywords.map { kw =>
+      val (hay, needle) =
+        if (kw.caseSensitive) (text, kw.keyword)
+        else (lower(text), kw.keyword.toLowerCase)
+      val hit = // raw whitespace split: tokens() would lower-fold and defeat caseSensitive
+        if (kw.exact) arrays_overlap(split(trim(hay), "\\s+"), array(lit(needle)))
+        else hay.contains(needle)
+      when(hit, lit(kw.keyword))
+    }
+    val tagged = df.withColumn(result, filter(array(matched: _*), t => t.isNotNull))
+    if (excludeOnNone) tagged.filter(size(col(result)) > 0) else tagged
+  }
+
   // ---------------------------------------------------------------- fingerprint
   /** Polynomial rolling-hash document fingerprint over codepoints,
     * mod 2^31-1 — identical fold in the DuckDB oracle (list_reduce). */

@@ -139,6 +139,44 @@ class LLMOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall") // clusters are well separated
   }
 
+  test("keywordTagger tags rows via exact/substring/case rules (social tagger shape)") {
+    import graft.operators.TextAnalysis.Keyword
+    val docs = Seq((0, "Spark makes big data simple"), (1, "sparkling water"),
+      (2, "nothing relevant")).toDF("id", "text")
+    val tagged = TextAnalysis.keywordTagger(docs, "text",
+      Seq(Keyword("spark", exact = true), Keyword("data")), "tags")
+    val byId = tagged.collect().map(r =>
+      r.getInt(0) -> r.getSeq[String](2).toList).toMap
+    assert(byId(0) == List("spark", "data")) // exact token + substring
+    assert(byId(1) == Nil) // "sparkling" is not an exact token match
+    assert(byId(2) == Nil)
+    // case-sensitive exact misses the capitalized form
+    val cs = TextAnalysis.keywordTagger(docs, "text",
+      Seq(Keyword("spark", caseSensitive = true, exact = true)), "tags")
+    assert(cs.filter(col("id") === 0).head.getSeq[String](2).isEmpty)
+    // excludeOnNone drops untagged rows
+    assert(TextAnalysis.keywordTagger(docs, "text",
+      Seq(Keyword("data")), "tags", excludeOnNone = true).count() == 1)
+  }
+
+  test("ModelRegistry: train/apply/serialize/destroy/deserialize lifecycle") {
+    import graft.ml.{ML, ModelRegistry}
+    val train = Seq((1.0, 2.0), (2.0, 4.0), (3.0, 6.0), (4.0, 8.0))
+      .toDF("x", "y")
+    ModelRegistry.train("m", ML.linearRegression(train, Seq("x"), "y"))
+    val scored = ModelRegistry("m", train).select("prediction")
+      .as[Double].collect()
+    val dir = java.nio.file.Files.createTempDirectory("graft_model").toString
+    ModelRegistry.serialize("m", s"$dir/m")
+    ModelRegistry.destroy("m")
+    assert(ModelRegistry.get("m").isEmpty)
+    intercept[IllegalArgumentException](ModelRegistry("m", train))
+    ModelRegistry.deserialize("m", s"$dir/m")
+    val rescored = ModelRegistry("m", train).select("prediction")
+      .as[Double].collect()
+    assert(scored.toSeq == rescored.toSeq) // loaded model scores identically
+  }
+
   test("langId picks the language with most marker tokens") {
     val d = Seq(
       "the cat is not a dog and the bird is free",
