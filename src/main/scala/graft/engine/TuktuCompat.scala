@@ -27,8 +27,6 @@ import scala.jdk.CollectionConverters._
  */
 object TuktuCompat {
 
-  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-
   private def arr(n: JsonNode, k: String): Seq[JsonNode] =
     Option(n.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
   private def str(n: JsonNode, k: String): Option[String] = Option(n.get(k)).map(_.asText)
@@ -521,31 +519,45 @@ object TuktuCompat {
         df.withColumn(node.result, try_parse_json(col(str(c, "field").get).cast(StringType)))
 
       // ref: time/TimestampNormalizerProcessor.scala:17 — {datetime_field,
-      // datetime_format?, time:{unit: n}}: floor to n-unit buckets. n>1 is
-      // integer bucket math on epoch seconds; n=1 months/years via trunc.
+      // datetime_format?, time:{unit: n}}: floor to n-unit buckets on the
+      // reference's full millis→years grid. Sub-month units floor on the
+      // UTC epoch-millis grid with weeks ISO-Monday-aligned (epoch day 0 is
+      // a Thursday — Joda weeks start Monday); months/years bucket on
+      // calendar months via integer month index.
       case "tuktu.processors.time.TimestampNormalizerProcessor" =>
         val f = str(c, "datetime_field").get
         val ts = str(c, "datetime_format") match {
           case Some(fmt) => to_timestamp(col(f).cast(StringType), fmt)
           case None      => col(f).cast(TimestampType)
         }
-        val t = Option(c.get("time")).getOrElse(mapper.createObjectNode())
-        def n(k: String): Int = Option(t.get(k)).map(_.asInt).getOrElse(0)
-        val unitSecs = Seq("seconds" -> 1L, "minutes" -> 60L, "hours" -> 3600L,
-          "days" -> 86400L, "weeks" -> 604800L)
-        val out = Seq("years", "months").find(u => n(u) == 1)
-          .map(u => date_trunc(u.stripSuffix("s"), ts))
-          .orElse(unitSecs.reverse.collectFirst { case (u, secs) if n(u) > 0 =>
-            val bucket = secs * n(u)
-            timestamp_seconds(floor(unix_timestamp(ts) / bucket) * bucket)
-          })
-          .getOrElse(date_trunc("second", ts)) // reference default: seconds=1
+        def n(k: String): Int =
+          Option(c.get("time")).flatMap(t => Option(t.get(k))).fold(0)(_.asInt)
+        def epochFloor(ms: Long): Column =
+          timestamp_millis((floor(unix_millis(ts) / ms) * ms).cast(LongType))
+        val monthIdx = (year(ts) * 12 + month(ts) - 1) // months since year 0
+        def monthFloor(nMonths: Int): Column = {
+          val b = floor(monthIdx / nMonths) * nMonths
+          to_timestamp(concat((b / 12).cast(IntegerType), lit("-"),
+            lpad((pmod(b, lit(12)) + 1).cast(StringType), 2, "0"), lit("-01")))
+        }
+        val out =
+          if (n("years") > 0) monthFloor(12 * n("years"))
+          else if (n("months") > 0) monthFloor(n("months"))
+          else if (n("weeks") > 0) // shift so buckets land on Monday
+            timestamp_millis(((floor((unix_millis(ts) - 345600000L) /
+              (604800000L * n("weeks"))) * (604800000L * n("weeks"))) + 345600000L).cast(LongType))
+          else if (n("days") > 0) epochFloor(86400000L * n("days"))
+          else if (n("hours") > 0) epochFloor(3600000L * n("hours"))
+          else if (n("minutes") > 0) epochFloor(60000L * n("minutes"))
+          else if (n("millis") > 0) epochFloor(n("millis").toLong)
+          else epochFloor(1000L * math.max(1, n("seconds"))) // reference default: seconds=1
         df.withColumn(node.result, out)
 
-      // ref: time/DateToMillisProcessor.scala:16 — {field}
+      // ref: time/DateToMillisProcessor.scala:16 — {field}; unix_millis keeps
+      // sub-second precision like the reference's getMillis
       case "tuktu.processors.time.DateToMillisProcessor" =>
         df.withColumn(node.result,
-          (unix_timestamp(col(str(c, "field").get).cast(TimestampType)) * 1000))
+          unix_millis(col(str(c, "field").get).cast(TimestampType)))
 
       // ref: bucket/statistics/StatisticsProcessors.scala — {fields}: one row,
       // one column per field

@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.ml.{PipelineModel, Transformer}
+import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.util.MLWritable
 import org.apache.spark.sql.DataFrame
 import scala.collection.concurrent.TrieMap
@@ -43,9 +43,19 @@ object ModelRegistry {
         s"model '$name' (${other.getClass.getSimpleName}) is not MLWritable")
     }
 
-  /** DeserializeProcessor: load a previously saved pipeline model. */
-  def deserialize(name: String, path: String): Transformer =
-    train(name, PipelineModel.load(path))
+  /** DeserializeProcessor: load a previously saved model. The saved
+    * metadata names the concrete class, so any MLReadable model round-trips
+    * — not just PipelineModel (the className is dispatched through the
+    * model's own companion `load`). */
+  def deserialize(name: String, path: String): Transformer = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = spark.read.json(s"$path/metadata").select("class").head.getString(0)
+    val companion = Class.forName(meta + "$")
+    val module = companion.getField("MODULE$").get(null)
+    val model = companion.getMethod("load", classOf[String])
+      .invoke(module, path).asInstanceOf[Transformer]
+    train(name, model)
+  }
 
   /** DestroyProcessor. */
   def destroy(name: String): Unit = models.remove(name)

@@ -190,7 +190,10 @@ object Dedup {
     // alternative pair-once shape (dedup ids first, join the sets back per
     // side) shuffles the full shingle table twice more and compiles three
     // extra join stages — it loses at both bench scale and 100 TB unless
-    // band collisions dominate.
+    // band collisions dominate. cacheBase lifetime: the handle stays inside
+    // this plan, so the cache entry lives until the session ends or
+    // `spark.catalog.clearCache()` — callers looping over corpora should
+    // keep the default (recompute) or clear between batches.
     val built = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
     val base =
       if (cacheBase) built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -106,8 +106,9 @@ object TextAnalysis {
       val (hay, needle) =
         if (kw.caseSensitive) (text, kw.keyword)
         else (lower(text), kw.keyword.toLowerCase)
-      val hit = // raw whitespace split: tokens() would lower-fold and defeat caseSensitive
-        if (kw.exact) arrays_overlap(split(trim(hay), "\\s+"), array(lit(needle)))
+      val hit = // exact = token-boundary match, so multi-word phrases work too
+        if (kw.exact)
+          hay.rlike("(^|\\s)" + java.util.regex.Pattern.quote(needle) + "(\\s|$)")
         else hay.contains(needle)
       when(hit, lit(kw.keyword))
     }

@@ -150,6 +150,10 @@ class LLMOpsSpec extends SparkSpec {
     assert(byId(0) == List("spark", "data")) // exact token + substring
     assert(byId(1) == Nil) // "sparkling" is not an exact token match
     assert(byId(2) == Nil)
+    // multi-word exact phrases match on token boundaries
+    val phrase = TextAnalysis.keywordTagger(docs, "text",
+      Seq(TextAnalysis.Keyword("big data", exact = true)), "tags")
+    assert(phrase.filter(col("id") === 0).head.getSeq[String](2).toList == List("big data"))
     // case-sensitive exact misses the capitalized form
     val cs = TextAnalysis.keywordTagger(docs, "text",
       Seq(Keyword("spark", caseSensitive = true, exact = true)), "tags")
@@ -175,6 +179,15 @@ class LLMOpsSpec extends SparkSpec {
     val rescored = ModelRegistry("m", train).select("prediction")
       .as[Double].collect()
     assert(scored.toSeq == rescored.toSeq) // loaded model scores identically
+    // non-pipeline MLWritable models round-trip too (className-dispatched load)
+    val buck = new org.apache.spark.ml.feature.Bucketizer()
+      .setSplits(Array(0.0, 2.5, 10.0)).setInputCol("x").setOutputCol("bucket")
+    ModelRegistry.put("b", buck)
+    ModelRegistry.serialize("b", s"$dir/b")
+    ModelRegistry.destroy("b")
+    ModelRegistry.deserialize("b", s"$dir/b")
+    assert(ModelRegistry("b", train).select("bucket").as[Double].collect().toSeq ==
+      Seq(0.0, 0.0, 1.0, 1.0))
   }
 
   test("langId picks the language with most marker tokens") {
