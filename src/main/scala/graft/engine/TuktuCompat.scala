@@ -496,6 +496,53 @@ object TuktuCompat {
         withBase.groupBy(strs(c, "group").map(col): _*)
           .agg(Expr.aggregate(withBase, exprStr).as(node.result))
 
+      // ref: BaseProcessors.scala:23 — pass-through
+      case "tuktu.processors.SkipProcessor" => df
+      // ref: BaseProcessors.scala:74 — pass-through diagnostics; the engine
+      // analog is Ops.countEof's Observation (zero extra scan)
+      case "tuktu.processors.CountEOFProcessor" => df
+      // ref: BaseProcessors.scala:56 — throttling has no batch meaning;
+      // streaming throttling = trigger interval (documented)
+      case "tuktu.processors.DelayProcessor" => df
+
+      // ref: BaseProcessors.scala:596 — {value, is_numeric?, is_decimal?,
+      // batch?, fields:[{path, result, default?}]}: project the listed paths
+      // plus a constant field; batch=true merges to ONE row (later rows win)
+      case "tuktu.processors.DataPacketFieldMergerProcessor" =>
+        val v = Expr.interpolate(str(c, "value").getOrElse(""))
+        val valueCol =
+          if (bool(c, "is_numeric")) v.cast(LongType)
+          else if (bool(c, "is_decimal")) v.cast(DoubleType)
+          else v
+        val copies = arr(c, "fields").map { fld =>
+          val withDefault = Option(fld.get("default"))
+            .fold(colPath(pathList(fld)))(d => coalesce(colPath(pathList(fld)), lit(d.asText)))
+          withDefault.alias(fld.get("result").asText)
+        } :+ valueCol.alias(node.result)
+        val projected = df.select(copies: _*)
+        if (bool(c, "batch")) {
+          val ord = uniq("__ord")
+          val dense = Ops.indexByLayout(projected, ord)
+          val aggs = projected.columns.toSeq.map(f => max_by(col(f), col(ord)).as(f))
+          dense.groupBy().agg(aggs.head, aggs.tail: _*)
+        } else projected
+
+      // ref: BaseProcessors.scala:701 — {fields:[{path, separator}]}: each
+      // tuple (struct) in the array renders as its fields joined by the
+      // separator; the LIST of rendered strings overwrites the path head
+      case "tuktu.processors.TupleListStringImploder" =>
+        arr(c, "fields").foldLeft(df) { (d, fld) =>
+          val p = pathList(fld)
+          val sep = fld.get("separator").asText
+          val elemType = d.select(colPath(p)).schema.head.dataType match {
+            case ArrayType(s: StructType, _) => s
+            case other => throw new IllegalArgumentException(
+              s"TupleListStringImploder needs array<struct>, got $other")
+          }
+          d.withColumn(p.head, transform(colPath(p), x =>
+            concat_ws(sep, elemType.fieldNames.toSeq.map(fn => x.getField(fn).cast(StringType)): _*)))
+        }
+
       // ref: arithmetics/ArithmeticProcessor.scala:16 — {calculate,
       // number_of_decimals?, do_rounding?}
       case "tuktu.processors.arithmetics.ArithmeticProcessor" =>

@@ -468,6 +468,26 @@ class TuktuCompatSpec extends SparkSpec {
     assert(r.getAs[Long]("ms") % 300000L == 0L)
   }
 
+  test("DataPacketFieldMerger + TupleListStringImploder + pass-through FQCNs") {
+    val merged = Flow.runSingle(spark, listFlow(
+      """[{"a": "x", "b": "1"}, {"a": "y", "b": "2"}]""",
+      """{"id": "p0", "name": "tuktu.processors.SkipProcessor", "config": {},
+          "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.DataPacketFieldMergerProcessor",
+          "result": "tag",
+          "config": {"value": "v-${b}", "batch": true,
+                     "fields": [{"path": ["a"], "result": "aa"}]}, "next": []}"""))
+    assert(merged.count() == 1)
+    val r = merged.head
+    assert(r.getAs[String]("aa") == "y" && r.getAs[String]("tag") == "v-2") // later row wins
+    val tuples = Flow.runSingle(spark, listFlow(
+      """[{"pairs": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}]""",
+      """{"id": "p0", "name": "tuktu.processors.TupleListStringImploder",
+          "config": {"fields": [{"path": ["pairs"], "separator": "="}]}, "next": []}"""))
+    assert(tuples.head.getAs[scala.collection.Seq[String]]("pairs").toList ==
+      List("a=1", "b=2"))
+  }
+
   test("bucket statistics processors produce one row of per-field stats") {
     val out = Flow.runSingle(spark, listFlow(
       """[{"x": 1, "y": 10}, {"x": 2, "y": 20}, {"x": 3, "y": 30}]""",
