@@ -76,4 +76,21 @@ class ExprPropertySpec extends SparkSpec {
       assert(p(s"$sa > $sb") == (a > b && !graft.plans.NearlyEqual.compute(a, b)))
     }
   }
+
+  test("escapeJavaSql matches commons-lang escapeJava on random unicode strings") {
+    val charGen = Gen.frequency(
+      5 -> Gen.asciiPrintableChar,
+      2 -> Gen.oneOf('\'', '"', '\\', '\n', '\t', '\r', '\b', '\f'),
+      2 -> Gen.choose(0x00a0.toChar, 0x2fff.toChar),
+      1 -> Gen.choose(0.toChar, 0x1f.toChar))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    val inputs = samples(strGen, 200)
+    val df = inputs.toDF("t")
+    val got = df.select(Expr.escapeJavaSql(org.apache.spark.sql.functions.col("t")))
+      .collect().map(_.getString(0))
+    inputs.zip(got).foreach { case (in, g) =>
+      val want = org.apache.commons.lang.StringEscapeUtils.escapeJava(in.replace("'", "''"))
+      assert(g == want, s"for ${in.map(_.toInt).mkString(",")}")
+    }
+  }
 }
