@@ -84,7 +84,9 @@ object Flow {
       c.get(k).properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText)
     def strs(k: String): Seq[String] =
       c.get(k).elements().asScala.map(_.asText).toSeq
-    def result: String = strOpt("result").getOrElse("result")
+    // config-level "result" wins, then the node-level attribute (the form
+    // the Tuktu FQCN path uses), then the literal default
+    def result: String = strOpt("result").getOrElse(n.result)
 
     n.name match {
       case "skip"            => df // SkipProcessor (BaseProcessors.scala:23)
@@ -125,6 +127,21 @@ object Flow {
         graft.operators.Http.freeGeoIp(df, str("ip"), result,
           geoipUrl = strOpt("geoipurl").getOrElse("http://freegeoip.net"),
           format = strOpt("format").getOrElse("json"))
+      // round-3 operators reachable from engine-native flow configs
+      case "lines_per_row"  => graft.sources.Sources.linesPerRow(df, str("path_field"), result)
+      case "file_to_string" => graft.sources.Sources.fileToString(df, str("path_field"), result)
+      case "file_to_json"   => graft.sources.Sources.fileToJson(df, str("path_field"), result)
+      case "evaluate_nested" => Ops.evaluateNested(df, str("template"), result)
+      case "keyword_tag" =>
+        val kws = Option(c.get("keywords")).map(_.elements().asScala.toSeq).getOrElse(Nil)
+          .map(k =>
+            if (k.isTextual) graft.operators.TextAnalysis.Keyword(k.asText)
+            else graft.operators.TextAnalysis.Keyword(k.get("keyword").asText,
+              Option(k.get("case_sensitive")).exists(_.asBoolean),
+              Option(k.get("exact")).exists(_.asBoolean)))
+        graft.operators.TextAnalysis.keywordTagger(df, str("field"), kws, result,
+          excludeOnNone = Option(c.get("exclude_on_none")).exists(_.asBoolean))
+      case "model_apply" => graft.ml.ModelRegistry(str("model"), df)
       case "stem" => graft.operators.Nlp.stemTokens(df, str("field"), result)
       case "pos_tag" => graft.operators.Nlp.posTags(df, str("field"), result)
       case "sentiment" =>

@@ -101,6 +101,29 @@ class FlowSpec extends SparkSpec {
     assert(out.values.head.count() == 2)
   }
 
+  test("round-3 operators are reachable from engine-native flow configs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_flow3").toFile
+    val f = new java.io.File(dir, "doc.txt")
+    val w = new java.io.PrintWriter(f); w.print("content here"); w.close()
+    val flow = s"""
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"p": "${f.getAbsolutePath}", "ref": "$${body}", "text": "all about spark jobs"}
+      ]}, "next": ["read"]} ],
+      "processors": [
+        {"id": "read", "name": "file_to_string", "result": "body",
+         "config": {"path_field": "p"}, "next": ["nest"]},
+        {"id": "nest", "name": "evaluate_nested", "result": "resolved",
+         "config": {"template": "<$${ref}>"}, "next": ["tag"]},
+        {"id": "tag", "name": "keyword_tag", "result": "tags",
+         "config": {"field": "text",
+                    "keywords": ["spark", {"keyword": "jobs", "exact": true}]},
+         "next": []} ] }"""
+    val r = Flow.runSingle(spark, flow).head
+    assert(r.getAs[String]("body") == "content here")
+    assert(r.getAs[String]("resolved") == "<content here>") // ${ref} -> ${body} -> file text
+    assert(r.getAs[scala.collection.Seq[String]]("tags").toList == List("spark", "jobs"))
+  }
+
   test("unknown processor fails with a clear message") {
     val flow = """
     { "generators": [ {"id": "g", "name": "range", "config": {"n": 1}, "next": ["bad"]} ],
