@@ -107,6 +107,31 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- embedding-cosine near-dup pairs, EXACT brute force
+    // over a 300-vector slice (the LSH/IVF variants are the scale path and
+    // spec-verified; approximation cannot hash-match an oracle). Vectors are
+    // integerized (floor(x*1e6), IEEE-identical everywhere) so dot products
+    // are exact BIGINTs — order-free sums — and the final cosine double is
+    // computed from exact integers identically in both engines.
+    "embedding_near_dup" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6).cast(LongType)).as("q"))
+      val n = e.withColumn("n2",
+        aggregate(zip_with(col("q"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      val a = n.select(col("vec_id").as("id1"), col("q").as("q1"), col("n2").as("n21"))
+      val b = n.select(col("vec_id").as("id2"), col("q").as("q2"), col("n2").as("n22"))
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .withColumn("dot",
+          aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+        .withColumn("cos", col("dot").cast(DoubleType) /
+          (sqrt(col("n21").cast(DoubleType)) * sqrt(col("n22").cast(DoubleType))))
+        .filter(col("cos") >= 0.4)
+        .select("id1", "id2", "cos")
+        .orderBy("id1", "id2")
+    }),
+
     // ---------------- language id (marker-token heuristic)
     "lang_id" -> ((s, dir) => {
       rd(s, dir, "documents")
@@ -311,6 +336,20 @@ object QueriesLLM {
              AS cos
            FROM e, q WHERE e.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "embedding_near_dup" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000000) AS BIGINT)) AS q
+           FROM embeddings WHERE vec_id < 300),
+         n AS (SELECT vec_id, q,
+             CAST(list_sum(list_transform(list_zip(q,q), p -> p[1]*p[2])) AS BIGINT) AS n2
+           FROM e)
+         SELECT id1, id2, cos FROM (
+           SELECT a.vec_id AS id1, b.vec_id AS id2,
+             CAST(list_sum(list_transform(list_zip(a.q,b.q), p -> p[1]*p[2])) AS BIGINT)
+               / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
+           FROM n a, n b WHERE a.vec_id < b.vec_id)
+         WHERE cos >= 0.4 ORDER BY id1, id2""",
     "lang_id" -> {
       val scores = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
         val inList = markers.map(m => s"'$m'").mkString(", ")
