@@ -122,6 +122,25 @@ object Streams {
       .toDF("key", "payload")
   }
 
+  /** JoinGenerator, streaming mode (ref: app/tuktu/generators/
+    * JoinGenerator.scala:68-151 — the reference buffers both sides in heap
+    * maps): watermarked stream-stream equi-join. Both sides carry an
+    * event-time bound plus a join-time range condition, so Spark can evict
+    * state once the watermark passes — unbounded-state joins are the #1
+    * streaming OOM at scale. */
+  def streamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTs: String, rightTs: String, watermark: String,
+                 within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTs).between(
+      l(leftTs) - org.apache.spark.sql.functions.expr(s"INTERVAL $within"),
+      l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"))
+    // keep one unambiguous key column (the left's)
+    keys.foldLeft(l.join(r, keyCond && range))((d, k) => d.drop(r(k)))
+  }
+
   /** FileStreamProcessor, streaming mode (ref: FileProcessors.scala:25):
     * append sink with exactly-once file output via the checkpoint — the
     * reference's open-writer-per-flow with at-most-once semantics is strictly

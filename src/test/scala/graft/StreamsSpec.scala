@@ -29,6 +29,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermarked stream-stream join matches keys within the time range") {
+    implicit val sql = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, String)]
+    val buys = MemoryStream[(Timestamp, String)]
+    val joined = Streams.streamJoin(
+      clicks.toDF.toDF("cts", "k"), buys.toDF.toDF("bts", "k2").withColumnRenamed("k2", "k"),
+      Seq("k"), "cts", "bts", watermark = "1 minute", within = "5 minutes")
+      .select(col("k"), col("cts"), col("bts"))
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((ts(1), "a"), (ts(2), "b"))
+      buys.addData((ts(4), "a"), (ts(20), "b")) // b's buy is outside ±5 min
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k FROM sjoin").collect().map(_.getString(0)).toSeq
+      assert(rows == Seq("a")) // only the in-range pair joins
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
