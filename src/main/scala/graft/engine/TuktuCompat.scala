@@ -515,9 +515,15 @@ object TuktuCompat {
           else if (bool(c, "is_decimal")) v.cast(DoubleType)
           else v
         val copies = arr(c, "fields").map { fld =>
-          val withDefault = Option(fld.get("default"))
-            .fold(colPath(pathList(fld)))(d => coalesce(colPath(pathList(fld)), lit(d.asText)))
-          withDefault.alias(fld.get("result").asText)
+          val p = pathList(fld)
+          val out = fld.get("result").asText
+          // absent path + default → constant, like FieldFilterProcessor and
+          // the reference's fieldParser(...).getOrElse(default)
+          (Option(fld.get("default")) match {
+            case Some(d) if df.columns.contains(p.head) => coalesce(colPath(p), lit(d.asText))
+            case Some(d)                                => lit(d.asText)
+            case None                                   => colPath(p)
+          }).alias(out)
         } :+ valueCol.alias(node.result)
         val projected = df.select(copies: _*)
         if (bool(c, "batch")) {
@@ -539,8 +545,13 @@ object TuktuCompat {
             case other => throw new IllegalArgumentException(
               s"TupleListStringImploder needs array<struct>, got $other")
           }
-          d.withColumn(p.head, transform(colPath(p), x =>
-            concat_ws(sep, elemType.fieldNames.toSeq.map(fn => x.getField(fn).cast(StringType)): _*)))
+          // explicit interleave, not concat_ws: concat_ws drops null fields
+          // AND their separators, corrupting the rendered arity
+          d.withColumn(p.head, transform(colPath(p), x => {
+            val parts = elemType.fieldNames.toSeq
+              .map(fn => coalesce(x.getField(fn).cast(StringType), lit("")))
+            concat(parts.head +: parts.tail.flatMap(f => Seq(lit(sep), f)): _*)
+          }))
         }
 
       // ref: arithmetics/ArithmeticProcessor.scala:16 — {calculate,

@@ -131,6 +131,7 @@ object Streams {
   def streamJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String, watermark: String,
                  within: String): DataFrame = {
+    require(keys.nonEmpty, "streamJoin needs at least one equi-join key")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)

@@ -481,11 +481,19 @@ class TuktuCompatSpec extends SparkSpec {
     val r = merged.head
     assert(r.getAs[String]("aa") == "y" && r.getAs[String]("tag") == "v-2") // later row wins
     val tuples = Flow.runSingle(spark, listFlow(
-      """[{"pairs": [{"k": "a", "v": 1}, {"k": "b", "v": 2}]}]""",
+      """[{"pairs": [{"k": "a", "v": 1}, {"k": "b", "v": 2}, {"k": "c", "v": null}]}]""",
       """{"id": "p0", "name": "tuktu.processors.TupleListStringImploder",
           "config": {"fields": [{"path": ["pairs"], "separator": "="}]}, "next": []}"""))
     assert(tuples.head.getAs[scala.collection.Seq[String]]("pairs").toList ==
-      List("a=1", "b=2"))
+      List("a=1", "b=2", "c=")) // null element keeps its separator slot
+    // absent path with a default projects the constant (reference getOrElse)
+    val dflt = Flow.runSingle(spark, listFlow(
+      """[{"a": "x"}]""",
+      """{"id": "p0", "name": "tuktu.processors.DataPacketFieldMergerProcessor",
+          "result": "tag",
+          "config": {"value": "v", "fields": [{"path": ["gone"], "result": "g",
+                     "default": "d"}]}, "next": []}"""))
+    assert(dflt.head.getAs[String]("g") == "d")
   }
 
   test("bucket statistics processors produce one row of per-field stats") {
