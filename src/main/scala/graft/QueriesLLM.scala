@@ -153,6 +153,14 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- Gopher-style repetition filter signals
+    "repetition_stats" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(
+        rd(s, dir, "documents").select("doc_id", "text"), "text")
+        .select("doc_id", "dup_line_frac", "dup_2gram_frac", "mean_word_len")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- document fingerprint (rolling hash)
     "doc_fingerprint" -> ((s, dir) => {
       rd(s, dir, "documents")
@@ -253,6 +261,26 @@ object QueriesLLM {
             FROM h)
           SELECT doc_id, array_to_string([$perm], ',') AS sig FROM sh ORDER BY doc_id"""
     },
+    "repetition_stats" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         g AS (
+           SELECT doc_id, lines, toks,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[]) ELSE
+               list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+             END AS g2
+           FROM t)
+         SELECT doc_id,
+           1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / CAST(len(lines) AS DOUBLE)
+             AS dup_line_frac,
+           CASE WHEN len(g2) > 0 THEN
+             1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+           ELSE 0.0 END AS dup_2gram_frac,
+           CAST(list_sum(list_transform(toks, t2 -> len(t2))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS mean_word_len
+         FROM g ORDER BY doc_id""",
     "nlp_tokenize" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)

@@ -88,6 +88,35 @@ object TextAnalysis {
       .withColumn("bpeish_tokens",
         size(regexp_extract_all(col(textCol), lit(bpeishPattern), lit(0))).cast(LongType))
 
+  // ---------------------------------------------------------------- repetition
+  /** Gopher/C4-style repetition signals (Rae et al. 2021 §A1.1, public):
+    * documents dominated by repeated lines or n-grams are boilerplate.
+    * Fractions are single divisions of exact integer counts, so the doubles
+    * are bit-identical cross-engine. Pure expressions, no shuffle. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val toks = tokens(col(textCol))
+    // explicit index windows: a zip_with against the shifted array would pad
+    // the tail with null and concat_ws would silently emit a spurious 1-gram
+    val grams2 = when(size(toks) < 2, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    df.withColumn("__lines", lines)
+      .withColumn("__toks", toks)
+      .withColumn("__g2", grams2)
+      .withColumn("dup_line_frac",
+        lit(1.0) - size(array_distinct(col("__lines"))).cast(DoubleType) /
+          size(col("__lines")).cast(DoubleType))
+      .withColumn("dup_2gram_frac",
+        when(size(col("__g2")) > 0,
+          lit(1.0) - size(array_distinct(col("__g2"))).cast(DoubleType) /
+            size(col("__g2")).cast(DoubleType)).otherwise(0.0))
+      .withColumn("mean_word_len",
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+          size(col("__toks")).cast(DoubleType))
+      .drop("__lines", "__toks", "__g2")
+  }
+
   // ---------------------------------------------------------------- tagging
   /** Social keyword tagger (ref: modules/social/app/tuktu/social/processors/
     * SocialProcessors.scala:30 TwitterTaggerProcessor keywords branch —
