@@ -153,6 +153,14 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- PII scrubbing (emails/phones redacted + counted)
+    "pii_scrub" -> ((s, dir) => {
+      TextAnalysis.piiScrub(rd(s, dir, "documents").select("doc_id", "text"),
+        "text", "clean")
+        .select("doc_id", "n_emails", "n_phones", "clean")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- Gopher-style repetition filter signals
     "repetition_stats" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -260,6 +268,18 @@ object QueriesLLM {
             END AS gh
             FROM h)
           SELECT doc_id, array_to_string([$perm], ',') AS sig FROM sh ORDER BY doc_id"""
+    },
+    "pii_scrub" -> {
+      // single-quoted SQL literals pass backslashes through verbatim, so the
+      // exact same pattern strings reach RE2 as reach Java regex
+      val e = TextAnalysis.emailRe
+      val p = TextAnalysis.phoneRe
+      s"""SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_phones,
+            regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+              '$p', '<PHONE>', 'g') AS clean
+          FROM documents ORDER BY doc_id"""
     },
     "repetition_stats" ->
       """WITH t AS (

@@ -117,6 +117,22 @@ object TextAnalysis {
       .drop("__lines", "__toks", "__g2")
   }
 
+  // ---------------------------------------------------------------- PII scrub
+  /** Training-corpus PII scrubbing: redact emails and phone-shaped numbers,
+    * reporting match counts. Patterns stay in the RE2-compatible subset so
+    * the DuckDB oracle applies the identical regexes. Pure expressions. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+  def piiScrub(df: org.apache.spark.sql.DataFrame, textCol: String,
+               out: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailRe), lit(0))).cast(LongType))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0))).cast(LongType))
+      .withColumn(out,
+        regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>"))
+
   // ---------------------------------------------------------------- tagging
   /** Social keyword tagger (ref: modules/social/app/tuktu/social/processors/
     * SocialProcessors.scala:30 TwitterTaggerProcessor keywords branch —
