@@ -23,13 +23,18 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = (QueriesCore.queries ++ QueriesExtra.queries ++ QueriesLLM.queries).map { case (name, fn) =>
-      // median of `reps` runs: the box is CPU-noisy and the first run of each
-      // distinct plan pays codegen+JIT compilation, which at small SF can
-      // dominate the data processing — the median reflects the plan, not the
-      // compiler (one-shot JSON-parse spikes polluted round-over-round
-      // comparison in earlier rounds)
-      val times = (1 to reps).map { _ =>
+    val suite = (QueriesCore.queries ++ QueriesExtra.queries ++ QueriesLLM.queries).toSeq
+    // Median of `reps` runs, but INTERLEAVED: run the whole suite once per
+    // pass instead of back-to-back reps per query. The box is CPU-noisy with
+    // multi-second load spikes; back-to-back reps let one sustained spike
+    // poison every rep of a handful of adjacent queries (that's exactly what
+    // a prior round's numbers showed), while pass-interleaving turns the same
+    // spike into one bad sample spread across many queries — which the
+    // per-query median then discards. The first pass also pays codegen+JIT
+    // compilation, which at small SF can dominate the data processing; the
+    // median reflects the plan, not the compiler.
+    val samples = (1 to reps).map { _ =>
+      suite.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop write forces full materialization (count() would let Catalyst
         // prune projections away)
@@ -37,16 +42,40 @@ object Bench {
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case _: Throwable => false }
         // a crashed query must not masquerade as a fast success: report -1
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    }
+    val results = suite.map { case (name, _) =>
+      val times = samples.map(_(name))
       (name, if (times.exists(_ < 0)) -1.0 else times.sorted.apply(times.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    // Verbose line first: full precision, every query (for humans reading the
+    // complete log).
+    val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"sf":"$sfDir"}""")
+    // Final line: the same totals, compacted to fit the harness's bounded
+    // output tail (~2000 chars) so it survives truncation and stays
+    // machine-parseable. Per-query times at 2 dp, slowest queries first;
+    // if the full map would overflow the budget, the fastest queries are
+    // folded into a single "_other" bucket (sum preserved).
+    def fmt(v: Double) = if (v < 0) "-1" else f"$v%.2f"
+    val byTime = results.sortBy { case (_, v) => -v }
+    val budget = 1700
+    val entries = byTime.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val keepN = {
+      var acc = 0; var n = 0
+      while (n < entries.size && acc + entries(n).length + 1 < budget) { acc += entries(n).length + 1; n += 1 }
+      n
+    }
+    val kept = entries.take(keepN)
+    val restSum = byTime.drop(keepN).map(_._2).filter(_ >= 0).sum
+    val qsCompact = (if (keepN < entries.size) kept :+ ("\"_other\":" + fmt(restSum)) else kept)
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

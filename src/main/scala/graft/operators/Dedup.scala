@@ -190,14 +190,33 @@ object Dedup {
     // alternative pair-once shape (dedup ids first, join the sets back per
     // side) shuffles the full shingle table twice more and compiles three
     // extra join stages — it loses at both bench scale and 100 TB unless
-    // band collisions dominate. cacheBase lifetime: the handle stays inside
-    // this plan, so the cache entry lives until the session ends or
-    // `spark.catalog.clearCache()` — callers looping over corpora should
-    // keep the default (recompute) or clear between batches.
-    val built = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
-    val base =
-      if (cacheBase) built.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else built
+    // band collisions dominate. cacheBase lifetime: use
+    // `minhashNearDupsCached` to get the persisted handle back and
+    // unpersist deterministically; this convenience form ties the cache to
+    // the session (callers looping over corpora should use the handle form
+    // or keep the default recompute).
+    minhashNearDupsFrom(
+      if (cacheBase)
+        minhashBase(df, idCol, textCol, n, k, collectShingles = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else minhashBase(df, idCol, textCol, n, k, collectShingles = true),
+      k, bands, threshold)
+  }
+
+  /** As `minhashNearDups(cacheBase = true)`, but also returns the persisted
+    * base so the caller can `base.unpersist()` once the result is
+    * materialized — deterministic cache release for sessions that loop over
+    * many corpora (vs. waiting for session end / `clearCache()`). */
+  def minhashNearDupsCached(df: DataFrame, textCol: String, idCol: String,
+                            n: Int = 3, k: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.5): (DataFrame, DataFrame) = {
+    val base = minhashBase(df, idCol, textCol, n, k, collectShingles = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (minhashNearDupsFrom(base, k, bands, threshold), base)
+  }
+
+  private def minhashNearDupsFrom(base: DataFrame, k: Int, bands: Int,
+                                  threshold: Double): DataFrame = {
     val banded = base
       .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
       .select(col("band"), col("id"), col("sh"))

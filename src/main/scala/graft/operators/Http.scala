@@ -76,9 +76,27 @@ object Http {
 
   /** `${field}` template compiled against the schema: executor-side
     * per-row rendering with no reflection (same syntax as Expr.interpolate /
-    * the reference's evaluateTuktuString). */
+    * the reference's evaluateTuktuString). A dotted name resolves a nested
+    * struct path (`${a.b}`) unless it matches a top-level column verbatim;
+    * an unresolvable path fails at compile time naming the path. */
   private[operators] def compileTemplate(template: String, schema: StructType): Row => String = {
-    val parts = List.newBuilder[Either[String, Int]]
+    // index chain: head into the row, tail into successively nested structs
+    def resolve(name: String): List[Int] =
+      if (schema.fieldNames.contains(name)) List(schema.fieldIndex(name))
+      else {
+        val segs = name.split('.').toList
+        require(segs.nonEmpty && schema.fieldNames.contains(segs.head),
+          s"template field not in schema: $${$name}")
+        segs.tail.foldLeft((List(schema.fieldIndex(segs.head)), schema(segs.head).dataType)) {
+          case ((idxs, st: StructType), seg) =>
+            require(st.fieldNames.contains(seg), s"template path $${$name}: no field '$seg'")
+            (idxs :+ st.fieldIndex(seg), st(seg).dataType)
+          case ((_, dt), seg) =>
+            throw new IllegalArgumentException(
+              s"template path $${$name}: '$seg' reaches into non-struct type $dt")
+        }._1
+      }
+    val parts = List.newBuilder[Either[String, List[Int]]]
     var i = 0
     val sb = new StringBuilder
     while (i < template.length) {
@@ -86,15 +104,22 @@ object Http {
         val end = template.indexOf('}', i + 2)
         require(end > 0, s"unterminated interpolation in: $template")
         if (sb.nonEmpty) { parts += Left(sb.toString); sb.clear() }
-        parts += Right(schema.fieldIndex(template.substring(i + 2, end)))
+        parts += Right(resolve(template.substring(i + 2, end)))
         i = end + 1
       } else { sb.append(template.charAt(i)); i += 1 }
     }
     if (sb.nonEmpty) parts += Left(sb.toString)
     val compiled = parts.result()
+    def walk(row: Row, idxs: List[Int]): String = idxs match {
+      case idx :: rest =>
+        if (row.isNullAt(idx)) ""
+        else if (rest.isEmpty) String.valueOf(row.get(idx))
+        else walk(row.getStruct(idx), rest)
+      case Nil => ""
+    }
     row => compiled.map {
-      case Left(s)    => s
-      case Right(idx) => if (row.isNullAt(idx)) "" else String.valueOf(row.get(idx))
+      case Left(s)     => s
+      case Right(idxs) => walk(row, idxs)
     }.mkString
   }
 
@@ -150,10 +175,19 @@ object Http {
     checked.withColumn(result, out).drop(tmp, tmp + "_status")
   }
 
-  /** FreeGeoIPProcessor: GET `<geoipurl>/<format>/<ip>` per row. */
-  def freeGeoIp(df: DataFrame, ipField: String, result: String,
+  /** FreeGeoIPProcessor: GET `<geoipurl>/<format>/<ip>` per row. The `ip`
+    * config is a TuktuString like the reference's (evaluateTuktuString):
+    * `"${addr}"` interpolates, a bare column name is shorthand for that
+    * column, and anything else (e.g. a literal `"8.8.8.8"`) is used
+    * verbatim — so reference configs run unchanged. */
+  def freeGeoIp(df: DataFrame, ip: String, result: String,
                 geoipUrl: String = "http://freegeoip.net", format: String = "json",
-                maxInFlight: Int = 8, transport: Transport = JdkTransport): DataFrame =
-    restEnrich(df, s"$geoipUrl/$format/$${$ipField}", result,
+                maxInFlight: Int = 8, transport: Transport = JdkTransport): DataFrame = {
+    val ipSegment =
+      if (ip.contains("${")) ip
+      else if (df.schema.fieldNames.contains(ip)) s"$${$ip}"
+      else ip
+    restEnrich(df, s"$geoipUrl/$format/$ipSegment", result,
       maxInFlight = maxInFlight, transport = transport)
+  }
 }

@@ -102,4 +102,36 @@ class HttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val r = Flow.runSingle(spark, flow).head
     assert(r.getAs[String]("geo") == "hello-json/1.2.3.4")
   }
+
+  test("freeGeoIp ip config is a TuktuString: template, column name, or literal") {
+    val df = Seq(("8.8.4.4", 1)).toDF("addr", "id")
+    // "${addr}" template — reference configs pass evaluateTuktuString input
+    val t = Http.freeGeoIp(df, "${addr}", "geo",
+      geoipUrl = s"http://127.0.0.1:$port/echo", format = "json").head
+    assert(t.getAs[String]("geo") == "hello-json/8.8.4.4")
+    // bare column name shorthand
+    val c = Http.freeGeoIp(df, "addr", "geo",
+      geoipUrl = s"http://127.0.0.1:$port/echo", format = "json").head
+    assert(c.getAs[String]("geo") == "hello-json/8.8.4.4")
+    // literal IP, not a column: used verbatim for every row
+    val l = Http.freeGeoIp(df, "9.9.9.9", "geo",
+      geoipUrl = s"http://127.0.0.1:$port/echo", format = "json").head
+    assert(l.getAs[String]("geo") == "hello-json/9.9.9.9")
+  }
+
+  test("templates resolve nested struct paths and reject bad ones at compile time") {
+    val df = Seq(("a", "x", 1)).toDF("outer", "inner", "id")
+      .select(struct(col("outer").as("o"), struct(col("inner").as("i")).as("mid")).as("s"), col("id"))
+    val out = Http.restEnrich(df, s"http://127.0.0.1:$port/echo/$${s.o}-$${s.mid.i}", "resp").head
+    assert(out.getAs[String]("resp") == "hello-a-x")
+    // a top-level column whose name contains a dot wins over path-splitting
+    val dotted = df.select(col("id"), lit("z").as("a.b"))
+    val d = Http.restEnrich(dotted, s"http://127.0.0.1:$port/echo/$${a.b}", "resp").head
+    assert(d.getAs[String]("resp") == "hello-z")
+    // unresolvable path: clear error naming the path, raised when the task runs
+    val err = intercept[Exception] {
+      Http.restEnrich(df, s"http://127.0.0.1:$port/echo/$${s.nope}", "resp").head
+    }
+    assert(err.getMessage.contains("s.nope") || err.getCause.getMessage.contains("s.nope"))
+  }
 }

@@ -30,6 +30,17 @@ class LLMOpsSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc excluded
   }
 
+  test("minhashNearDupsCached matches the recompute form and releases its cache") {
+    val (cached, base) = Dedup.minhashNearDupsCached(docs, "text", "doc_id",
+      n = 3, k = 16, bands = 8, threshold = 0.3)
+    val plain = Dedup.minhashNearDups(docs, "text", "doc_id", n = 3, k = 16, bands = 8,
+      threshold = 0.3).collect().map(_.toSeq).toSet
+    assert(cached.collect().map(_.toSeq).toSet == plain)
+    assert(base.storageLevel.useMemory) // handle really is the persisted base
+    base.unpersist(blocking = true)
+    assert(!base.storageLevel.useMemory) // caller can release deterministically
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
       .as[(Long, Long)].collect().toMap

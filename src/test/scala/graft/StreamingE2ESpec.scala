@@ -69,8 +69,13 @@ class StreamingE2ESpec extends SparkSpec {
     // read-back pruning: bucket is a partition column, filter prunes to one dir
     val one = back.filter(col("bucket") === "20240101_101000")
     assert(one.select("line").as[String].collect().toSeq == Seq("r3"))
-    val plan = one.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || back.count() == 4) // pruned scan
+    // pruned scan: the bucket predicate must land in the scan's partition
+    // filters (not the data filters), i.e. only one directory is read
+    val scans = one.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      s"bucket filter not pushed to partition pruning:\n${one.queryExecution.executedPlan}")
     // restart on the same checkpoint with new data: appends, no reprocessing
     Seq((ts(13), "r5")).toDF("ts", "line").write.mode("append").parquet(inDir)
     val q2 = Streams.rotatingFileSink(src, "ts", "10 minutes", outDir, ckDir,
