@@ -238,6 +238,31 @@ object QueriesLLM {
         "event_id", "doc").orderBy("user_id")
     }),
 
+    // ---------------- near-dup CLUSTERING: LSH pairs → connected components.
+    // The full fuzzy-dedup pipeline shape for a 100 TB corpus: candidate
+    // pairs (band-bucketed, never all-pairs) → alternating star contraction
+    // (O(log n) rounds of node-keyed shuffles) → every doc labeled with the
+    // min doc id of its duplicate cluster.
+    "dedup_cluster" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.nearDupClusters(d, "text", "doc_id", n = 3, k = 8, bands = 4,
+        threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- retention after clustering: one kept doc per cluster
+    // (the cluster id IS the kept doc — smallest id first-seen policy);
+    // csize tells how many near-dups each kept doc absorbs.
+    "dedup_retention" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.nearDupClusters(d, "text", "doc_id", n = 3, k = 8, bands = 4,
+        threshold = 0.5)
+        .groupBy("cluster").agg(count(lit(1)).as("csize"))
+        .orderBy("cluster")
+    }),
+
     // ---------------- multimodal binary plumbing: payload metadata
     "multimodal_meta" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -458,5 +483,53 @@ object QueriesLLM {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
-         FROM documents ORDER BY doc_id""")
+         FROM documents ORDER BY doc_id""",
+    "dedup_cluster" -> clusterSql(
+      "SELECT u AS doc_id, CAST(min(m) AS BIGINT) AS cluster FROM lbl GROUP BY u ORDER BY doc_id"),
+    "dedup_retention" -> clusterSql(
+      """SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS csize FROM
+           (SELECT u, min(m) AS cluster FROM lbl GROUP BY u)
+         GROUP BY 1 ORDER BY 1"""))
+
+  /** Shared oracle scaffold for the clustering queries: the same minhash+LSH
+    * pair pipeline as `dedup_minhash_lsh` (verified ≥ 0.5 Jaccard), then a
+    * recursive min-label fixpoint — `lbl` holds every (node, reachable id)
+    * pair, so min(m) per node is the component minimum, which is exactly what
+    * the star-contraction returns. */
+  private def clusterSql(select: String): String = {
+    val perm = (0 until 8).map { j =>
+      s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+    }.mkString(", ")
+    s"""WITH RECURSIVE t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        h AS (
+          SELECT doc_id, list_transform(toks,
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+          FROM t),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+            list_distinct(list_transform(range(1, len(th) - 2 + 1),
+              i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+          END AS gh
+          FROM h),
+        sig AS (SELECT doc_id, gh, [$perm] AS sig FROM sh),
+        bands AS (
+          SELECT doc_id, gh, unnest(list_transform(range(4), j ->
+            j::VARCHAR || ':' || sig[2*j+1]::VARCHAR || ':' || sig[2*j+2]::VARCHAR)) AS band
+          FROM sig),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.gh AS gh1, b.gh AS gh2
+          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+        verified AS (
+          SELECT id1, id2 FROM pairs
+          WHERE CAST(len(list_intersect(gh1, gh2)) AS DOUBLE) /
+                CAST(len(list_distinct(list_concat(gh1, gh2))) AS DOUBLE) >= 0.5),
+        sym AS (SELECT id1 AS u, id2 AS v FROM verified
+                UNION SELECT id2, id1 FROM verified),
+        lbl(u, m) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.u, l.m FROM sym s JOIN lbl l ON l.u = s.v)
+        $select"""
+  }
 }

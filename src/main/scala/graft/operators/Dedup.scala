@@ -243,6 +243,84 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Distributed connected components over an undirected edge list, via the
+    * alternating large-star / small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the canonical
+    * fuzzy-dedup clustering step: near-dup PAIRS become duplicate CLUSTERS,
+    * and retention keeps one document per cluster.
+    *
+    * Scale design: each round is two groupBy shuffles keyed on node id (no
+    * driver-side graph, no all-pairs), and the edge set only ever shrinks
+    * toward a star forest; convergence is O(log n) rounds on any graph and
+    * 1-2 rounds on dedup graphs (near-dup clusters are shallow). Per-round
+    * localCheckpoint truncates lineage so plans don't grow with iterations
+    * (same pattern as Ops.recursiveLookup). A BFS-style label propagation
+    * would need diameter rounds and re-shuffle the full frontier each time;
+    * star contraction is the 100 TB shape.
+    *
+    * Returns (node, component) for every node present in `edges`, where
+    * component is the smallest node id in the connected component —
+    * deterministic, so oracle-checkable against a recursive-CTE min-label
+    * fixpoint. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // canonical undirected edge set as (hi, lo), hi > lo, distinct
+    var e = edges
+      .select(col(srcCol).cast(LongType).as("a"), col(dstCol).cast(LongType).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint()
+    val nodes = e.select(col("hi").as("node"))
+      .union(e.select(col("lo").as("node"))).distinct().localCheckpoint()
+    var n = e.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // large-star: every neighbor v > u links to m(u) = min(Γ(u) ∪ {u}).
+      // Emitted edges are (v, m) with v > u ≥ m, so (hi, lo) form holds.
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+      // small-star: group the downhill edges by hi; hi and all its smaller
+      // neighbors link to the group minimum.
+      val grouped = large.groupBy("hi").agg(min(col("lo")).as("m"),
+        collect_set(col("lo")).as("ns"))
+      val small = grouped
+        .select(explode(array_union(col("ns"), array(col("hi")))).as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint()
+      val n2 = small.count()
+      // star forest fixpoint: the (hi, lo) set is stable. Sets are distinct,
+      // so equal count + empty one-sided difference ⇒ equal sets.
+      converged = n2 == n && small.except(e).isEmpty
+      e = small
+      n = n2
+      iter += 1
+    }
+    // converged edge set is a star forest: non-roots point at their root
+    val comp = e.groupBy("hi").agg(min(col("lo")).as("component"))
+      .select(col("hi").as("node"), col("component"))
+    nodes.join(comp, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** MinHash near-dup clustering end-to-end: candidate pairs → connected
+    * components → (doc, cluster) for EVERY document (singletons are their own
+    * cluster). `cluster` is the smallest doc id in the duplicate cluster —
+    * i.e. exactly the doc retention policy "keep the first seen". */
+  def nearDupClusters(df: DataFrame, textCol: String, idCol: String,
+                      n: Int = 3, k: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, textCol, idCol, n, k, bands, threshold)
+    val cc = connectedComponents(pairs, "id1", "id2")
+    df.select(col(idCol).cast(LongType).as("node"))
+      .join(cc, Seq("node"), "left")
+      .select(col("node").as(idCol), coalesce(col("component"), col("node")).as("cluster"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ threshold via the
     * Similarity module's LSH-bucketed ANN (see Similarity.scala). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,

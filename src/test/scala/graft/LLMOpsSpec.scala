@@ -41,6 +41,40 @@ class LLMOpsSpec extends SparkSpec {
     assert(!base.storageLevel.useMemory) // caller can release deterministically
   }
 
+  test("connectedComponents labels chains, cycles, stars and singleton edges") {
+    // chain 1-2-3-4-5, cycle 10-11-12-10, star 20-{21,22,23}, pair 30-31,
+    // plus self-loop and duplicate/reversed edges that must be ignored/merged
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L),
+      (20L, 21L), (20L, 22L), (20L, 23L),
+      (30L, 31L), (31L, 30L), (30L, 30L), (30L, 31L)
+    ).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L, 22L, 23L).forall(comp(_) == 20L))
+    assert(Seq(30L, 31L).forall(comp(_) == 30L))
+    assert(comp.size == 14) // every node present exactly once
+  }
+
+  test("connectedComponents handles a long path (multi-round convergence)") {
+    // a 64-node path needs several star-contraction rounds
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 0L))
+  }
+
+  test("nearDupClusters groups the planted dups and keeps singletons alone") {
+    val out = Dedup.nearDupClusters(docs, "text", "doc_id",
+      n = 3, k = 16, bands = 8, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L && out(1L) == 0L && out(2L) == 0L) // dup cluster → min id
+    assert(out(3L) == 3L && out(4L) == 4L)                  // singletons untouched
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
       .as[(Long, Long)].collect().toMap
