@@ -263,6 +263,18 @@ object QueriesLLM {
         .orderBy("cluster")
     }),
 
+    // ---------------- cross-document segment dedup (RefinedWeb/Falcon
+    // "line dedup"): segments shared by >1 docs are boilerplate, stripped
+    // from every doc. The synthetic docs have no newlines, so the
+    // deterministic segmentation is 8-token chunks.
+    "line_dedup" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.segmentDedup(d, "doc_id", Dedup.tokenChunks(col("text"), 8),
+        maxDocs = 1, joinSep = " ")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- multimodal binary plumbing: payload metadata
     "multimodal_meta" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -484,6 +496,33 @@ object QueriesLLM {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "line_dedup" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         ch AS (
+           SELECT doc_id, list_transform(range(1, len(toks)+1, 8),
+             i -> array_to_string(toks[i:i+7], ' ')) AS segs
+           FROM t),
+         ex AS (
+           SELECT doc_id, unnest(segs) AS seg, unnest(range(1, len(segs)+1)) AS pos
+           FROM ch),
+         boiler AS (
+           SELECT seg FROM (
+             SELECT seg, count(DISTINCT doc_id) AS nd FROM ex
+             WHERE trim(seg) != '' GROUP BY 1)
+           WHERE nd > 1),
+         mk AS (
+           SELECT e.doc_id, e.pos, e.seg, b.seg IS NOT NULL AS rm
+           FROM ex e LEFT JOIN boiler b ON e.seg = b.seg),
+         agg AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN NOT rm THEN seg END, ' ' ORDER BY pos) AS clean,
+             count(CASE WHEN rm THEN 1 END) AS n_removed
+           FROM mk GROUP BY 1)
+         SELECT d.doc_id, coalesce(a.clean, '') AS clean,
+           CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed
+         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         ORDER BY d.doc_id""",
     "dedup_cluster" -> clusterSql(
       "SELECT u AS doc_id, CAST(min(m) AS BIGINT) AS cluster FROM lbl GROUP BY u ORDER BY doc_id"),
     "dedup_retention" -> clusterSql(

@@ -243,6 +243,56 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Fixed-width token chunks of a text column (w tokens per chunk, space
+    * joined) — a deterministic segmentation for corpora without natural line
+    * structure; the last chunk may be shorter. */
+  def tokenChunks(text: Column, w: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    transform(sequence(lit(1), size(toks), lit(w)),
+      i => concat_ws(" ", slice(toks, i, lit(w))))
+  }
+
+  /** Cross-document segment-level dedup (the RefinedWeb/Falcon "line dedup"
+    * pass): a document is an ordered array of segments — lines, sentences,
+    * or token chunks — and any non-blank segment occurring in more than
+    * `maxDocs` distinct documents corpus-wide is boilerplate, removed from
+    * every document. Returns (id, clean, n_removed).
+    *
+    * Scale shape: one segment-keyed shuffle with map-side partial agg for
+    * the distinct-doc counts (blank segments are excluded up front — they
+    * are the pathological skew key), one join to mark boilerplate (the
+    * boilerplate set is tiny relative to the corpus, so AQE broadcasts it),
+    * and one doc-keyed shuffle to reassemble in order. No driver-side state,
+    * no all-pairs work: cost is O(total segments). */
+  def segmentDedup(df: DataFrame, idCol: String, segs: Column, maxDocs: Long,
+                   joinSep: String): DataFrame = {
+    val ex = df.select(col(idCol).as("id"), posexplode(segs).as(Seq("pos", "seg")))
+    val boiler = ex.filter(length(trim(col("seg"))) > 0)
+      .select("seg", "id").distinct()
+      .groupBy("seg").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocs)
+      .select(col("seg"), lit(1).as("__rm"))
+    val perDoc = ex.join(boiler, Seq("seg"), "left")
+      .groupBy("id").agg(
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("__rm").isNull,
+              struct(col("pos"), col("seg"))))),
+            s => s.getField("seg")),
+          joinSep).as("clean"),
+        count(col("__rm")).as("n_removed"))
+    // null-text docs explode to no segments: restore them with empty output
+    df.select(col(idCol)).join(perDoc, col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("clean"), lit("")).as("clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** Line-level dedup for real multi-line corpora: segments are newline
+    * lines, reassembled with newlines. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDocs: Long = 5): DataFrame =
+    segmentDedup(df, idCol, split(col(textCol), "\n"), maxDocs, "\n")
+
   /** Distributed connected components over an undirected edge list, via the
     * alternating large-star / small-star contraction (Kiveris et al. 2014,
     * "Connected Components in MapReduce and Beyond") — the canonical

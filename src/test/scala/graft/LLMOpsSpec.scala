@@ -41,6 +41,32 @@ class LLMOpsSpec extends SparkSpec {
     assert(!base.storageLevel.useMemory) // caller can release deterministically
   }
 
+  test("lineDedup strips lines shared across docs, keeps order and blanks") {
+    val d = Seq(
+      (1L, "keep me\ncommon footer\nunique line a"),
+      (2L, "common footer\nunique line b\n\nafter blank"),
+      (3L, "common footer\nunique line c"),
+      (4L, "totally original")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // "common footer" is in 3 docs (> 2) → removed everywhere, order kept
+    assert(out(0) == ((1L, "keep me\nunique line a", 1L)))
+    assert(out(1) == ((2L, "unique line b\n\nafter blank", 1L)))
+    assert(out(2) == ((3L, "unique line c", 1L)))
+    assert(out(3) == ((4L, "totally original", 0L)))
+  }
+
+  test("segmentDedup: blank segments never count; fully-removed docs survive") {
+    val d = Seq(
+      (1L, "dup\n\ndup2"), (2L, "dup\n\ndup2"), (3L, "dup\ndup2"), (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(d, "doc_id", "text", maxDocs = 1)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // every non-blank line is shared by 3 docs → removed; blanks remain
+    assert(out == Seq((1L, "", 2L), (2L, "", 2L), (3L, "", 2L), (4L, "", 0L)))
+  }
+
   test("connectedComponents labels chains, cycles, stars and singleton edges") {
     // chain 1-2-3-4-5, cycle 10-11-12-10, star 20-{21,22,23}, pair 30-31,
     // plus self-loop and duplicate/reversed edges that must be ignored/merged
