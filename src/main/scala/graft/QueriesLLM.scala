@@ -19,6 +19,31 @@ object QueriesLLM {
     Tables.read(s, dir, name)
   private val D = DecimalType(30, 10)
 
+  /** Deterministic messy URL per doc (mixed case, default port, tracking
+    * params, fragment) — the IDENTICAL expression is used in the oracle SQL,
+    * so Url.normalize/host/etc. are the only things under test. */
+  private def syntheticUrl: Column =
+    concat(
+      lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+      when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/Docs/"), col("doc_id").cast(StringType),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("?utm_source=feed&ref="), col("lang"),
+          lit("&gclid="), col("doc_id").cast(StringType)))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?ref="), col("lang"), lit("&utm_campaign=x")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#Section-2")).otherwise(lit("")))
+
+  private val syntheticUrlSql: String =
+    """('HTTPS://WWW.' || source || '.Example.COM' ||
+       CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END ||
+       '/Docs/' || doc_id ||
+       CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=' || lang || '&gclid=' || doc_id
+            WHEN doc_id % 3 = 1 THEN '?ref=' || lang || '&utm_campaign=x'
+            ELSE '' END ||
+       CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"""
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---------------- exact dedup: hash-groupBy
@@ -275,6 +300,31 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- URL canonicalization (URL-level dedup needs one
+    // canonical form per page). The tables carry no URL column, so the query
+    // synthesizes a deterministic messy URL per doc (mixed case, default
+    // port, tracking params, fragment) with the SAME expression as the
+    // oracle, then normalizes it — the operator under test is Url.normalize.
+    "url_normalize" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val url = syntheticUrl
+      d.select(col("doc_id"), url.as("url"),
+          graft.operators.Url.normalize(url).as("norm"),
+          graft.operators.Url.host(url).as("host"),
+          graft.operators.Url.registrableDomain(url).as("reg_domain"),
+          graft.operators.Url.tld(url).as("tld"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- per-domain corpus stats over the canonical host
+    "domain_stats" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.select(graft.operators.Url.host(syntheticUrl).as("host"), col("n_chars"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("host")
+    }),
+
     // ---------------- multimodal binary plumbing: payload metadata
     "multimodal_meta" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -496,6 +546,42 @@ object QueriesLLM {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+         s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u1 FROM u),
+         s2 AS (SELECT *, split_part(u1, '?', 1) AS base,
+           CASE WHEN position('?' IN u1) > 0 THEN substr(u1, position('?' IN u1)+1)
+                ELSE '' END AS qs
+           FROM s1),
+         s3 AS (SELECT *, regexp_extract(base, '^[^:/?#]+://[^/?#]*') AS sa FROM s2),
+         s4 AS (SELECT *, lower(sa) AS sal,
+           CASE WHEN substr(base, length(sa)+1) = '/' THEN ''
+                ELSE substr(base, length(sa)+1) END AS path
+           FROM s3),
+         s5 AS (SELECT *,
+           CASE WHEN starts_with(sal,'http://') AND ends_with(sal,':80')
+                  THEN substr(sal,1,length(sal)-3)
+                WHEN starts_with(sal,'https://') AND ends_with(sal,':443')
+                  THEN substr(sal,1,length(sal)-4)
+                ELSE sal END AS sanorm,
+           list_filter(string_split(qs,'&'), p -> NOT (starts_with(p,'utm_')
+             OR starts_with(p,'fbclid=') OR starts_with(p,'gclid=') OR p = '')) AS params,
+           lower(regexp_extract(url, '^[^:/?#]+://([^:/?#]*)', 1)) AS host
+           FROM s4)
+         SELECT doc_id, url,
+           sanorm || path ||
+             CASE WHEN len(params) > 0 THEN '?' || array_to_string(params,'&')
+                  ELSE '' END AS norm,
+           host,
+           CASE WHEN regexp_extract(host, '[^.]+\\.[^.]+$$') = '' THEN host
+                ELSE regexp_extract(host, '[^.]+\\.[^.]+$$') END AS reg_domain,
+           regexp_extract(host, '[^.]+$$') AS tld
+         FROM s5 ORDER BY doc_id""",
+    "domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, $syntheticUrlSql AS url FROM documents)
+         SELECT lower(regexp_extract(url, '^[^:/?#]+://([^:/?#]*)', 1)) AS host,
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         FROM u GROUP BY 1 ORDER BY 1""",
     "line_dedup" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
