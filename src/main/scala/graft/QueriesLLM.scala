@@ -157,6 +157,17 @@ object QueriesLLM {
         .orderBy("id1", "id2")
     }),
 
+    // ---------------- LSH ANN top-k (the approximate scale path). The
+    // md5-derived hyperplanes are deterministic, so the ENTIRE approximate
+    // pipeline — sign-bit buckets, 4-table candidate set, exact re-rank —
+    // is reproduced by the oracle: the approximation itself is
+    // hash-checked, not just the brute-force baseline.
+    "ann_lsh_topk" -> ((s, dir) => {
+      Similarity.annTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0, dim = 64, k = 10, tables = 4, nPlanes = 8)
+        .select(col("vec_id"), col("cosine").as("cos"))
+    }),
+
     // ---------------- language id (marker-token heuristic)
     "lang_id" -> ((s, dir) => {
       rd(s, dir, "documents")
@@ -297,6 +308,19 @@ object QueriesLLM {
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       Dedup.segmentDedup(d, "doc_id", Dedup.tokenChunks(col("text"), 8),
         maxDocs = 1, joinSep = " ")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- benchmark decontamination: docs with doc_id % 97 == 0
+    // act as the "eval set"; every other doc is flagged if it shares any
+    // 8-token shingle with that set.
+    "decontaminate" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8)
         .orderBy("doc_id")
     }),
 
@@ -546,6 +570,62 @@ object QueriesLLM {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
+    "decontaminate" -> {
+      // rolling-hash chain over 8 tokens, identical to minhashBase's shingles
+      val chain = (1 until 8).foldLeft("th[i]") { (acc, j) =>
+        s"(($acc * 131 + th[i+$j]) % 2147483647)"
+      }
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+            FROM t),
+          sh AS (
+            SELECT doc_id, CASE WHEN len(th) < 8 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 7 + 1), i -> $chain))
+            END AS gh
+            FROM h),
+          bench AS (SELECT DISTINCT unnest(gh) AS g FROM sh WHERE doc_id % 97 = 0),
+          dg AS (SELECT doc_id, unnest(gh) AS g FROM sh WHERE doc_id % 97 != 0),
+          hits AS (SELECT doc_id, count(*) AS n_hits FROM dg JOIN bench USING (g) GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits,
+            coalesce(x.n_hits, 0) > 0 AS contaminated
+          FROM documents d LEFT JOIN hits x ON d.doc_id = x.doc_id
+          WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id"""
+    },
+    "ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         planes AS (
+           SELECT t.r AS t, p.r AS p,
+             list_transform(range(64), d ->
+               ('0x'||substr(md5('plane:'||(t.r*1000+p.r)::VARCHAR||':'||d::VARCHAR),1,15))::BIGINT
+                 % 100000 / 50000.0 - 1.0) AS w
+           FROM range(4) t(r), range(8) p(r)),
+         dots AS (
+           SELECT e.vec_id, pl.t, pl.p,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(e.v, pl.w), z -> z[1]*z[2])), (a,x) -> a+x) AS dt
+           FROM e, planes pl),
+         bits AS (
+           SELECT vec_id, t,
+             CAST(sum(CASE WHEN dt >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bb
+           FROM dots GROUP BY 1, 2),
+         bk AS (SELECT vec_id, list(t::VARCHAR || ':' || bb::VARCHAR ORDER BY t) AS buckets
+                FROM bits GROUP BY 1),
+         q AS (SELECT buckets AS qb, (SELECT v FROM e WHERE vec_id=0) AS qv
+               FROM bk WHERE vec_id=0),
+         cand AS (
+           SELECT b2.vec_id, e.v, q.qv FROM bk b2 JOIN e USING (vec_id), q
+           WHERE b2.vec_id != 0 AND list_has_any(b2.buckets, q.qb))
+         SELECT vec_id,
+           list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip(v, qv), z -> z[1]*z[2])), (a,b) -> a+b)
+           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(v, v), z -> z[1]*z[2])), (a,b) -> a+b))
+            * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                list_transform(list_zip(qv, qv), z -> z[1]*z[2])), (a,b) -> a+b))) AS cos
+         FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "url_normalize" ->
       s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
          s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS u1 FROM u),

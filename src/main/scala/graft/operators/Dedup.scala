@@ -243,6 +243,28 @@ object Dedup {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Benchmark decontamination: flag training documents that share any word
+    * n-gram with an evaluation set (the standard pre-training hygiene pass —
+    * eval questions leaking into the corpus inflate benchmark scores).
+    * Returns (id, n_hits, contaminated) per corpus doc, where n_hits counts
+    * the doc's DISTINCT n-grams that appear anywhere in the benchmark.
+    *
+    * Scale shape: both sides reduce to 60-bit rolling-hash shingles (the
+    * same codegen pipeline as minhash); the benchmark gram set is tiny
+    * relative to a 100 TB corpus (eval sets are thousands of docs), so the
+    * gram join broadcasts — the corpus is never shuffled, only scanned. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val bg = minhashBase(bench, idCol, textCol, n, k = 0, collectShingles = true)
+      .select(explode(col("sh")).as("g")).distinct()
+    val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
+      .select(col("id"), explode(col("sh")).as("g"))
+    val hits = dg.join(bg, Seq("g")).groupBy("id").agg(count(lit(1)).as("n_hits"))
+    corpus.select(col(idCol)).join(hits, col(idCol) === col("id"), "left")
+      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Fixed-width token chunks of a text column (w tokens per chunk, space
     * joined) — a deterministic segmentation for corpora without natural line
     * structure; the last chunk may be shorter. */

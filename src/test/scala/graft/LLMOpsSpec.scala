@@ -41,6 +41,19 @@ class LLMOpsSpec extends SparkSpec {
     assert(!base.storageLevel.useMemory) // caller can release deterministically
   }
 
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon suffix words"), // contains the 5-gram
+      (2L, "alpha beta gamma but never the full run of them here"),     // only shorter overlap
+      (3L, "entirely unrelated content with no shared runs at all"),
+      (4L, "tiny")                                                      // shorter than n
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
+  }
+
   test("lineDedup strips lines shared across docs, keeps order and blanks") {
     val d = Seq(
       (1L, "keep me\ncommon footer\nunique line a"),
