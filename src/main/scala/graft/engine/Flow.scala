@@ -156,6 +156,31 @@ object Flow {
         graft.operators.Nlp.assembleDocument(df, strs("group"), str("field"),
           str("order_by"), result,
           sep = strOpt("separator").getOrElse(" "))
+      // round-4 operators reachable from engine-native flow configs
+      case "url_normalize" =>
+        df.withColumn(result, graft.operators.Url.normalize(col(str("field"))))
+      case "url_host" =>
+        df.withColumn(result, graft.operators.Url.host(col(str("field"))))
+      case "url_domain" =>
+        df.withColumn(result, graft.operators.Url.registrableDomain(col(str("field"))))
+      case "line_dedup" =>
+        graft.operators.Dedup.lineDedup(df, str("id_field"), str("field"),
+          maxDocs = Option(c.get("max_docs")).map(_.asLong).getOrElse(5L))
+      case "near_dup_clusters" =>
+        graft.operators.Dedup.nearDupClusters(df, str("field"), str("id_field"),
+          n = Option(c.get("n")).map(_.asInt).getOrElse(3),
+          k = Option(c.get("k")).map(_.asInt).getOrElse(16),
+          bands = Option(c.get("bands")).map(_.asInt).getOrElse(4),
+          threshold = Option(c.get("threshold")).map(_.asDouble).getOrElse(0.5))
+      case "connected_components" =>
+        graft.operators.Dedup.connectedComponents(df, str("src"), str("dst"))
+      // benchmark side comes from a Registry bucket (tuktu.db Write/Read)
+      case "decontaminate" =>
+        val bench = graft.sources.Registry.get(str("bench"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"decontaminate: no Registry bucket named '${str("bench")}'"))
+        graft.operators.Dedup.decontaminate(df, bench, str("id_field"), str("field"),
+          n = Option(c.get("n")).map(_.asInt).getOrElse(8))
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }

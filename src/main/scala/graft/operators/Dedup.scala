@@ -260,8 +260,10 @@ object Dedup {
     val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
       .select(col("id"), explode(col("sh")).as("g"))
     val hits = dg.join(bg, Seq("g")).groupBy("id").agg(count(lit(1)).as("n_hits"))
-    corpus.select(col(idCol)).join(hits, col(idCol) === col("id"), "left")
-      .select(col(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+    // dataframe-qualified refs: idCol may itself be named "id"
+    val base = corpus.select(col(idCol))
+    base.join(hits, base(idCol) === hits("id"), "left")
+      .select(base(idCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
   }
 
@@ -303,9 +305,11 @@ object Dedup {
             s => s.getField("seg")),
           joinSep).as("clean"),
         count(col("__rm")).as("n_removed"))
-    // null-text docs explode to no segments: restore them with empty output
-    df.select(col(idCol)).join(perDoc, col(idCol) === col("id"), "left")
-      .select(col(idCol), coalesce(col("clean"), lit("")).as("clean"),
+    // null-text docs explode to no segments: restore them with empty output.
+    // Dataframe-qualified refs: idCol may itself be named "id".
+    val base = df.select(col(idCol))
+    base.join(perDoc, base(idCol) === perDoc("id"), "left")
+      .select(base(idCol), coalesce(col("clean"), lit("")).as("clean"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 

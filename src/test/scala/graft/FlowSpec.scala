@@ -124,6 +124,50 @@ class FlowSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[String]]("tags").toList == List("spark", "jobs"))
   }
 
+  test("round-4 operators are reachable from engine-native flow configs") {
+    val urlFlow = """
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"id": 1, "u": "HTTPS://A.com:443/X?utm_s=1&q=2#f"}
+      ]}, "next": ["norm"]} ],
+      "processors": [
+        {"id": "norm", "name": "url_normalize", "result": "nu",
+         "config": {"field": "u"}, "next": ["host"]},
+        {"id": "host", "name": "url_host", "result": "h",
+         "config": {"field": "u"}, "next": []} ] }"""
+    val u = Flow.runSingle(spark, urlFlow).head
+    assert(u.getAs[String]("nu") == "https://a.com/X?q=2")
+    assert(u.getAs[String]("h") == "a.com")
+
+    val decFlow = """
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"id": 1, "text": "alpha beta gamma delta epsilon words"}
+      ]}, "next": ["dec"]} ],
+      "processors": [
+        {"id": "dec", "name": "decontaminate", "result": "x",
+         "config": {"bench": "flow4_bench", "id_field": "id", "field": "text",
+                    "n": 5}, "next": []} ] }"""
+    import spark.implicits._
+    graft.sources.Registry.put("flow4_bench",
+      Seq((9L, "alpha beta gamma delta epsilon")).toDF("id", "text"))
+    try {
+      val r = Flow.runSingle(spark, decFlow).head
+      assert(r.getAs[Long]("n_hits") == 1L && r.getAs[Boolean]("contaminated"))
+    } finally graft.sources.Registry.drop(spark, "flow4_bench")
+  }
+
+  test("connected components through the flow front-end") {
+    val flow = """
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 3}, {"src": 7, "dst": 8}
+      ]}, "next": ["cc"]} ],
+      "processors": [
+        {"id": "cc", "name": "connected_components", "config": {"src": "src", "dst": "dst"},
+         "next": []} ] }"""
+    val r = Flow.runSingle(spark, flow).collect()
+      .map(x => (x.getAs[Long]("node"), x.getAs[Long]("component"))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("unknown processor fails with a clear message") {
     val flow = """
     { "generators": [ {"id": "g", "name": "range", "config": {"n": 1}, "next": ["bad"]} ],
