@@ -61,10 +61,17 @@ object Bench {
     // output tail (~2000 chars) so it survives truncation and stays
     // machine-parseable. Per-query times at 2 dp, slowest queries first;
     // if the full map would overflow the budget, the fastest queries are
-    // folded into a single "_other" bucket (sum preserved).
+    // folded into a single "_other" bucket (sum preserved). The errors
+    // array is capped the same way (first few names + a count) and its
+    // actual length is deducted from the query budget, so the line stays
+    // parseable even in a mass-failure run.
     def fmt(v: Double) = if (v < 0) "-1" else f"$v%.2f"
+    val errNames = results.collect { case (k, v) if v < 0 => k }
+    val errCompact = (errNames.take(5).map("\"" + _ + "\"") ++
+      (if (errNames.size > 5) Seq("\"+" + (errNames.size - 5) + " more\"") else Nil))
+      .mkString("[", ",", "]")
     val byTime = results.sortBy { case (_, v) => -v }
-    val budget = 1700
+    val budget = 1700 - errCompact.length
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keepN = {
       var acc = 0; var n = 0
@@ -75,7 +82,7 @@ object Bench {
     val restSum = byTime.drop(keepN).map(_._2).filter(_ >= 0).sum
     val qsCompact = (if (keepN < entries.size) kept :+ ("\"_other\":" + fmt(restSum)) else kept)
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"errors":$errCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

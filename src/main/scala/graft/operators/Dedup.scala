@@ -327,27 +327,37 @@ object Dedup {
     *
     * Scale design: each round is two groupBy shuffles keyed on node id (no
     * driver-side graph, no all-pairs), and the edge set only ever shrinks
-    * toward a star forest; convergence is O(log n) rounds on any graph and
-    * 1-2 rounds on dedup graphs (near-dup clusters are shallow). Per-round
-    * localCheckpoint truncates lineage so plans don't grow with iterations
-    * (same pattern as Ops.recursiveLookup). A BFS-style label propagation
-    * would need diameter rounds and re-shuffle the full frontier each time;
-    * star contraction is the 100 TB shape.
+    * toward a star forest; convergence is O(log² n) rounds worst-case
+    * (Kiveris et al., Thm 3) and 1-2 rounds on dedup graphs (near-dup
+    * clusters are shallow). Per-round localCheckpoint truncates lineage so
+    * plans don't grow with iterations (same pattern as Ops.recursiveLookup).
+    * A BFS-style label propagation would need diameter rounds and re-shuffle
+    * the full frontier each time; star contraction is the 100 TB shape.
     *
-    * Returns (node, component) for every node present in `edges`, where
-    * component is the smallest node id in the connected component —
-    * deterministic, so oracle-checkable against a recursive-CTE min-label
-    * fixpoint. */
+    * Node ids keep their native column type — any orderable type works
+    * (long doc ids, string URLs, hashes); only src/dst must agree. Throws
+    * if the edge set has not converged after `maxIter` rounds rather than
+    * returning silently split components.
+    *
+    * Returns (node, component) for every node present in `edges` (including
+    * nodes only seen in self-loops), where component is the smallest node id
+    * in the connected component — deterministic, so oracle-checkable against
+    * a recursive-CTE min-label fixpoint. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 50): DataFrame = {
+    val (st, dt) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
+    require(st == dt, s"src/dst types differ: $st vs $dt")
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    // nodes BEFORE dropping self-loops, so an isolated (x, x) node still
+    // appears in the output as its own component
+    val nodes = raw.select(col("a").as("node"))
+      .union(raw.select(col("b").as("node"))).distinct().localCheckpoint()
     // canonical undirected edge set as (hi, lo), hi > lo, distinct
-    var e = edges
-      .select(col(srcCol).cast(LongType).as("a"), col(dstCol).cast(LongType).as("b"))
+    var e = raw
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
       .distinct().localCheckpoint()
-    val nodes = e.select(col("hi").as("node"))
-      .union(e.select(col("lo").as("node"))).distinct().localCheckpoint()
     var n = e.count()
     var converged = false
     var iter = 0
@@ -376,6 +386,9 @@ object Dedup {
       n = n2
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge after $maxIter rounds " +
+        s"($n edges remain); raise maxIter")
     // converged edge set is a star forest: non-roots point at their root
     val comp = e.groupBy("hi").agg(min(col("lo")).as("component"))
       .select(col("hi").as("node"), col("component"))
@@ -392,7 +405,7 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDups(df, textCol, idCol, n, k, bands, threshold)
     val cc = connectedComponents(pairs, "id1", "id2")
-    df.select(col(idCol).cast(LongType).as("node"))
+    df.select(col(idCol).as("node"))
       .join(cc, Seq("node"), "left")
       .select(col("node").as(idCol), coalesce(col("component"), col("node")).as("cluster"))
   }

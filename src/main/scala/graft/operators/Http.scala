@@ -84,7 +84,10 @@ object Http {
     def resolve(name: String): List[Int] =
       if (schema.fieldNames.contains(name)) List(schema.fieldIndex(name))
       else {
-        val segs = name.split('.').toList
+        // -1 keeps trailing empty segments so "${host.}" is rejected, not
+        // silently resolved to "host"
+        val segs = name.split("\\.", -1).toList
+        require(segs.forall(_.nonEmpty), s"template path $${$name}: empty segment")
         require(segs.nonEmpty && schema.fieldNames.contains(segs.head),
           s"template field not in schema: $${$name}")
         segs.tail.foldLeft((List(schema.fieldIndex(segs.head)), schema(segs.head).dataType)) {
@@ -179,14 +182,22 @@ object Http {
     * config is a TuktuString like the reference's (evaluateTuktuString):
     * `"${addr}"` interpolates, a bare column name is shorthand for that
     * column, and anything else (e.g. a literal `"8.8.8.8"`) is used
-    * verbatim — so reference configs run unchanged. */
+    * verbatim — so reference configs run unchanged. A bare identifier that
+    * is neither a column nor shaped like an address (no '.' or ':') is
+    * almost certainly a typo'd column name, so it fails fast instead of
+    * issuing a garbage request per row. */
   def freeGeoIp(df: DataFrame, ip: String, result: String,
                 geoipUrl: String = "http://freegeoip.net", format: String = "json",
                 maxInFlight: Int = 8, transport: Transport = JdkTransport): DataFrame = {
     val ipSegment =
       if (ip.contains("${")) ip
       else if (df.schema.fieldNames.contains(ip)) s"$${$ip}"
-      else ip
+      else {
+        require(ip.exists(c => c == '.' || c == ':'),
+          s"freeGeoIp: '$ip' is neither a column (have: " +
+            s"${df.schema.fieldNames.mkString(", ")}) nor a literal address")
+        ip
+      }
     restEnrich(df, s"$geoipUrl/$format/$ipSegment", result,
       maxInFlight = maxInFlight, transport = transport)
   }

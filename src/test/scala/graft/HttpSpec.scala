@@ -117,6 +117,13 @@ class HttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
     val l = Http.freeGeoIp(df, "9.9.9.9", "geo",
       geoipUrl = s"http://127.0.0.1:$port/echo", format = "json").head
     assert(l.getAs[String]("geo") == "hello-json/9.9.9.9")
+    // a bare identifier that is neither a column nor address-shaped is a
+    // typo'd column name: fail fast, naming the schema
+    val typo = intercept[IllegalArgumentException] {
+      Http.freeGeoIp(df, "adddr", "geo",
+        geoipUrl = s"http://127.0.0.1:$port/echo", format = "json")
+    }
+    assert(typo.getMessage.contains("adddr") && typo.getMessage.contains("addr"))
   }
 
   test("templates resolve nested struct paths and reject bad ones at compile time") {
@@ -133,5 +140,11 @@ class HttpSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
       Http.restEnrich(df, s"http://127.0.0.1:$port/echo/$${s.nope}", "resp").head
     }
     assert(err.getMessage.contains("s.nope") || err.getCause.getMessage.contains("s.nope"))
+    // a trailing dot is a malformed path, not a silent resolve of the prefix
+    val trail = intercept[Exception] {
+      Http.restEnrich(df, s"http://127.0.0.1:$port/echo/$${s.}", "resp").head
+    }
+    assert(trail.getMessage.contains("empty segment") ||
+      trail.getCause.getMessage.contains("empty segment"))
   }
 }

@@ -98,6 +98,22 @@ class LLMOpsSpec extends SparkSpec {
     assert(comp.size == 14) // every node present exactly once
   }
 
+  test("connectedComponents keeps self-loop-only nodes and works on string ids") {
+    // a node seen ONLY in a self-loop edge must still appear as its own
+    // component, and ids keep their native type (string URLs here)
+    val edges = Seq(("e", "e"), ("a", "b"), ("b", "c")).toDF("src", "dst")
+    val comp = Dedup.connectedComponents(edges, "src", "dst")
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("a" -> "a", "b" -> "a", "c" -> "a", "e" -> "e"))
+  }
+
+  test("connectedComponents throws instead of returning split components") {
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException](
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1).collect())
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("connectedComponents handles a long path (multi-round convergence)") {
     // a 64-node path needs several star-contraction rounds
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
