@@ -324,6 +324,38 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // same semantics via the broadcast-bloom semi-join (the shuffle-join
+    // scale path); shares decontaminate's oracle — bloom false positives are
+    // removed by the exact verify join, so results are identical
+    "decontaminate_bloom" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.decontaminateBloom(
+        d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- temperature-weighted corpus mixture sampling over the
+    // source column (alpha=0.5: post-sample sizes ∝ sqrt of raw sizes)
+    "corpus_mix" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.mixtureSample(d, "source", "doc_id", alpha = 0.5)
+        .select(col("doc_id"), col("source"), col("mix_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- concatenate-and-chunk sequence packing: 8 shards,
+    // 512-token sequences over whitespace token counts
+    "pack_sequences" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.packSequences(d, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), nShards = 8, budget = 512)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- URL canonicalization (URL-level dedup needs one
     // canonical form per page). The tables carry no URL column, so the query
     // synthesizes a deterministic messy URL per doc (mixed case, default
@@ -357,6 +389,33 @@ object QueriesLLM {
         .select("doc_id", "byte_len", "content_md5")
         .orderBy("doc_id")
     }))
+
+  /** Shared by decontaminate and decontaminate_bloom — the bloom semi-join
+    * is a plan-level optimization with identical output. */
+  private val decontaminateSql: String = {
+    // rolling-hash chain over 8 tokens, identical to minhashBase's shingles
+    val chain = (1 until 8).foldLeft("th[i]") { (acc, j) =>
+      s"(($acc * 131 + th[i+$j]) % 2147483647)"
+    }
+    s"""WITH t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        h AS (
+          SELECT doc_id, list_transform(toks,
+            t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+          FROM t),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(th) < 8 THEN CAST([] AS BIGINT[]) ELSE
+            list_distinct(list_transform(range(1, len(th) - 7 + 1), i -> $chain))
+          END AS gh
+          FROM h),
+        bench AS (SELECT DISTINCT unnest(gh) AS g FROM sh WHERE doc_id % 97 = 0),
+        dg AS (SELECT doc_id, unnest(gh) AS g FROM sh WHERE doc_id % 97 != 0),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM dg JOIN bench USING (g) GROUP BY 1)
+        SELECT d.doc_id, CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits,
+          coalesce(x.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits x ON d.doc_id = x.doc_id
+        WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id"""
+  }
 
   val oracleSql: Seq[(String, String)] = Seq(
     "dedup_exact" ->
@@ -570,30 +629,39 @@ object QueriesLLM {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
          FROM documents ORDER BY doc_id""",
-    "decontaminate" -> {
-      // rolling-hash chain over 8 tokens, identical to minhashBase's shingles
-      val chain = (1 until 8).foldLeft("th[i]") { (acc, j) =>
-        s"(($acc * 131 + th[i+$j]) % 2147483647)"
-      }
-      s"""WITH t AS (
-            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-          h AS (
-            SELECT doc_id, list_transform(toks,
-              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
-            FROM t),
-          sh AS (
-            SELECT doc_id, CASE WHEN len(th) < 8 THEN CAST([] AS BIGINT[]) ELSE
-              list_distinct(list_transform(range(1, len(th) - 7 + 1), i -> $chain))
-            END AS gh
-            FROM h),
-          bench AS (SELECT DISTINCT unnest(gh) AS g FROM sh WHERE doc_id % 97 = 0),
-          dg AS (SELECT doc_id, unnest(gh) AS g FROM sh WHERE doc_id % 97 != 0),
-          hits AS (SELECT doc_id, count(*) AS n_hits FROM dg JOIN bench USING (g) GROUP BY 1)
-          SELECT d.doc_id, CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits,
-            coalesce(x.n_hits, 0) > 0 AS contaminated
-          FROM documents d LEFT JOIN hits x ON d.doc_id = x.doc_id
-          WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id"""
-    },
+    "decontaminate" -> decontaminateSql,
+    // bloom pre-filter changes the plan, not the result set
+    "decontaminate_bloom" -> decontaminateSql,
+    "corpus_mix" ->
+      // sqrt is IEEE-correctly-rounded in both engines; the keep threshold is
+      // integer-compared so the sample is bit-identical
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+         m AS (SELECT min(n) AS nmin FROM c),
+         r AS (SELECT source, sqrt((SELECT nmin FROM m) / n) AS mix_rate FROM c)
+         SELECT d.doc_id, d.source, r.mix_rate
+         FROM documents d JOIN r USING (source)
+         WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483647
+               < CAST(floor(mix_rate * 2147483647) AS BIGINT)
+         ORDER BY d.doc_id""",
+    "pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2147483647 AS h
+           FROM documents),
+         s AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM t),
+         w AS (
+           SELECT doc_id, shard,
+             CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+             n_tok,
+             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+           FROM s)
+         SELECT doc_id, shard, pos, n_tok, tok_offset,
+           CAST(tok_offset // 512 AS BIGINT) AS seq_id
+         FROM w ORDER BY doc_id""",
     "ann_lsh_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          planes AS (

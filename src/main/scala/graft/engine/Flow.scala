@@ -181,6 +181,21 @@ object Flow {
             s"decontaminate: no Registry bucket named '${str("bench")}'"))
         graft.operators.Dedup.decontaminate(df, bench, str("id_field"), str("field"),
           n = Option(c.get("n")).map(_.asInt).getOrElse(8))
+      case "decontaminate_bloom" =>
+        val bench = graft.sources.Registry.get(str("bench"))
+          .getOrElse(throw new IllegalArgumentException(
+            s"decontaminate_bloom: no Registry bucket named '${str("bench")}'"))
+        graft.operators.Dedup.decontaminateBloom(df, bench, str("id_field"), str("field"),
+          n = Option(c.get("n")).map(_.asInt).getOrElse(8),
+          fpp = Option(c.get("fpp")).map(_.asDouble).getOrElse(0.01))
+      case "corpus_mix" =>
+        graft.operators.Corpus.mixtureSample(df, str("domain_field"), str("id_field"),
+          alpha = Option(c.get("alpha")).map(_.asDouble).getOrElse(0.5))
+      case "pack_sequences" =>
+        graft.operators.Corpus.packSequences(df, str("id_field"),
+          size(graft.operators.TextAnalysis.tokens(col(str("field")))),
+          nShards = Option(c.get("shards")).map(_.asInt).getOrElse(64),
+          budget = Option(c.get("budget")).map(_.asLong).getOrElse(2048L))
       case other => throw new IllegalArgumentException(s"unknown processor: $other")
     }
   }

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Training-corpus assembly operators: temperature-weighted domain mixture
+ * sampling and concatenate-and-chunk sequence packing — the two steps between
+ * a cleaned/deduped document set and actual pre-training batches.
+ *
+ * Both are deterministic (salted md5 hashes, integer window arithmetic), so
+ * reruns select identical rows and the DuckDB oracle replicates them
+ * bit-for-bit.
+ */
+object Corpus {
+
+  /** Deterministic uniform draw in [0, P) from a salted doc id. */
+  private def mixHash(id: Column): Column =
+    Dedup.hash60(concat(lit("mix:"), id.cast(StringType)))
+
+  /** Temperature-weighted mixture sampling over a domain column (the
+    * multilingual/multi-source balancing step: raw web corpora are dominated
+    * by a few giant domains; training mixtures want flatter shares).
+    *
+    * With per-domain sizes n_d, each domain keeps rate
+    * r_d = (n_min / n_d)^(1-alpha), so the smallest domain is kept whole and
+    * post-sample sizes are proportional to n_d^alpha: alpha = 1 keeps
+    * everything, alpha → 0 flattens toward equal shares. The keep decision
+    * per row is `salted_hash(id) < floor(r_d · P)` — deterministic, so the
+    * sample is reproducible run-to-run and engine-to-engine.
+    *
+    * alpha = 0.5 computes r_d via sqrt, which IEEE 754 requires to be
+    * correctly rounded (bit-identical across engines); other alphas go
+    * through pow, whose last ulp may differ between libm implementations —
+    * fine for sampling, but only the sqrt path is oracle-hash-exact.
+    *
+    * Scale shape: one tiny groupBy(domain) count (map-side combined, result
+    * is |domains| rows), broadcast back; the keep decision is a codegen'd
+    * per-row expression — the corpus itself is never shuffled.
+    *
+    * Returns the kept rows with a `mix_rate` column appended. */
+  def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
+                    alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.groupBy(col(domainCol).as("_mix_domain"))
+      .agg(count(lit(1)).cast(DoubleType).as("_mix_n"))
+    val nMin = counts.agg(min(col("_mix_n")).as("_mix_nmin"))
+    val ratio = col("_mix_nmin") / col("_mix_n")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, 1.0 - alpha)
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col("_mix_domain"), rate.as("mix_rate"))
+    df.join(broadcast(rates), df(domainCol) === col("_mix_domain"))
+      .filter(mixHash(df(idCol)) < floor(col("mix_rate") * lit(Dedup.P)).cast(LongType))
+      .drop("_mix_domain")
+  }
+
+  /** Concatenate-and-chunk sequence packing (GPT-style pre-training
+    * batching): documents are deterministically sharded by salted id hash,
+    * totally ordered within each shard (hash, then id — a reproducible
+    * shuffle), laid head-to-tail into a token stream, and the stream is cut
+    * every `budget` tokens. Returns one row per document:
+    * (id, shard, pos, n_tok, tok_offset, seq_id) where `tok_offset` is the
+    * document's start position in its shard's token stream and
+    * seq_id = tok_offset / budget —
+    * the training sequence its first token lands in (documents may straddle
+    * sequence boundaries, exactly like concat-and-chunk batching).
+    *
+    * Scale shape: the hash shard key distributes the corpus evenly across
+    * `nShards` window partitions (pick nShards ≫ executor count), the
+    * running sum is a streaming rows-frame window — no global sort, no
+    * driver state; per-shard sort is the price any deterministic packing
+    * pays and is bounded by corpus_size / nShards. */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+                    nShards: Int, budget: Long): DataFrame = {
+    require(nShards > 0 && budget > 0, "nShards and budget must be positive")
+    val base = df.select(col(idCol).as("id"), tokenCount.cast(LongType).as("n_tok"))
+      .withColumn("h", Dedup.hash60(concat(lit("shard:"), col("id").cast(StringType))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("id"))
+    base
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      // "tok_offset", not "offset": OFFSET is a reserved word downstream (SQL)
+      .withColumn("tok_offset", coalesce(
+        sum(col("n_tok")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // SQL `div` is exact integer division (Column./ would be double)
+      .withColumn("seq_id", expr(s"tok_offset div ${budget}L"))
+      .select("id", "shard", "pos", "n_tok", "tok_offset", "seq_id")
+  }
+}

@@ -259,6 +259,48 @@ object Dedup {
       .select(explode(col("sh")).as("g")).distinct()
     val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
       .select(col("id"), explode(col("sh")).as("g"))
+    decontaminateTail(corpus, idCol, dg, bg)
+  }
+
+  /** Decontamination with a Bloom-filter semi-join ahead of the exact gram
+    * join — the shape for when the benchmark gram set is too large to
+    * broadcast as an exact hash relation (a full eval-suite union at 100 TB
+    * corpus scale) and the gram join must shuffle both sides. The bloom
+    * bitset is orders of magnitude smaller than the exact set, broadcasts
+    * cheaply, and filters the corpus gram stream down to ~the contamination
+    * rate BEFORE the shuffle; false positives pass the pre-filter but are
+    * discarded by the exact join, so results are identical to
+    * [[decontaminate]] (bloom filters have no false negatives). */
+  def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    // the bench side is small relative to the corpus by contract; recomputing
+    // it (count, bloom build, verify join) beats a persist() whose unpersist
+    // could only fire before the caller materializes the lazy result
+    val bg = minhashBase(bench, idCol, textCol, n, k = 0, collectShingles = true)
+      .select(explode(col("sh")).as("g")).distinct()
+    val nGrams = bg.count()
+    if (nGrams == 0) {
+      // nothing to leak; also Spark's bloomFilter NPEs on empty input
+      val base = corpus.select(col(idCol))
+      return base.select(base(idCol), lit(0L).as("n_hits"),
+        lit(false).as("contaminated"))
+    }
+    val bf = bg.stat.bloomFilter("g", nGrams, fpp)
+    val bloom = corpus.sparkSession.sparkContext.broadcast(bf)
+    // mightContainLong is a bitset probe; a UDF is the only public seam to
+    // Spark's BloomFilter (BloomFilterMightContain is private[sql])
+    val mightContain = udf((g: Long) => bloom.value.mightContainLong(g))
+    val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
+      .select(col("id"), explode(col("sh")).as("g"))
+      .filter(mightContain(col("g")))
+    decontaminateTail(corpus, idCol, dg, bg)
+  }
+
+  /** Shared exact-verify tail: count distinct corpus grams present in the
+    * benchmark set, re-attach every corpus doc (zero hits included). */
+  private def decontaminateTail(corpus: DataFrame, idCol: String,
+                                dg: DataFrame, bg: DataFrame): DataFrame = {
     val hits = dg.join(bg, Seq("g")).groupBy("id").agg(count(lit(1)).as("n_hits"))
     // dataframe-qualified refs: idCol may itself be named "id"
     val base = corpus.select(col(idCol))

@@ -152,7 +152,27 @@ class FlowSpec extends SparkSpec {
     try {
       val r = Flow.runSingle(spark, decFlow).head
       assert(r.getAs[Long]("n_hits") == 1L && r.getAs[Boolean]("contaminated"))
+      val rb = Flow.runSingle(spark,
+        decFlow.replace("\"decontaminate\"", "\"decontaminate_bloom\"")).head
+      assert(rb.getAs[Long]("n_hits") == 1L && rb.getAs[Boolean]("contaminated"))
     } finally graft.sources.Registry.drop(spark, "flow4_bench")
+
+    val mixFlow = """
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"id": 1, "dom": "a", "text": "one two three"},
+        {"id": 2, "dom": "a", "text": "four five"},
+        {"id": 3, "dom": "b", "text": "six"}
+      ]}, "next": ["mix"]} ],
+      "processors": [
+        {"id": "mix", "name": "corpus_mix",
+         "config": {"domain_field": "dom", "id_field": "id", "alpha": 1.0},
+         "next": ["pack"]},
+        {"id": "pack", "name": "pack_sequences",
+         "config": {"id_field": "id", "field": "text", "shards": 1, "budget": 4},
+         "next": []} ] }"""
+    val packed = Flow.runSingle(spark, mixFlow).collect()
+    assert(packed.length == 3) // alpha=1 keeps all rows
+    assert(packed.map(_.getAs[Long]("n_tok")).sum == 6)
   }
 
   test("connected components through the flow front-end") {

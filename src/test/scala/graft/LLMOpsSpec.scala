@@ -52,6 +52,52 @@ class LLMOpsSpec extends SparkSpec {
     val out = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 5)
       .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false), (4L, 0L, false)))
+    // the bloom semi-join path is exact: false positives die in the verify
+    // join, false negatives cannot exist
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "doc_id", "text", n = 5)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(bloom == out)
+    // degenerate bench sides (empty, all-short docs) must not crash the build
+    val empty = Dedup.decontaminateBloom(corpus, bench.limit(0), "doc_id", "text", n = 5)
+      .as[(Long, Long, Boolean)].collect()
+    assert(empty.forall(r => r._2 == 0L && !r._3))
+  }
+
+  test("mixtureSample keeps the smallest domain whole, downsamples deterministically") {
+    import graft.operators.Corpus
+    val d = (0L until 40L).map(i => (i, if (i < 32) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixtureSample(d, "source", "doc_id", alpha = 0.5)
+    val rates = out.select("source", "mix_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates.get("small").forall(_ == 1.0)) // smallest domain kept whole
+    assert(rates("big") == 0.5)                 // sqrt(8/32)
+    assert(out.filter(col("source") === "small").count() == 8)
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    val again = Corpus.mixtureSample(d, "source", "doc_id", alpha = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == again) // same rows every run, not a fresh random draw
+    assert(Corpus.mixtureSample(d, "source", "doc_id", alpha = 1.0).count() == 40)
+  }
+
+  test("packSequences lays docs head-to-tail per shard and cuts at the budget") {
+    import graft.operators.Corpus
+    val d = (0L until 30L).map(i => (i, Seq.fill((i % 5).toInt + 1)("tok").mkString(" ")))
+      .toDF("doc_id", "text") // token counts cycle 1..5
+    val out = Corpus.packSequences(d, "doc_id",
+      size(TextAnalysis.tokens(col("text"))), nShards = 2, budget = 7)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 30)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._3) // by pos
+      assert(ordered.map(_._3).toSeq == (1L to ordered.length).toSeq)
+      var cum = 0L
+      ordered.foreach { case (_, _, _, nTok, off, seqId) =>
+        assert(off == cum)          // exclusive running sum of token counts
+        assert(seqId == off / 7)    // sequence = 7-token chunk the doc starts in
+        cum += nTok
+      }
+    }
   }
 
   test("lineDedup strips lines shared across docs, keeps order and blanks") {
