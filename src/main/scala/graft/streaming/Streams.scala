@@ -122,6 +122,76 @@ object Streams {
       .toDF("key", "payload")
   }
 
+  /** Streaming MinHash/LSH near-duplicate candidate detection — the
+    * ingestion-time analog of Dedup.minhashNearDups for a document stream:
+    * each arriving doc is checked against the signatures of previously seen
+    * docs that share any LSH band bucket, and candidate pairs
+    * (id, dup_of, band, est_jaccard) are emitted for signature-estimated
+    * Jaccard ≥ threshold (matching minhash fraction — the standard unbiased
+    * estimator). One doc can match in several bands; dedup pairs downstream
+    * (e.g. foreachBatch dropDuplicates) before acting on them.
+    *
+    * State design for unbounded streams: keyed per band bucket, each bucket
+    * holds at most `maxPerBucket` (id, signature) entries (oldest evicted
+    * first — boilerplate buckets would otherwise grow without bound and every
+    * new doc pays a scan of the bucket), and `stateTtl` (e.g. "1 hour") sets
+    * a processing-time timeout that drops idle buckets entirely. Within a
+    * micro-batch, rows are processed in id order so results don't depend on
+    * shuffle arrival order.
+    *
+    * CAUTION on `stateTtl`: registering processing-time timeouts makes Spark
+    * re-trigger batches to fire them, so with the default zero-interval
+    * trigger the query busy-spins empty batches (measured: thousands/minute).
+    * Pair a TTL with a real trigger, e.g.
+    * `.writeStream.trigger(Trigger.ProcessingTime("1 minute"))`, which bounds
+    * the re-trigger rate; with `stateTtl = None` the operator uses NoTimeout
+    * and only the per-bucket cap bounds state. */
+  def streamingNearDupCandidates(docs: DataFrame, idCol: String, textCol: String,
+                                 n: Int = 3, k: Int = 16, bands: Int = 4,
+                                 threshold: Double = 0.5, maxPerBucket: Int = 64,
+                                 stateTtl: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.operators.Dedup
+    require(k % bands == 0, s"bands ($bands) must divide k ($k)")
+    val sig = Dedup.minhashSignature(Dedup.shingleHashes(col(textCol), n), k)
+    val banded = docs
+      .select(col(idCol).cast("string").as("id"), sig.as("sig"))
+      .filter(size(col("sig")) === k) // sub-n-token docs have no signature
+      .select(col("id"), col("sig"),
+        posexplode(Dedup.lshBands(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
+      .select(concat_ws(":", col("band"), col("bkey")).as("bucket"),
+        col("band"), col("id"), col("sig"))
+      .as[(String, Int, String, Seq[Long])]
+    val timeoutConf =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Seq[Long])], (String, String, Int, Double)](
+        OutputMode.Append, timeoutConf) {
+        (bucket: String, rows: Iterator[(String, Int, String, Seq[Long])],
+         state: GroupState[List[(String, Seq[Long])]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val band = bucket.takeWhile(_ != ':').toInt
+            var seen = state.getOption.getOrElse(Nil) // newest first
+            val out = List.newBuilder[(String, String, Int, Double)]
+            rows.toList.sortBy(_._3).foreach { case (_, _, id, s) =>
+              seen.foreach { case (pid, psig) =>
+                val est = psig.iterator.zip(s.iterator).count { case (a, b) => a == b }.toDouble / k
+                if (est >= threshold) out += ((id, pid, band, est))
+              }
+              seen = ((id, s) :: seen).take(maxPerBucket)
+            }
+            state.update(seen)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+      .toDF("id", "dup_of", "band", "est_jaccard")
+  }
+
   /** JoinGenerator, streaming mode (ref: app/tuktu/generators/
     * JoinGenerator.scala:68-151 — the reference buffers both sides in heap
     * maps): watermarked stream-stream equi-join. Both sides carry an

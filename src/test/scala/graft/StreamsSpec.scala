@@ -48,6 +48,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH near-dup flags the planted dup across micro-batches") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    // no TTL: a processing-time timeout makes the zero-interval test trigger
+    // busy-spin empty batches (see the operator scaladoc)
+    val out = Streams.streamingNearDupCandidates(in.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
+    val q = out.writeStream.format("memory").queryName("sneardup")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (0L, "the quick brown fox jumps over the lazy dog again and again"),
+        (3L, "completely different content about spark query engines at scale"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sneardup").count() == 0) // no prior docs
+      in.addData((1L, "the quick brown fox jumps over the lazy cat again and again"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT id, dup_of FROM sneardup").collect()
+        .map(r => (r.getString(0), r.getString(1))).distinct
+      assert(pairs.contains(("1", "0"))) // near-dup of batch-1 doc found
+      assert(!pairs.exists(p => p._1 == "3" || p._2 == "3")) // far doc clean
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
