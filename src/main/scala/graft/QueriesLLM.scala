@@ -356,6 +356,14 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- bigram-LM self-scoring (CCNet-style perplexity
+    // filtering): per-doc add-one-smoothed log-prob, integerized per term
+    "lm_perplexity" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.LangModel.selfScore(d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- URL canonicalization (URL-level dedup needs one
     // canonical form per page). The tables carry no URL column, so the query
     // synthesizes a deterministic messy URL per doc (mixed case, default
@@ -632,6 +640,30 @@ object QueriesLLM {
     "decontaminate" -> decontaminateSql,
     // bloom pre-filter changes the plan, not the result set
     "decontaminate_bloom" -> decontaminateSql,
+    "lm_perplexity" ->
+      // each log term integerized as floor(1e6·term): ln is not correctly
+      // rounded, so only the per-term floor keeps the sum hash-exact
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i+1]))) AS pr
+               FROM t WHERE len(toks) >= 2),
+         pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
+         big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         ctx AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vocab_size
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         terms AS (
+           SELECT pairs.doc_id,
+             CAST(floor(1e6 * (ln(big.c_ab + 1)
+               - ln(ctx.c_a + (SELECT vocab_size FROM v)))) AS BIGINT) AS term
+           FROM pairs JOIN big USING (a, b) JOIN ctx USING (a)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(term) AS BIGINT) AS logprob_u6
+                 FROM terms GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(g.logprob_u6, 0) AS BIGINT) AS logprob_u6
+         FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
     "corpus_mix" ->
       // sqrt is IEEE-correctly-rounded in both engines; the keep threshold is
       // integer-compared so the sample is bit-identical

@@ -191,6 +191,8 @@ object Flow {
       case "corpus_mix" =>
         graft.operators.Corpus.mixtureSample(df, str("domain_field"), str("id_field"),
           alpha = Option(c.get("alpha")).map(_.asDouble).getOrElse(0.5))
+      case "lm_score" =>
+        graft.operators.LangModel.selfScore(df, str("id_field"), str("field"))
       case "pack_sequences" =>
         graft.operators.Corpus.packSequences(df, str("id_field"),
           size(graft.operators.TextAnalysis.tokens(col(str("field")))),

@@ -173,6 +173,17 @@ class FlowSpec extends SparkSpec {
     val packed = Flow.runSingle(spark, mixFlow).collect()
     assert(packed.length == 3) // alpha=1 keeps all rows
     assert(packed.map(_.getAs[Long]("n_tok")).sum == 6)
+
+    val lmFlow = """
+    { "generators": [ {"id": "g", "name": "list", "config": {"rows": [
+        {"id": 1, "text": "a b a"}, {"id": 2, "text": "x"}
+      ]}, "next": ["lm"]} ],
+      "processors": [
+        {"id": "lm", "name": "lm_score",
+         "config": {"id_field": "id", "field": "text"}, "next": []} ] }"""
+    val lm = Flow.runSingle(spark, lmFlow).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_bigrams")).toMap
+    assert(lm == Map(1L -> 2L, 2L -> 0L))
   }
 
   test("connected components through the flow front-end") {

@@ -100,6 +100,27 @@ class LLMOpsSpec extends SparkSpec {
     }
   }
 
+  test("bigram LM self-score matches hand-computed add-one log-probs") {
+    import graft.operators.LangModel
+    val d = Seq((0L, "a b a"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    // pairs: doc0 (a,b),(b,a); doc1 (a,b) → c_ab: (a,b)=2, (b,a)=1;
+    // c_a: a=2, b=1; vocab {a,b,x} = 3
+    def u6(cab: Long, ca: Long) =
+      math.floor(1e6 * (math.log(cab + 1.0) - math.log(ca + 3.0))).toLong
+    val out = LangModel.selfScore(d, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (0L, 2L, u6(2, 2) + u6(1, 1)),
+      (1L, 1L, u6(2, 2)),
+      (2L, 0L, 0L))) // single-token doc: no bigrams, scores zero
+    // scoring fresh text against a trained model smooths unseen bigrams
+    val (ctx, big, voc) = LangModel.trainBigram(d, "doc_id", "text")
+    val fresh = Seq((9L, "a z")).toDF("doc_id", "text") // (a,z) unseen, ctx a=2
+    val f = LangModel.scoreBigram(fresh, "doc_id", "text", ctx, big, voc)
+      .as[(Long, Long, Long)].head()
+    assert(f == ((9L, 1L, u6(0, 2))))
+  }
+
   test("lineDedup strips lines shared across docs, keeps order and blanks") {
     val d = Seq(
       (1L, "keep me\ncommon footer\nunique line a"),
