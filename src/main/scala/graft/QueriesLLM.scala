@@ -299,6 +299,28 @@ object QueriesLLM {
         .orderBy("cluster")
     }),
 
+    // ---------------- quality-aware retention: instead of first-seen, keep
+    // the HIGHEST-QUALITY doc per near-dup cluster (ties → larger id). The
+    // quality doubles are bit-identical cross-engine (quality_score proves
+    // it), so the argmax is deterministic.
+    "dedup_retention_quality" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = rd(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val clusters = Dedup.nearDupClusters(d, "text", "doc_id",
+        n = 3, k = 8, bands = 4, threshold = 0.5)
+      val q = TextAnalysis.qualityScore(
+          d.select(col("doc_id").as("qid"), col("text")), "text")
+        .select(col("qid"), col("quality"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("quality").desc, col("doc_id").desc)
+      clusters.join(q, clusters("doc_id") === q("qid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster"), col("doc_id").as("keep_id"), col("quality"))
+        .orderBy("cluster")
+    }),
+
     // ---------------- cross-document segment dedup (RefinedWeb/Falcon
     // "line dedup"): segments shared by >1 docs are boilerplate, stripped
     // from every doc. The synthetic docs have no newlines, so the
@@ -794,7 +816,25 @@ object QueriesLLM {
     "dedup_retention" -> clusterSql(
       """SELECT CAST(cluster AS BIGINT) AS cluster, count(*) AS csize FROM
            (SELECT u, min(m) AS cluster FROM lbl GROUP BY u)
-         GROUP BY 1 ORDER BY 1"""))
+         GROUP BY 1 ORDER BY 1"""),
+    "dedup_retention_quality" -> clusterSql {
+      val stopList = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT cluster, keep_id, quality FROM (
+            SELECT c.cluster, c.u AS keep_id, q.quality,
+              row_number() OVER (PARTITION BY c.cluster
+                ORDER BY q.quality DESC, c.u DESC) AS rn
+            FROM (SELECT u, CAST(min(m) AS BIGINT) AS cluster FROM lbl GROUP BY u) c
+            JOIN (SELECT doc_id,
+                    0.4 * least(CAST(len(toks) AS DOUBLE), 256.0) / 256.0
+                    + 0.3 * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                        / CAST(length(text) AS DOUBLE))
+                    + 0.3 * least(4.0 * CAST(len(list_filter(toks, x -> x IN ($stopList))) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE), 1.0) AS quality
+                  FROM (SELECT doc_id, text,
+                          string_split_regex(trim(lower(text)), '\\s+') AS toks
+                        FROM documents)) q ON q.doc_id = c.u)
+          WHERE rn = 1 ORDER BY cluster"""
+    })
 
   /** Shared oracle scaffold for the clustering queries: the same minhash+LSH
     * pair pipeline as `dedup_minhash_lsh` (verified ≥ 0.5 Jaccard), then a

@@ -91,4 +91,26 @@ object Corpus {
       .withColumn("seq_id", expr(s"tok_offset div ${budget}L"))
       .select("id", "shard", "pos", "n_tok", "tok_offset", "seq_id")
   }
+
+  /** Write the corpus as deterministic training shards: `shard` = salted id
+    * hash mod nShards (the same assignment as [[packSequences]]), laid out as
+    * parquet partitioned by shard. Shard membership is a pure function of the
+    * id, so interrupted pipelines can re-run and overwrite byte-identical
+    * shard directories, and downstream readers prune to `shard = k` at the
+    * file-listing level (partition pruning, no data scan).
+    *
+    * `maxRecordsPerFile` > 0 additionally caps file sizes inside each shard —
+    * at 100 TB, bounded files are what keeps downstream loaders' task sizes
+    * uniform. */
+  def writeShards(df: DataFrame, idCol: String, path: String, nShards: Int,
+                  maxRecordsPerFile: Long = 0L): Unit = {
+    require(nShards > 0, "nShards must be positive")
+    val sharded = df.withColumn("shard",
+      pmod(Dedup.hash60(concat(lit("shard:"), col(idCol).cast(StringType))),
+        lit(nShards.toLong)))
+    val w = sharded.write.mode("overwrite")
+    (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile)
+     else w)
+      .partitionBy("shard").parquet(path)
+  }
 }
