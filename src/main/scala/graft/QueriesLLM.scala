@@ -663,8 +663,10 @@ object QueriesLLM {
     // bloom pre-filter changes the plan, not the result set
     "decontaminate_bloom" -> decontaminateSql,
     "lm_perplexity" ->
-      // each log term integerized as floor(1e6·term): ln is not correctly
-      // rounded, so only the per-term floor keeps the sum hash-exact
+      // each log term quantized as floor(1e4·term): ln is not correctly
+      // rounded cross-engine, so the coarse quantization shrinks the floor
+      // boundary-coincidence window to ~1e-11 per distinct count pair (a
+      // mitigation sized so expected corpus-wide divergence is ≪ 1)
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
          p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
@@ -672,19 +674,19 @@ object QueriesLLM {
                FROM t WHERE len(toks) >= 2),
          pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
          big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
-         ctx AS (SELECT a, count(*) AS c_a FROM pairs GROUP BY 1),
+         ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1),
          v AS (SELECT count(DISTINCT tok) AS vocab_size
                FROM (SELECT unnest(toks) AS tok FROM t)),
          terms AS (
            SELECT pairs.doc_id,
-             CAST(floor(1e6 * (ln(big.c_ab + 1)
+             CAST(floor(1e4 * (ln(big.c_ab + 1)
                - ln(ctx.c_a + (SELECT vocab_size FROM v)))) AS BIGINT) AS term
            FROM pairs JOIN big USING (a, b) JOIN ctx USING (a)),
          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(term) AS BIGINT) AS logprob_u6
+                   CAST(sum(term) AS BIGINT) AS logprob_q4
                  FROM terms GROUP BY 1)
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           CAST(coalesce(g.logprob_u6, 0) AS BIGINT) AS logprob_u6
+           CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
     "corpus_mix" ->
       // sqrt is IEEE-correctly-rounded in both engines; the keep threshold is

@@ -38,7 +38,9 @@ object Corpus {
     *
     * Scale shape: one tiny groupBy(domain) count (map-side combined, result
     * is |domains| rows), broadcast back; the keep decision is a codegen'd
-    * per-row expression — the corpus itself is never shuffled.
+    * per-row expression — the corpus itself is never shuffled. A null domain
+    * (missing crawl metadata) is treated as its own group and sampled like
+    * any other, not dropped.
     *
     * Returns the kept rows with a `mix_rate` column appended. */
   def mixtureSample(df: DataFrame, domainCol: String, idCol: String,
@@ -54,7 +56,10 @@ object Corpus {
       else pow(ratio, 1.0 - alpha)
     val rates = counts.crossJoin(broadcast(nMin))
       .select(col("_mix_domain"), rate.as("mix_rate"))
-    df.join(broadcast(rates), df(domainCol) === col("_mix_domain"))
+    // null-safe join: a null domain (missing crawl metadata) is a real group
+    // — groupBy counted it, so an equi-join would silently drop those rows
+    // while still letting them drag n_min down
+    df.join(broadcast(rates), df(domainCol) <=> col("_mix_domain"))
       .filter(mixHash(df(idCol)) < floor(col("mix_rate") * lit(Dedup.P)).cast(LongType))
       .drop("_mix_domain")
   }

@@ -32,8 +32,10 @@ object LangModel {
   def trainBigram(df: DataFrame, idCol: String,
                   textCol: String): (DataFrame, DataFrame, DataFrame) = {
     val pairs = bigramPairs(df, idCol, textCol)
-    val contexts = pairs.groupBy(col("a")).agg(count(lit(1)).as("c_a"))
     val bigrams = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    // c_a = Σ_b c_ab by construction: derive contexts from the already-reduced
+    // bigram table instead of a second corpus-wide explode + shuffle
+    val contexts = bigrams.groupBy(col("a")).agg(sum(col("c_ab")).as("c_a"))
     val vocab = df
       .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .agg(count_distinct(col("tok")).as("vocab_size"))
@@ -42,9 +44,13 @@ object LangModel {
 
   /** Per-document add-one-smoothed bigram log-probability under a trained LM:
     * sum over bigrams of ln((c_ab + 1) / (c_a + V)). Returns
-    * (id, n_bigrams, logprob_u6) with the sum integerized per term as
-    * floor(1e6 · term) — the cross-engine determinism contract (ln is not
-    * correctly rounded, so raw double sums are not oracle-hash-safe).
+    * (id, n_bigrams, logprob_q4) with the sum quantized per term as
+    * floor(1e4 · term) — 0.1-millinat resolution. The quantization is a
+    * determinism MITIGATION, not a guarantee: ln is not IEEE
+    * correctly-rounded, so two engines can differ by an ulp, and a floor
+    * boundary coincidence flips the quantized term. The coincidence window
+    * is ~ulp(term)·1e4 ≈ 1e-11 per distinct (c_ab, c_a, V) triple — chosen
+    * so the expected cross-engine divergence over a full corpus is ≪ 1.
     * Documents with fewer than two tokens score (0, 0). Unseen bigrams and
     * contexts smooth to c = 0 rather than dropping the term. */
   def scoreBigram(df: DataFrame, idCol: String, textCol: String,
@@ -52,20 +58,20 @@ object LangModel {
                   vocab: DataFrame): DataFrame = {
     val pairs = bigramPairs(df, idCol, textCol)
     val withV = pairs.crossJoin(broadcast(vocab))
-    val term = floor(lit(1e6) *
+    val term = floor(lit(1e4) *
       (log(coalesce(col("c_ab"), lit(0L)) + lit(1L)) -
         log(coalesce(col("c_a"), lit(0L)) + col("vocab_size"))))
     val scored = withV
       .join(bigrams, Seq("a", "b"), "left")
       .join(contexts, Seq("a"), "left")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("logprob_u6"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("logprob_q4"))
     // dataframe-qualified refs: idCol may itself be named "id"
     val base = df.select(col(idCol))
     base.join(scored, base(idCol) === scored("id"), "left")
       .select(base(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("logprob_u6"), lit(0L)).as("logprob_u6"))
+        coalesce(col("logprob_q4"), lit(0L)).as("logprob_q4"))
   }
 
   /** Train on the corpus itself and score every document (the self-scoring

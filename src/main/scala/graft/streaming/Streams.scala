@@ -154,15 +154,23 @@ object Streams {
     import spark.implicits._
     import graft.operators.Dedup
     require(k % bands == 0, s"bands ($bands) must divide k ($k)")
-    val sig = Dedup.minhashSignature(Dedup.shingleHashes(col(textCol), n), k)
-    val banded = docs
-      .select(col(idCol).cast("string").as("id"), sig.as("sig"))
-      .filter(size(col("sig")) === k) // sub-n-token docs have no signature
+    // stage shingle hashes, then the signature, as materialized columns —
+    // HOFs get no codegen subexpression elimination, so inlining the shingle
+    // pipeline into minhashSignature would re-hash every shingle k times per
+    // doc (minhashSignature's documented contract). Sub-n-token docs have an
+    // EMPTY shingle set and must be dropped here: their signature would be
+    // the all-sentinel fold init, making every short doc a "dup" of every
+    // other.
+    val base = docs.select(col(idCol).cast("string").as("id"),
+      col(textCol).as("__text"))
+    val banded = Dedup.withShingleHashes(base, "__text", "__sh", n)
+      .filter(size(col("__sh")) > 0)
+      .withColumn("sig", Dedup.minhashSignature(col("__sh"), k))
+      // lshBands keys are already "band:v1:v2:…" — distinct across bands
       .select(col("id"), col("sig"),
-        posexplode(Dedup.lshBands(col("sig"), bands, k / bands)).as(Seq("band", "bkey")))
-      .select(concat_ws(":", col("band"), col("bkey")).as("bucket"),
-        col("band"), col("id"), col("sig"))
-      .as[(String, Int, String, Seq[Long])]
+        explode(Dedup.lshBands(col("sig"), bands, k / bands)).as("bucket"))
+      .select(col("bucket"), col("id"), col("sig"))
+      .as[(String, String, Seq[Long])]
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -170,14 +178,14 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(String, Seq[Long])], (String, String, Int, Double)](
         OutputMode.Append, timeoutConf) {
-        (bucket: String, rows: Iterator[(String, Int, String, Seq[Long])],
+        (bucket: String, rows: Iterator[(String, String, Seq[Long])],
          state: GroupState[List[(String, Seq[Long])]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val band = bucket.takeWhile(_ != ':').toInt
             var seen = state.getOption.getOrElse(Nil) // newest first
             val out = List.newBuilder[(String, String, Int, Double)]
-            rows.toList.sortBy(_._3).foreach { case (_, _, id, s) =>
+            rows.toList.sortBy(_._2).foreach { case (_, id, s) =>
               seen.foreach { case (pid, psig) =>
                 val est = psig.iterator.zip(s.iterator).count { case (a, b) => a == b }.toDouble / k
                 if (est >= threshold) out += ((id, pid, band, est))

@@ -78,6 +78,12 @@ class LLMOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == again) // same rows every run, not a fresh random draw
     assert(Corpus.mixtureSample(d, "source", "doc_id", alpha = 1.0).count() == 40)
+    // a null domain is its own sampled group, not silently dropped
+    val withNull = d.union(Seq((100L, null.asInstanceOf[String]),
+      (101L, null.asInstanceOf[String])).toDF("doc_id", "source"))
+    val nulls = Corpus.mixtureSample(withNull, "source", "doc_id", alpha = 1.0)
+      .filter(col("source").isNull).select("doc_id").as[Long].collect().toSet
+    assert(nulls == Set(100L, 101L))
   }
 
   test("packSequences lays docs head-to-tail per shard and cuts at the budget") {
@@ -125,20 +131,20 @@ class LLMOpsSpec extends SparkSpec {
     val d = Seq((0L, "a b a"), (1L, "a b"), (2L, "x")).toDF("doc_id", "text")
     // pairs: doc0 (a,b),(b,a); doc1 (a,b) → c_ab: (a,b)=2, (b,a)=1;
     // c_a: a=2, b=1; vocab {a,b,x} = 3
-    def u6(cab: Long, ca: Long) =
-      math.floor(1e6 * (math.log(cab + 1.0) - math.log(ca + 3.0))).toLong
+    def q4(cab: Long, ca: Long) =
+      math.floor(1e4 * (math.log(cab + 1.0) - math.log(ca + 3.0))).toLong
     val out = LangModel.selfScore(d, "doc_id", "text")
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq(
-      (0L, 2L, u6(2, 2) + u6(1, 1)),
-      (1L, 1L, u6(2, 2)),
+      (0L, 2L, q4(2, 2) + q4(1, 1)),
+      (1L, 1L, q4(2, 2)),
       (2L, 0L, 0L))) // single-token doc: no bigrams, scores zero
     // scoring fresh text against a trained model smooths unseen bigrams
     val (ctx, big, voc) = LangModel.trainBigram(d, "doc_id", "text")
     val fresh = Seq((9L, "a z")).toDF("doc_id", "text") // (a,z) unseen, ctx a=2
     val f = LangModel.scoreBigram(fresh, "doc_id", "text", ctx, big, voc)
       .as[(Long, Long, Long)].head()
-    assert(f == ((9L, 1L, u6(0, 2))))
+    assert(f == ((9L, 1L, q4(0, 2))))
   }
 
   test("lineDedup strips lines shared across docs, keeps order and blanks") {

@@ -60,15 +60,19 @@ class StreamsSpec extends SparkSpec {
     try {
       in.addData(
         (0L, "the quick brown fox jumps over the lazy dog again and again"),
-        (3L, "completely different content about spark query engines at scale"))
+        (3L, "completely different content about spark query engines at scale"),
+        (10L, "ok")) // sub-n-token: no shingles, must never become a candidate
       q.processAllAvailable()
       assert(spark.sql("SELECT * FROM sneardup").count() == 0) // no prior docs
-      in.addData((1L, "the quick brown fox jumps over the lazy cat again and again"))
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy cat again and again"),
+        (11L, "no")) // another short doc: would share the sentinel signature
       q.processAllAvailable()
       val pairs = spark.sql("SELECT id, dup_of FROM sneardup").collect()
         .map(r => (r.getString(0), r.getString(1))).distinct
       assert(pairs.contains(("1", "0"))) // near-dup of batch-1 doc found
       assert(!pairs.exists(p => p._1 == "3" || p._2 == "3")) // far doc clean
+      assert(!pairs.exists(p => Set("10", "11")(p._1) || Set("10", "11")(p._2)))
     } finally q.stop()
   }
 
