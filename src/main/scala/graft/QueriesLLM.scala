@@ -695,7 +695,7 @@ object QueriesLLM {
          m AS (SELECT min(n) AS nmin FROM c),
          r AS (SELECT source, sqrt((SELECT nmin FROM m) / n) AS mix_rate FROM c)
          SELECT d.doc_id, d.source, r.mix_rate
-         FROM documents d JOIN r USING (source)
+         FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source
          WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
                  % 2147483647
                < CAST(floor(mix_rate * 2147483647) AS BIGINT)

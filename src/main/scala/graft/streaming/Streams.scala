@@ -174,6 +174,11 @@ object Streams {
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
+    // the bucket string is the STATE-STORE KEY: its format (lshBands'
+    // "band:v1:v2:…") is part of the checkpoint contract — changing it
+    // orphans every entry in existing checkpoints (old keys are never
+    // grouped to again, and with NoTimeout never evicted). Bump only with a
+    // fresh checkpoint location.
     banded
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(String, Seq[Long])], (String, String, Int, Double)](
