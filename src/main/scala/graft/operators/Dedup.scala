@@ -389,18 +389,32 @@ object Dedup {
                           maxIter: Int = 50): DataFrame = {
     val (st, dt) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
     require(st == dt, s"src/dst types differ: $st vs $dt")
+    // materialize the edge projection ONCE: nodes and the canonical edge set
+    // both derive from it, and without this checkpoint each would re-run the
+    // entire upstream pipeline (for nearDupClusters that is the full
+    // minhash+LSH candidate generation — measured ~2× the whole query cost)
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
+      .localCheckpoint()
     // nodes BEFORE dropping self-loops, so an isolated (x, x) node still
     // appears in the output as its own component
     val nodes = raw.select(col("a").as("node"))
-      .union(raw.select(col("b").as("node"))).distinct().localCheckpoint()
+      .union(raw.select(col("b").as("node"))).distinct()
     // canonical undirected edge set as (hi, lo), hi > lo, distinct
     var e = raw
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
       .distinct().localCheckpoint()
-    var n = e.count()
+    // convergence signature: ONE map-side aggregate per round — (count,
+    // order-independent hash sum). The per-round edge sets are DISTINCT, so
+    // equal signatures ⇒ equal sets up to a 2^-64 hash-sum collision; the
+    // previous count + except() check paid an extra full anti-join shuffle
+    // of the edge set per round.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("hi"), col("lo")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (n, chk) = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -420,12 +434,12 @@ object Dedup {
         .select(explode(array_union(col("ns"), array(col("hi")))).as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo")).distinct()
         .localCheckpoint()
-      val n2 = small.count()
-      // star forest fixpoint: the (hi, lo) set is stable. Sets are distinct,
-      // so equal count + empty one-sided difference ⇒ equal sets.
-      converged = n2 == n && small.except(e).isEmpty
+      val (n2, chk2) = signature(small)
+      // star forest fixpoint: the (hi, lo) set is stable
+      converged = n2 == n && chk2 == chk
       e = small
       n = n2
+      chk = chk2
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
