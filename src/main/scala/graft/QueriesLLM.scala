@@ -132,6 +132,20 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- IVF ANN with a deterministic coarse quantizer: the 8
+    // lowest-id vectors seed the centroids, so assign → probe → re-rank is
+    // fully oracle-replicable (the k-means variant shares this exact
+    // probe/re-rank code path and is recall-spec'd)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val cents = e.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      Similarity.ivfTopKExplicit(e, "vec_id", "embedding", cents,
+        queryId = 0, kResults = 10, nProbe = 2)
+        .select(col("vec_id"), col("cosine").as("cos"))
+    }),
+
     // ---------------- embedding-cosine near-dup pairs, EXACT brute force
     // over a 300-vector slice (the LSH/IVF variants are the scale path and
     // spec-verified; approximation cannot hash-match an oracle). Vectors are
@@ -583,6 +597,39 @@ object QueriesLLM {
                  list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)))
              AS cos
            FROM e, q WHERE e.vec_id != 0)
+         SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "ann_ivf_topk" ->
+      // same sequential-fold arithmetic as ann_cosine_topk; assignment is
+      // argmin squared-L2 with ties to the lowest centroid index
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+               FROM e ORDER BY vec_id LIMIT 8),
+         d AS (SELECT e.vec_id, e.v, c.j,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(e.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (a, b) -> a + b) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, v, j AS centroid FROM
+                 (SELECT vec_id, v, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
+               WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (SELECT j FROM (
+             SELECT c.j, list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(c.cv, q.qv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) AS dist FROM c, q)
+           ORDER BY dist, j LIMIT 2),
+         scored AS (
+           SELECT a.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(a.v, q.qv), p -> p[1] * p[2])), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(a.v, a.v), p -> p[1] * p[2])), (x, y) -> x + y))
+                * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (x, y) -> x + y)))
+             AS cos
+           FROM a, q
+           WHERE a.centroid IN (SELECT j FROM probes) AND a.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "embedding_near_dup" ->
       """WITH e AS (

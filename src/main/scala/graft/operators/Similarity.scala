@@ -120,6 +120,50 @@ object Similarity {
       .limit(kResults)
   }
 
+  /** IVF assignment with EXPLICIT centroids — deterministic and
+    * expression-only (no k-means training), so the full IVF path
+    * (assign → probe → re-rank) is replicable by the SQL oracle. Centroids
+    * can be an exported KMeansModel's centers or any deterministic seed set.
+    * Assignment is argmin squared-L2 with ties to the lowest centroid index;
+    * the per-row distance array is materialized once (HOF lambdas get no
+    * codegen subexpression elimination). */
+  def ivfAssignExplicit(df: DataFrame, vecCol: String,
+                        centroids: Seq[Array[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val dists = centroids.map { c =>
+      val cl = array(c.map(lit): _*)
+      aggregate(zip_with(v, cl, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val withD = df.withColumn("__dists", array(dists: _*))
+    val m = array_min(col("__dists"))
+    val centroid = coalesce(centroids.indices.map(j =>
+      when(element_at(col("__dists"), j + 1) === m, lit(j))): _*)
+    withD.withColumn("__centroid", centroid).drop("__dists")
+  }
+
+  /** Deterministic IVF top-k over explicit centroids: probe the `nProbe`
+    * nearest centroids (model-sized driver computation with the same
+    * left-to-right fold order as the assignment expressions), then exact
+    * cosine re-rank of the probed posting lists only. */
+  def ivfTopKExplicit(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: Seq[Array[Double]], queryId: Long,
+                      kResults: Int = 10, nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssignExplicit(df, vecCol, centroids)
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .head.getSeq[Double](0).toArray
+    val probes = centroids.zipWithIndex.map { case (c, j) =>
+      (j, c.zip(q).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
+    }.sortBy { case (j, d) => (d, j) }.take(nProbe).map(_._1)
+    val qvec = array(q.map(lit): _*)
+    assigned.filter(col("__centroid").isin(probes: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), qvec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol).asc)
+      .limit(kResults)
+  }
+
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
     * explode tables×bucket, self-join per bucket on (bucket, id) ONLY, dedup
     * the id pairs, then join the vectors back so each pair's cosine is

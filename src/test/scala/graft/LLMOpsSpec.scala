@@ -332,6 +332,31 @@ class LLMOpsSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall") // clusters are well separated
   }
 
+  test("explicit-centroid IVF assigns to the nearest seed and reranks exactly") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    // ideal centroids: the four axis unit vectors the clusters were planted on
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(16)(0.0); a(c * 4) = 1.0; a
+    }
+    val assigned = Similarity.ivfAssignExplicit(vecs, "embedding", cents)
+    // every vector must land on its planted cluster's centroid
+    assert(assigned.filter(col("__centroid") =!= col("vec_id") % 4).count() == 0)
+    // probing the query's own cluster reaches full recall vs brute force
+    val exact = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = Similarity.ivfTopKExplicit(vecs, "vec_id", "embedding", cents,
+      queryId = 0L, kResults = 10, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivf == exact)
+  }
+
   test("keywordTagger tags rows via exact/substring/case rules (social tagger shape)") {
     import graft.operators.TextAnalysis.Keyword
     val docs = Seq((0, "Spark makes big data simple"), (1, "sparkling water"),
