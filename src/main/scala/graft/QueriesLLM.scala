@@ -382,6 +382,24 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- deterministic train/validation/test assignment
+    "corpus_split" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.splitAssign(d, "doc_id",
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- deterministic global shuffle: training-order
+    // randomization via salted-hash sort + scalable global index
+    "corpus_shuffle" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.deterministicShuffle(d.select("doc_id"), "doc_id")
+        .select(col("doc_id"), col("shuffle_key"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- concatenate-and-chunk sequence packing: 8 shards,
     // 512-token sequences over whitespace token counts
     "pack_sequences" -> ((s, dir) => {
@@ -423,6 +441,54 @@ object QueriesLLM {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("host")
+    }),
+
+    // ---------------- HTML-to-text extraction: the tables carry no HTML, so
+    // the query wraps each doc in deterministic markup (script/style/comment
+    // blocks, entities, two anchor styles) with the SAME expression as the
+    // oracle — Html.stripTags/links are the only things under test.
+    "html_extract" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><title>"), col("source"), lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = 1 < 2; // dead</script>"),
+        lit("<style>p { color: red }</style></head><body>"),
+        lit("<!-- hidden --><h1>Doc "), col("doc_id").cast(StringType), lit("</h1>"),
+        lit("<p>"), col("text"), lit(" &amp; more &lt;escaped&gt;&nbsp;tail</p>"),
+        lit("<a href=\"https://example.com/"), col("doc_id").cast(StringType),
+        lit("\">x</a>"),
+        when(col("doc_id") % 4 === 0,
+          lit("<a href='http://alt.example.org/a'>y</a>")).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.operators.Html.extract(
+          d.select(col("doc_id"), html.as("html")), "html", "clean")
+        .select(col("doc_id"), col("clean"),
+          // driver gate takes scalar columns only — join the link array
+          array_join(col("clean_links"), "|").as("links"), col("n_links"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- C4 heuristic page cleaning: documents have no line
+    // structure, so the query builds a deterministic page per doc (8-token
+    // lines, md5-decided terminal punctuation, planted code/lorem poison on
+    // doc_id % 13 / % 17) with the SAME expression as the oracle, then runs
+    // the filter — TextAnalysis.c4Filter is the only thing under test.
+    "c4_filter" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val segs = Dedup.tokenChunks(col("text"), 8)
+      val lines = transform(segs, seg =>
+        when(substring(md5(seg), 1, 1) < "8", concat(seg, lit(".")))
+          .otherwise(seg))
+      val page = concat(
+        array_join(lines, "\n"),
+        when(col("doc_id") % 13 === 0,
+          lit("\nthis page has { code } in it.")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")))
+      TextAnalysis.c4Filter(d.select(col("doc_id"), page.as("page")), "page")
+        .select(col("doc_id"), col("clean"), col("n_lines"), col("n_kept"),
+          col("has_lorem"), col("has_brace"), col("keep"))
+        .orderBy("doc_id")
     }),
 
     // ---------------- multimodal binary plumbing: payload metadata
@@ -747,6 +813,29 @@ object QueriesLLM {
                  % 2147483647
                < CAST(floor(mix_rate * 2147483647) AS BIGINT)
          ORDER BY d.doc_id""",
+    "corpus_split" -> {
+      // the EXACT integer boundaries splitAssign compiled (see
+      // Corpus.splitThresholds) — no float re-derivation in SQL
+      val Seq(t1, t2) = graft.operators.Corpus.splitThresholds(
+        Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+      s"""SELECT doc_id,
+           CASE WHEN h < $t1 THEN 'train'
+                WHEN h < $t2 THEN 'validation'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2147483647 AS h
+               FROM documents)
+         ORDER BY doc_id"""
+    },
+    "corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+           ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 2147483647 AS shuffle_key
+         FROM documents)
+         SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
+         FROM k ORDER BY doc_id""",
     "pack_sequences" ->
       """WITH t AS (
            SELECT doc_id,
@@ -833,6 +922,69 @@ object QueriesLLM {
          SELECT lower(regexp_extract(url, '^[^:/?#]+://([^:/?#]*)', 1)) AS host,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM u GROUP BY 1 ORDER BY 1""",
+    "html_extract" ->
+      s"""WITH h AS (SELECT doc_id,
+           ('<html><head><title>' || source || '</title>' ||
+            '<script type="text/javascript">var x = 1 < 2; // dead</script>' ||
+            '<style>p { color: red }</style></head><body>' ||
+            '<!-- hidden --><h1>Doc ' || doc_id || '</h1>' ||
+            '<p>' || text || ' &amp; more &lt;escaped&gt;&nbsp;tail</p>' ||
+            '<a href="https://example.com/' || doc_id || '">x</a>' ||
+            CASE WHEN doc_id % 4 = 0 THEN '<a href=''http://alt.example.org/a''>y</a>' ELSE '' END ||
+            '</body></html>') AS html
+           FROM documents),
+         s1 AS (SELECT doc_id, html,
+           regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS a FROM h),
+         s2 AS (SELECT *, regexp_replace(a, '(?is)<script.*?</script>', '', 'g') AS b FROM s1),
+         s3 AS (SELECT *, regexp_replace(b, '(?is)<style.*?</style>', '', 'g') AS c FROM s2),
+         s4 AS (SELECT *, regexp_replace(c,
+           '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>|</title>', chr(10), 'g') AS d FROM s3),
+         s5 AS (SELECT *, regexp_replace(d, '<[^>]*>', ' ', 'g') AS e FROM s4),
+         s6 AS (SELECT *, replace(replace(replace(replace(replace(replace(e,
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', ''''), '&amp;', '&') AS f FROM s5),
+         s7 AS (SELECT *, regexp_replace(f, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS g1 FROM s6),
+         s8 AS (SELECT *, regexp_replace(g1, ' ?\\n ?', chr(10), 'g') AS g2 FROM s7),
+         s9 AS (SELECT *, trim(regexp_replace(g2, '\\n{2,}', chr(10), 'g')) AS clean FROM s8),
+         lk AS (SELECT doc_id, clean,
+           list_concat(regexp_extract_all(html, 'href="([^"]*)"', 1),
+                       regexp_extract_all(html, 'href=''([^'']*)''', 1)) AS clean_links
+           FROM s9)
+         SELECT doc_id, clean,
+           coalesce(array_to_string(clean_links, '|'), '') AS links,
+           CAST(len(clean_links) AS BIGINT) AS n_links
+         FROM lk ORDER BY doc_id""",
+    "c4_filter" ->
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         ch AS (
+           SELECT doc_id, list_transform(range(1, len(toks)+1, 8),
+             i -> array_to_string(toks[i:i+7], ' ')) AS segs
+           FROM t),
+         ln AS (
+           SELECT doc_id, list_transform(segs,
+             s -> CASE WHEN substr(md5(s), 1, 1) < '8' THEN s || '.' ELSE s END) AS lines
+           FROM ch),
+         pg AS (
+           SELECT doc_id, array_to_string(lines, chr(10)) ||
+             CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'this page has { code } in it.' ELSE '' END ||
+             CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.' ELSE '' END AS page
+           FROM ln),
+         f AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM pg),
+         k AS (SELECT doc_id, page, ls,
+           list_filter(ls, l -> trim(l) != ''
+             AND regexp_matches(l, '[.!?"]$')
+             AND len(string_split_regex(trim(l), '\s+')) >= 5
+             AND NOT contains(lower(l), 'javascript')) AS kept
+           FROM f)
+         SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS clean,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           contains(lower(page), 'lorem ipsum') AS has_lorem,
+           contains(page, '{') AS has_brace,
+           (NOT contains(lower(page), 'lorem ipsum') AND NOT contains(page, '{')
+             AND len(kept) >= 3) AS keep
+         FROM k ORDER BY doc_id""",
     "line_dedup" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),

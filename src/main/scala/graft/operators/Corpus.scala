@@ -97,6 +97,57 @@ object Corpus {
       .select("id", "shard", "pos", "n_tok", "tok_offset", "seq_id")
   }
 
+  /** Integer hash thresholds for [[splitAssign]]'s cumulative fractions —
+    * exposed so an external replayer (the DuckDB oracle, an audit job) can
+    * embed the EXACT same boundaries instead of re-deriving them through
+    * its own floating-point sum order. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[Long] =
+    fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * Dedup.P).toLong)
+
+  /** Deterministic train/validation/test assignment: each row's bucket is a
+    * pure function of `salt` and its id (salted 60-bit hash mapped through
+    * the cumulative fraction boundaries), so membership is reproducible
+    * run-to-run, stable under corpus growth (existing ids never migrate),
+    * and joinable from any other pipeline stage without materializing the
+    * assignment. Zero shuffle — one codegen'd expression per row. */
+  def splitAssign(df: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)],
+                  salt: String = "split", out: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val h = Dedup.hash60(concat(lit(s"$salt:"), col(idCol).cast(StringType)))
+    val label = fractions.init.zip(splitThresholds(fractions)) match {
+      case Nil => lit(fractions.head._1)
+      case (n0, t0) :: rest =>
+        rest.foldLeft(when(h < t0, lit(n0._1))) {
+          case (acc, ((name, _), t)) => acc.when(h < t, lit(name))
+        }.otherwise(lit(fractions.last._1))
+    }
+    df.withColumn(out, label)
+  }
+
+  /** Deterministic global shuffle (training-order randomization): sort by a
+    * salted id hash, which is uncorrelated with crawl/source order, and
+    * number the result. Reshuffling is changing the salt; the permutation
+    * is reproducible engine-to-engine.
+    *
+    * Scale shape: the sort is Spark's sample-based range-partition exchange
+    * (each partition sorts locally — no global single-reducer window), and
+    * the position comes from [[graft.engine.Ops.indexByLayout]]'s
+    * per-partition numbering + broadcast offsets. This is exactly the
+    * pre-training "shuffle the corpus once, stream it in order" step. */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           salt: String = "shuffle",
+                           posCol: String = "pos"): DataFrame = {
+    val keyed = df.withColumn("shuffle_key",
+      Dedup.hash60(concat(lit(s"$salt:"), col(idCol).cast(StringType))))
+    graft.engine.Ops.withGlobalIndex(keyed,
+      Seq(col("shuffle_key"), col(idCol)), posCol)
+  }
+
   /** Write the corpus as deterministic training shards: `shard` = salted id
     * hash mod nShards (the same assignment as [[packSequences]]), laid out as
     * parquet partitioned by shard. Shard membership is a pure function of the

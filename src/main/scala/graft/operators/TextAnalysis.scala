@@ -138,6 +138,38 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>"))
 
+  // ---------------------------------------------------------------- C4 filters
+  /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2, public):
+    * keep only lines that end in terminal punctuation, have at least
+    * `minWordsPerLine` words and do not mention javascript; flag pages that
+    * contain a curly brace (code) or the "lorem ipsum" placeholder, or
+    * retain fewer than `minLines` lines — those pages are dropped by the
+    * corpus pass (`keep = false`). Returns the page with only its kept
+    * lines (`clean`) plus the decision signals, so downstream stages can
+    * audit why a page fell out. Pure expressions, no shuffle. */
+  def c4Filter(df: DataFrame, textCol: String, minWordsPerLine: Int = 5,
+               minLines: Int = 3): DataFrame = {
+    // stage the split arrays: HOF lambdas get no codegen subexpression
+    // elimination, so reusing the raw split() expression would re-split the
+    // page once per consumer (see repetitionStats)
+    val staged = df.withColumn("__lines", split(col(textCol), "\n"))
+    val kept = filter(col("__lines"), l =>
+      (length(trim(l)) > 0) &&
+        l.rlike("[.!?\"]$") &&
+        (size(split(trim(l), "\\s+")) >= minWordsPerLine) &&
+        !lower(l).contains("javascript"))
+    staged
+      .withColumn("__kept", kept)
+      .withColumn("clean", array_join(col("__kept"), "\n"))
+      .withColumn("n_lines", size(col("__lines")).cast(LongType))
+      .withColumn("n_kept", size(col("__kept")).cast(LongType))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("keep",
+        !col("has_lorem") && !col("has_brace") && col("n_kept") >= minLines)
+      .drop("__lines", "__kept")
+  }
+
   // ---------------------------------------------------------------- tagging
   /** Social keyword tagger (ref: modules/social/app/tuktu/social/processors/
     * SocialProcessors.scala:30 TwitterTaggerProcessor keywords branch —

@@ -86,6 +86,52 @@ class LLMOpsSpec extends SparkSpec {
     assert(nulls == Set(100L, 101L))
   }
 
+  test("splitAssign buckets by fraction, stable under corpus growth") {
+    import graft.operators.Corpus
+    val fr = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1)
+    val d = (0L until 1000L).toDF("doc_id")
+    val out = Corpus.splitAssign(d, "doc_id", fr)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-proportional within a loose tolerance on 1000 ids
+    assert(counts("train") > 700 && counts("train") < 900, counts)
+    assert(counts("validation") > 50 && counts("validation") < 170, counts)
+    assert(counts("test") > 50 && counts("test") < 170, counts)
+    // growth never migrates existing ids
+    val grown = Corpus.splitAssign((0L until 2000L).toDF("doc_id"), "doc_id", fr)
+      .filter(col("doc_id") < 1000)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val orig = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(grown == orig)
+    // degenerate single bucket
+    assert(Corpus.splitAssign(d, "doc_id", Seq("all" -> 1.0))
+      .filter(col("split") === "all").count() == 1000)
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(d, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("deterministicShuffle produces a reproducible salt-keyed permutation") {
+    import graft.operators.Corpus
+    val d = (0L until 500L).toDF("doc_id")
+    val out = Corpus.deterministicShuffle(d, "doc_id")
+      .select("doc_id", "shuffle_key", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pos is a dense 0-based permutation index in shuffle_key order
+    assert(out.map(_._3).sorted.toSeq == (0L until 500L).toSeq)
+    val byPos = out.sortBy(_._3)
+    assert(byPos.map(x => (x._2, x._1)).toSeq == byPos.map(x => (x._2, x._1)).sortBy(identity).toSeq)
+    // reruns give the identical permutation; a different salt gives another
+    val again = Corpus.deterministicShuffle(d, "doc_id")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out.map(x => (x._1, x._3)).toMap == again)
+    val other = Corpus.deterministicShuffle(d, "doc_id", salt = "epoch2")
+      .select("doc_id", "pos").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again != other)
+    // and the shuffled order is not the input order
+    assert(byPos.map(_._1).toSeq != (0L until 500L).toSeq)
+  }
+
   test("packSequences lays docs head-to-tail per shard and cuts at the budget") {
     import graft.operators.Corpus
     val d = (0L until 30L).map(i => (i, Seq.fill((i % 5).toInt + 1)("tok").mkString(" ")))
@@ -423,6 +469,48 @@ class LLMOpsSpec extends SparkSpec {
     assert(fps(0) == fps(2) && fps(0) != fps(1))
     // known value: ((0*31+97)*31+98)*31+99 = 97*961 + 98*31 + 99
     assert(fps(0) == 97L * 961 + 98 * 31 + 99)
+  }
+
+  test("html extraction strips markup, decodes entities, collects links") {
+    val d = Seq(
+      (1L, "<html><head><title>T</title><script>var a = 1 < 2;</script>" +
+        "<style>p { color: red }</style></head><body><!-- note -->" +
+        "<h1>Head</h1><p>body &amp; soul &lt;tag&gt;&nbsp;end</p>" +
+        "<a href=\"https://a.example/x\">x</a> <a href='http://b.example/y'>y</a>" +
+        "</body></html>"),
+      (2L, "plain text, no markup at all"))
+      .toDF("doc_id", "html")
+    val out = graft.operators.Html.extract(d, "html", "clean").orderBy("doc_id")
+    val r1 = out.head
+    val clean = r1.getAs[String]("clean")
+    assert(clean == "T\nHead\nbody & soul <tag> end\nx y")
+    assert(r1.getAs[scala.collection.Seq[String]]("clean_links").toSeq ==
+      Seq("https://a.example/x", "http://b.example/y"))
+    assert(r1.getAs[Long]("n_links") == 2L)
+    // markup-free text passes through (modulo whitespace normalization)
+    val r2 = out.collect()(1)
+    assert(r2.getAs[String]("clean") == "plain text, no markup at all")
+    assert(r2.getAs[Long]("n_links") == 0L)
+  }
+
+  test("c4Filter keeps punctuated prose lines and flags poison pages") {
+    val page1 = Seq(
+      "This is a perfectly fine prose sentence with many words.",
+      "short line.", // < 5 words -> dropped
+      "no terminal punctuation on this line of words", // dropped
+      "Another good sentence follows the first one here!",
+      "Enable javascript to view this content properly.", // javascript -> dropped
+      "And a third good sentence completes the page?").mkString("\n")
+    val page2 = "function f() { return 1; }\nSome text with braces."
+    val page3 = "Lorem ipsum dolor sit amet consectetur adipiscing elit sed."
+    val d = Seq((1L, page1), (2L, page2), (3L, page3)).toDF("id", "page")
+    val out = TextAnalysis.c4Filter(d, "page").orderBy("id").collect()
+    assert(out(0).getAs[String]("clean").split("\n").length == 3)
+    assert(out(0).getAs[Boolean]("keep"))
+    assert(out(1).getAs[Boolean]("has_brace") && !out(1).getAs[Boolean]("keep"))
+    assert(out(2).getAs[Boolean]("has_lorem") && !out(2).getAs[Boolean]("keep"))
+    // kept lines preserve order
+    assert(out(0).getAs[String]("clean").startsWith("This is a perfectly"))
   }
 
   test("multimodal: byte metadata + stub feature extraction batch shape") {
