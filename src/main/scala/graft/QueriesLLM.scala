@@ -382,6 +382,39 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- token cleanup chain (reference NLP cleanup family):
+    // stopword removal -> single-punctuation-token removal -> short-token
+    // removal -> case fold; punctuation/short tokens are planted so every
+    // stage demonstrably bites
+    "text_cleanup" -> ((s, dir) => {
+      import graft.operators.Cleanup
+      val d = rd(s, dir, "documents")
+      val toks = TextAnalysis.tokens(
+        concat(col("text"), lit(" . ; ! ab xy) z the")))
+      // punctuationRemover only ever drops 1-char tokens (^\p{P}$), so it
+      // runs on its own branch vs the length filter: the planted "z" (kept
+      // here, dropped by n>2) and "." (dropped here) separate the two
+      val base = Cleanup.punctuationRemover(
+        Cleanup.stopwordRemover(toks, "en_US"))
+      val cleaned = Cleanup.caseConvert(base, uppercase = true)
+      d.select(col("doc_id"), array_join(cleaned, " ").as("cleaned"),
+          size(cleaned).cast(LongType).as("n_kept"),
+          size(Cleanup.nCharsRemover(base, 2)).cast(LongType).as("n_long"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- fixed-width field cutting (reference CSV module):
+    // widths 5/7/4 with the remainder kept, reference substringFetch shape
+    "fixed_width" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Cleanup.fixedWidth(
+          d.select(col("doc_id"), col("text")), "text", Seq(5, 7, 4),
+          headers = Some(Seq("f1", "f2", "f3", "rest")), flatten = true)
+        .select(col("doc_id"), col("f1"), col("f2"), col("f3"),
+          length(col("rest")).cast(LongType).as("rest_len"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- deterministic train/validation/test assignment
     "corpus_split" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
@@ -813,6 +846,29 @@ object QueriesLLM {
                  % 2147483647
                < CAST(floor(mix_rate * 2147483647) AS BIGINT)
          ORDER BY d.doc_id""",
+    "text_cleanup" -> {
+      val sw = graft.operators.Cleanup.defaultStopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH t AS (
+           SELECT doc_id, string_split_regex(
+             trim(lower(text || ' . ; ! ab xy) z the')), '\\s+') AS toks
+           FROM documents),
+         c1 AS (SELECT doc_id,
+           list_filter(toks, t -> NOT list_contains($sw, t)) AS a FROM t),
+         c2 AS (SELECT doc_id,
+           list_filter(a, t -> NOT regexp_matches(t, '^\\p{P}$$')) AS b FROM c1),
+         c4 AS (SELECT doc_id, list_transform(b, t -> upper(t)) AS d,
+           list_filter(b, t -> length(t) > 2) AS lng FROM c2)
+         SELECT doc_id, coalesce(array_to_string(d, ' '), '') AS cleaned,
+           CAST(len(d) AS BIGINT) AS n_kept,
+           CAST(len(lng) AS BIGINT) AS n_long
+         FROM c4 ORDER BY doc_id"""
+    },
+    "fixed_width" ->
+      """SELECT doc_id, substr(text, 1, 5) AS f1, substr(text, 6, 7) AS f2,
+           substr(text, 13, 4) AS f3,
+           CAST(length(substr(text, 17)) AS BIGINT) AS rest_len
+         FROM documents ORDER BY doc_id""",
     "corpus_split" -> {
       // the EXACT integer boundaries splitAssign compiled (see
       // Corpus.splitThresholds) — no float re-derivation in SQL

@@ -651,9 +651,55 @@ object TuktuCompat {
           geoipUrl = str(c, "geoipurl").getOrElse("http://freegeoip.net"),
           format = str(c, "format").getOrElse("json"))
 
+      // ---- NLP cleanup family (modules/nlp/.../cleanup/Cleanup.scala).
+      // BaseCleaner contract: the field may hold a token sequence OR a single
+      // string (then the op applies to the one-element list and unwraps).
+      case "tuktu.nlp.processors.cleanup.CaseConverterProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.caseConvert(_, uppercase = bool(c, "uppercase")))
+      case "tuktu.nlp.processors.cleanup.PunctuationRemoverProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.punctuationRemover)
+      case "tuktu.nlp.processors.cleanup.EmojiRemoverProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.emojiRemover)
+      case "tuktu.nlp.processors.cleanup.NCharsRemoverProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.nCharsRemover(_, c.get("n").asInt))
+      case "tuktu.nlp.processors.cleanup.OddCharacterRemoverProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.oddCharacterRemover)
+      case "tuktu.nlp.processors.cleanup.StopwordRemoverProcessor" =>
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Cleanup.stopwordRemover(_, str(c, "lang").get))
+
+      // ref: modules/nlp/.../SentenceSplitter.scala:18 — {field, locale}
+      case "tuktu.nlp.processors.SentenceSplitterProcessor" =>
+        df.withColumn(node.result, graft.operators.Cleanup.sentenceSplit(
+          col(str(c, "field").get), str(c, "locale").getOrElse("en")))
+
+      // ref: modules/csv/.../CsvProcessors.scala:179 —
+      // {field, widths, headers?, flatten?}
+      case "tuktu.csv.processors.FixedWidthProcessor" =>
+        graft.operators.Cleanup.fixedWidth(df, str(c, "field").get,
+          arr(c, "widths").map(_.asInt),
+          headers = Option(c.get("headers")).map(_ => strs(c, "headers")),
+          flatten = bool(c, "flatten"), result = node.result)
+
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }
+
+  /** BaseCleaner field adapter (modules/nlp/.../cleanup/Cleanup.scala:33-40):
+    * a token-array field cleans element-wise; a plain string field is
+    * treated as a one-element list and unwrapped after cleaning. */
+  private def cleanerField(df: DataFrame, field: String, result: String)
+                          (op: Column => Column): DataFrame =
+    df.schema(field).dataType match {
+      case _: ArrayType => df.withColumn(result, op(col(field)))
+      case _ => df.withColumn(result,
+        element_at(op(array(col(field).cast(StringType))), 1))
+    }
 
   private def statsRow(df: DataFrame, c: JsonNode, agg: String => Column): DataFrame = {
     val fields = strs(c, "fields")

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Cleanup
+import graft.engine.Flow
+
+/** NLP cleanup family + fixed-width cutting (reference
+  * modules/nlp/.../cleanup/Cleanup.scala, SentenceSplitter.scala,
+  * modules/csv/.../CsvProcessors.scala:179), including the compat rows. */
+class CleanupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val toks = Seq(
+    (1L, Seq("The", "quick", ".", "!!", "a", "fox", "ab", "café!", "xéz"))
+  ).toDF("id", "toks")
+
+  test("caseConvert folds the whole sequence either way") {
+    val up = toks.select(Cleanup.caseConvert(col("toks"), uppercase = true))
+      .as[Seq[String]].head
+    assert(up.take(2) == Seq("THE", "QUICK"))
+    val lo = toks.select(Cleanup.caseConvert(col("toks"))).as[Seq[String]].head
+    assert(lo.take(2) == Seq("the", "quick"))
+  }
+
+  test("punctuationRemover drops only single-punctuation-character tokens") {
+    val out = toks.select(Cleanup.punctuationRemover(col("toks")))
+      .as[Seq[String]].head
+    assert(!out.contains("."))
+    assert(out.contains("!!"))    // two chars: the reference regex keeps it
+    assert(out.contains("café!")) // mixed content survives
+  }
+
+  test("nCharsRemover keeps tokens strictly longer than n") {
+    val out = toks.select(Cleanup.nCharsRemover(col("toks"), 2))
+      .as[Seq[String]].head
+    assert(out == Seq("The", "quick", "fox", "café!", "xéz"))
+  }
+
+  test("oddCharacterRemover NFD-flattens to ascii letters and spaces") {
+    val out = toks.select(Cleanup.oddCharacterRemover(col("toks")))
+      .as[Seq[String]].head
+    assert(out.contains("cafe")) // é -> e, ! -> gone
+    assert(out.contains("xez"))
+    assert(out.contains(""))     // "." flattens to empty, token stays
+  }
+
+  test("emojiRemover strips emoji codepoints, keeps the token") {
+    val d = Seq(Seq("hi😀there", "ok", "🚀", "up✅"))
+      .toDF("toks")
+    val out = d.select(Cleanup.emojiRemover(col("toks"))).as[Seq[String]].head
+    assert(out == Seq("hithere", "ok", "", "up"))
+  }
+
+  test("stopwordRemover uses the language part of the tag and exact matches") {
+    val d = Seq(Seq("the", "theory", "of", "spark")).toDF("toks")
+    val out = d.select(Cleanup.stopwordRemover(col("toks"), "en_US"))
+      .as[Seq[String]].head
+    assert(out == Seq("theory", "spark")) // "the"/"of" exact, "theory" kept
+    val custom = d.select(Cleanup.stopwordRemover(col("toks"), Seq("spark")))
+      .as[Seq[String]].head
+    assert(custom == Seq("the", "theory", "of"))
+  }
+
+  test("sentenceSplit is the locale BreakIterator contract") {
+    val d = Seq("First sentence. Second one! And a third?").toDF("text")
+    val out = d.select(Cleanup.sentenceSplit(col("text"))).as[Seq[String]].head
+    assert(out.size == 3)
+    assert(out.mkString("") == "First sentence. Second one! And a third?")
+    assert(out.head.startsWith("First sentence."))
+  }
+
+  test("fixedWidth cuts at widths and keeps the remainder as final piece") {
+    val d = Seq((1L, "abcdefghij"), (2L, "abcd")).toDF("id", "s")
+    val arr = Cleanup.fixedWidth(d, "s", Seq(3, 5))
+      .orderBy("id").select("fixed").as[Seq[String]].collect()
+    assert(arr(0) == Seq("abc", "defgh", "ij"))
+    assert(arr(1) == Seq("abc", "d", "")) // short input: empty remainder
+    val flat = Cleanup.fixedWidth(d, "s", Seq(3, 5),
+      headers = Some(Seq("x", "y", "rest")), flatten = true).orderBy("id")
+    assert(flat.columns.toSeq == Seq("id", "s", "x", "y", "rest"))
+    assert(flat.select("x", "y", "rest").as[(String, String, String)]
+      .collect().toSeq == Seq(("abc", "defgh", "ij"), ("abc", "d", "")))
+  }
+
+  test("cleanup FQCNs run with reference config schemas, string field unwraps") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"words": "HELLO", "n": 1}
+        ]}, "next": ["c"]} ],
+      "processors": [
+        {"id": "c", "name": "tuktu.nlp.processors.cleanup.CaseConverterProcessor",
+         "result": "lowered", "config": {"field": "words"}, "next": ["s"]},
+        {"id": "s", "name": "tuktu.nlp.processors.SentenceSplitterProcessor",
+         "result": "sentences", "config": {"field": "lowered", "locale": "en"},
+         "next": ["f"]},
+        {"id": "f", "name": "tuktu.csv.processors.FixedWidthProcessor",
+         "result": "fixed", "config": {"field": "lowered", "widths": [2, 2]},
+         "next": []} ] }"""
+    val out = Flow.run(spark, flow).values.head
+    val row = out.head
+    assert(row.getAs[String]("lowered") == "hello") // string field unwrapped
+    assert(row.getAs[scala.collection.Seq[String]]("sentences").toSeq == Seq("hello"))
+    assert(row.getAs[scala.collection.Seq[String]]("fixed").toSeq ==
+      Seq("he", "ll", "o"))
+  }
+}
