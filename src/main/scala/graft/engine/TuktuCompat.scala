@@ -678,6 +678,17 @@ object TuktuCompat {
         df.withColumn(node.result, graft.operators.Cleanup.sentenceSplit(
           col(str(c, "field").get), str(c, "locale").getOrElse("en")))
 
+      // ref: modules/csv/.../CsvProcessors.scala:58 — {field, headers?,
+      // headers_from_first?, separator?, quote?, escape?, remove_original?}
+      case "tuktu.csv.processors.CSVReaderProcessor" =>
+        graft.sources.Sources.csvField(df, str(c, "field").get,
+          headers = Option(c.get("headers")).map(_ => strs(c, "headers")),
+          headersFromFirst = bool(c, "headers_from_first"),
+          sep = str(c, "separator").getOrElse(";"),
+          quote = str(c, "quote").getOrElse("\""),
+          escape = str(c, "escape").getOrElse("\\"),
+          removeOriginal = bool(c, "remove_original"))
+
       // ref: modules/csv/.../CsvProcessors.scala:179 —
       // {field, widths, headers?, flatten?}
       case "tuktu.csv.processors.FixedWidthProcessor" =>

@@ -42,6 +42,59 @@ object Sources {
       dense.filter(col("__line") >= lo && col("__line") <= hi).drop("__line")
     }
 
+  /** CSVReaderProcessor (ref: modules/csv/.../CsvProcessors.scala:58):
+    * parse ONE CSV record held in a string field into top-level columns
+    * (opencsv semantics: configurable separator/quote/escape, reference
+    * defaults ';' '"' '\'). Headers: given explicitly, taken from the first
+    * row (one `head()` — schema inference, like every reader), or "0".."n".
+    * `headersFromFirst` also drops that header row, like the reference's
+    * Enumeratee.drop(1). Parsing is `from_csv` — codegen'd, no UDF. */
+  def csvField(df: DataFrame, field: String, headers: Option[Seq[String]] = None,
+               headersFromFirst: Boolean = false, sep: String = ";",
+               quote: String = "\"", escape: String = "\\",
+               removeOriginal: Boolean = false): DataFrame = {
+    val opts = Map("sep" -> sep, "quote" -> quote, "escape" -> escape)
+    // schema probe (one head(), like any reader's inference): parse the
+    // layout-first record wide, count cells by last non-null — trailing
+    // EMPTY fields don't widen the schema, matching the reference's
+    // headers-from-one-line behavior
+    def parseOne(line: String, width: Int): Seq[String] = {
+      val one = df.sparkSession.createDataset(Seq(line))(
+        org.apache.spark.sql.Encoders.STRING).toDF("v")
+      val schema = StructType((0 until width).map(i =>
+        StructField(i.toString, StringType)))
+      val r = one.select(from_csv(col("v"), schema, opts).as("p")).head.getStruct(0)
+      (0 until width).map(i => if (r.isNullAt(i)) null else r.getString(i))
+    }
+    val (hdrs, dropFirst) = headers match {
+      case Some(hs) => (hs, false)
+      case None =>
+        val probe = df.select(col(field).cast(StringType)).head.getString(0)
+        val cells = parseOne(probe, 256)
+        val width = cells.lastIndexWhere(_ != null) max 0
+        if (headersFromFirst) (cells.take(width + 1), true)
+        else ((0 to width).map(_.toString), false)
+    }
+    // headers_from_first consumes the first record (ref Enumeratee.drop(1));
+    // "first" in the batch model is layout order, same index the line-range
+    // readers use
+    val ln = uniqName("__csvln")
+    val base =
+      if (dropFirst)
+        graft.engine.Ops.indexByLayout(df, ln).filter(col(ln) > 0).drop(ln)
+      else df
+    val parsed = uniqName("__csv")
+    val schema = StructType(hdrs.map(h => StructField(h, StringType)))
+    val widened = hdrs.foldLeft(
+      base.withColumn(parsed, from_csv(col(field).cast(StringType), schema, opts))) {
+        (d, h) => d.withColumn(h, col(parsed).getField(h))
+      }.drop(parsed)
+    if (removeOriginal) widened.drop(field) else widened
+  }
+
+  private def uniqName(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID.toString.take(8)
+
   /** JSON file source (JSONParse-at-source). */
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
 

@@ -82,6 +82,30 @@ class CleanupSpec extends SparkSpec {
       .collect().toSeq == Seq(("abc", "defgh", "ij"), ("abc", "d", "")))
   }
 
+  test("csvField parses a CSV record field into columns (opencsv semantics)") {
+    import graft.sources.Sources
+    val d = Seq(
+      (1L, """x;"a;b";c"""),
+      (2L, """y;q;r""")).toDF("id", "line")
+    // explicit headers
+    val named = Sources.csvField(d, "line", headers = Some(Seq("h1", "h2", "h3")))
+      .orderBy("id")
+    assert(named.columns.toSeq == Seq("id", "line", "h1", "h2", "h3"))
+    assert(named.select("h1", "h2", "h3").as[(String, String, String)]
+      .collect().toSeq == Seq(("x", "a;b", "c"), ("y", "q", "r")))
+    // positional headers
+    val pos = Sources.csvField(d, "line", removeOriginal = true).orderBy("id")
+    assert(pos.columns.toSeq == Seq("id", "0", "1", "2"))
+    // headers from the first record: it names columns and is consumed
+    val hdr = Seq((0L, "name;value"), (1L, "a;1"), (2L, "b;2"))
+      .toDF("ord", "line")
+    val fromFirst = Sources.csvField(hdr, "line", headersFromFirst = true)
+      .orderBy("ord")
+    assert(fromFirst.columns.toSeq == Seq("ord", "line", "name", "value"))
+    assert(fromFirst.select("name", "value").as[(String, String)]
+      .collect().toSeq == Seq(("a", "1"), ("b", "2")))
+  }
+
   test("cleanup FQCNs run with reference config schemas, string field unwraps") {
     val flow = """
     { "generators": [
