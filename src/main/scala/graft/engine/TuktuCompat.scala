@@ -463,6 +463,10 @@ object TuktuCompat {
 
       // buffer all until EOF: the batch frame already IS the EOF buffer
       case "tuktu.processors.EOFBufferProcessor" => df
+      // wall-clock re-batching (BufferProcessors.scala:114): packet shape
+      // only, no data semantics — one batch frame is one release; in
+      // streaming this is the trigger interval (Streams.tumblingAgg et al.)
+      case "tuktu.processors.TimeBufferProcessor" => df
       // one datum per packet: packets are partitions here — by-design
       case "tuktu.processors.DataPacketSplitterProcessor" => df
 
@@ -650,6 +654,184 @@ object TuktuCompat {
         graft.operators.Http.freeGeoIp(df, str(c, "ip").get, node.result,
           geoipUrl = str(c, "geoipurl").getOrElse("http://freegeoip.net"),
           format = str(c, "format").getOrElse("json"))
+
+      // ref: ConvertToString.scala:13 — {field}: sequences convert element-wise
+      case "tuktu.processors.ConvertAnyToStringProcessor" =>
+        val f = str(c, "field").get
+        df.withColumn(node.result, df.schema(f).dataType match {
+          case _: ArrayType => transform(col(f), _.cast(StringType))
+          case _ => col(f).cast(StringType)
+        })
+
+      // ref: arithmetics/NumericProcessors.scala:11 — {field, target_type}
+      case "tuktu.processors.arithmetics.NumberToNumberProcessor" =>
+        val to: DataType = str(c, "target_type").get match {
+          case "Long" => LongType
+          case "Double" => DoubleType
+          case "Float" => FloatType
+          case "BigDecimal" => DecimalType(38, 18)
+          case _ => IntegerType
+        }
+        df.withColumn(node.result, col(str(c, "field").get).cast(to))
+
+      // ref: arithmetics/ArithmeticProcessor.scala:42 — {calculate,
+      // number_of_decimals?, do_rounding?}: aggregate formula over the whole
+      // packet, result broadcast onto every row
+      case "tuktu.processors.arithmetics.ArithmeticAggregateProcessor" =>
+        val aggC = Expr.aggregate(df, str(c, "calculate").get)
+        val rounded =
+          if (bool(c, "do_rounding"))
+            round(aggC, Option(c.get("number_of_decimals")).map(_.asInt).getOrElse(0))
+          else aggC
+        df.crossJoin(broadcast(df.agg(rounded.as(node.result))))
+
+      // ref: time/TimestampAdderProcessor.scala:13 — {format?}: wall-clock
+      // now, as epoch millis or formatted
+      case "tuktu.processors.time.TimestampAdderProcessor" =>
+        df.withColumn(node.result, str(c, "format") match {
+          case Some(f) => date_format(current_timestamp(), f)
+          case None => unix_millis(current_timestamp())
+        })
+
+      // ref: time/TimestampPeriodAdderProcessor.scala:18 — {time_field,
+      // format?, years..seconds}: typed like the reference (millis Long,
+      // timestamp, or formatted string); period components are static config
+      case "tuktu.processors.time.TimestampPeriodAdderProcessor" =>
+        def iv(k: String): Column = {
+          val v = str(c, k).getOrElse("0")
+          require(!v.contains("${"),
+            s"TimestampPeriodAdder: data-dependent '$k' not supported")
+          lit(v.toInt)
+        }
+        val f = str(c, "time_field").get
+        val fmt = str(c, "format").filter(_.nonEmpty)
+        val base = df.schema(f).dataType match {
+          case StringType => to_timestamp(col(f), fmt.getOrElse(
+            throw new IllegalArgumentException(
+              "TimestampPeriodAdder: string time_field needs format")))
+          case IntegerType | LongType => timestamp_millis(col(f).cast(LongType))
+          case _ => col(f)
+        }
+        val added = base + make_interval(iv("years"), iv("months"), iv("weeks"),
+          iv("days"), iv("hours"), iv("minutes"), iv("seconds"))
+        df.withColumn(node.result, df.schema(f).dataType match {
+          case StringType => date_format(added, fmt.get)
+          case IntegerType | LongType => unix_millis(added)
+          case _ => added
+        })
+
+      // ref: time/DurationProcessor.scala:15 — {start, end} (TuktuStrings):
+      // whole days between instants, truncated toward zero like Joda
+      // Days.daysBetween
+      case "tuktu.processors.time.DurationProcessor" =>
+        val s = to_timestamp(Expr.interpolate(str(c, "start").get))
+        val e = to_timestamp(Expr.interpolate(str(c, "end").get))
+        df.withColumn(node.result,
+          ((unix_timestamp(e) - unix_timestamp(s)) / 86400).cast(IntegerType))
+
+      // ref: DatumMergeProcessor.scala:14 — whole packet folds to one datum,
+      // later datums win per key (mergeMap): last non-null in arrival order
+      case "tuktu.processors.DatumMergeProcessor" =>
+        val ord = uniq("__ord")
+        Ops.datumMerge(Ops.indexByLayout(df, ord), Nil, ord)
+
+      // ref: DatumToFieldProcessor.scala:12 — nest each datum under result
+      case "tuktu.processors.DatumToFieldProcessor" =>
+        Ops.datumToField(df, node.result)
+
+      // ref: sample/TakeProcessor.scala:13, DropProcessor.scala:13 —
+      // {amount, datums?}: with one frame per flow the packet and datum
+      // variants coincide
+      case "tuktu.processors.sample.TakeProcessor" =>
+        Ops.take(df, c.get("amount").asInt)
+      case "tuktu.processors.sample.DropProcessor" =>
+        val ord = uniq("__ord")
+        Ops.indexByLayout(df, ord)
+          .filter(col(ord) >= c.get("amount").asInt).drop(ord)
+
+      // ref: sample/ReverseProcessor.scala:12 — reverse arrival order
+      case "tuktu.processors.sample.ReverseProcessor" =>
+        val ord = uniq("__ord")
+        Ops.sort(Ops.indexByLayout(df, ord), Seq(col(ord).desc)).drop(ord)
+
+      // ref: BaseProcessors.scala:1273 — empty packets cannot exist here
+      case "tuktu.processors.RemoveEmptyPacketProcessor" => df
+
+      // ref: sample/StratifiedSamplingProcessor.scala:14 — {class_field,
+      // random?, sample_count?}: per-class min-count sample; `random` draws
+      // by a deterministic hash of the arrival index instead of arrival
+      // order (reproducible where the reference's Random.shuffle is not)
+      case "tuktu.processors.sample.StratifiedSamplingProcessor" =>
+        val ord = uniq("__ord")
+        val rn = uniq("__rn")
+        val base = Ops.indexByLayout(df, ord)
+        val orderBy =
+          if (bool(c, "random")) md5(col(ord).cast(StringType)).asc
+          else col(ord).asc
+        val minCount = base.groupBy(col(str(c, "class_field").get)).count()
+          .agg(min("count")).first().getLong(0)
+        val cap = Option(c.get("sample_count")).map(_.asLong)
+          .fold(minCount)(s => math.min(minCount, s))
+        base.withColumn(rn, row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(str(c, "class_field").get)).orderBy(orderBy)))
+          .filter(col(rn) <= cap).drop(rn, ord)
+
+      // ref: statistics/ProbabilityProcessors.scala:13 — {numbers:
+      // [{number, probability}]}: normalized inverse-CDF draw
+      case "tuktu.processors.statistics.NumberWithProbabilityProcessor" =>
+        val raw = arr(c, "numbers").map(n =>
+          (n.get("probability").asDouble, n.get("number").asInt: Any))
+        val total = raw.map(_._1).sum
+        Ops.sampleDiscrete(df, raw.map { case (p, v) => (p / total, v) }, node.result)
+
+      // ref: json/JSONCreatorProcessor.scala:12 — {json}: the JSON template
+      // (with ${} TuktuStrings anywhere inside) renders per row as a string
+      case "tuktu.processors.json.JSONCreatorProcessor" =>
+        df.withColumn(node.result, Expr.interpolate(c.get("json").toString))
+
+      // ref: json/JSONMergerProcessor.scala:15 — {fields}: deep-merge the
+      // JSON objects held in `fields`, left to right (later wins)
+      case "tuktu.processors.json.JSONMergerProcessor" =>
+        val fields = strs(c, "fields")
+        require(fields.nonEmpty, "JSONMerger: fields must be non-empty")
+        val merged = fields.tail.foldLeft((df, fields.head)) {
+          case ((d, acc), f) =>
+            val tmp = uniq("__jm")
+            val next = Ops.jsonMerge(d, acc, f, tmp)
+            (if (acc.startsWith("__jm")) next.drop(acc) else next, tmp)
+        }
+        val mergedOut = merged._1.withColumn(node.result, col(merged._2))
+        // a single-field merge leaves the user's own column in place
+        if (merged._2.startsWith("__jm")) mergedOut.drop(merged._2) else mergedOut
+
+      // ref: FileProcessors.scala:246 — {filename (TuktuString), start_line?,
+      // line_separator?}: whole file into the result field per datum
+      case "tuktu.processors.FileReaderProcessor" =>
+        val pathCol = uniq("__path")
+        val raw = graft.sources.Sources.fileToString(
+          df.withColumn(pathCol, Expr.interpolate(str(c, "filename").get)),
+          pathCol, node.result)
+        val startLine = Option(c.get("start_line")).map(_.asInt).getOrElse(0)
+        val lineSep = str(c, "line_separator").getOrElse("\r\n")
+        val lines = split(col(node.result), "\\r\\n|\\r|\\n")
+        raw.withColumn(node.result,
+            array_join(slice(lines, lit(startLine + 1),
+              greatest(size(lines) - startLine, lit(0))), lineSep))
+          .drop(pathCol)
+
+      // ref: FileProcessors.scala:25/169 — {file_name, fields,
+      // field_separator?}: sink + pass-through. Spark writes a directory of
+      // parts where the reference appends to one local file — the batch
+      // analog; the write happens when the flow is built (eager action).
+      case "tuktu.processors.FileStreamProcessor"
+         | "tuktu.processors.BatchedFileStreamProcessor" =>
+        val fields = strs(c, "fields")
+        val sepC = str(c, "field_separator").getOrElse(",")
+        df.select(concat_ws(sepC, fields.map(f => col(f).cast(StringType)): _*)
+            .as("value"))
+          .write.mode("overwrite").text(str(c, "file_name").get)
+        df
 
       // ---- NLP cleanup family (modules/nlp/.../cleanup/Cleanup.scala).
       // BaseCleaner contract: the field may hold a token sequence OR a single

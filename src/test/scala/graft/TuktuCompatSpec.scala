@@ -542,4 +542,124 @@ class TuktuCompatSpec extends SparkSpec {
       .select("key1").as[String].collect().toSet
     assert(nestedAnd == Set("een"))
   }
+
+  test("conversion/arithmetic/probability FQCNs run with reference configs") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"n": 1, "s": "2"}, {"n": 3, "s": "4"}, {"n": 5, "s": "6"}
+        ]}, "next": ["c1"]} ],
+      "processors": [
+        {"id": "c1", "name": "tuktu.processors.ConvertAnyToStringProcessor",
+         "result": "n_str", "config": {"field": "n"}, "next": ["c2"]},
+        {"id": "c2", "name": "tuktu.processors.arithmetics.NumberToNumberProcessor",
+         "result": "s_dbl", "config": {"field": "s", "target_type": "Double"},
+         "next": ["c3"]},
+        {"id": "c3", "name": "tuktu.processors.arithmetics.ArithmeticAggregateProcessor",
+         "result": "agg", "config": {"calculate": "avg(${n}) + 1",
+           "do_rounding": true, "number_of_decimals": 1}, "next": ["c4"]},
+        {"id": "c4", "name": "tuktu.processors.statistics.NumberWithProbabilityProcessor",
+         "result": "draw", "config": {"numbers": [
+           {"number": 7, "probability": 1.0}, {"number": 9, "probability": 1.0}
+         ]}, "next": []} ] }"""
+    val out = Flow.run(spark, flow).values.head.orderBy("n")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[String]("n_str")).toSeq == Seq("1", "3", "5"))
+    assert(rows.map(_.getAs[Double]("s_dbl")).toSeq == Seq(2.0, 4.0, 6.0))
+    assert(rows.forall(_.getAs[Double]("agg") == 4.0)) // avg(1,3,5)+1
+    assert(rows.forall(r => Set(7, 9).contains(r.getAs[Int]("draw"))))
+  }
+
+  test("time FQCNs: period adder on millis and string, duration in days") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"ms": 86400000, "d": "2024-01-10", "from": "2024-01-01", "to": "2024-01-11"}
+        ]}, "next": ["p1"]} ],
+      "processors": [
+        {"id": "p1", "name": "tuktu.processors.time.TimestampPeriodAdderProcessor",
+         "result": "plus_day", "config": {"time_field": "ms", "days": "1"},
+         "next": ["p2"]},
+        {"id": "p2", "name": "tuktu.processors.time.TimestampPeriodAdderProcessor",
+         "result": "plus_month", "config": {"time_field": "d",
+           "format": "yyyy-MM-dd", "months": "1"}, "next": ["p3"]},
+        {"id": "p3", "name": "tuktu.processors.time.DurationProcessor",
+         "result": "days", "config": {"start": "${from}", "end": "${to}"},
+         "next": ["p4"]},
+        {"id": "p4", "name": "tuktu.processors.time.TimestampAdderProcessor",
+         "result": "now_ms", "config": {}, "next": []} ] }"""
+    val row = Flow.run(spark, flow).values.head.head
+    assert(row.getAs[Long]("plus_day") == 2L * 86400000)
+    assert(row.getAs[String]("plus_month") == "2024-02-10")
+    assert(row.getAs[Int]("days") == 10)
+    assert(row.getAs[Long]("now_ms") > 1700000000000L)
+  }
+
+  test("sample FQCNs: take, drop, reverse, stratified with sample_count") {
+    def flow(proc: String) = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"v": 1, "cls": "a"}, {"v": 2, "cls": "a"}, {"v": 3, "cls": "a"},
+          {"v": 4, "cls": "b"}, {"v": 5, "cls": "b"}
+        ]}, "next": ["p"]} ],
+      "processors": [ $proc ] }"""
+    val take = Flow.runSingle(spark, flow(
+      """{"id": "p", "name": "tuktu.processors.sample.TakeProcessor",
+         "result": "", "config": {"amount": 2}, "next": []}"""))
+    assert(take.count() == 2)
+    val drop = Flow.runSingle(spark, flow(
+      """{"id": "p", "name": "tuktu.processors.sample.DropProcessor",
+         "result": "", "config": {"amount": 3}, "next": []}"""))
+    assert(drop.select("v").as[Long].collect().toSet == Set(4L, 5L))
+    val rev = Flow.runSingle(spark, flow(
+      """{"id": "p", "name": "tuktu.processors.sample.ReverseProcessor",
+         "result": "", "config": {}, "next": []}"""))
+    assert(rev.select("v").as[Long].collect().toSeq == Seq(5L, 4L, 3L, 2L, 1L))
+    val strat = Flow.runSingle(spark, flow(
+      """{"id": "p", "name": "tuktu.processors.sample.StratifiedSamplingProcessor",
+         "result": "", "config": {"class_field": "cls", "sample_count": 1}, "next": []}"""))
+    assert(strat.count() == 2) // one per class
+    assert(strat.select("cls").as[String].collect().toSet == Set("a", "b"))
+  }
+
+  test("datum/json/file FQCNs: merge, wrap, create, deep-merge, read, write") {
+    val tmp = java.nio.file.Files.createTempDirectory("compat").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/in.txt"), "skipme\r\nline1\r\nline2")
+    val flow = s"""
+    {{ "generators": [
+        {{"id": "g", "name": "list", "config": {{"rows": [
+          {{"a": {{"x": 1, "y": "p"}}, "b": {{"y": "q"}}, "name": "n1", "path": "$tmp/in.txt"}}
+        ]}}, "next": ["j1"]}} ],
+      "processors": [
+        {{"id": "j1", "name": "tuktu.processors.json.JSONCreatorProcessor",
+         "result": "made", "config": {{"json": {{"tag": "$${name}"}}}}, "next": ["j2"]}},
+        {{"id": "j2", "name": "tuktu.processors.json.JSONMergerProcessor",
+         "result": "merged", "config": {{"fields": ["a", "b"]}}, "next": ["f1"]}},
+        {{"id": "f1", "name": "tuktu.processors.FileReaderProcessor",
+         "result": "content", "config": {{"filename": "$${path}", "start_line": 1}},
+         "next": ["w1"]}},
+        {{"id": "w1", "name": "tuktu.processors.FileStreamProcessor",
+         "result": "", "config": {{"file_name": "$tmp/out",
+           "fields": ["name"], "field_separator": ";"}}, "next": []}} ] }}"""
+      .replace("{{", "{").replace("}}", "}")
+    val row = Flow.run(spark, flow).values.head.head
+    assert(row.getAs[String]("made") == """{"tag":"n1"}""")
+    val merged = row.getAs[org.apache.spark.sql.Row]("merged")
+    assert(merged.getAs[Long]("x") == 1L && merged.getAs[String]("y") == "q")
+    assert(row.getAs[String]("content") == "line1\r\nline2")
+    assert(spark.read.text(s"$tmp/out").as[String].collect().toSeq == Seq("n1"))
+    // whole-packet fold: last non-null per column wins
+    val dm = Flow.runSingle(spark, """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"k": "a", "v": 1}, {"k": "b"}, {"v": 3}
+        ]}, "next": ["m"]} ],
+      "processors": [
+        {"id": "m", "name": "tuktu.processors.DatumMergeProcessor",
+         "result": "", "config": {}, "next": []} ] }""")
+    val one = dm.head
+    assert(dm.count() == 1)
+    assert(one.getAs[String]("k") == "b" && one.getAs[Long]("v") == 3L)
+  }
 }
