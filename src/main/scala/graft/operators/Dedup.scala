@@ -386,7 +386,8 @@ object Dedup {
     * in the connected component — deterministic, so oracle-checkable against
     * a recursive-CTE min-label fixpoint. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 50): DataFrame = {
+                          maxIter: Int = 50,
+                          localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     val (st, dt) = (edges.schema(srcCol).dataType, edges.schema(dstCol).dataType)
     require(st == dt, s"src/dst types differ: $st vs $dt")
     // materialize the edge projection ONCE: nodes and the canonical edge set
@@ -415,6 +416,45 @@ object Dedup {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var (n, chk) = signature(e)
+    // Adaptive small-graph path: near-dup candidate graphs are usually
+    // orders of magnitude smaller than the corpus (pairs survive banding +
+    // verification), so after the pruning above the edge set often fits in
+    // one task. Below `localSolveMaxEdges` (default 2^20 edges ≈ 16 MB —
+    // driver-safe) solve with union-find on the driver and broadcast the
+    // labels back: one collect replaces ~4 shuffle rounds of alternating
+    // stars. Gated to integral node ids, where driver `min` and Catalyst
+    // `least` order identically (strings keep the distributed path — JVM
+    // UTF-16 comparison disagrees with Spark's binary UTF-8 order beyond
+    // the BMP). The O(log² n)-round distributed loop below remains the
+    // 100 TB path, unchanged.
+    val integralIds = st match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (integralIds && n <= localSolveMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      // union by min root: the root of a component is always its minimum,
+      // matching the distributed path's min-label fixpoint
+      e.select(col("hi").cast(LongType), col("lo").cast(LongType))
+        .collect().foreach { r =>
+          val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+          if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+        }
+      val labels = nodes.select(col("node").cast(LongType)).collect()
+        .map(r => (r.getLong(0), find(r.getLong(0))))
+      return labels.toSeq.toDF("node", "component")
+        .select(col("node").cast(st).as("node"),
+          col("component").cast(st).as("component"))
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {

@@ -235,6 +235,11 @@ class LLMOpsSpec extends SparkSpec {
     assert(Seq(20L, 21L, 22L, 23L).forall(comp(_) == 20L))
     assert(Seq(30L, 31L).forall(comp(_) == 30L))
     assert(comp.size == 14) // every node present exactly once
+    // the driver union-find fast path and the distributed star loop are the
+    // same function — identical labels on the same graph
+    val dist = Dedup.connectedComponents(edges, "src", "dst",
+      localSolveMaxEdges = 0).as[(Long, Long)].collect().toMap
+    assert(dist == comp)
   }
 
   test("connectedComponents keeps self-loop-only nodes and works on string ids") {
@@ -249,15 +254,17 @@ class LLMOpsSpec extends SparkSpec {
   test("connectedComponents throws instead of returning split components") {
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
     val ex = intercept[IllegalStateException](
-      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1).collect())
+      Dedup.connectedComponents(edges, "src", "dst", maxIter = 1,
+        localSolveMaxEdges = 0).collect())
     assert(ex.getMessage.contains("did not converge"))
   }
 
   test("connectedComponents handles a long path (multi-round convergence)") {
-    // a 64-node path needs several star-contraction rounds
+    // a 64-node path needs several star-contraction rounds; pin the
+    // distributed loop (the local fast path would hide it)
     val edges = (0L until 63L).map(i => (i, i + 1)).toDF("src", "dst")
-    val comp = Dedup.connectedComponents(edges, "src", "dst")
-      .as[(Long, Long)].collect().toMap
+    val comp = Dedup.connectedComponents(edges, "src", "dst",
+      localSolveMaxEdges = 0).as[(Long, Long)].collect().toMap
     assert(comp.size == 64 && comp.values.forall(_ == 0L))
   }
 
