@@ -84,6 +84,48 @@ class StreamingE2ESpec extends SparkSpec {
     assert(spark.read.parquet(outDir).count() == 5)
   }
 
+  test("streaming corpus ingestion: html → c4 clean → quality → near-dup candidates") {
+    // The whole cleaning front door is stateless Column expressions, so the
+    // operators built for batch run UNCHANGED on a streaming frame; only the
+    // near-dup stage carries state (keyed band buckets). One pipeline, both
+    // execution models — the engine's core claim, proven end-to-end here.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val prose = "This stream sentence carries plenty of words to keep and score."
+    def page(extra: String) =
+      s"<html><body><p>$prose</p><p>$extra line with many more words to pass.</p>" +
+        "<p>A third complete sentence keeps the page above the line minimum.</p></body></html>"
+    val cleaned = {
+      val html = mem.toDF().toDF("doc_id", "html")
+      val text = graft.operators.Html.extract(html, "html", "text")
+      val kept = graft.operators.TextAnalysis.c4Filter(text, "text")
+        .filter(col("keep"))
+      graft.operators.TextAnalysis.qualityScore(
+        kept.withColumn("text", col("clean")), "text")
+    }
+    val cands = Streams.streamingNearDupCandidates(
+      cleaned, "doc_id", "text", n = 3, k = 16, bands = 8, threshold = 0.3)
+    val q = cands.writeStream.format("memory").queryName("stream_corpus")
+      .outputMode("append").start()
+    try {
+      // batch 1: two near-identical pages, one unrelated
+      mem.addData((1L, page("first")), (2L, page("first")),
+        (3L, "<p>totally different content about unrelated things here today.</p>"))
+      q.processAllAvailable()
+      // batch 2: another near-dup of doc 1 arrives later
+      mem.addData((4L, page("first")))
+      q.processAllAvailable()
+      val pairs = spark.table("stream_corpus")
+        .select("id", "dup_of").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pairs.contains(("1", "2")) || pairs.contains(("2", "1")))
+      // cross-micro-batch state: doc 4 pairs with something from batch 1
+      assert(pairs.exists { case (a, b) => a == "4" || b == "4" })
+      assert(!pairs.exists { case (a, b) => a == "3" || b == "3" })
+    } finally q.stop()
+  }
+
   test("foreachBatch sink invokes the callback per micro-batch") {
     implicit val sql = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
