@@ -483,7 +483,8 @@ object QueriesLLM {
     "html_extract" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
       val html = concat(
-        lit("<html><head><title>"), col("source"), lit("</title>"),
+        // total under null source (concat would null-propagate the page)
+        lit("<html><head><title>"), coalesce(col("source"), lit("")), lit("</title>"),
         lit("<script type=\"text/javascript\">var x = 1 < 2; // dead</script>"),
         lit("<style>p { color: red }</style></head><body>"),
         lit("<!-- hidden --><h1>Doc "), col("doc_id").cast(StringType), lit("</h1>"),
@@ -980,7 +981,7 @@ object QueriesLLM {
          FROM u GROUP BY 1 ORDER BY 1""",
     "html_extract" ->
       s"""WITH h AS (SELECT doc_id,
-           ('<html><head><title>' || source || '</title>' ||
+           ('<html><head><title>' || coalesce(source, '') || '</title>' ||
             '<script type="text/javascript">var x = 1 < 2; // dead</script>' ||
             '<style>p { color: red }</style></head><body>' ||
             '<!-- hidden --><h1>Doc ' || doc_id || '</h1>' ||

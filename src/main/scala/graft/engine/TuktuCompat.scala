@@ -678,12 +678,17 @@ object TuktuCompat {
       // number_of_decimals?, do_rounding?}: aggregate formula over the whole
       // packet, result broadcast onto every row
       case "tuktu.processors.arithmetics.ArithmeticAggregateProcessor" =>
-        val aggC = Expr.aggregate(df, str(c, "calculate").get)
+        // pin the input once — the aggregate job and the probe side are
+        // otherwise two independent executions of the upstream lineage
+        val pinned = df.localCheckpoint()
+        val aggC = Expr.aggregate(pinned, str(c, "calculate").get)
         val rounded =
           if (bool(c, "do_rounding"))
             round(aggC, Option(c.get("number_of_decimals")).map(_.asInt).getOrElse(0))
           else aggC
-        df.crossJoin(broadcast(df.agg(rounded.as(node.result))))
+        // reference semantics overwrite an existing result field
+        pinned.drop(node.result)
+          .crossJoin(broadcast(pinned.agg(rounded.as(node.result))))
 
       // ref: time/TimestampAdderProcessor.scala:13 — {format?}: wall-clock
       // now, as epoch millis or formatted
@@ -764,18 +769,24 @@ object TuktuCompat {
       case "tuktu.processors.sample.StratifiedSamplingProcessor" =>
         val ord = uniq("__ord")
         val rn = uniq("__rn")
-        val base = Ops.indexByLayout(df, ord)
+        // pin once: the min-count job and the final window would otherwise
+        // each re-run the whole upstream pipeline
+        val base = Ops.indexByLayout(df, ord).localCheckpoint()
         val orderBy =
           if (bool(c, "random")) md5(col(ord).cast(StringType)).asc
           else col(ord).asc
-        val minCount = base.groupBy(col(str(c, "class_field").get)).count()
-          .agg(min("count")).first().getLong(0)
-        val cap = Option(c.get("sample_count")).map(_.asLong)
-          .fold(minCount)(s => math.min(minCount, s))
-        base.withColumn(rn, row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col(str(c, "class_field").get)).orderBy(orderBy)))
-          .filter(col(rn) <= cap).drop(rn, ord)
+        val minRow = base.groupBy(col(str(c, "class_field").get)).count()
+          .agg(min("count")).first()
+        if (minRow.isNullAt(0)) df.limit(0) // empty input: nothing to sample
+        else {
+          val minCount = minRow.getLong(0)
+          val cap = Option(c.get("sample_count")).map(_.asLong)
+            .fold(minCount)(s => math.min(minCount, s))
+          base.withColumn(rn, row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col(str(c, "class_field").get)).orderBy(orderBy)))
+            .filter(col(rn) <= cap).drop(rn, ord)
+        }
 
       // ref: statistics/ProbabilityProcessors.scala:13 — {numbers:
       // [{number, probability}]}: normalized inverse-CDF draw

@@ -76,8 +76,11 @@ object Cleanup {
   def stopwordRemover(tokens: Column, stopwords: Seq[String]): Column =
     filter(tokens, t => !t.isin(stopwords: _*))
   def stopwordRemover(tokens: Column, langTag: String): Column =
-    stopwordRemover(tokens,
-      defaultStopwords.getOrElse(langOfTag(langTag), Seq.empty))
+    // an unknown language throws, like the reference's missing-resource
+    // IOException — a silent no-op would quietly keep every stopword
+    stopwordRemover(tokens, defaultStopwords.getOrElse(langOfTag(langTag),
+      throw new IllegalArgumentException(
+        s"no stopword list for '$langTag' — pass a loaded list (loadStopwords)")))
 
   /** OddCharacterRemoverProcessor (ref Cleanup.scala:48): NFD-decompose,
     * keep ASCII, then keep only letters and spaces ("café!" → "cafe").
@@ -86,7 +89,8 @@ object Cleanup {
     udf { (ts: Seq[String]) =>
       if (ts == null) null
       else ts.map { s =>
-        java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+        if (s == null) null // null tokens pass through, like the Catalyst cleaners
+        else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
           .filter(_ <= '\u007F').replaceAll("[^a-zA-Z ]", "")
       }
     }

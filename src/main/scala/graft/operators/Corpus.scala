@@ -142,6 +142,10 @@ object Corpus {
   def deterministicShuffle(df: DataFrame, idCol: String,
                            salt: String = "shuffle",
                            posCol: String = "pos"): DataFrame = {
+    // both output columns are part of the contract — refuse to silently
+    // clobber same-named inputs (drop the previous epoch's columns first)
+    require(!df.columns.contains("shuffle_key") && !df.columns.contains(posCol),
+      s"deterministicShuffle: input already has 'shuffle_key'/'$posCol'")
     val keyed = df.withColumn("shuffle_key",
       Dedup.hash60(concat(lit(s"$salt:"), col(idCol).cast(StringType))))
     graft.engine.Ops.withGlobalIndex(keyed,

@@ -431,7 +431,11 @@ object Dedup {
       case LongType | IntegerType | ShortType | ByteType => true
       case _ => false
     }
-    if (integralIds && n <= localSolveMaxEdges) {
+    // gate on the RAW projection count, which bounds BOTH collects: the
+    // canonical edge set (≤ raw) and the node set (≤ 2·raw). Gating on the
+    // deduped edge count alone would let a self-loop-heavy input (tiny edge
+    // set, huge node set) blow up the driver.
+    if (integralIds && n <= localSolveMaxEdges && raw.count() <= localSolveMaxEdges) {
       val spark = edges.sparkSession
       import spark.implicits._
       val parent = new java.util.HashMap[Long, Long]()

@@ -49,8 +49,10 @@ object Html {
       regexp_extract_all(c, lit("href='([^']*)'"), lit(1)))
 
   /** Extraction stage: html column -> (out = clean text, out_links,
-    * n_links). The usual pipeline follows with [[TextAnalysis]] quality
-    * signals and [[Dedup]] passes over the clean text. */
+    * n_links). `n_links` is a fixed output name (withColumn overwrites a
+    * same-named input — rename yours first). The usual pipeline follows
+    * with [[TextAnalysis]] quality signals and [[Dedup]] passes over the
+    * clean text. */
   def extract(df: DataFrame, htmlCol: String, out: String): DataFrame =
     df.withColumn(out, stripTags(col(htmlCol)))
       .withColumn(s"${out}_links", links(col(htmlCol)))
