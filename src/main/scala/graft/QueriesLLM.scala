@@ -146,6 +146,22 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- PQ + ADC top-k with deterministic codebooks: the 4
+    // lowest-id vectors seed a 4-entry codebook per 8-dim subspace (m=8),
+    // so encode (argmin per subspace) and the integerized ADC table scan
+    // are fully oracle-replicable; the k-means-trained variant shares the
+    // same encode/score path and is recall-spec'd
+    "ann_pq_adc" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val seeds = e.orderBy("vec_id").limit(4)
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      val books = Similarity.pqCodebooksFrom(seeds, m = 8)
+      val enc = Similarity.pqEncodeExplicit(e, "embedding", books)
+      Similarity.pqAdcTopK(enc, "vec_id", "embedding", books,
+        queryId = 0, kResults = 10)
+    }),
+
     // ---------------- embedding-cosine near-dup pairs, EXACT brute force
     // over a 300-vector slice (the LSH/IVF variants are the scale path and
     // spec-verified; approximation cannot hash-match an oracle). Vectors are
@@ -731,6 +747,37 @@ object QueriesLLM {
            FROM a, q
            WHERE a.centroid IN (SELECT j FROM probes) AND a.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "ann_pq_adc" ->
+      // same seeded codebooks (4 lowest-id vectors, m=8 × dsub=8), same
+      // ordered-fold subspace distances, same argmin tie rule (lowest code),
+      // integerized ADC cells so the m-term sum is order-free
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sub AS (SELECT unnest(range(0, 8)) AS s),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                   FROM e ORDER BY vec_id LIMIT 4),
+         cb AS (SELECT sub.s, seeds.j, seeds.v[sub.s*8+1 : sub.s*8+8] AS cv
+                FROM sub CROSS JOIN seeds),
+         dist AS (SELECT e.vec_id, cb.s, cb.j,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(e.v[cb.s*8+1 : cb.s*8+8], cb.cv),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) AS d
+           FROM e CROSS JOIN cb),
+         codes AS (SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+             FROM dist)
+           WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         tbl AS (SELECT cb.s, cb.j,
+             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(cb.cv, q.qv[cb.s*8+1 : cb.s*8+8]),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) * 1000000)
+               AS BIGINT) AS cell
+           FROM cb, q)
+         SELECT vec_id, CAST(sum(cell) AS BIGINT) AS adc FROM codes
+         JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.j
+         WHERE vec_id != 0
+         GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10""",
     "embedding_near_dup" ->
       """WITH e AS (
            SELECT vec_id,

@@ -164,6 +164,99 @@ object Similarity {
       .limit(kResults)
   }
 
+  // ------------------------------------------------- product quantization
+  // PQ (Jégou, Douze, Schmid 2011 — public): split each vector into m
+  // subvectors, learn a k-entry codebook per subspace, store each vector as
+  // m small codes. THE memory path at 100 TB: a 768-dim float embedding
+  // (3 KB) becomes m bytes, and query scoring is per-subspace table lookups
+  // (asymmetric distance computation), not per-dimension float math. The
+  // index fits in RAM where raw vectors never could; combine with ivf* for
+  // the classic IVF-PQ layout (posting lists of codes).
+
+  /** Codebooks from explicit seed vectors (deterministic — exported model
+    * centers, sampled rows, anything): books(s)(j) = seed j's subvector in
+    * subspace s. For trained codebooks see [[pqTrain]]. */
+  def pqCodebooksFrom(seeds: Seq[Array[Double]], m: Int): Seq[Seq[Array[Double]]] = {
+    require(seeds.nonEmpty && seeds.head.length % m == 0,
+      s"dim ${seeds.headOption.fold(0)(_.length)} must be divisible by m=$m")
+    val dsub = seeds.head.length / m
+    (0 until m).map(s => seeds.map(_.slice(s * dsub, s * dsub + dsub)))
+  }
+
+  /** Per-subspace k-means codebooks trained on (a sample of) the corpus —
+    * m small fits, each over dsub-dim slices; centers come back to the
+    * driver (m·k·dsub doubles, broadcastable). */
+  def pqTrain(df: DataFrame, vecCol: String, m: Int, k: Int,
+              seed: Long = 42): Seq[Seq[Array[Double]]] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val dim = df.select(size(v)).head.getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sub = df.select(array_to_vector(slice(v, s * dsub + 1, dsub)).as("__sub"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(seed + s).setFeaturesCol("__sub")
+        .fit(sub).clusterCenters.map(_.toArray).toSeq
+    }
+  }
+
+  /** Encode every vector as m codes: per subspace, argmin squared-L2
+    * against the codebook (ties to the lowest code). Pure expressions: the
+    * codebook is ONE typedlit folded per subspace (not k unrolled terms),
+    * per-subspace distance arrays are staged in temp columns (HOF lambdas
+    * get no codegen subexpression elimination). Appends `out` =
+    * array<int> of length m. */
+  def pqEncodeExplicit(df: DataFrame, vecCol: String,
+                       books: Seq[Seq[Array[Double]]],
+                       out: String = "codes"): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.length
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val tags = books.indices.map(s => s"__pqd_$s")
+    val staged = books.zipWithIndex.foldLeft(df) { case (d, (book, s)) =>
+      val sub = slice(v, s * dsub + 1, dsub)
+      d.withColumn(tags(s), transform(typedlit(book.map(_.toSeq)), cb =>
+        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+    }
+    staged.withColumn(out, array(tags.map(t =>
+        (array_position(col(t), array_min(col(t))) - 1).cast(IntegerType)): _*))
+      .drop(tags: _*)
+  }
+
+  /** ADC top-k: one m×k distance table between the query's subvectors and
+    * the codebooks (computed on the driver with the SAME left-to-right fold
+    * as the encode expressions), then each row scores as m table lookups by
+    * its codes. Table cells are integerized (floor(d·1e6)) so the
+    * m-term sum is order-free exact integer math — bit-identical in any
+    * replayer. Returns (id, adc) ascending (squared-L2 approximation);
+    * re-rank the head exactly with [[cosineTopK]]-style scoring if needed. */
+  def pqAdcTopK(encoded: DataFrame, idCol: String, vecCol: String,
+                books: Seq[Seq[Array[Double]]], queryId: Long,
+                kResults: Int = 10, codesCol: String = "codes"): DataFrame = {
+    val m = books.size
+    val dsub = books.head.head.length
+    val q = encoded.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .head.getSeq[Double](0).toArray
+    val table: Seq[Seq[Long]] = books.zipWithIndex.map { case (book, s) =>
+      val qs = q.slice(s * dsub, s * dsub + dsub)
+      book.map { cb =>
+        val d = cb.zip(qs).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) }
+        math.floor(d * 1e6).toLong
+      }
+    }
+    val adc = aggregate(
+      zip_with(col(codesCol), sequence(lit(0), lit(m - 1)), (code, s) =>
+        element_at(element_at(typedlit(table), s + 1), code + 1)),
+      lit(0L), (acc, x) => acc + x)
+    encoded.filter(col(idCol) =!= queryId)
+      .select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(kResults)
+  }
+
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
     * explode tables×bucket, self-join per bucket on (bucket, id) ONLY, dedup
     * the id pairs, then join the vectors back so each pair's cosine is

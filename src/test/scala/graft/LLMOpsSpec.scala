@@ -410,6 +410,55 @@ class LLMOpsSpec extends SparkSpec {
     assert(ivf == exact)
   }
 
+  test("PQ encode picks the nearest codebook entry per subspace, ADC ranks by it") {
+    // dim 4, m=2 subspaces of 2; codebooks seeded from two hand vectors so
+    // codes and table cells are hand-checkable
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 1f, 1f)),   // query
+      (1L, Array(0.1f, 0f, 1f, 1f)), // ≈ query  -> smallest adc
+      (2L, Array(1f, 1f, 0f, 0f)),   // opposite -> largest adc
+      (3L, Array(0f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val books = Similarity.pqCodebooksFrom(
+      Seq(Array(0.0, 0.0, 1.0, 1.0), Array(1.0, 1.0, 0.0, 0.0)), m = 2)
+    assert(books.size == 2 && books.head.size == 2 && books.head.head.length == 2)
+    val enc = Similarity.pqEncodeExplicit(vecs, "embedding", books)
+      .orderBy("vec_id")
+      .select("codes").as[Seq[Int]].collect()
+    assert(enc(0) == Seq(0, 0)) // query matches seed 0 in both subspaces
+    assert(enc(1) == Seq(0, 0))
+    assert(enc(2) == Seq(1, 1)) // opposite matches seed 1
+    assert(enc(3) == Seq(0, 1)) // zero vector: sub1 closer to (0,0), sub2 to (0,0) of seed 1
+    val top = Similarity.pqAdcTopK(
+      Similarity.pqEncodeExplicit(vecs, "embedding", books),
+      "vec_id", "embedding", books, queryId = 0, kResults = 3).collect()
+    assert(top.head.getLong(0) == 1L) // nearest by ADC
+    assert(top.last.getLong(0) == 2L) // opposite ranks last
+  }
+
+  test("trained PQ reaches decent recall vs brute force on planted clusters") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, "embedding", m = 4, k = 8)
+    val enc = Similarity.pqEncodeExplicit(vecs, "embedding", books)
+    // ADC approximates SQUARED L2, so the apples-to-apples baseline is the
+    // exact L2 top-k (cosine ranks differently off the unit sphere)
+    val q = rows.head._2.map(_.toDouble)
+    val exact = rows.tail.map { case (i, v) =>
+      (i, v.map(_.toDouble).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(10).map(_._1).toSet
+    val pq = Similarity.pqAdcTopK(enc, "vec_id", "embedding", books, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = exact.intersect(pq).size / 10.0
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
   test("keywordTagger tags rows via exact/substring/case rules (social tagger shape)") {
     import graft.operators.TextAnalysis.Keyword
     val docs = Seq((0, "Spark makes big data simple"), (1, "sparkling water"),
