@@ -866,6 +866,63 @@ object TuktuCompat {
         cleanerField(df, str(c, "field").get, node.result)(
           graft.operators.Cleanup.stopwordRemover(_, str(c, "lang").get))
 
+      // ref: modules/nlp/.../Tokenization.scala:20 — {field, as_string?,
+      // language?}: the reference's default tokenization; the "ar"-specific
+      // tokenizer is an external model, rejected explicitly
+      case "tuktu.nlp.processors.TokenizerProcessor" =>
+        require(!str(c, "language").exists(_.startsWith("ar")),
+          "TokenizerProcessor: language-specific (ar) tokenization not supported")
+        val toks = graft.operators.Nlp.defaultTokenize(col(str(c, "field").get))
+        df.withColumn(node.result,
+          if (bool(c, "as_string")) array_join(toks, " ") else toks)
+
+      // ref: modules/nlp/.../NgramProcessor.scala:14 — {field, n, flatten?,
+      // chars?}: grams over tokens (string fields split on ' ', or into
+      // chars with chars=true)
+      case "tuktu.nlp.processors.NgramProcessor" =>
+        val f = str(c, "field").get
+        val n = c.get("n").asInt
+        val toks = df.schema(f).dataType match {
+          case _: ArrayType => col(f)
+          case _ if bool(c, "chars") => split(col(f).cast(StringType), "")
+          case _ => split(col(f).cast(StringType), " ")
+        }
+        df.withColumn(node.result,
+          if (bool(c, "flatten")) graft.operators.Nlp.ngramsFlat(toks, n)
+          else graft.operators.Nlp.ngrams(toks, n))
+
+      // ref: modules/nlp/.../Snowball.scala:17 — {field, language}: the
+      // reference defaults every non-Dutch language to the Porter stemmer;
+      // Dutch needs the Snowball Dutch automaton we don't carry
+      case "tuktu.nlp.processors.SnowballProcessor" =>
+        val lang = str(c, "language").getOrElse("en").toLowerCase
+        require(lang != "nl" && lang != "nl_nl",
+          "SnowballProcessor: Dutch stemmer not supported (Porter only)")
+        cleanerField(df, str(c, "field").get, node.result)(
+          graft.operators.Nlp.stemAll(_))
+
+      // ref: modules/nlp/.../POSTagging.scala:17 — {language, tokens}
+      case "tuktu.nlp.processors.POSTaggerProcessor" =>
+        require(str(c, "language").forall(_.toLowerCase.startsWith("en")),
+          "POSTagger: English-only rule tagger")
+        graft.operators.Nlp.posTags(df, str(c, "tokens").get, node.result)
+
+      // ref: modules/nlp/.../Sentiment.scala:20,79 — {language, tokens, pos}
+      case "tuktu.nlp.processors.RBEMPolarityProcessor" =>
+        graft.operators.Nlp.polarity(df, str(c, "tokens").get,
+          str(c, "pos").get, node.result,
+          discretize = bool(c, "discretize"))
+      case "tuktu.nlp.processors.RBEMEmotionProcessor" =>
+        graft.operators.Nlp.emotion(df, str(c, "tokens").get,
+          str(c, "pos").get, node.result)
+
+      // ref: modules/nlp/.../LanguageDetection.scala:22,52 (LIGA/LangDet):
+      // {field} — marker-token heuristic stands in for the graph model
+      case "tuktu.nlp.processors.LIGAProcessor"
+         | "tuktu.nlp.processors.LangDetProcessor" =>
+        df.withColumn(node.result,
+          graft.operators.TextAnalysis.langId(col(str(c, "field").get)))
+
       // ref: modules/nlp/.../SentenceSplitter.scala:18 — {field, locale}
       case "tuktu.nlp.processors.SentenceSplitterProcessor" =>
         df.withColumn(node.result, graft.operators.Cleanup.sentenceSplit(

@@ -351,6 +351,42 @@ object Nlp {
   def stem(c: Column): Column = stemWordUdf(c)
   def stemAll(c: Column): Column = stemArrayUdf(c)
 
+  /** The reference's default tokenization (ref modules/nlp/.../models/
+    * utils.scala:100): scrub line breaks, URLs, #hashtags and @mentions,
+    * pad sentence punctuation into its own token, squeeze 4+ repeated
+    * characters, split on spaces. Replicated as the same regexp chain in
+    * the same order — pure expressions (the squeeze backreference is Java
+    * regex, fine for Spark; not RE2-portable, so this op is spec-checked
+    * rather than oracle-checked). */
+  def defaultTokenize(c: Column): Column = {
+    val clean = Seq(
+      "[\\r|\\n|\\t]" -> " ",
+      "(http:|ftp:|https:|www.)[^ ]+" -> " ",
+      "(http:|ftp:|https:|www.).*" -> "",
+      "#[0-9a-zA-z_]+" -> " ",
+      "@[0-9a-zA-z_]+" -> " ",
+      "([\\.|!|\\?|\"|¡|¿|,|:|;])" -> " $1 ",
+      " +" -> " ",
+      "(.)\\1{3,}" -> "$1"
+    ).foldLeft(c) { case (acc, (p, r)) => regexp_replace(acc, p, r) }
+    filter(transform(split(clean, " "), trim(_)), t => length(t) > 0)
+  }
+
+  /** NgramProcessor (ref NgramProcessor.scala:14): n-grams over a token
+    * array (each gram an array of n elements); `flatten` concatenates each
+    * gram without separator and joins grams with spaces, like the
+    * reference. Empty when fewer than n tokens. */
+  def ngrams(tokens: Column, n: Int): Column =
+    // explicit empty guard: sequence(n, size) flips DESCENDING when
+    // size < n and would fabricate grams
+    when(size(tokens) < n,
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))))
+      .otherwise(transform(sequence(lit(n), size(tokens)),
+        i => slice(tokens, i - n + 1, lit(n))))
+  def ngramsFlat(tokens: Column, n: Int): Column =
+    array_join(transform(ngrams(tokens, n), g => array_join(g, "")), " ")
+
   /** SnowballProcessor (ref Snowball.scala:17): stem a token-array field. */
   def stemTokens(df: DataFrame, tokensCol: String, out: String): DataFrame =
     df.withColumn(out, stemArrayUdf(col(tokensCol)))

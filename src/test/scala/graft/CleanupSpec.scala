@@ -106,6 +106,59 @@ class CleanupSpec extends SparkSpec {
       .collect().toSeq == Seq(("a", "1"), ("b", "2")))
   }
 
+  test("defaultTokenize matches the reference chain: urls, mentions, punct, squeeze") {
+    import graft.operators.Nlp
+    val d = Seq(
+      "Check https://example.com/x and #tag by @user, pleaseeeee!",
+      "line\nbreaks\tand. closure").toDF("text")
+    val out = d.select(Nlp.defaultTokenize(col("text"))).as[Seq[String]].collect()
+    assert(out(0) == Seq("Check", "and", "by", ",", "please", "!"))
+    assert(out(1) == Seq("line", "breaks", "and", ".", "closure"))
+  }
+
+  test("ngrams match the reference window (empty below n, flatten joins)") {
+    import graft.operators.Nlp
+    val d = Seq(Seq("a", "b", "c", "d"), Seq("x")).toDF("toks")
+    val grams = d.select(Nlp.ngrams(col("toks"), 3)).as[Seq[Seq[String]]].collect()
+    assert(grams(0) == Seq(Seq("a", "b", "c"), Seq("b", "c", "d")))
+    assert(grams(1) == Seq.empty)
+    val flat = d.select(Nlp.ngramsFlat(col("toks"), 2)).as[String].collect()
+    assert(flat(0) == "ab bc cd")
+    assert(flat(1) == "")
+  }
+
+  test("nlp-module FQCNs: tokenize → ngrams → stem → POS → polarity → langid") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"text": "the cat is not a dog and walking is great"}
+        ]}, "next": ["t"]} ],
+      "processors": [
+        {"id": "t", "name": "tuktu.nlp.processors.TokenizerProcessor",
+         "result": "toks", "config": {"field": "text"}, "next": ["n"]},
+        {"id": "n", "name": "tuktu.nlp.processors.NgramProcessor",
+         "result": "grams", "config": {"field": "toks", "n": 2}, "next": ["s"]},
+        {"id": "s", "name": "tuktu.nlp.processors.SnowballProcessor",
+         "result": "stems", "config": {"field": "toks", "language": "en"},
+         "next": ["p"]},
+        {"id": "p", "name": "tuktu.nlp.processors.POSTaggerProcessor",
+         "result": "tags", "config": {"language": "en", "tokens": "toks"},
+         "next": ["r"]},
+        {"id": "r", "name": "tuktu.nlp.processors.RBEMPolarityProcessor",
+         "result": "pol", "config": {"language": "en", "tokens": "toks",
+           "pos": "tags"}, "next": ["l"]},
+        {"id": "l", "name": "tuktu.nlp.processors.LIGAProcessor",
+         "result": "lang", "config": {"field": "text"}, "next": []} ] }"""
+    val row = Flow.run(spark, flow).values.head.head
+    val toks = row.getAs[scala.collection.Seq[String]]("toks")
+    assert(toks.head == "the" && toks.size == 10)
+    assert(row.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("grams").size == 9)
+    assert(row.getAs[scala.collection.Seq[String]]("stems").contains("walk"))
+    assert(row.getAs[scala.collection.Seq[String]]("tags").size == 10)
+    assert(row.schema.fieldNames.contains("pol"))
+    assert(row.getAs[String]("lang") == "en")
+  }
+
   test("cleanup FQCNs run with reference config schemas, string field unwraps") {
     val flow = """
     { "generators": [
