@@ -257,6 +257,27 @@ object Similarity {
       .limit(kResults)
   }
 
+  /** IVF-PQ (the canonical billion-vector layout): coarse-quantize into
+    * posting lists, PQ-encode the vectors, and answer a query by probing
+    * only the `nProbe` nearest lists and ADC-scoring their codes — the
+    * scan touches nProbe/k of the corpus and reads m-byte codes instead of
+    * raw floats. The query's own nearest centroid is always probed, so its
+    * row is present for the table build. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[Array[Double]], books: Seq[Seq[Array[Double]]],
+                queryId: Long, kResults: Int = 10, nProbe: Int = 2): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast(ArrayType(DoubleType)))
+      .head.getSeq[Double](0).toArray
+    val probes = centroids.zipWithIndex.map { case (c, j) =>
+      (j, c.zip(q).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
+    }.sortBy { case (j, d) => (d, j) }.take(nProbe).map(_._1)
+    val probed = ivfAssignExplicit(df, vecCol, centroids)
+      .filter(col("__centroid").isin(probes: _*))
+    pqAdcTopK(pqEncodeExplicit(probed, vecCol, books),
+      idCol, vecCol, books, queryId, kResults)
+  }
+
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
     * explode tables×bucket, self-join per bucket on (bucket, id) ONLY, dedup
     * the id pairs, then join the vectors back so each pair's cosine is

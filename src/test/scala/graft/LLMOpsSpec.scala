@@ -459,6 +459,32 @@ class LLMOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall $recall")
   }
 
+  test("IVF-PQ probes posting lists and ADC-scores only their codes") {
+    val rnd = new scala.util.Random(19)
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(16)(0.0); a(c * 4) = 1.0; a
+    }
+    val books = Similarity.pqTrain(vecs, "embedding", m = 4, k = 8)
+    val out = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", cents, books,
+      queryId = 0L, kResults = 10, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // one probed list = the query's planted cluster: only cluster-0 ids
+    assert(out.forall(_ % 4 == 0), out)
+    // and recall vs the exact L2 top-10 stays decent despite quantization
+    val q = rows.head._2.map(_.toDouble)
+    val exact = rows.tail.map { case (i, v) =>
+      (i, v.map(_.toDouble).zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(10).map(_._1).toSet
+    assert(exact.intersect(out).size / 10.0 >= 0.6)
+  }
+
   test("keywordTagger tags rows via exact/substring/case rules (social tagger shape)") {
     import graft.operators.TextAnalysis.Keyword
     val docs = Seq((0, "Spark makes big data simple"), (1, "sparkling water"),
