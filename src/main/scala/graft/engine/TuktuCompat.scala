@@ -867,54 +867,82 @@ object TuktuCompat {
           graft.operators.Cleanup.stopwordRemover(_, str(c, "lang").get))
 
       // ref: modules/nlp/.../Tokenization.scala:20 — {field, as_string?,
-      // language?}: the reference's default tokenization; the "ar"-specific
-      // tokenizer is an external model, rejected explicitly
+      // language?}: the reference's default tokenization. Only EXACTLY
+      // "ar" selects the external Arabic model there (ar_EG etc. fall
+      // through to the default), so only that is rejected.
       case "tuktu.nlp.processors.TokenizerProcessor" =>
-        require(!str(c, "language").exists(_.startsWith("ar")),
+        require(!str(c, "language").contains("ar"),
           "TokenizerProcessor: language-specific (ar) tokenization not supported")
         val toks = graft.operators.Nlp.defaultTokenize(col(str(c, "field").get))
         df.withColumn(node.result,
           if (bool(c, "as_string")) array_join(toks, " ") else toks)
 
       // ref: modules/nlp/.../NgramProcessor.scala:14 — {field, n, flatten?,
-      // chars?}: grams over tokens (string fields split on ' ', or into
-      // chars with chars=true)
+      // chars?}: grams over tokens. String fields split like Java
+      // `split(" ")` (trailing empties dropped); the char form drops the
+      // final window like the reference's getNgramsChar (`n to size-1`).
       case "tuktu.nlp.processors.NgramProcessor" =>
         val f = str(c, "field").get
         val n = c.get("n").asInt
+        val chars = bool(c, "chars")
         val toks = df.schema(f).dataType match {
           case _: ArrayType => col(f)
-          case _ if bool(c, "chars") => split(col(f).cast(StringType), "")
-          case _ => split(col(f).cast(StringType), " ")
+          case _ if chars => split(col(f).cast(StringType), "")
+          case _ =>
+            val s2 = regexp_replace(col(f).cast(StringType), " +$", "")
+            when(s2 === "", array().cast(ArrayType(StringType)))
+              .otherwise(split(s2, " "))
         }
+        val full = graft.operators.Nlp.ngrams(toks, n)
+        val grams =
+          if (chars) slice(full, lit(1), greatest(size(full) - 1, lit(0)))
+          else full
         df.withColumn(node.result,
-          if (bool(c, "flatten")) graft.operators.Nlp.ngramsFlat(toks, n)
-          else graft.operators.Nlp.ngrams(toks, n))
+          if (bool(c, "flatten"))
+            array_join(transform(grams, g => array_join(g, "")), " ")
+          else grams)
 
       // ref: modules/nlp/.../Snowball.scala:17 — {field, language}: the
       // reference defaults every non-Dutch language to the Porter stemmer;
-      // Dutch needs the Snowball Dutch automaton we don't carry
+      // Dutch needs the Snowball Dutch automaton we don't carry. A plain
+      // string field stays a ONE-ELEMENT stemmed list (Snowball.scala:44
+      // has no .head, unlike BaseCleaner).
       case "tuktu.nlp.processors.SnowballProcessor" =>
         val lang = str(c, "language").getOrElse("en").toLowerCase
         require(lang != "nl" && lang != "nl_nl",
           "SnowballProcessor: Dutch stemmer not supported (Porter only)")
-        cleanerField(df, str(c, "field").get, node.result)(
-          graft.operators.Nlp.stemAll(_))
+        val f = str(c, "field").get
+        val toks = df.schema(f).dataType match {
+          case _: ArrayType => col(f)
+          case _ => array(col(f).cast(StringType))
+        }
+        df.withColumn(node.result, graft.operators.Nlp.stemAll(toks))
 
       // ref: modules/nlp/.../POSTagging.scala:17 — {language, tokens}
       case "tuktu.nlp.processors.POSTaggerProcessor" =>
         require(str(c, "language").forall(_.toLowerCase.startsWith("en")),
           "POSTagger: English-only rule tagger")
-        graft.operators.Nlp.posTags(df, str(c, "tokens").get, node.result)
+        val tmp = uniq("__tok")
+        df.withColumn(tmp, tokensOrSplit(df, str(c, "tokens").get))
+          .transform(d => graft.operators.Nlp.posTags(d, tmp, node.result))
+          .drop(tmp)
 
-      // ref: modules/nlp/.../Sentiment.scala:20,79 — {language, tokens, pos}
+      // ref: modules/nlp/.../Sentiment.scala:20,79 — {language, tokens,
+      // pos, discretize?}
       case "tuktu.nlp.processors.RBEMPolarityProcessor" =>
-        graft.operators.Nlp.polarity(df, str(c, "tokens").get,
-          str(c, "pos").get, node.result,
-          discretize = bool(c, "discretize"))
+        val (tk, tg) = (uniq("__tok"), uniq("__tag"))
+        df.withColumn(tk, tokensOrSplit(df, str(c, "tokens").get))
+          .withColumn(tg, tokensOrSplit(df, str(c, "pos").get))
+          .transform(d => graft.operators.Nlp.polarity(d, tk, tg, node.result,
+            discretize = bool(c, "discretize")))
+          .drop(tk, tg)
       case "tuktu.nlp.processors.RBEMEmotionProcessor" =>
-        graft.operators.Nlp.emotion(df, str(c, "tokens").get,
-          str(c, "pos").get, node.result)
+        val (tk, tg) = (uniq("__tok"), uniq("__tag"))
+        df.withColumn(tk, tokensOrSplit(df, str(c, "tokens").get))
+          .withColumn(tg, tokensOrSplit(df, str(c, "pos").get))
+          .transform(d => graft.operators.Nlp.emotion(d, tk, tg, node.result,
+            discretize = bool(c, "discretize")))
+          .drop(tk, tg)
 
       // ref: modules/nlp/.../LanguageDetection.scala:22,52 (LIGA/LangDet):
       // {field} — marker-token heuristic stands in for the graph model
@@ -950,6 +978,14 @@ object TuktuCompat {
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }
+
+  /** Token/POS fields may hold a space-joined string — the reference
+    * splits it (POSTagging.scala:35-40, Sentiment.scala:41-51). */
+  private def tokensOrSplit(df: DataFrame, f: String): Column =
+    df.schema(f).dataType match {
+      case _: ArrayType => col(f)
+      case _ => split(col(f).cast(StringType), " ")
+    }
 
   /** BaseCleaner field adapter (modules/nlp/.../cleanup/Cleanup.scala:33-40):
     * a token-array field cleans element-wise; a plain string field is

@@ -347,6 +347,9 @@ object Nlp {
     rbemPolarity(if (toks == null) Nil else toks, if (tags == null) Nil else tags))
   private val emotionUdf = udf((toks: Seq[String], tags: Seq[String]) =>
     rbemEmotion(if (toks == null) Nil else toks, if (tags == null) Nil else tags))
+  private val emotionDiscreteUdf = udf((toks: Seq[String], tags: Seq[String]) =>
+    rbemEmotion(if (toks == null) Nil else toks, if (tags == null) Nil else tags,
+      discretize = true))
 
   def stem(c: Column): Column = stemWordUdf(c)
   def stemAll(c: Column): Column = stemArrayUdf(c)
@@ -402,9 +405,13 @@ object Nlp {
     df.withColumn(out, if (discretize) signum(raw) else raw)
   }
 
-  /** RBEMEmotionProcessor (ref Sentiment.scala:79). */
-  def emotion(df: DataFrame, tokensCol: String, tagsCol: String, out: String): DataFrame =
-    df.withColumn(out, emotionUdf(col(tokensCol), col(tagsCol)))
+  /** RBEMEmotionProcessor (ref Sentiment.scala:79); discretize ⇄ sign per
+    * emotion. */
+  def emotion(df: DataFrame, tokensCol: String, tagsCol: String, out: String,
+              discretize: Boolean = false): DataFrame =
+    df.withColumn(out,
+      if (discretize) emotionDiscreteUdf(col(tokensCol), col(tagsCol))
+      else emotionUdf(col(tokensCol), col(tagsCol)))
 
   // Fused stem+POS+polarity in ONE UDF invocation: the chained per-operator
   // UDFs each pay array serialization in and out of the JVM row format, and

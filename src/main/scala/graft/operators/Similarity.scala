@@ -187,14 +187,20 @@ object Similarity {
     * m small fits, each over dsub-dim slices; centers come back to the
     * driver (m·k·dsub doubles, broadcastable). */
   def pqTrain(df: DataFrame, vecCol: String, m: Int, k: Int,
-              seed: Long = 42): Seq[Seq[Array[Double]]] = {
+              seed: Long = 42, sampleFraction: Double = 1.0): Seq[Seq[Array[Double]]] = {
     import org.apache.spark.ml.functions.array_to_vector
-    val v = col(vecCol).cast(ArrayType(DoubleType))
-    val dim = df.select(size(v)).head.getInt(0)
+    // pin the (optionally sampled) vector column ONCE: the dim probe plus
+    // the m per-subspace fits would otherwise each re-run the upstream
+    // lineage — m+1 executions of whatever feeds the training set
+    val pinned = (if (sampleFraction < 1.0) df.sample(sampleFraction, seed) else df)
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("__pqv"))
+      .localCheckpoint()
+    val dim = pinned.select(size(col("__pqv"))).head.getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
     (0 until m).map { s =>
-      val sub = df.select(array_to_vector(slice(v, s * dsub + 1, dsub)).as("__sub"))
+      val sub = pinned.select(
+        array_to_vector(slice(col("__pqv"), s * dsub + 1, dsub)).as("__sub"))
       new org.apache.spark.ml.clustering.KMeans()
         .setK(k).setSeed(seed + s).setFeaturesCol("__sub")
         .fit(sub).clusterCenters.map(_.toArray).toSeq
@@ -272,10 +278,15 @@ object Similarity {
     val probes = centroids.zipWithIndex.map { case (c, j) =>
       (j, c.zip(q).foldLeft(0.0) { case (acc, (a, b)) => acc + (a - b) * (a - b) })
     }.sortBy { case (j, d) => (d, j) }.take(nProbe).map(_._1)
-    val probed = ivfAssignExplicit(df, vecCol, centroids)
-      .filter(col("__centroid").isin(probes: _*))
-    pqAdcTopK(pqEncodeExplicit(probed, vecCol, books),
-      idCol, vecCol, books, queryId, kResults)
+    // pin the probed+encoded slice: pqAdcTopK reads it twice (query-row
+    // extraction + the scoring scan), which would otherwise re-run the
+    // assignment and encode expressions over the whole corpus each time
+    val probed = pqEncodeExplicit(
+        ivfAssignExplicit(df, vecCol, centroids)
+          .filter(col("__centroid").isin(probes: _*)),
+        vecCol, books)
+      .localCheckpoint()
+    pqAdcTopK(probed, idCol, vecCol, books, queryId, kResults)
   }
 
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):

@@ -159,6 +159,35 @@ class CleanupSpec extends SparkSpec {
     assert(row.getAs[String]("lang") == "en")
   }
 
+  test("nlp FQCNs accept space-joined string fields and reference gram windows") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"s": "abcd", "t": "hello world ", "toks_str": "the cat is not a dog"}
+        ]}, "next": ["cn"]} ],
+      "processors": [
+        {"id": "cn", "name": "tuktu.nlp.processors.NgramProcessor",
+         "result": "char_grams", "config": {"field": "s", "n": 2,
+           "chars": true, "flatten": true}, "next": ["tn"]},
+        {"id": "tn", "name": "tuktu.nlp.processors.NgramProcessor",
+         "result": "tok_grams", "config": {"field": "t", "n": 2}, "next": ["p"]},
+        {"id": "p", "name": "tuktu.nlp.processors.POSTaggerProcessor",
+         "result": "tags", "config": {"language": "en", "tokens": "toks_str"},
+         "next": ["r"]},
+        {"id": "r", "name": "tuktu.nlp.processors.RBEMPolarityProcessor",
+         "result": "pol", "config": {"language": "en", "tokens": "toks_str",
+           "pos": "tags", "discretize": true}, "next": []} ] }"""
+    val row = Flow.run(spark, flow).values.head.head
+    // getNgramsChar drops the final window: "abcd"/2 -> ab bc (not cd)
+    assert(row.getAs[String]("char_grams") == "ab bc")
+    // Java split(" ") drops the trailing empty: exactly one token gram
+    val tg = row.getAs[scala.collection.Seq[scala.collection.Seq[String]]]("tok_grams")
+    assert(tg.map(_.toSeq).toSeq == Seq(Seq("hello", "world")))
+    // tokens given as a space-joined STRING still tag + score
+    assert(row.getAs[scala.collection.Seq[String]]("tags").size == 6)
+    assert(Set(-1.0, 0.0, 1.0).contains(row.getAs[Double]("pol")))
+  }
+
   test("cleanup FQCNs run with reference config schemas, string field unwraps") {
     val flow = """
     { "generators": [
