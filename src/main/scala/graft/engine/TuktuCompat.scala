@@ -975,6 +975,23 @@ object TuktuCompat {
           headers = Option(c.get("headers")).map(_ => strs(c, "headers")),
           flatten = bool(c, "flatten"), result = node.result)
 
+      // meta-flow processors spawn/route sub-flows through the actor
+      // system at runtime; Spark flows compose statically — the same
+      // topologies are built with Flow branch/fan-out primitives (and
+      // Registry for cached intermediates). Named here so verbatim configs
+      // fail with the porting guidance, not a generic unknown-name error.
+      case meta @ ("tuktu.processors.meta.IfThenElseProcessor"
+                 | "tuktu.processors.cache.CachingProcessor"
+                 | "tuktu.processors.meta.ParallelProcessor"
+                 | "tuktu.processors.meta.ParallelConfigProcessor"
+                 | "tuktu.processors.meta.GeneratorConfigProcessor"
+                 | "tuktu.processors.meta.GeneratorConfigStreamProcessor"
+                 | "tuktu.processors.meta.GeneratorStreamProcessor") =>
+        throw new UnsupportedOperationException(
+          s"$meta spawns/routes sub-flows dynamically; compose the topology " +
+            "statically with Flow branches/fan-out (predicates filter each " +
+            "branch; Registry caches intermediates) — see COVERAGE.md §2.9")
+
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }
