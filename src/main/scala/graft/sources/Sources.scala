@@ -95,6 +95,76 @@ object Sources {
   private def uniqName(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID.toString.take(8)
 
+  /** ReadGoogleWord2VecProcessor, text form (ref modules/nlp/.../models/
+    * Word2Vec.scala:172): "word v1 v2 …" lines (gzip handled by the codec
+    * layer) as a (word, vector) DataFrame — the pretrained-embedding source
+    * for the similarity/dedup operators. Like the reference, every line is
+    * a record (no header-line skip). Fully distributed text scan. */
+  def word2vecText(spark: SparkSession, path: String): DataFrame = {
+    val t = split(col("value"), " ")
+    spark.read.text(path)
+      .select(element_at(t, 1).as("word"),
+        transform(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          _.cast(FloatType)).as("vector"))
+  }
+
+  /** ReadGoogleWord2VecProcessor, C binary form (ref Word2Vec.scala:206;
+    * format: ASCII "words dim" header, then per word a whitespace-terminated
+    * name + dim little-endian float32s, optionally gzipped). Record
+    * boundaries are only discoverable sequentially, so each FILE parses in
+    * ONE task through the Hadoop FS API (hdfs://s3a:// work) — the same
+    * shape as the spreadsheet readers; shard large models across files for
+    * parallelism. */
+  def word2vecBinary(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val paths = p.getFileSystem(conf).globStatus(p)
+      .filter(_.isFile).map(_.getPath.toString).toSeq
+    require(paths.nonEmpty, s"word2vecBinary: no files match $glob")
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    spark.sparkContext.parallelize(paths, paths.length).flatMap { f =>
+      val hp = new org.apache.hadoop.fs.Path(f)
+      val raw = hp.getFileSystem(serConf.value).open(hp)
+      val in: java.io.InputStream =
+        if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
+        else new java.io.BufferedInputStream(raw)
+      def readToken(): String = {
+        val sb = new StringBuilder
+        var b = in.read()
+        while (b == '\n' || b == ' ') b = in.read() // skip separators
+        while (b != -1 && b != ' ' && b != '\n') { sb.append(b.toChar); b = in.read() }
+        sb.toString
+      }
+      def readFloats(n: Int): Array[Float] = {
+        val bytes = new Array[Byte](4 * n)
+        var off = 0
+        while (off < bytes.length) {
+          val r = in.read(bytes, off, bytes.length - off)
+          require(r > 0, "word2vecBinary: truncated vector record")
+          off += r
+        }
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        Array.fill(n)(bb.getFloat())
+      }
+      val words = readToken().toInt
+      val dim = readToken().toInt
+      new Iterator[(String, Array[Float])] {
+        private var i = 0
+        override def hasNext: Boolean = {
+          val more = i < words
+          if (!more) in.close()
+          more
+        }
+        override def next(): (String, Array[Float]) = {
+          i += 1
+          (readToken(), readFloats(dim))
+        }
+      }
+    }.toDF("word", "vector")
+  }
+
   /** JSON file source (JSONParse-at-source). */
   def json(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
 

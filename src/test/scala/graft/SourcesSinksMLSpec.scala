@@ -236,4 +236,42 @@ class SourcesSinksMLSpec extends SparkSpec {
     val imp = ML.impute(withNull, Seq("v"))
     assert(imp.filter(col("v").isNull).count() == 0)
   }
+
+  test("word2vec readers parse the text and C binary formats (plain + gzip)") {
+    import graft.sources.Sources
+    val dir = java.nio.file.Files.createTempDirectory("w2v").toString
+    // text form: word + floats per line
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/m.txt"),
+      "hello 1.0 2.0 3.0\nworld -1.5 0.25 4.0\n")
+    val txt = Sources.word2vecText(spark, s"$dir/m.txt").orderBy("word")
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(txt("hello") == Seq(1.0f, 2.0f, 3.0f))
+    assert(txt("world") == Seq(-1.5f, 0.25f, 4.0f))
+    // binary form: "2 3\n" header then word + 3 LE float32 each
+    def bin(): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("2 3\n".getBytes)
+      def rec(w: String, vs: Seq[Float]): Unit = {
+        bos.write((w + " ").getBytes)
+        val bb = java.nio.ByteBuffer.allocate(4 * vs.size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vs.foreach(bb.putFloat)
+        bos.write(bb.array())
+        bos.write('\n')
+      }
+      rec("hello", Seq(1.0f, 2.0f, 3.0f))
+      rec("world", Seq(-1.5f, 0.25f, 4.0f))
+      bos.toByteArray
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/m.bin"), bin())
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/m2.bin.gz"))
+    gz.write(bin()); gz.close()
+    for (f <- Seq("m.bin", "m2.bin.gz")) {
+      val got = Sources.word2vecBinary(spark, s"$dir/$f").orderBy("word")
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1).toSeq).toMap
+      assert(got("hello") == Seq(1.0f, 2.0f, 3.0f), f)
+      assert(got("world") == Seq(-1.5f, 0.25f, 4.0f), f)
+    }
+  }
 }
