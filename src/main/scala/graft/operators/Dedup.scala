@@ -174,27 +174,19 @@ object Dedup {
     // codegen shape beats the array-HOF fold. Docs with <n tokens have no
     // shingles, can never pair, and are correctly absent.
     //
-    // The shingle sets ride the band self-join, whose two sides are the
-    // same (band, id, sh) pipeline. Exchange reuse does NOT kick in
-    // (plan-audited: the sides canonicalize differently and AQE broadcasts
-    // one side at small scale), so the base pipeline runs once per side.
-    // That duplicate is the cheaper default: the codegen pipeline re-runs
-    // faster than MEMORY_AND_DISK can columnar-encode the shingle arrays
-    // (measured 0.4s recompute vs ~2s cache build at sf0.1). `cacheBase`
-    // flips to an explicit persist for expensive upstream sources (cold
-    // object store, decompression-heavy input) where a rescan dominates.
-    // Jaccard is verified in the join output (before any further shuffle);
-    // pairs sharing several bands re-verify per band (bounded by `bands`,
-    // CPU-only — the groupBy that dedups them afterwards shuffles just
-    // (id1, id2, jaccard) scalars, never the shingle arrays). The
-    // alternative pair-once shape (dedup ids first, join the sets back per
-    // side) shuffles the full shingle table twice more and compiles three
-    // extra join stages — it loses at both bench scale and 100 TB unless
-    // band collisions dominate. cacheBase lifetime: use
-    // `minhashNearDupsCached` to get the persisted handle back and
-    // unpersist deterministically; this convenience form ties the cache to
-    // the session (callers looping over corpora should use the handle form
-    // or keep the default recompute).
+    // The base pipeline is referenced four times (two band sides, two
+    // shingle-set sides) and recomputes per reference — exchange reuse
+    // does not kick in (the sides canonicalize differently) — but column
+    // pruning keeps each instance minimal: the band sides never build the
+    // collect_set, the set sides never run the k min-aggregates, so four
+    // pruned recomputes beat one MEMORY_AND_DISK persist of the shingle
+    // arrays (recompute ~0.4s each vs ~2s columnar cache build at sf0.1).
+    // `cacheBase` flips to an explicit persist for expensive upstream
+    // sources (cold object store, decompression-heavy input) where a
+    // rescan dominates. cacheBase lifetime: use `minhashNearDupsCached` to
+    // get the persisted handle back and unpersist deterministically; this
+    // convenience form ties the cache to the session (callers looping over
+    // corpora should use the handle form or keep the default recompute).
     minhashNearDupsFrom(
       if (cacheBase)
         minhashBase(df, idCol, textCol, n, k, collectShingles = true)
@@ -217,14 +209,28 @@ object Dedup {
 
   private def minhashNearDupsFrom(base: DataFrame, k: Int, bands: Int,
                                   threshold: Double): DataFrame = {
+    // Pairs-first (same shape as Similarity.lshCandidatePairs): the band
+    // self-join carries only (band, id) — the variable-width shingle arrays
+    // never ride the ×bands explode — then the distinct survivor pairs
+    // (few, by LSH design) pull each side's shingle set back with one hash
+    // join per side, so Jaccard is shuffled and computed exactly once per
+    // pair instead of once per shared band. Column pruning strips the
+    // collect_set from the band sides and the k min-aggregates from the
+    // set sides, so each of the four base instances only computes what its
+    // branch consumes.
     val banded = base
       .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
-      .select(col("band"), col("id"), col("sh"))
-    banded.select(col("band"), col("id").as("id1"), col("sh").as("sh1"))
-      .join(banded.select(col("band"), col("id").as("id2"), col("sh").as("sh2")), Seq("band"))
+      .select(col("band"), col("id"))
+    val pairs = banded.select(col("band"), col("id").as("id1"))
+      .join(banded.select(col("band"), col("id").as("id2")), Seq("band"))
       .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+      .distinct()
+    val sets = base.select(col("id"), col("sh"))
+    pairs
+      .join(sets.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sets.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
-      .groupBy("id1", "id2").agg(min(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
