@@ -162,6 +162,21 @@ object QueriesLLM {
         queryId = 0, kResults = 10)
     }),
 
+    // ---------------- IVF-PQ composite (the canonical billion-vector
+    // layout) with the same deterministic seeds as its parts: the 8
+    // lowest-id vectors coarse-quantize, the 4 lowest-id seed the
+    // codebooks. Probe the 2 nearest posting lists, PQ-encode only the
+    // probed slice, ADC-score the codes — end-to-end oracle-replicable.
+    "ann_ivfpq" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val lows = e.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      val books = Similarity.pqCodebooksFrom(lows.take(4), m = 8)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", lows, books,
+        queryId = 0, kResults = 10, nProbe = 2)
+    }),
+
     // ---------------- embedding-cosine near-dup pairs, EXACT brute force
     // over a 300-vector slice (the LSH/IVF variants are the scale path and
     // spec-verified; approximation cannot hash-match an oracle). Vectors are
@@ -772,6 +787,54 @@ object QueriesLLM {
              CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
                list_transform(list_zip(cb.cv, q.qv[cb.s*8+1 : cb.s*8+8]),
                  p -> (p[1] - p[2]) * (p[1] - p[2]))), (a, b) -> a + b) * 1000000)
+               AS BIGINT) AS cell
+           FROM cb, q)
+         SELECT vec_id, CAST(sum(cell) AS BIGINT) AS adc FROM codes
+         JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.j
+         WHERE vec_id != 0
+         GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10""",
+    "ann_ivfpq" ->
+      // ann_ivf_topk's assignment/probe CTEs restricted to the probed
+      // posting lists, then ann_pq_adc's encode + integerized ADC table
+      // over that slice only — identical fold orders and tie rules
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+               FROM e ORDER BY vec_id LIMIT 8),
+         d AS (SELECT e.vec_id, e.v, c.j,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(e.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (a, b) -> a + b) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, v, j AS centroid FROM
+                 (SELECT vec_id, v, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
+               WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (SELECT j FROM (
+             SELECT c.j, list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(c.cv, q.qv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) AS dist FROM c, q)
+           ORDER BY dist, j LIMIT 2),
+         pr AS (SELECT vec_id, v FROM a WHERE centroid IN (SELECT j FROM probes)),
+         sub AS (SELECT unnest(range(0, 8)) AS s),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                   FROM e ORDER BY vec_id LIMIT 4),
+         cb AS (SELECT sub.s, seeds.j, seeds.v[sub.s*8+1 : sub.s*8+8] AS cv
+                FROM sub CROSS JOIN seeds),
+         dist2 AS (SELECT pr.vec_id, cb.s, cb.j,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(pr.v[cb.s*8+1 : cb.s*8+8], cb.cv),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d
+           FROM pr CROSS JOIN cb),
+         codes AS (SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+             FROM dist2)
+           WHERE rn = 1),
+         tbl AS (SELECT cb.s, cb.j,
+             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(cb.cv, q.qv[cb.s*8+1 : cb.s*8+8]),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) * 1000000)
                AS BIGINT) AS cell
            FROM cb, q)
          SELECT vec_id, CAST(sum(cell) AS BIGINT) AS adc FROM codes
