@@ -246,4 +246,41 @@ object Flow {
     require(m.size == 1, s"flow has ${m.size} terminals: ${m.keys.mkString(", ")}")
     m.head._2
   }
+
+  /** Apply a processor-only sub-DAG to `df`, entering at `start` — the
+    * static compilation of the reference's `Dispatcher.buildEnums(List(start),
+    * …)` embedded pipelines (meta/IfThenElseProcessor.scala:123,
+    * cache/CachingProcessor.scala:64, meta/MetaProcessors.scala:399).
+    * `start`'s input is `df`; downstream fan-in unions only predecessors
+    * reachable from `start` (buildEnums never walks backwards); the result
+    * is the union of the reachable terminals' outputs. */
+  def subFlow(df: DataFrame, procs: Seq[Node], start: String): DataFrame = {
+    val procById = procs.map(p => p.id -> p).toMap
+    require(procById.contains(start), s"sub-flow start '$start' not among processors")
+    // forward reachability from start
+    val reachable = scala.collection.mutable.Set(start)
+    var frontier = Seq(start)
+    while (frontier.nonEmpty) {
+      val step = frontier.flatMap(procById.get).flatMap(_.next)
+        .filter(procById.contains).filterNot(reachable.contains).distinct
+      reachable ++= step
+      frontier = step
+    }
+    val preds: Map[String, Seq[Node]] =
+      procs.filter(n => reachable(n.id)).flatMap(n => n.next.map(_ -> n))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+    def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
+      val node = procById(id)
+      val input =
+        if (id == start) df
+        else preds.getOrElse(id, Nil).map(p => eval(p.id))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      apply1(input, node)
+    })
+    val terminals = procs.filter(n => reachable(n.id) &&
+      n.next.forall(nx => !procById.contains(nx)))
+    terminals.map(t => eval(t.id))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 }

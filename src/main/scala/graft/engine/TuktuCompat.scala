@@ -45,6 +45,32 @@ object TuktuCompat {
 
   def isCompat(name: String): Boolean = name.startsWith("tuktu.")
 
+  /** Sub-flow config repository for meta-processors that reference pipeline
+    * configs by NAME (ref modules/api/app/tuktu/api/utils.scala:605 — the
+    * Play `tuktu.configrepo` setting, default "configs"): resolved as
+    * `<configRepo>/<name>.json`. Hosts and tests point this at their flow
+    * config directory. */
+  @volatile var configRepo: String = "configs"
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def loadConfig(name: String): JsonNode = {
+    val fn = if (name.endsWith(".json")) name else name + ".json"
+    mapper.readTree(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(configRepo, fn)))
+  }
+
+  /** Processor-array JSON → Flow nodes (the shape Flow.parse reads). */
+  private def flowNodes(procs: Seq[JsonNode]): Seq[Flow.Node] =
+    procs.zipWithIndex.map { case (n, i) =>
+      Flow.Node(
+        id = str(n, "id").getOrElse(s"p$i"),
+        name = n.get("name").asText,
+        config = Option(n.get("config")).getOrElse(mapper.createObjectNode()),
+        next = strs(n, "next"),
+        result = str(n, "result").getOrElse("result"))
+    }
+
   /** Navigate a (possibly nested) path from the row root. */
   private def colPath(path: Seq[String]): Column =
     path.tail.foldLeft(col(s"`${path.head}`"))(_.getField(_))
@@ -975,14 +1001,61 @@ object TuktuCompat {
           headers = Option(c.get("headers")).map(_ => strs(c, "headers")),
           flatten = bool(c, "flatten"), result = node.result)
 
-      // meta-flow processors spawn/route sub-flows through the actor
-      // system at runtime; Spark flows compose statically — the same
-      // topologies are built with Flow branch/fan-out primitives (and
-      // Registry for cached intermediates). Named here so verbatim configs
-      // fail with the porting guidance, not a generic unknown-name error.
-      case meta @ ("tuktu.processors.meta.IfThenElseProcessor"
-                 | "tuktu.processors.cache.CachingProcessor"
-                 | "tuktu.processors.meta.ParallelProcessor"
+      // ref: app/tuktu/processors/meta/IfThenElseProcessor.scala:27-205 —
+      // {expression, default?, then_pipeline: {config, start},
+      //  else_pipeline: {config, start}}: partition the packet on the
+      // predicate, run each half through its sub-flow (config files
+      // resolved from [[configRepo]] like utils.loadConfig), concatenate
+      // then- before else-results (the reference's Future.sequence order).
+      // The per-packet actor round-trip compiles away: both branches are
+      // static plan branches over the same input lineage, unioned back.
+      case "tuktu.processors.meta.IfThenElseProcessor" =>
+        val default = Option(c.get("default")).map {
+          case b if b.isBoolean => b.asBoolean
+          case s => s.asText.toLowerCase.replaceAll("[^a-z]", "").toBoolean
+        }
+        // the reference falls back per-datum on evaluation errors; a parse
+        // failure fails every datum, so the whole packet takes `default`
+        val pred = try Expr.predicate(df, str(c, "expression").get) catch {
+          case e: Exception => default.map(lit).getOrElse(throw e)
+        }
+        def side(key: String, p: Column): DataFrame = {
+          val pl = c.get(key)
+          val sub = loadConfig(str(pl, "config").get)
+          Flow.subFlow(df.filter(p), flowNodes(arr(sub, "processors")),
+            str(pl, "start").get)
+        }
+        side("then_pipeline", pred)
+          .unionByName(side("else_pipeline", !pred), allowMissingColumns = true)
+
+      // ref: app/tuktu/processors/cache/CachingProcessor.scala:24-92 —
+      // {cache_key, result_field, start, processors:[...]}: attach a cached
+      // value, running the INLINE embedded pipeline to produce it on a
+      // miss. Batch mapping: the Play cache is the Registry; a miss runs
+      // the sub-flow over this packet and registers it under cache_key, and
+      // every datum gets the cached packet's rows as an array of structs
+      // under the node result — the DataPacket-as-value semantics of the
+      // reference's `datum + (resultName -> result)`. (`result_field` is
+      // read but unused by the reference's processor() — mirrored here.)
+      case "tuktu.processors.cache.CachingProcessor" =>
+        val key = str(c, "cache_key").get
+        val cached = graft.sources.Registry.get(key).getOrElse {
+          val out = Flow.subFlow(df, flowNodes(arr(c, "processors")),
+            str(c, "start").get)
+          graft.sources.Registry.put(key, out)
+          out
+        }
+        df.crossJoin(broadcast(
+          cached.agg(collect_list(struct(cached.columns.map(col).toSeq: _*))
+            .as(node.result))))
+
+      // the remaining meta-flow processors spawn/route sub-flows (and whole
+      // generators) through the actor system at runtime; Spark flows
+      // compose statically — the same topologies are built with Flow
+      // branch/fan-out primitives (and Registry for cached intermediates).
+      // Named here so verbatim configs fail with the porting guidance, not
+      // a generic unknown-name error.
+      case meta @ ("tuktu.processors.meta.ParallelProcessor"
                  | "tuktu.processors.meta.ParallelConfigProcessor"
                  | "tuktu.processors.meta.GeneratorConfigProcessor"
                  | "tuktu.processors.meta.GeneratorConfigStreamProcessor"

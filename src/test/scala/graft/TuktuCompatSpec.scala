@@ -662,4 +662,84 @@ class TuktuCompatSpec extends SparkSpec {
     assert(dm.count() == 1)
     assert(one.getAs[String]("k") == "b" && one.getAs[Long]("v") == 3L)
   }
+
+  test("IfThenElseProcessor compiles then/else sub-flow configs statically") {
+    val repo = Files.createTempDirectory("cfgrepo")
+    Files.write(repo.resolve("then_branch.json"),
+      """{"processors": [
+          {"id": "t0", "name": "tuktu.processors.FieldConstantAdderProcessor",
+           "result": "branch", "config": {"value": "then"}, "next": []} ]}""".getBytes)
+    // two-step else pipeline: the sub-DAG follows `next` links
+    Files.write(repo.resolve("else_branch.json"),
+      """{"processors": [
+          {"id": "e0", "name": "tuktu.processors.FieldConstantAdderProcessor",
+           "result": "branch", "config": {"value": "else"}, "next": ["e1"]},
+          {"id": "e1", "name": "tuktu.processors.ReplaceProcessor",
+           "result": "branch",
+           "config": {"field": "branch", "sources": ["else"], "targets": ["ELSE"]},
+           "next": []} ]}""".getBytes)
+    val prev = graft.engine.TuktuCompat.configRepo
+    graft.engine.TuktuCompat.configRepo = repo.toString
+    try {
+      val flow = """
+      { "generators": [
+          {"id": "g", "name": "list", "config": {"rows": [
+            {"v": 1}, {"v": 2}, {"v": 3}, {"v": 4}
+          ]}, "next": ["ite"]} ],
+        "processors": [
+          {"id": "ite", "name": "tuktu.processors.meta.IfThenElseProcessor",
+           "result": "result",
+           "config": {"expression": "${v} > 2",
+             "then_pipeline": {"config": "then_branch", "start": "t0"},
+             "else_pipeline": {"config": "else_branch", "start": "e0"}},
+           "next": []} ] }"""
+      val out = Flow.runSingle(spark, flow).select("v", "branch").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(out == Map(1L -> "ELSE", 2L -> "ELSE", 3L -> "then", 4L -> "then"))
+
+      // unparseable expression: the whole packet takes `default`
+      // (IfThenElseProcessor.scala:56-66 warns and falls back per datum)
+      val flowDefault = """
+      { "generators": [
+          {"id": "g", "name": "list", "config": {"rows": [ {"v": 1}, {"v": 9} ]},
+           "next": ["ite"]} ],
+        "processors": [
+          {"id": "ite", "name": "tuktu.processors.meta.IfThenElseProcessor",
+           "result": "result",
+           "config": {"expression": "${nope} %%% garbage", "default": true,
+             "then_pipeline": {"config": "then_branch", "start": "t0"},
+             "else_pipeline": {"config": "else_branch", "start": "e0"}},
+           "next": []} ] }"""
+      val branches = Flow.runSingle(spark, flowDefault)
+        .select("branch").as[String].collect().toSeq
+      assert(branches == Seq("then", "then"))
+    } finally graft.engine.TuktuCompat.configRepo = prev
+  }
+
+  test("CachingProcessor runs the embedded pipeline on a miss and hits the Registry after") {
+    graft.sources.Registry.drop(spark, "compat_cache_mean")
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"v": 1}, {"v": 2}, {"v": 3}
+        ]}, "next": ["cp"]} ],
+      "processors": [
+        {"id": "cp", "name": "tuktu.processors.cache.CachingProcessor",
+         "result": "cached",
+         "config": {"cache_key": "compat_cache_mean", "result_field": "v",
+           "start": "c0",
+           "processors": [
+             {"id": "c0", "name": "tuktu.processors.bucket.statistics.MeanProcessor",
+              "result": "", "config": {"fields": ["v"]}, "next": []} ]},
+         "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow)
+    assert(out.count() == 3) // every datum keeps its row, cache attached
+    val cachedVals = out.select("cached").collect().map(
+      _.getSeq[org.apache.spark.sql.Row](0).map(_.getDouble(0)))
+    assert(cachedVals.forall(_ == Seq(2.0))) // mean of 1,2,3 per datum
+    // the miss registered the sub-flow result; a second run is a cache hit
+    assert(graft.sources.Registry.get("compat_cache_mean").isDefined)
+    assert(Flow.runSingle(spark, flow).count() == 3)
+    graft.sources.Registry.drop(spark, "compat_cache_mean")
+  }
 }
