@@ -928,21 +928,22 @@ object TuktuCompat {
             array_join(transform(grams, g => array_join(g, "")), " ")
           else grams)
 
-      // ref: modules/nlp/.../Snowball.scala:17 — {field, language}: the
-      // reference defaults every non-Dutch language to the Porter stemmer;
-      // Dutch needs the Snowball Dutch automaton we don't carry. A plain
-      // string field stays a ONE-ELEMENT stemmed list (Snowball.scala:44
-      // has no .head, unlike BaseCleaner).
+      // ref: modules/nlp/.../Snowball.scala:17 — {field, language}:
+      // "nl"/"nl_nl" selects the Snowball Dutch stemmer
+      // ([[graft.operators.SnowballDutch]]); anything else is Porter — the
+      // reference's own `case _ => porterStemmer` default. A plain string
+      // field stays a ONE-ELEMENT stemmed list (Snowball.scala:44 has no
+      // .head, unlike BaseCleaner).
       case "tuktu.nlp.processors.SnowballProcessor" =>
         val lang = str(c, "language").getOrElse("en").toLowerCase
-        require(lang != "nl" && lang != "nl_nl",
-          "SnowballProcessor: Dutch stemmer not supported (Porter only)")
         val f = str(c, "field").get
         val toks = df.schema(f).dataType match {
           case _: ArrayType => col(f)
           case _ => array(col(f).cast(StringType))
         }
-        df.withColumn(node.result, graft.operators.Nlp.stemAll(toks))
+        df.withColumn(node.result,
+          if (lang == "nl" || lang == "nl_nl") graft.operators.Nlp.stemAllDutch(toks)
+          else graft.operators.Nlp.stemAll(toks))
 
       // ref: modules/nlp/.../POSTagging.scala:17 — {language, tokens}
       case "tuktu.nlp.processors.POSTaggerProcessor" =>

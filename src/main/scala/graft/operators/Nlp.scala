@@ -341,6 +341,10 @@ object Nlp {
   private val stemArrayUdf = udf((toks: Seq[String]) =>
     if (toks == null) null else toks.map(porterStem))
   private val stemWordUdf = udf((w: String) => porterStem(w))
+  // UDF justified like Porter: a per-token string automaton (the published
+  // Snowball Dutch algorithm) with no expression-level equivalent
+  private val stemDutchArrayUdf = udf((toks: Seq[String]) =>
+    if (toks == null) null else toks.map(SnowballDutch.stem))
   private val posUdf = udf((toks: Seq[String]) =>
     if (toks == null) null else posTag(toks))
   private val polarityUdf = udf((toks: Seq[String], tags: Seq[String]) =>
@@ -353,6 +357,7 @@ object Nlp {
 
   def stem(c: Column): Column = stemWordUdf(c)
   def stemAll(c: Column): Column = stemArrayUdf(c)
+  def stemAllDutch(c: Column): Column = stemDutchArrayUdf(c)
 
   /** The reference's default tokenization (ref modules/nlp/.../models/
     * utils.scala:100): scrub line breaks, URLs, #hashtags and @mentions,

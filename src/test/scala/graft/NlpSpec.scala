@@ -110,4 +110,72 @@ class NlpSpec extends SparkSpec {
       .select("id", "st", "tg", "pol")
     assert(chained.orderBy("id").collect().toSeq == fused.orderBy("id").collect().toSeq)
   }
+
+  test("Snowball Dutch stemmer follows the published algorithm step by step") {
+    import graft.operators.SnowballDutch.stem
+    // each expectation hand-traced through the published steps
+    // (snowballstem.org/algorithms/dutch/stemmer.html); comments name the
+    // rule the word exercises
+    val cases = Seq(
+      "lichamelijk" -> "licham",      // 3b lijk + e_ending
+      "lichamelijke" -> "licham",     // step2 e, then 3b lijk + e_ending
+      "lichamen" -> "licham",         // step1 en after non-vowel
+      "lichamelijkheden" -> "licham", // heden→heid, 3a heid, 3b lijk
+      "werken" -> "werk",             // step1 en
+      "lopen" -> "lop",               // step1 en
+      "loop" -> "lop",                // step4 vowel undouble
+      "maan" -> "man",                // step4 (published example)
+      "brood" -> "brod",              // step4 (published example)
+      "katten" -> "kat",              // step1 en + undouble tt
+      "bessen" -> "bess",             // undouble is kk/dd/tt ONLY
+      "gemen" -> "gemen",             // 'gem' exclusion blocks en-removal
+      "gemeen" -> "gemen",            // en after vowel survives; step4 fires
+      "jongens" -> "jongen",          // step1 s after valid s-ending
+      "kansen" -> "kans",             // step1 en
+      "tijds" -> "tijd",              // s after d (valid)
+      "bajs" -> "bajs",               // s after j is NOT a valid s-ending
+      "heden" -> "heden",             // among commits: heden outside R1 ≠ en
+      "verbondenheid" -> "verbond",   // 3a heid THEN its en-continuation
+      "mogelijkheden" -> "mogelijk",  // heden→heid, 3a; lijk outside R2 stays
+      "kwaliteiten" -> "kwaliteit",   // step1 en
+      "wandeling" -> "wandel",        // 3b ing in R2
+      "sprekend" -> "sprekend",       // 3b end outside R2 stays
+      "matige" -> "matig",            // step2 e; ig outside R2 stays
+      "openbare" -> "open",           // step2 e sets e_found; 3b bar needs it
+      "openbaar" -> "open",           // 3b baar
+      "systeem" -> "system",          // step4 ee undouble
+      "politie" -> "politie",         // final e after vowel survives step2
+      "baaien" -> "baai",             // prelude i→I marker is a consonant
+      "yoghurt" -> "yoghurt",         // initial y→Y marker, postlude restores
+      "één" -> "een",                 // prelude accent removal; word too short
+      "getekene" -> "getek",          // step1 ene
+      "dorpje" -> "dorpj",            // step2 e (no diminutive rule exists)
+      "teef" -> "tef")                // step4 ee
+    for ((in, want) <- cases)
+      assert(stem(in) == want, s"stem($in) = ${stem(in)}, want $want")
+  }
+
+  test("SnowballProcessor compat: nl selects the Dutch stemmer, default Porter") {
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"toks": ["lichamen", "katten", "openbare"]}
+        ]}, "next": ["sb"]} ],
+      "processors": [
+        {"id": "sb", "name": "tuktu.nlp.processors.SnowballProcessor",
+         "result": "stems", "config": {"field": "toks", "language": "nl"},
+         "next": []} ] }"""
+    val out = graft.engine.Flow.runSingle(spark, flow).head
+      .getSeq[String](1)
+    assert(out == Seq("licham", "kat", "open"))
+    val en = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [ {"toks": ["running"]} ]},
+         "next": ["sb"]} ],
+      "processors": [
+        {"id": "sb", "name": "tuktu.nlp.processors.SnowballProcessor",
+         "result": "stems", "config": {"field": "toks", "language": "en"},
+         "next": []} ] }"""
+    assert(graft.engine.Flow.runSingle(spark, en).head.getSeq[String](1) == Seq("run"))
+  }
 }
