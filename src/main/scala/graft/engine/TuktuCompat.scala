@@ -907,18 +907,21 @@ object TuktuCompat {
       // chars?}: grams over tokens. String fields split like Java
       // `split(" ")` (trailing empties dropped); the char form drops the
       // final window like the reference's getNgramsChar (`n to size-1`).
+      // `chars` applies to STRING fields only — the reference's Seq branch
+      // (NgramProcessor.scala:31) always uses full-window getNgrams.
       case "tuktu.nlp.processors.NgramProcessor" =>
         val f = str(c, "field").get
         val n = c.get("n").asInt
-        val chars = bool(c, "chars")
-        val toks = df.schema(f).dataType match {
-          case _: ArrayType => col(f)
-          case _ if chars => split(col(f).cast(StringType), "")
-          case _ =>
+        val isArray = df.schema(f).dataType.isInstanceOf[ArrayType]
+        val chars = bool(c, "chars") && !isArray
+        val toks =
+          if (isArray) col(f)
+          else if (chars) split(col(f).cast(StringType), "")
+          else {
             val s2 = regexp_replace(col(f).cast(StringType), " +$", "")
             when(s2 === "", array().cast(ArrayType(StringType)))
               .otherwise(split(s2, " "))
-        }
+          }
         val full = graft.operators.Nlp.ngrams(toks, n)
         val grams =
           if (chars) slice(full, lit(1), greatest(size(full) - 1, lit(0)))

@@ -38,11 +38,13 @@ object Cleanup {
 
   /** Public emoji/pictograph blocks (Unicode 15 ranges): Misc Symbols &
     * Pictographs through Symbols for Legacy Computing, dingbats, arrows-as-
-    * emoji, variation selector 16 and ZWJ (sequence glue). The reference
-    * delegates to the vdurmont emoji DB; the block form covers the same
-    * characters without bundling a database. */
+    * emoji, keycap combiner (U+20E3), both variation selectors (text FE0E /
+    * emoji FE0F) and ZWJ (sequence glue). The reference delegates to the
+    * vdurmont emoji DB; the block form covers the same characters without
+    * bundling a database. Residual divergence vs that DB: skin-tone-bearing
+    * TEXT glyphs outside these blocks keep their base character here. */
   val emojiClass: String =
-    "[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{2B00}-\\x{2BFF}\\x{FE0F}\\x{200D}]"
+    "[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{2B00}-\\x{2BFF}\\x{FE0E}\\x{FE0F}\\x{200D}\\x{20E3}]"
 
   /** EmojiRemoverProcessor (ref Cleanup.scala:75): strip emoji codepoints
     * from every token (the token itself stays, possibly empty — the

@@ -70,7 +70,16 @@ object Sources {
       case Some(hs) => (hs, false)
       case None =>
         val probe = df.select(col(field).cast(StringType)).head.getString(0)
-        val cells = parseOne(probe, 256)
+        // widen the probe until the record fits (last cell null) — a record
+        // denser than the current guess would otherwise silently truncate
+        // the inferred header set
+        var guess = 256
+        var cells = parseOne(probe, guess)
+        while (cells.last != null && guess < (1 << 20)) {
+          guess *= 4
+          cells = parseOne(probe, guess)
+        }
+        require(cells.last == null, s"csvField: probe record has $guess+ columns")
         val width = cells.lastIndexWhere(_ != null) max 0
         if (headersFromFirst) (cells.take(width + 1), true)
         else ((0 to width).map(_.toString), false)
@@ -129,6 +138,11 @@ object Sources {
       val in: java.io.InputStream =
         if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw)
         else new java.io.BufferedInputStream(raw)
+      // a downstream limit()/take() or a truncated-record failure abandons
+      // the iterator before hasNext drains it — close with the task, not
+      // just on exhaustion
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
       def readToken(): String = {
         val sb = new StringBuilder
         var b = in.read()

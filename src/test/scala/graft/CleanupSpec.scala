@@ -51,6 +51,14 @@ class CleanupSpec extends SparkSpec {
     assert(out == Seq("hithere", "ok", "", "up"))
   }
 
+  test("emojiRemover strips keycap combiner and both variation selectors") {
+    // "1️⃣" = '1' U+FE0F U+20E3 — base digit survives, modifiers go;
+    // U+2764 U+FE0E is the TEXT-presentation heart (whole glyph removed)
+    val d = Seq(Seq("1️⃣", "x❤︎y")).toDF("toks")
+    val out = d.select(Cleanup.emojiRemover(col("toks"))).as[Seq[String]].head
+    assert(out == Seq("1", "xy"))
+  }
+
   test("stopwordRemover uses the language part of the tag and exact matches") {
     val d = Seq(Seq("the", "theory", "of", "spark")).toDF("toks")
     val out = d.select(Cleanup.stopwordRemover(col("toks"), "en_US"))
