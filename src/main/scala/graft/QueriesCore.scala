@@ -139,6 +139,9 @@ object QueriesCore {
     }),
 
     // ---------------- §2.3 FieldsToListProcessor + SequenceLengthProcessor
+    // (r4 benched this at 3.9s vs ~1s comparables; re-profiled r5 at 1.07s
+    // median-of-5 with the code unchanged — box noise, plan is scan →
+    // project → range-partition sort, nothing to fix)
     "fields_to_list" -> ((s, dir) => {
       val li = rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
       // flags emitted as a joined string: the driver gate canonicalizes via
