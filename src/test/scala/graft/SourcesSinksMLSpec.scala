@@ -274,4 +274,26 @@ class SourcesSinksMLSpec extends SparkSpec {
       assert(got("world") == Seq(-1.5f, 0.25f, 4.0f), f)
     }
   }
+
+  test("pretrained word2vec text source feeds the ANN cosine path end-to-end") {
+    import graft.sources.Sources
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("w2vann").toString
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => (((i + 1) * (d + 3)) % 11 - 5).toFloat)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/emb.txt"),
+      (0 until 20).map(i => s"w$i " + vec(i).mkString(" ")).mkString("\n"))
+    val emb = Sources.word2vecText(spark, s"$dir/emb.txt")
+      .withColumn("vec_id", regexp_extract(col("word"), "\\d+", 0).cast("long"))
+    val got = Similarity.cosineTopK(emb, "vec_id", "vector", queryId = 0, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // same double math, same left-to-right fold order → exact equality
+    def dotd(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def cos(a: Seq[Float], b: Seq[Float]): Double =
+      dotd(a, b) / (math.sqrt(dotd(a, a)) * math.sqrt(dotd(b, b)))
+    val want = (1 until 20).map(i => (i.toLong, cos(vec(0), vec(i))))
+      .sortBy { case (id, c) => (-c, id) }.take(5)
+    assert(got == want)
+  }
 }

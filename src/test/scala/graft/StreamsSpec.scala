@@ -12,6 +12,25 @@ class StreamsSpec extends SparkSpec {
   private def ts(min: Int, sec: Int = 0): Timestamp =
     Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
 
+  test("IVF assignment runs under Structured Streaming (online near-dup path)") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Long, Seq[Float])]
+    val assigned = graft.operators.Similarity.ivfAssignExplicit(
+      in.toDF.toDF("id", "vec"), "vec",
+      Seq(Array(0.0, 0.0), Array(10.0, 10.0)))
+    val q = assigned.writeStream.format("memory").queryName("ivf_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, Seq(1.0f, 0.5f)), (2L, Seq(9.0f, 11.0f)))
+      q.processAllAvailable()
+      in.addData((3L, Seq(6.0f, 6.0f)))
+      q.processAllAvailable()
+      val got = spark.table("ivf_stream").orderBy("id")
+        .select(col("id"), col("__centroid")).as[(Long, Int)].collect().toSeq
+      assert(got == Seq((1L, 0), (2L, 1), (3L, 1)))
+    } finally q.stop()
+  }
+
   test("tumbling window aggregation with watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
