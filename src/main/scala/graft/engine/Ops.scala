@@ -487,6 +487,84 @@ object Ops {
   def serialMerge(dfs: Seq[DataFrame]): DataFrame =
     dfs.reduce(_.unionByName(_, allowMissingColumns = true))
 
+  /** SimpleMerger / PaddingMerger (BaseMergers.scala:14,60): positional
+    * zip of branch outputs — row i of the result merges row i of every
+    * branch, later branches' fields overwriting earlier ones (`x ++ y`).
+    * `pad = false` is SimpleMerger's zipAll (short branches contribute
+    * nothing past their end; result length = longest branch). `pad = true`
+    * is PaddingMerger: each branch cycles modulo its own length up to the
+    * longest, and ANY empty branch empties the result. (The reference
+    * indexes `data(i % size)` with i starting at 1 — BaseMergers.scala:81
+    * — rotating every branch, the longest included, one position; that
+    * looks unintended, so this uses the natural 0-based cycle. The two
+    * agree on the documented use: padding a 1-row branch onto a longer
+    * one.)
+    *
+    * Scale shape: per-branch layout index (range partition + offsets, no
+    * global window), counts ride as broadcast one-row frames (no driver
+    * action), the zip itself is an index-keyed join. "Field present" in
+    * the datum model becomes "row present at that index": a later branch
+    * that has the column in its SCHEMA but no row at index i does not
+    * overwrite. */
+  def zipMerge(dfs: Seq[DataFrame], pad: Boolean): DataFrame = {
+    require(dfs.nonEmpty, "zipMerge: no branches")
+    if (dfs.size == 1) return dfs.head
+    val tag = java.util.UUID.randomUUID.toString.take(8)
+    def idxCol(k: Int) = s"__zi_${tag}_$k"
+    def markCol(k: Int) = s"__zm_${tag}_$k"
+    def cntCol(k: Int) = s"__zc_${tag}_$k"
+    val maxCol = s"__zmax_$tag"
+    // prefix-rename data columns so the joins never collide; remember the
+    // first-seen output order and, per column, the branches providing it
+    val renamed = dfs.zipWithIndex.map { case (d, k) =>
+      d.columns.foldLeft(d)((dd, c) => dd.withColumnRenamed(c, s"__zd_${tag}_${k}_$c"))
+    }
+    val outCols: Seq[String] = dfs.flatMap(_.columns).distinct
+    val marked = renamed.zipWithIndex.map { case (d, k) =>
+      indexByLayout(d, idxCol(k)).withColumn(markCol(k), lit(true))
+    }
+    def zipJoin(frames: Seq[DataFrame], how: String): DataFrame = {
+      var acc = frames.head
+      for (k <- 1 until frames.size) {
+        acc = acc.join(frames(k), col(idxCol(0)) === col(idxCol(k)), how)
+        acc = (if (how == "full_outer")
+                 acc.withColumn(idxCol(0), coalesce(col(idxCol(0)), col(idxCol(k))))
+               else acc).drop(idxCol(k))
+      }
+      acc
+    }
+    val zipped =
+      if (!pad) zipJoin(marked, "full_outer") // zipAll on the index
+      else {
+        // modulo padding: cycle each branch to the global max length; the
+        // inner join makes any empty branch empty the result (reference
+        // returns DataPacket(Nil) when a packet is empty)
+        val counts = marked.zipWithIndex
+          .map { case (d, k) => d.agg(count(lit(1)).as(cntCol(k))) }
+          .reduce(_.crossJoin(_))
+          .withColumn(maxCol, greatest((0 until dfs.size).map(k => col(cntCol(k))): _*))
+        val cycled = marked.zipWithIndex.map { case (d, k) =>
+          val rep = s"__zr_${tag}_$k"
+          d.crossJoin(broadcast(counts))
+            // count > 0 on every surviving row (empty frames have none),
+            // so the sequence bound is never negative
+            .withColumn(rep, explode(sequence(lit(0),
+              ceil(col(maxCol).cast("double") / col(cntCol(k))).cast("long") - 1)))
+            .withColumn(idxCol(k), col(idxCol(k)) + col(rep) * col(cntCol(k)))
+            .filter(col(idxCol(k)) < col(maxCol))
+            .drop(rep +: maxCol +: (0 until dfs.size).map(cntCol): _*)
+        }
+        zipJoin(cycled, "inner")
+      }
+    // per output column: rightmost branch whose row exists at the index wins
+    val merged = outCols.map { c =>
+      val providers = dfs.zipWithIndex.filter(_._1.columns.contains(c)).map(_._2).reverse
+      coalesce(providers.map(k =>
+        when(col(markCol(k)).isNotNull, col(s"__zd_${tag}_${k}_$c"))): _*).as(c)
+    }
+    zipped.sort(idxCol(0)).select(merged: _*)
+  }
+
   /** PaddingMerger (BaseMergers.scala:60): its real-world use is attaching a
     * 1-row branch (aggregate) to every row of the other branch — a broadcast
     * cross join. */

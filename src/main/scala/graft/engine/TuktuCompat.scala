@@ -54,11 +54,14 @@ object TuktuCompat {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def loadConfig(name: String): JsonNode = {
+  private def loadConfigRaw(name: String): String = {
     val fn = if (name.endsWith(".json")) name else name + ".json"
-    mapper.readTree(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(configRepo, fn)))
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(configRepo, fn)), java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  private def loadConfig(name: String): JsonNode =
+    mapper.readTree(loadConfigRaw(name))
 
   /** Processor-array JSON → Flow nodes (the shape Flow.parse reads). */
   private def flowNodes(procs: Seq[JsonNode]): Seq[Flow.Node] =
@@ -1053,21 +1056,60 @@ object TuktuCompat {
           cached.agg(collect_list(struct(cached.columns.map(col).toSeq: _*))
             .as(node.result))))
 
-      // the remaining meta-flow processors spawn/route sub-flows (and whole
-      // generators) through the actor system at runtime; Spark flows
-      // compose statically — the same topologies are built with Flow
-      // branch/fan-out primitives (and Registry for cached intermediates).
-      // Named here so verbatim configs fail with the porting guidance, not
-      // a generic unknown-name error.
-      case meta @ ("tuktu.processors.meta.ParallelProcessor"
-                 | "tuktu.processors.meta.ParallelConfigProcessor"
-                 | "tuktu.processors.meta.GeneratorConfigProcessor"
+      // ref: app/tuktu/processors/meta/MetaProcessors.scala:349 (Parallel)
+      // and :433 (ParallelConfig) — run embedded pipelines over the packet
+      // and merge with a DataMerger class. Static compilation: every
+      // pipeline is a Flow.subFlow branch over the same input lineage;
+      // the three base mergers (BaseMergers.scala) map to unionByName
+      // (Serial), index-zip full-outer merge (Simple) and modulo-padded
+      // index-zip (Padding) — all distributed, no driver actions.
+      // ParallelProcessor embeds pipelines inline ({processors:[{start,
+      // pipeline}]}); ParallelConfigProcessor loads them by config_path
+      // from [[configRepo]] with `#{source→target}` replacements (datum-
+      // dependent ${} paths are genuinely dynamic and unsupported;
+      // send_whole is moot — the frame IS the packet).
+      case "tuktu.processors.meta.ParallelProcessor"
+         | "tuktu.processors.meta.ParallelConfigProcessor" =>
+        val sendOriginal = Option(c.get("send_original")).forall(_.asBoolean)
+        val input = if (sendOriginal) df else df.limit(0)
+        val branches: Seq[DataFrame] =
+          if (node.name.endsWith(".ParallelProcessor"))
+            arr(c, "processors").map { pl =>
+              Flow.subFlow(input, flowNodes(arr(pl, "pipeline")), str(pl, "start").get)
+            }
+          else {
+            val globalRepl = arr(c, "replacements")
+              .map(r => str(r, "source").get -> str(r, "target").get)
+            arr(c, "pipelines").flatMap { pl =>
+              val repl = (globalRepl ++ arr(pl, "replacements")
+                .map(r => str(r, "source").get -> str(r, "target").get)).toMap
+              val raw = Flow.interpolateVars(
+                loadConfigRaw(str(pl, "config_path").get), repl)
+              val nodes = flowNodes(arr(mapper.readTree(raw), "processors"))
+              strs(pl, "start").map(s0 => Flow.subFlow(input, nodes, s0))
+            }
+          }
+        val all = if (bool(c, "include_original")) df +: branches else branches
+        str(c, "merger").get match {
+          case "tuktu.processors.merge.SerialMerger" => Ops.serialMerge(all)
+          case "tuktu.processors.merge.SimpleMerger" => Ops.zipMerge(all, pad = false)
+          case "tuktu.processors.merge.PaddingMerger" => Ops.zipMerge(all, pad = true)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported merger $other (JSMerger is TuktuJS web territory)")
+        }
+
+      // the remaining meta-flow processors spawn whole generator flows at
+      // runtime (per-datum config evaluation); Spark flows compose
+      // statically — the same topologies are built with Flow branch/
+      // fan-out primitives. Named here so verbatim configs fail with the
+      // porting guidance, not a generic unknown-name error.
+      case meta @ ("tuktu.processors.meta.GeneratorConfigProcessor"
                  | "tuktu.processors.meta.GeneratorConfigStreamProcessor"
                  | "tuktu.processors.meta.GeneratorStreamProcessor") =>
         throw new UnsupportedOperationException(
-          s"$meta spawns/routes sub-flows dynamically; compose the topology " +
-            "statically with Flow branches/fan-out (predicates filter each " +
-            "branch; Registry caches intermediates) — see COVERAGE.md §2.9")
+          s"$meta spawns generator flows dynamically per datum; compose the " +
+            "topology statically with Flow generators/branches (Registry " +
+            "caches intermediates) — see COVERAGE.md §2.9")
 
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }

@@ -291,4 +291,24 @@ class OpsSpec extends SparkSpec {
     val out = Ops.keyImploder(d, Seq("u"), "v", "o", "vs").orderBy("u")
     assert(out.select("vs").as[Seq[String]].collect().toSeq == Seq(Seq("a", "b"), Seq("z")))
   }
+
+  test("zipMerge without padding is SimpleMerger's zipAll (later branch wins)") {
+    val a = Seq((1, "a1"), (2, "a2"), (3, "a3")).toDF("n", "s")
+    val b = Seq(("b1", 10), ("b2", 20)).toDF("s", "m")
+    val out = Ops.zipMerge(Seq(a, b), pad = false).collect()
+      .map(r => (r.getAs[Integer]("n"), r.getAs[String]("s"), r.getAs[Integer]("m")))
+    // rows pair by position; b's s overwrites a's where b has a row,
+    // row 3 keeps a's value (zipAll pads with an empty datum)
+    assert(out.toSeq == Seq((1, "b1", 10), (2, "b2", 20), (3, "a3", null)))
+  }
+
+  test("zipMerge with padding cycles short branches; empty branch empties all") {
+    val a = Seq(1, 2, 3, 4).toDF("n")
+    val b = Seq("x", "y").toDF("s")
+    val out = Ops.zipMerge(Seq(a, b), pad = true).collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((1, "x"), (2, "y"), (3, "x"), (4, "y")))
+    val empty = b.limit(0)
+    assert(Ops.zipMerge(Seq(a, empty), pad = true).count() == 0)
+  }
 }

@@ -742,4 +742,64 @@ class TuktuCompatSpec extends SparkSpec {
     assert(Flow.runSingle(spark, flow).count() == 3)
     graft.sources.Registry.drop(spark, "compat_cache_mean")
   }
+
+  test("ParallelProcessor compiles inline pipelines and merges per the named merger") {
+    // two single-step pipelines over the same packet; SimpleMerger zips
+    // their rows positionally, the later pipeline's fields overwriting
+    val flow = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"v": 1}, {"v": 2}
+        ]}, "next": ["par"]} ],
+      "processors": [
+        {"id": "par", "name": "tuktu.processors.meta.ParallelProcessor",
+         "result": "result",
+         "config": {"merger": "tuktu.processors.merge.SimpleMerger",
+           "processors": [
+             {"start": "a0", "pipeline": [
+               {"id": "a0", "name": "tuktu.processors.FieldConstantAdderProcessor",
+                "result": "left", "config": {"value": "L"}, "next": []} ]},
+             {"start": "b0", "pipeline": [
+               {"id": "b0", "name": "tuktu.processors.FieldConstantAdderProcessor",
+                "result": "right", "config": {"value": "R"}, "next": []} ]} ]},
+         "next": []} ] }"""
+    val out = Flow.runSingle(spark, flow).orderBy("v").collect()
+    assert(out.map(r => (r.getAs[Long]("v"), r.getAs[String]("left"),
+      r.getAs[String]("right"))).toSeq == Seq((1L, "L", "R"), (2L, "L", "R")))
+
+    // SerialMerger concatenates instead
+    val serial = Flow.runSingle(spark,
+      flow.replace("SimpleMerger", "SerialMerger"))
+    assert(serial.count() == 4)
+  }
+
+  test("ParallelConfigProcessor loads pipeline configs with #{} replacements") {
+    val repo = Files.createTempDirectory("cfgrepo2")
+    Files.write(repo.resolve("tagger.json"),
+      """{"processors": [
+          {"id": "t0", "name": "tuktu.processors.FieldConstantAdderProcessor",
+           "result": "tag", "config": {"value": "#{tagval}"}, "next": []} ]}""".getBytes)
+    val prev = graft.engine.TuktuCompat.configRepo
+    graft.engine.TuktuCompat.configRepo = repo.toString
+    try {
+      val flow = """
+      { "generators": [
+          {"id": "g", "name": "list", "config": {"rows": [ {"v": 1}, {"v": 2} ]},
+           "next": ["pc"]} ],
+        "processors": [
+          {"id": "pc", "name": "tuktu.processors.meta.ParallelConfigProcessor",
+           "result": "result",
+           "config": {"merger": "tuktu.processors.merge.SimpleMerger",
+             "replacements": [{"source": "tagval", "target": "from-global"}],
+             "pipelines": [
+               {"config_path": "tagger", "start": ["t0"],
+                "replacements": [{"source": "tagval", "target": "from-local"}]} ]},
+           "next": []} ] }"""
+      val out = Flow.runSingle(spark, flow).orderBy("v")
+        .select("v", "tag").collect()
+      // local replacements override the global ones (map concat order)
+      assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "from-local"), (2L, "from-local")))
+    } finally graft.engine.TuktuCompat.configRepo = prev
+  }
 }
