@@ -283,24 +283,42 @@ object Dedup {
     // the bench side is small relative to the corpus by contract; recomputing
     // it (count, bloom build, verify join) beats a persist() whose unpersist
     // could only fire before the caller materializes the lazy result
-    val bg = minhashBase(bench, idCol, textCol, n, k = 0, collectShingles = true)
-      .select(explode(col("sh")).as("g")).distinct()
-    val nGrams = bg.count()
-    if (nGrams == 0) {
-      // nothing to leak; also Spark's bloomFilter NPEs on empty input
-      val base = corpus.select(col(idCol))
-      return base.select(base(idCol), lit(0L).as("n_hits"),
-        lit(false).as("contaminated"))
+    val bg = benchGrams(bench, idCol, textCol, n)
+    gramBloomProbe(bg, fpp) match {
+      case None =>
+        // nothing to leak
+        val base = corpus.select(col(idCol))
+        base.select(base(idCol), lit(0L).as("n_hits"),
+          lit(false).as("contaminated"))
+      case Some(mightContain) =>
+        val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
+          .select(col("id"), explode(col("sh")).as("g"))
+          .filter(mightContain(col("g")))
+        decontaminateTail(corpus, idCol, dg, bg)
     }
-    val bf = bg.stat.bloomFilter("g", nGrams, fpp)
-    val bloom = corpus.sparkSession.sparkContext.broadcast(bf)
-    // mightContainLong is a bitset probe; a UDF is the only public seam to
-    // Spark's BloomFilter (BloomFilterMightContain is private[sql])
-    val mightContain = udf((g: Long) => bloom.value.mightContainLong(g))
-    val dg = minhashBase(corpus, idCol, textCol, n, k = 0, collectShingles = true)
-      .select(col("id"), explode(col("sh")).as("g"))
-      .filter(mightContain(col("g")))
-    decontaminateTail(corpus, idCol, dg, bg)
+  }
+
+  /** Distinct benchmark gram table — the same 60-bit rolling-hash shingle
+    * space as [[minhashBase]]; shared by the exact, bloom, and streaming
+    * decontamination paths. */
+  def benchGrams(bench: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    minhashBase(bench, idCol, textCol, n, k = 0, collectShingles = true)
+      .select(explode(col("sh")).as("g")).distinct()
+
+  /** Broadcast-Bloom membership probe over a gram table; None when the
+    * table is empty (nothing can leak, and Spark's bloomFilter NPEs on
+    * empty input). A UDF is the only public seam to Spark's BloomFilter
+    * (BloomFilterMightContain is private[sql]); the probe is a bitset
+    * lookup. */
+  def gramBloomProbe(bg: DataFrame, fpp: Double): Option[Column => Column] = {
+    val nGrams = bg.count()
+    if (nGrams == 0) None
+    else {
+      val bloom = bg.sparkSession.sparkContext.broadcast(
+        bg.stat.bloomFilter("g", nGrams, fpp))
+      val mightContain = udf((g: Long) => bloom.value.mightContainLong(g))
+      Some(c => mightContain(c))
+    }
   }
 
   /** Shared exact-verify tail: count distinct corpus grams present in the

@@ -205,6 +205,33 @@ object Streams {
       .toDF("id", "dup_of", "band", "est_jaccard")
   }
 
+  /** Ingestion-time decontamination gate — the streaming side of
+    * `Dedup.decontaminateBloom`: per-row shingle hashes via the windowless
+    * HOF pipeline (a stream cannot sort, so the window-lead batch shape is
+    * unavailable), then a broadcast-Bloom membership probe per gram. Zero
+    * shuffle, zero state, append-mode safe — each doc gains
+    * `n_suspect` (DISTINCT grams that MIGHT appear in the benchmark; an
+    * upper bound including Bloom false positives at rate `fpp`) and
+    * `suspect`. Route suspect=true docs to the exact batch verify
+    * (`Dedup.decontaminate`) downstream; suspect=false is definitive
+    * (Bloom filters have no false negatives). */
+  def streamingDecontaminationGate(stream: DataFrame, bench: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    import graft.operators.Dedup
+    Dedup.gramBloomProbe(Dedup.benchGrams(bench, idCol, textCol, n), fpp) match {
+      case None =>
+        stream.withColumn("n_suspect", lit(0)).withColumn("suspect", lit(false))
+      case Some(mightContain) =>
+        val tag = java.util.UUID.randomUUID.toString.take(8)
+        val sh = s"__sh_$tag"
+        Dedup.withShingleHashes(stream, textCol, sh, n)
+          .withColumn("n_suspect", size(filter(col(sh), g => mightContain(g))))
+          .drop(sh)
+          .withColumn("suspect", col("n_suspect") > 0)
+    }
+  }
+
   /** JoinGenerator, streaming mode (ref: app/tuktu/generators/
     * JoinGenerator.scala:68-151 — the reference buffers both sides in heap
     * maps): watermarked stream-stream equi-join. Both sides carry an

@@ -31,6 +31,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination gate flags suspects with zero state") {
+    implicit val sql = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = Streams.streamingDecontaminationGate(
+      in.toDF.toDF("id", "text"), bench, "id", "text", n = 8)
+    val q = out.writeStream.format("memory").queryName("decon_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (2L, "totally different words with no overlap at all in this text"))
+      q.processAllAvailable()
+      in.addData((3L, "short doc")) // < n tokens: no grams, never suspect
+      q.processAllAvailable()
+      val got = spark.table("decon_gate").orderBy("id")
+        .select(col("id"), col("suspect")).as[(Long, Boolean)].collect().toSeq
+      assert(got == Seq((1L, true), (2L, false), (3L, false)))
+      // the flagged doc's exact verify agrees (gate is an upper bound)
+      val exact = graft.operators.Dedup.decontaminate(
+        Seq((1L, "prefix alpha beta gamma delta epsilon zeta eta theta suffix"))
+          .toDF("id", "text"), bench, "id", "text", n = 8)
+      assert(exact.head.getAs[Boolean]("contaminated"))
+    } finally q.stop()
+  }
+
   test("tumbling window aggregation with watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
