@@ -204,6 +204,17 @@ object XlsBiff {
     }
   }
 
+  /** Name the FILEPASS encryption variant ([MS-XLS] 2.4.117: wEncryptionType
+    * 0 = XOR obfuscation; 1 = RC4, sub-versioned standard vs CryptoAPI) so
+    * the unsupported-error tells the operator which decryptor a file needs. */
+  private def filepassKind(b: ByteBuffer, body: Int): String =
+    u16(b, body) match {
+      case 0 => "XOR obfuscation"
+      case 1 => if (u16(b, body + 2) == 1 && u16(b, body + 4) == 1)
+                  "RC4 standard" else "RC4 CryptoAPI"
+      case other => s"unknown type $other"
+    }
+
   /** Windows codepage id → JVM charset for BIFF5 byte strings. */
   private def codepageName(cp: Int): String = cp match {
     case 1200  => "UTF-16LE"
@@ -234,7 +245,7 @@ object XlsBiff {
         case 0x0809 => depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true
         case 0x002F => throw new IllegalArgumentException(
-          "BIFF: encrypted workbook (FILEPASS) is not supported")
+          s"BIFF: encrypted workbook (FILEPASS, ${filepassKind(b, body)}) is not supported")
         case 0x0042 => codepage = codepageName(u16(b, body))
         case 0x00FC => // SST (+ any immediately-following CONTINUE records)
           val unique = u32(b, body + 4).toInt
@@ -304,7 +315,7 @@ object XlsBiff {
               else new String(stream, body + 9, cch, "ISO-8859-1")
             cells += ((u16(b, body), u16(b, body + 2), s))
           case 0x002F => throw new IllegalArgumentException(
-            "BIFF: encrypted workbook (FILEPASS) is not supported")
+            s"BIFF: encrypted workbook (FILEPASS, ${filepassKind(b, body)}) is not supported")
           case _ => ()
         }
         p = body + len

@@ -30,6 +30,21 @@ class LLMOpsSpec extends SparkSpec {
     assert(!ids.exists { case (a, b) => a == 3L || b == 3L }) // unrelated doc excluded
   }
 
+  test("minhash band join carries only (band, id) — shingle sets join back per pair") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id", n = 3, k = 16,
+      bands = 8, threshold = 0.3)
+    val joins = pairs.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 3) // band self-join + one shingle-set join per side
+    // collect is pre-order, so the band self-join is last (deepest): its
+    // sides must be pruned to the scalar key pair — no shingle payload
+    val band = joins.last
+    for (side <- Seq(band.left, band.right))
+      assert(side.output.map(_.name).forall(n => n == "band" || n.startsWith("id")),
+        s"band join side carries extra columns: ${side.output.map(_.name)}")
+  }
+
   test("minhashNearDupsCached matches the recompute form and releases its cache") {
     val (cached, base) = Dedup.minhashNearDupsCached(docs, "text", "doc_id",
       n = 3, k = 16, bands = 8, threshold = 0.3)

@@ -219,14 +219,19 @@ class XlsBiffSpec extends SparkSpec {
     assert(rows == Seq(IndexedSeq("café", "nörd", "7")))
   }
 
-  test("FILEPASS (encrypted) workbooks fail with an explicit error") {
+  test("FILEPASS (encrypted) workbooks fail with an explicit, variant-naming error") {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
-    val filepass = rec(0x002F, le(u16(1), u16(1), Array.fill[Byte](48)(0)))
     val eof = rec(0x000A, Array.emptyByteArray)
-    val ex = intercept[IllegalArgumentException] {
-      XlsBiff.xlsRows(cfbMini(le(bofG, filepass, eof)), None)
+    def failWith(body: Array[Byte], want: String): Unit = {
+      val ex = intercept[IllegalArgumentException] {
+        XlsBiff.xlsRows(cfbMini(le(bofG, rec(0x002F, body), eof)), None)
+      }
+      assert(ex.getMessage.contains("FILEPASS") && ex.getMessage.contains(want),
+        ex.getMessage)
     }
-    assert(ex.getMessage.contains("FILEPASS"))
+    failWith(le(u16(1), u16(1), u16(1), Array.fill[Byte](46)(0)), "RC4 standard")
+    failWith(le(u16(1), u16(4), u16(2), Array.fill[Byte](46)(0)), "RC4 CryptoAPI")
+    failWith(le(u16(0), u16(0xABCD), u16(0x1234)), "XOR obfuscation")
   }
 
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
