@@ -290,6 +290,30 @@ object QueriesExtra {
       val seeds = c.filter(col("c_custkey") <= 50)
         .select(concat(lit("c"), col("c_custkey")).as("id"))
       Ops.recursiveLookup(edges, seeds, "src", "dst").orderBy("id")
+    }),
+
+    // ---------------- §2.1 TimeGenerator — timestamp sequence source
+    // (timestamps rendered as strings: driver canonicalization rule)
+    "time_range" -> ((s, dir) => {
+      graft.sources.Sources.timeRange(s,
+          "2024-01-01 00:00:00", "2024-01-03 00:00:00", "37 minutes")
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"))
+        .orderBy("ts")
+    }),
+
+    // ---------------- §2.6 SimpleMerger — positional zip of two branches
+    // (Ops.zipMerge, the Parallel(Config)Processor merge path). Branches
+    // are pre-sorted so the layout index is the sort order; the shared
+    // `name` column shows the later branch overwriting while its rows
+    // last, then falling back to the longer branch's values.
+    "zip_merge" -> ((s, dir) => {
+      val a = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name").as("name"))
+        .orderBy("c_custkey")
+      val b = rd(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("name"))
+        .orderBy("n_nationkey")
+      Ops.zipMerge(Seq(a, b), pad = false).orderBy("c_custkey")
     }))
 
   val oracleSql: Seq[(String, String)] = Seq(
@@ -459,5 +483,23 @@ object QueriesExtra {
            SELECT 'c' || c_custkey AS id FROM customer WHERE c_custkey <= 50
            UNION
            SELECT e.dst FROM r JOIN edges e ON e.src = r.id)
-         SELECT id FROM r ORDER BY id""")
+         SELECT id FROM r ORDER BY id""",
+    "time_range" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts
+         FROM (SELECT unnest(generate_series(
+           TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-03 00:00:00',
+           INTERVAL '37 minutes')) AS ts)
+         ORDER BY ts""",
+    "zip_merge" ->
+      // positional zipAll: row i pairs branch rows by their sort order;
+      // customer is strictly longer than nation at every SF, so a LEFT
+      // join models the full outer zip, and the later branch's `name`
+      // wins exactly while its rows exist
+      """WITH a AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i,
+                    c_custkey, c_name AS name FROM customer),
+         b AS (SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS i,
+               n_nationkey, n_name AS name FROM nation)
+         SELECT a.c_custkey, coalesce(b.name, a.name) AS name, b.n_nationkey
+         FROM a LEFT JOIN b ON a.i = b.i
+         ORDER BY a.c_custkey""")
 }
