@@ -1111,9 +1111,177 @@ object TuktuCompat {
             "topology statically with Flow generators/branches (Registry " +
             "caches intermediates) — see COVERAGE.md §2.9")
 
+      // ------------------------------------------------------- tuktu.ml module
+      // ref: modules/ml/app/tuktu/ml/processors/* — the reference's model
+      // lifecycle (BaseMLProcessor.scala:22 train / :85 apply / :130
+      // serialize / :180 deserialize / :239 destroy over an actor model
+      // repository). Batch mapping: the frame IS the packet, so Train fits
+      // eagerly on the whole frame (spark.ml fit is an action) and registers
+      // the model in ModelRegistry under model_name; Apply transforms with
+      // the registered model and appends the prediction under the node
+      // result; the repository round-trips disappear. data_field carries
+      // the feature vector as ONE array<double> column, like the reference's
+      // `datum(dataField).asInstanceOf[Seq[Double]]`.
+      case "tuktu.ml.processors.regression.LinearRegressionTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.regression.LinearRegression()
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+      // ref: regression/RidgeRegression.scala:12 — {lambda} is the L2 weight
+      case "tuktu.ml.processors.regression.RidgeRegressionTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.regression.LinearRegression()
+          .setRegParam(c.get("lambda").asDouble).setElasticNetParam(0.0)
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+      // ref: regression/LogisticRegression.scala:18 — {lambda?, tolerance?,
+      // max_iterations?}
+      case "tuktu.ml.processors.regression.LogisticRegressionTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.classification.LogisticRegression()
+          .setRegParam(Option(c.get("lambda")).map(_.asDouble).getOrElse(0.0))
+          .setTol(Option(c.get("tolerance")).map(_.asDouble).getOrElse(1e-5))
+          .setMaxIter(Option(c.get("max_iterations")).map(_.asInt).getOrElse(500))
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+      // ref: clustering/KMeansProcessor.scala:12 — {k, max_iterations?};
+      // seed pinned for determinism (the reference's smile runs are seeded
+      // by wall clock — reproducibility is strictly better)
+      case "tuktu.ml.processors.clustering.KMeansTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.clustering.KMeans()
+          .setK(c.get("k").asInt).setSeed(42)
+          .setMaxIter(Option(c.get("max_iterations")).map(_.asInt).getOrElse(20))
+          .setFeaturesCol(MlFeatures).fit(d), needLabel = false)
+      // ref: svm/SupportVectorMachines.scala:12 — linear kernel only
+      // (LinearSVC); penalty is the soft-margin C → regParam 1/C
+      case "tuktu.ml.processors.svm.SVMTrainProcessor" =>
+        require(str(c, "kernel").forall(_ == "linear"),
+          "SVMTrainProcessor: only the linear kernel is supported (LinearSVC)")
+        mlTrain(df, c, d => new org.apache.spark.ml.classification.LinearSVC()
+          .setRegParam(1.0 / Option(c.get("penalty")).map(_.asDouble).getOrElse(2.0))
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+      // ref: decisiontrees/DecisionTrees.scala:12 — {max_nodes}: a tree of
+      // max_nodes leaves needs depth ~log2(max_nodes)
+      case "tuktu.ml.processors.decisiontrees.DecisionTreeTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.classification.DecisionTreeClassifier()
+          .setMaxDepth(depthForNodes(c.get("max_nodes").asInt))
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+      // ref: decisiontrees/GradientTreeBoost.scala:12 — {num_trees,
+      // max_nodes?, shrinkage?, sampling_rate?}
+      case "tuktu.ml.processors.decisiontrees.GradientTreeBoostTrainProcessor" =>
+        mlTrain(df, c, d => new org.apache.spark.ml.classification.GBTClassifier()
+          .setMaxIter(c.get("num_trees").asInt)
+          .setMaxDepth(depthForNodes(Option(c.get("max_nodes")).map(_.asInt).getOrElse(6)))
+          .setStepSize(Option(c.get("shrinkage")).map(_.asDouble).getOrElse(0.005))
+          .setSubsamplingRate(Option(c.get("sampling_rate")).map(_.asDouble).getOrElse(0.7))
+          .setFeaturesCol(MlFeatures).setLabelCol(MlLabel).fit(d))
+
+      case "tuktu.ml.processors.regression.LinearRegressionApplyProcessor"
+         | "tuktu.ml.processors.regression.RidgeRegressionApplyProcessor"
+         | "tuktu.ml.processors.regression.LogisticRegressionApplyProcessor"
+         | "tuktu.ml.processors.clustering.KMeansApplyProcessor"
+         | "tuktu.ml.processors.svm.SVMApplyProcessor"
+         | "tuktu.ml.processors.decisiontrees.DecisionTreeApplyProcessor"
+         | "tuktu.ml.processors.decisiontrees.GradientTreeBoostApplyProcessor" =>
+        mlApply(df, c, node)
+
+      // ref: BaseMLProcessor.scala:130/180/239 — serialize/deserialize/
+      // destroy are algorithm-independent against the registry (the
+      // serialized format is spark.ml MLWritable, the durable path)
+      case "tuktu.ml.processors.MLSerializeProcessor" =>
+        graft.ml.ModelRegistry.serialize(str(c, "model_name").get, str(c, "file_name").get)
+        df
+      case deser if deser.startsWith("tuktu.ml.processors.") &&
+                    deser.endsWith("DeserializeProcessor") =>
+        graft.ml.ModelRegistry.deserialize(str(c, "model_name").get, str(c, "file_name").get)
+        df
+      case "tuktu.ml.processors.MLDestroyProcessor" =>
+        graft.ml.ModelRegistry.destroy(str(c, "model_name").get)
+        df
+
+      // ref: preprocessing/DummyVariableProcessor.scala:10 — one-hot 0..max
+      // as a digit string (or list with as_list)
+      case "tuktu.ml.processors.preprocessing.DummyVariableProcessor" =>
+        val f = str(c, "field").get
+        val dummies = transform(sequence(lit(0), lit(c.get("max").asInt)),
+          i => when(i === col(f).cast(IntegerType), 1).otherwise(0))
+        df.withColumn(node.result,
+          if (bool(c, "as_list")) dummies
+          else array_join(transform(dummies, _.cast(StringType)), ""))
+      // ref: preprocessing/MissingvaluesProcessor.scala:14 — replace
+      // empty/"null" values; the typed replacement chain dispatches on the
+      // VALUE's runtime type, which for a static column is its schema type
+      case "tuktu.ml.processors.preprocessing.MissingvaluesProcessor" =>
+        val targets = Option(c.get("fields")).map(_ => strs(c, "fields"))
+          .getOrElse(df.columns.toSeq)
+        val repls = arr(c, "replacements").map(r => (str(r, "type").get, r.get("target")))
+        def matches(t: String, dt: DataType): Boolean = (t, dt) match {
+          case ("any", _) => true
+          case ("int", IntegerType) | ("long", LongType) | ("float", FloatType) |
+               ("double", DoubleType) | ("short", ShortType) | ("byte", ByteType) |
+               ("string", StringType) => true
+          case _ => false
+        }
+        targets.foldLeft(df) { (d, f) =>
+          repls.find { case (t, _) => matches(t, d.schema(f).dataType) }.fold(d) {
+            case (_, tgt) =>
+              val lit0 = lit(tgt.asText).cast(d.schema(f).dataType)
+              d.withColumn(f, when(col(f).isNull ||
+                col(f).cast(StringType).isin("", "null"), lit0).otherwise(col(f)))
+          }
+        }
+      // ref: association/FPGrowthProcessor.scala:15 — {field, min_support
+      // (ABSOLUTE count, smile-style)}: the packet becomes one row per
+      // frequent itemset. The count() is packet-scoped, like the
+      // reference's blocking learn over the whole packet.
+      case "tuktu.ml.processors.association.FPGrowthProcessor" =>
+        val f = str(c, "field").get
+        val minSup = c.get("min_support").asInt
+        val n = df.count().max(1L)
+        val model = new org.apache.spark.ml.fpm.FPGrowth()
+          .setItemsCol(f).setMinSupport(minSup.toDouble / n)
+          .fit(df.select(array_distinct(col(f)).as(f)))
+        model.freqItemsets
+          .select(col("items").as(node.result + "_items"),
+            col("freq").as(node.result + "_support"))
+
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }
+
+  // ------------------------------------------------------------- ml helpers
+  /** Fixed internal feature/label columns so a model trained by a
+    * *TrainProcessor FQCN is applied by its *ApplyProcessor. */
+  private val MlFeatures = "__ml_features"
+  private val MlLabel = "__ml_label"
+
+  private def withMlVec(df: DataFrame, dataField: String): DataFrame =
+    df.withColumn(MlFeatures, org.apache.spark.ml.functions.array_to_vector(
+      col(dataField).cast(ArrayType(DoubleType))))
+
+  /** Train processors pass the packet through unchanged
+    * (BaseMLProcessor.scala:37-63); the model lands in the registry. */
+  private def mlTrain(df: DataFrame, c: JsonNode,
+                      fit: DataFrame => org.apache.spark.ml.Transformer,
+                      needLabel: Boolean = true): DataFrame = {
+    val prepped0 = withMlVec(df, str(c, "data_field").get)
+    val prepped =
+      if (needLabel)
+        prepped0.withColumn(MlLabel, col(str(c, "label_field").get).cast(DoubleType))
+      else prepped0
+    graft.ml.ModelRegistry.put(str(c, "model_name").get, fit(prepped))
+    df
+  }
+
+  private def mlApply(df: DataFrame, c: JsonNode, node: Flow.Node): DataFrame = {
+    val name = str(c, "model_name").get
+    val model = graft.ml.ModelRegistry.get(name).getOrElse(
+      throw new IllegalArgumentException(s"no model '$name' in the registry — " +
+        "run the matching TrainProcessor or DeserializeProcessor first"))
+    model.transform(withMlVec(df, str(c, "data_field").get))
+      .withColumn(node.result, col("prediction"))
+      .drop("prediction", "rawPrediction", "probability", MlFeatures)
+  }
+
+  /** smile sizes trees by leaf count; spark.ml by depth — a tree of
+    * `maxNodes` leaves needs ~log2(maxNodes) levels (capped at spark.ml's
+    * depth limit 30). */
+  private def depthForNodes(maxNodes: Int): Int =
+    math.min(30, math.max(1, math.ceil(math.log(maxNodes.max(2).toDouble) / math.log(2.0)).toInt))
 
   /** Token/POS fields may hold a space-joined string — the reference
     * splits it (POSTagging.scala:35-40, Sentiment.scala:41-51). */

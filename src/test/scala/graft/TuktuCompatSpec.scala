@@ -802,4 +802,98 @@ class TuktuCompatSpec extends SparkSpec {
         Seq((1L, "from-local"), (2L, "from-local")))
     } finally graft.engine.TuktuCompat.configRepo = prev
   }
+
+  test("tuktu.ml FQCNs: train → apply, then serialize/destroy/deserialize lifecycle") {
+    val tmp = Files.createTempDirectory("mlcompat").toString
+    val rows = (1 to 20).map { i =>
+      val x1 = i.toDouble; val x2 = (i % 5).toDouble
+      s"""{"vec": [$x1, $x2], "y": ${3.0 + 2.0 * x1 - x2}}"""
+    }.mkString("[", ",", "]")
+    val trainApply = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": $rows}, "next": ["train"]} ],
+      "processors": [
+        {"id": "train",
+         "name": "tuktu.ml.processors.regression.LinearRegressionTrainProcessor",
+         "result": "",
+         "config": {"model_name": "lr_compat", "data_field": "vec", "label_field": "y"},
+         "next": ["apply"]},
+        {"id": "apply",
+         "name": "tuktu.ml.processors.regression.LinearRegressionApplyProcessor",
+         "result": "pred", "config": {"model_name": "lr_compat", "data_field": "vec"},
+         "next": []} ] }"""
+    val out = Flow.runSingle(spark, trainApply)
+    assert(out.count() == 20)
+    assert(out.select(expr("abs(pred - y)")).as[Double].collect().forall(_ < 1e-6))
+
+    // serialize, destroy, reload under a new name, apply the reloaded model
+    val lifecycle = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [{"vec": [4.0, 4.0], "y": 7.0}]},
+         "next": ["ser"]} ],
+      "processors": [
+        {"id": "ser", "name": "tuktu.ml.processors.MLSerializeProcessor", "result": "",
+         "config": {"model_name": "lr_compat", "file_name": "$tmp/lr"}, "next": ["des"]},
+        {"id": "des",
+         "name": "tuktu.ml.processors.regression.LinearRegressionDeserializeProcessor",
+         "result": "",
+         "config": {"model_name": "lr_reloaded", "file_name": "$tmp/lr"}, "next": ["kill"]},
+        {"id": "kill", "name": "tuktu.ml.processors.MLDestroyProcessor", "result": "",
+         "config": {"model_name": "lr_compat"}, "next": ["apply"]},
+        {"id": "apply",
+         "name": "tuktu.ml.processors.regression.LinearRegressionApplyProcessor",
+         "result": "pred", "config": {"model_name": "lr_reloaded", "data_field": "vec"},
+         "next": []} ] }"""
+    val re = Flow.runSingle(spark, lifecycle).head
+    assert(math.abs(re.getAs[Double]("pred") - 7.0) < 1e-6)
+    assert(graft.ml.ModelRegistry.get("lr_compat").isEmpty) // destroyed
+    graft.ml.ModelRegistry.destroy("lr_reloaded")
+  }
+
+  test("tuktu.ml FQCNs: kmeans clustering, dummy variables, missing values, fpgrowth") {
+    // kmeans: two well-separated blobs → consistent cluster ids per blob
+    val pts = (Seq.tabulate(10)(i => s"""{"p": [${i % 3 * 0.1}, 0.0]}""") ++
+               Seq.tabulate(10)(i => s"""{"p": [${50 + i % 3 * 0.1}, 50.0]}"""))
+      .mkString("[", ",", "]")
+    val km = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": $pts}, "next": ["train"]} ],
+      "processors": [
+        {"id": "train", "name": "tuktu.ml.processors.clustering.KMeansTrainProcessor",
+         "result": "", "config": {"model_name": "km_compat", "data_field": "p", "k": 2},
+         "next": ["apply"]},
+        {"id": "apply", "name": "tuktu.ml.processors.clustering.KMeansApplyProcessor",
+         "result": "cluster", "config": {"model_name": "km_compat", "data_field": "p"},
+         "next": []} ] }"""
+    val clusters = Flow.runSingle(spark, km)
+      .select(col("p")(0).cast("int"), col("cluster").cast("int"))
+      .as[(Int, Int)].collect()
+    val byBlob = clusters.groupBy(_._1 >= 25).map { case (_, xs) => xs.map(_._2).toSet }
+    assert(byBlob.forall(_.size == 1) && byBlob.toSet.size == 2)
+    graft.ml.ModelRegistry.destroy("km_compat")
+
+    // dummy variables: 0..max one-hot as digit string / list
+    val dv = Flow.runSingle(spark, listFlow("""[{"v": 2}]""",
+      """{"id": "p0", "name": "tuktu.ml.processors.preprocessing.DummyVariableProcessor",
+         "result": "dum", "config": {"field": "v", "max": 4}, "next": []}"""))
+    assert(dv.head.getAs[String]("dum") == "00100")
+
+    // missing values: empty strings replaced per the typed chain
+    val mv = Flow.runSingle(spark, listFlow(
+      """[{"s": "", "n": 5}, {"s": "ok", "n": 6}]""",
+      """{"id": "p0", "name": "tuktu.ml.processors.preprocessing.MissingvaluesProcessor",
+         "result": "", "config": {"fields": ["s"],
+           "replacements": [{"type": "string", "target": "filled"}]}, "next": []}"""))
+    assert(mv.orderBy("n").select(col("s")).as[String].collect().toSeq ==
+      Seq("filled", "ok"))
+
+    // fpgrowth: packet becomes one row per frequent itemset (absolute support)
+    val fp = Flow.runSingle(spark, listFlow(
+      """[{"items": [1, 2]}, {"items": [1, 2, 3]}, {"items": [1, 4]}]""",
+      """{"id": "p0", "name": "tuktu.ml.processors.association.FPGrowthProcessor",
+         "result": "freq", "config": {"field": "items", "min_support": 2}, "next": []}"""))
+    val sets = fp.collect().map(r =>
+      (r.getSeq[Long](0).toSet, r.getLong(1))).toMap
+    assert(sets(Set(1L)) == 3L && sets(Set(1L, 2L)) == 2L && !sets.contains(Set(3L)))
+  }
 }
