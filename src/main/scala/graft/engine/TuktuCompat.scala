@@ -1193,6 +1193,37 @@ object TuktuCompat {
         graft.ml.ModelRegistry.destroy(str(c, "model_name").get)
         df
 
+      // ref: preprocessing/NormalizationProcessor.scala:12 — {model_name,
+      // fields?, min?, max?}: train collects per-field min/max over the
+      // packet (one aggregate row — the stats are config-sized); apply
+      // rescales the trained fields in place. No `fields` = every column,
+      // like the reference's datum-wide fold.
+      case "tuktu.ml.processors.preprocessing.NormalizationTrainProcessor" =>
+        val fields = Option(c.get("fields")).map(_ => strs(c, "fields"))
+          .getOrElse(df.columns.toSeq)
+        val lo = Option(c.get("min")).map(_.asDouble).getOrElse(0.0)
+        val hi = Option(c.get("max")).map(_.asDouble).getOrElse(1.0)
+        val aggs = fields.flatMap(f => Seq(
+          min(col(f).cast(DoubleType)).as(s"__mn_$f"),
+          max(col(f).cast(DoubleType)).as(s"__mx_$f")))
+        val row = df.agg(aggs.head, aggs.tail: _*).head
+        val stats = fields.map(f =>
+          f -> (row.getAs[Double](s"__mn_$f"), row.getAs[Double](s"__mx_$f"))).toMap
+        graft.ml.ModelRegistry.put(str(c, "model_name").get,
+          new graft.ml.FieldNormalizer(stats, lo, hi))
+        df
+      case "tuktu.ml.processors.preprocessing.NormalizationApplyProcessor" =>
+        val name = str(c, "model_name").get
+        val norm = graft.ml.ModelRegistry.get(name) match {
+          case Some(n: graft.ml.FieldNormalizer) => n
+          case Some(other) => throw new IllegalArgumentException(
+            s"model '$name' is ${other.getClass.getSimpleName}, not a Normalization")
+          case None => throw new IllegalArgumentException(
+            s"no model '$name' in the registry — run NormalizationTrainProcessor first")
+        }
+        Option(c.get("fields")).map(_ => strs(c, "fields"))
+          .fold(norm)(norm.restrictTo).transform(df)
+
       // ref: preprocessing/DummyVariableProcessor.scala:10 — one-hot 0..max
       // as a digit string (or list with as_list)
       case "tuktu.ml.processors.preprocessing.DummyVariableProcessor" =>

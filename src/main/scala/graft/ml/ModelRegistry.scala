@@ -60,3 +60,35 @@ object ModelRegistry {
   /** DestroyProcessor. */
   def destroy(name: String): Unit = models.remove(name)
 }
+
+/**
+ * Reference Normalization model (modules/ml/app/tuktu/ml/models/
+ * preprocessing/Normalization.scala:13): per-FIELD min/max collected at
+ * train time; apply rescales each trained field in place to [lo, hi]
+ * (constant fields → 0, the reference's `max - min == 0` branch). A
+ * Transformer so it lives in the registry like every other model; the
+ * stats map is config-sized (one pair per field). Not MLWritable — the
+ * reference java-serializes it, and serialize() names that gap clearly. */
+class FieldNormalizer(val stats: Map[String, (Double, Double)],
+                      val lo: Double, val hi: Double)
+    extends Transformer {
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.types.{DoubleType, StructType}
+  override val uid: String =
+    org.apache.spark.ml.util.Identifiable.randomUID("fieldNormalizer")
+  /** Restrict to the apply-config's field subset (NormalizationApply's
+    * own `fields`, which may be narrower than the trained set). */
+  def restrictTo(fields: Seq[String]): FieldNormalizer =
+    new FieldNormalizer(stats.filter { case (k, _) => fields.contains(k) }, lo, hi)
+  override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame =
+    stats.foldLeft(ds.toDF()) { case (d, (f, (mn, mx))) =>
+      if (!d.columns.contains(f)) d
+      else d.withColumn(f,
+        if (mx - mn == 0) lit(0.0)
+        else (col(f).cast(DoubleType) - mn) / (mx - mn) * (hi - lo) + lo)
+    }
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.map(f =>
+      if (stats.contains(f.name)) f.copy(dataType = DoubleType) else f))
+  override def copy(extra: org.apache.spark.ml.param.ParamMap): FieldNormalizer = this
+}

@@ -887,6 +887,20 @@ class TuktuCompatSpec extends SparkSpec {
     assert(mv.orderBy("n").select(col("s")).as[String].collect().toSeq ==
       Seq("filled", "ok"))
 
+    // normalization: train per-field min/max, apply rescales in place;
+    // the apply `fields` subset narrows the trained set
+    val nm = Flow.runSingle(spark, listFlow(
+      """[{"a": 0, "b": 10}, {"a": 5, "b": 20}, {"a": 10, "b": 30}]""",
+      """{"id": "p0", "name": "tuktu.ml.processors.preprocessing.NormalizationTrainProcessor",
+         "result": "", "config": {"model_name": "norm_compat", "fields": ["a", "b"],
+           "min": 0.0, "max": 2.0}, "next": ["p1"]},
+        {"id": "p1", "name": "tuktu.ml.processors.preprocessing.NormalizationApplyProcessor",
+         "result": "", "config": {"model_name": "norm_compat", "fields": ["a"]},
+         "next": []}"""))
+    val rowsNm = nm.orderBy("a").select(col("a"), col("b")).as[(Double, Long)].collect()
+    assert(rowsNm.toSeq == Seq((0.0, 10L), (1.0, 20L), (2.0, 30L))) // b untouched
+    graft.ml.ModelRegistry.destroy("norm_compat")
+
     // fpgrowth: packet becomes one row per frequent itemset (absolute support)
     val fp = Flow.runSingle(spark, listFlow(
       """[{"items": [1, 2]}, {"items": [1, 2, 3]}, {"items": [1, 4]}]""",
