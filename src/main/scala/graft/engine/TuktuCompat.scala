@@ -1179,6 +1179,46 @@ object TuktuCompat {
          | "tuktu.ml.processors.decisiontrees.GradientTreeBoostApplyProcessor" =>
         mlApply(df, c, node)
 
+      // ref: hmm/HMM.scala:12 — {model_name, observations_field,
+      // num_hidden, num_observable, priors?{start, transitions,
+      // emissions}}: one distributed Baum-Welch step over the packet's
+      // sequences from the priors (or uniform) start, like the reference's
+      // per-packet BaumWelchMethod application
+      case "tuktu.ml.processors.hmm.HMMTrainProcessor" =>
+        val nH = c.get("num_hidden").asInt
+        val nO = c.get("num_observable").asInt
+        val obsF = str(c, "observations_field").get
+        val init = Option(c.get("priors")).map { p =>
+          graft.ml.HMM.modelFromPriors(
+            arr(p, "start").map(_.asDouble),
+            arr(p, "transitions").map(_.elements().asScala.map(_.asDouble).toSeq),
+            arr(p, "emissions").map(_.elements().asScala.map(_.asDouble).toSeq))
+        }.getOrElse(graft.ml.HMM.uniformModel(nH, nO))
+        graft.ml.ModelRegistry.put(str(c, "model_name").get,
+          new graft.ml.HmmTransformer(
+            graft.ml.HMM.baumWelchStep(df, obsF, init, nO), obsF))
+        df
+      // ref: hmm/HMM.scala:107 — Viterbi per datum; the result is the
+      // reference's {delta, sequence} map as a struct
+      case "tuktu.ml.processors.hmm.HMMApplyDecodeProcessor" =>
+        df.withColumn(node.result,
+          hmmOf(c).decodeColumn(col(str(c, "observations_field").get)))
+      // ref: hmm/HMM.scala:135 + models/hmm/PredictAlgorithm.scala:9 —
+      // the reference draws with a wall-clock Random per datum; a config
+      // seed (default 42) replaces it, one reproducible draw per packet
+      case "tuktu.ml.processors.hmm.HMMApplyPredictProcessor" =>
+        df.withColumn(node.result, typedlit(graft.ml.HMM.predictSteps(
+          hmmOf(c).model, c.get("steps").asInt,
+          Option(c.get("seed")).map(_.asLong).getOrElse(42L))))
+      // ref: hmm/HMM.scala:159 — JSON parameter matrices instead of the
+      // reference's java serialization (num_hidden/num_observable travel
+      // with the file, so the config's copies are not needed)
+      case "tuktu.ml.processors.hmm.HMMDeserializeProcessor" =>
+        graft.ml.ModelRegistry.put(str(c, "model_name").get,
+          new graft.ml.HmmTransformer(
+            graft.ml.HMM.load(str(c, "file_name").get), "observations"))
+        df
+
       // ref: BaseMLProcessor.scala:130/180/239 — serialize/deserialize/
       // destroy are algorithm-independent against the registry (the
       // serialized format is spark.ml MLWritable, the durable path)
@@ -1296,6 +1336,18 @@ object TuktuCompat {
       else prepped0
     graft.ml.ModelRegistry.put(str(c, "model_name").get, fit(prepped))
     df
+  }
+
+  private def hmmOf(c: JsonNode): graft.ml.HmmTransformer = {
+    val name = str(c, "model_name").get
+    graft.ml.ModelRegistry.get(name) match {
+      case Some(h: graft.ml.HmmTransformer) => h
+      case Some(other) => throw new IllegalArgumentException(
+        s"model '$name' is ${other.getClass.getSimpleName}, not an HMM")
+      case None => throw new IllegalArgumentException(
+        s"no model '$name' in the registry — run HMMTrainProcessor or " +
+          "HMMDeserializeProcessor first")
+    }
   }
 
   private def mlApply(df: DataFrame, c: JsonNode, node: Flow.Node): DataFrame = {

@@ -49,4 +49,46 @@ class HMMSpec extends SparkSpec {
     val shuffled = new scala.util.Random(3).shuffle(typical)
     assert(model.logLikelihood(typical) > model.logLikelihood(shuffled))
   }
+
+  test("Baum-Welch improves corpus likelihood monotonically from a rough start") {
+    val corpus = (0 until 20).map(i => Tuple1(genSeq(i, 50).map(_._2)))
+      .toDF("obs")
+    // rough but informative start: correct emission TENDENCY, wrong rates
+    val init = HMM.modelFromPriors(
+      start = Seq(0.5, 0.5),
+      transitions = Seq(Seq(0.6, 0.4), Seq(0.4, 0.6)),
+      emissions = Seq(Seq(0.4, 0.3, 0.2, 0.1), Seq(0.1, 0.2, 0.3, 0.4)))
+    def corpusLL(m: HmmModel): Double =
+      (0 until 20).map(i => m.logLikelihood(genSeq(i, 50).map(_._2))).sum
+    val lls = Iterator.iterate(init)(m => HMM.baumWelchStep(corpus, "obs", m, 4))
+      .take(6).map(corpusLL).toSeq
+    assert(lls.sliding(2).forall { case Seq(a, b) => b >= a - 1e-9 },
+      s"not monotone: $lls")
+    assert(lls.last > lls.head + 10, s"no real improvement: $lls")
+    // EM should sharpen self-transitions toward the planted 0.85
+    val fit = HMM.baumWelch(corpus, "obs", init, nSymbols = 4, iters = 10)
+    assert(math.exp(fit.a(0)(0)) > 0.7 && math.exp(fit.a(1)(1)) > 0.7)
+  }
+
+  test("decodeWithDelta exposes the Viterbi max-path probability; save/load round-trips") {
+    val obs = genSeq(5, 12).map(_._2)
+    val (delta, path) = model.decodeWithDelta(obs)
+    assert(path == model.decode(obs))
+    assert(delta > 0 && delta <= 1.0)
+    assert(math.log(delta) <= model.logLikelihood(obs) + 1e-9) // max path ≤ total
+    val tmp = java.nio.file.Files.createTempDirectory("hmm").resolve("m.json")
+    HMM.save(model, tmp.toString)
+    val re = HMM.load(tmp.toString)
+    // JSON stores probability space: log∘exp costs ulps, not structure
+    val (delta2, path2) = re.decodeWithDelta(obs)
+    assert(path2 == path && math.abs(delta2 - delta) < 1e-12)
+    assert(math.abs(re.logLikelihood(obs) - model.logLikelihood(obs)) < 1e-9)
+  }
+
+  test("predictSteps draws a reproducible walk over valid symbols") {
+    val w1 = HMM.predictSteps(model, 20, seed = 7)
+    val w2 = HMM.predictSteps(model, 20, seed = 7)
+    assert(w1 == w2 && w1.size == 20 && w1.forall(s => s >= 0 && s < 4))
+    assert(HMM.predictSteps(model, 20, seed = 8) != w1)
+  }
 }

@@ -901,6 +901,60 @@ class TuktuCompatSpec extends SparkSpec {
     assert(rowsNm.toSeq == Seq((0.0, 10L), (1.0, 20L), (2.0, 30L))) // b untouched
     graft.ml.ModelRegistry.destroy("norm_compat")
 
+    // hmm lifecycle: Baum-Welch train from priors → Viterbi decode struct →
+    // seeded predict → serialize/deserialize round-trip
+    val seqs = (0 until 8).map { i =>
+      val syms = (0 until 30).map(t => if ((t / 10) % 2 == 0) (i + t) % 2 else 2 + (i + t) % 2)
+      s"""{"obs": [${syms.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    val hmmTmp = Files.createTempDirectory("hmmcompat").toString
+    val hmmFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": $seqs}, "next": ["train"]} ],
+      "processors": [
+        {"id": "train", "name": "tuktu.ml.processors.hmm.HMMTrainProcessor",
+         "result": "", "config": {"model_name": "hmm_compat",
+           "observations_field": "obs", "num_hidden": 2, "num_observable": 4,
+           "priors": {"start": [0.5, 0.5],
+             "transitions": [[0.7, 0.3], [0.3, 0.7]],
+             "emissions": [[0.4, 0.4, 0.1, 0.1], [0.1, 0.1, 0.4, 0.4]]}},
+         "next": ["ser"]},
+        {"id": "ser", "name": "tuktu.ml.processors.MLSerializeProcessor", "result": "",
+         "config": {"model_name": "hmm_compat", "file_name": "$hmmTmp/hmm.json"},
+         "next": ["dec"]},
+        {"id": "dec", "name": "tuktu.ml.processors.hmm.HMMApplyDecodeProcessor",
+         "result": "viterbi",
+         "config": {"model_name": "hmm_compat", "observations_field": "obs"},
+         "next": ["pred"]},
+        {"id": "pred", "name": "tuktu.ml.processors.hmm.HMMApplyPredictProcessor",
+         "result": "walk", "config": {"model_name": "hmm_compat", "steps": 5},
+         "next": []} ] }"""
+    val hmmOut = graft.engine.Flow.runSingle(spark, hmmFlow)
+    val first = hmmOut.head
+    val vit = first.getAs[org.apache.spark.sql.Row]("viterbi")
+    assert(vit.getAs[Double]("delta") > 0.0)
+    assert(vit.getSeq[Int](1).size == 30) // one state per observation
+    assert(first.getSeq[Int](first.fieldIndex("walk")).size == 5)
+    // reload under a new name: decode agrees with the trained model
+    val reloadFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": $seqs}, "next": ["des"]} ],
+      "processors": [
+        {"id": "des", "name": "tuktu.ml.processors.hmm.HMMDeserializeProcessor",
+         "result": "", "config": {"model_name": "hmm_reloaded",
+           "file_name": "$hmmTmp/hmm.json"}, "next": ["dec"]},
+        {"id": "dec", "name": "tuktu.ml.processors.hmm.HMMApplyDecodeProcessor",
+         "result": "viterbi",
+         "config": {"model_name": "hmm_reloaded", "observations_field": "obs"},
+         "next": []} ] }"""
+    val reSeq = graft.engine.Flow.runSingle(spark, reloadFlow)
+      .select(col("viterbi.sequence")).collect().map(_.getSeq[Int](0)).toSeq
+    val origSeq = hmmOut.select(col("viterbi.sequence")).collect()
+      .map(_.getSeq[Int](0)).toSeq
+    assert(reSeq == origSeq)
+    graft.ml.ModelRegistry.destroy("hmm_compat")
+    graft.ml.ModelRegistry.destroy("hmm_reloaded")
+
     // fpgrowth: packet becomes one row per frequent itemset (absolute support)
     val fp = Flow.runSingle(spark, listFlow(
       """[{"items": [1, 2]}, {"items": [1, 2, 3]}, {"items": [1, 4]}]""",
