@@ -1219,6 +1219,107 @@ object TuktuCompat {
             graft.ml.HMM.load(str(c, "file_name").get), "observations"))
         df
 
+      // ref: timeseries/ARIMA.scala:15/:75/:93 — the q = 0 slice only:
+      // AR by exact OLS on the lag-d-differenced series (the reference's
+      // own Autoregression path for p > 0, q = 0); q > 0 needs its
+      // CSS/BOBYQA optimizer and is rejected with guidance. Train folds
+      // the packet like the reference's per-datum loop: the LAST datum's
+      // series (layout order) yields the packet's model.
+      case "tuktu.ml.processors.timeseries.ARIMATrainProcessor" =>
+        require(c.get("q").asInt == 0, "ARIMATrainProcessor: only q = 0 " +
+          "(ARI) is supported — moving-average terms need the reference's " +
+          "CSS/BOBYQA optimizer; use p/d with q = 0")
+        val p = c.get("p").asInt
+        val d = c.get("d").asInt
+        val obsF = str(c, "data_field").get
+        val intercept = Option(c.get("include_intercept")).forall(_.asBoolean)
+        val tag = uniq("__ord")
+        val last = Ops.indexByLayout(df, tag).orderBy(col(tag).desc)
+          .select(col(obsF).cast(ArrayType(DoubleType))).head.getSeq[Double](0)
+        val (c0, phi) = graft.ml.TimeSeries.arFitSeries(
+          graft.ml.TimeSeries.lagDifference(last, d).drop(d).toSeq, p, intercept)
+        graft.ml.ModelRegistry.put(str(c, "model_name").get,
+          new graft.ml.AriTransformer(graft.ml.AriModel(c0, phi, d), obsF))
+        df
+      // ref: ARIMA.scala:75 — {model_name, data_field, n_future}: the
+      // forecast vector (ts.length + n_future values, reference shape)
+      case "tuktu.ml.processors.timeseries.ARIMAApplyProcessor" =>
+        val t = graft.ml.ModelRegistry.get(str(c, "model_name").get) match {
+          case Some(a: graft.ml.AriTransformer) => a
+          case Some(other) => throw new IllegalArgumentException(
+            s"model '${str(c, "model_name").get}' is ${other.getClass.getSimpleName}, not an ARI model")
+          case None => throw new IllegalArgumentException(
+            s"no model '${str(c, "model_name").get}' in the registry")
+        }
+        df.withColumn(node.result,
+          t.forecastColumn(col(str(c, "data_field").get), c.get("n_future").asInt))
+      case "tuktu.ml.processors.timeseries.ARIMADeserializeProcessor" =>
+        graft.ml.ModelRegistry.put(str(c, "model_name").get,
+          new graft.ml.AriTransformer(
+            graft.ml.TimeSeries.loadAri(str(c, "file_name").get), "series"))
+        df
+
+      // ref: timeseries/ChangePointProcessor.scala:18 — {key, timestamp_
+      // field, value_field, min_change, min_ratio, min_z_score,
+      // inactive_threshold, window_size}: per key, bucket rows by
+      // timestamp, mean the value per bucket, run the hydra change-point
+      // scan over the bucket means, and emit one row per bucket (its head
+      // datum) with {size, type} under the result when that index is a
+      // change point (null otherwise — the reference removes the field).
+      // One shuffle on the key; each group is a per-key series, the same
+      // bounded-state judgement as the HMM/keyed-window paths. Thresholds
+      // must be literals (the reference evaluates arithmetic expressions
+      // per group — aggregate-threshold configs are rejected clearly).
+      case "tuktu.ml.processors.timeseries.ChangePointProcessor" =>
+        import org.apache.spark.sql.{Encoders, Row}
+        def num(k: String): Double = {
+          val raw = str(c, k).get
+          try raw.toDouble catch {
+            case _: NumberFormatException => throw new IllegalArgumentException(
+              s"ChangePointProcessor: $k must be a numeric literal (got '$raw'); " +
+                "per-group arithmetic thresholds are not supported")
+          }
+        }
+        val (minChange, minRatio, minZ, inactive, winSize) =
+          (num("min_change"), num("min_ratio"), num("min_z_score"),
+            num("inactive_threshold"), num("window_size").toInt)
+        val keyCols = strs(c, "key")
+        val tsF = str(c, "timestamp_field").get
+        val vF = str(c, "value_field").get
+        val outSchema = df.schema.add(node.result, StructType(Seq(
+          StructField("size", DoubleType), StructField("type", StringType))))
+        val tsIdx = df.schema.fieldIndex(tsF)
+        val vIdx = df.schema.fieldIndex(vF)
+        df.groupByKey(r => keyCols.map(k => String.valueOf(r.getAs[Any](k)))
+            .mkString(" "))(Encoders.STRING)
+          .flatMapGroups { (_: String, it: Iterator[Row]) =>
+            val rows = it.toSeq
+            // bucket rows by timestamp, sorted with the reference's
+            // type dispatch (longs and dates numerically, else as strings)
+            val buckets = rows.groupBy(_.get(tsIdx)).toSeq.sortWith { (a, b) =>
+              (a._1, b._1) match {
+                case (x: java.lang.Long, y: java.lang.Long) => x < y
+                case (x: java.sql.Timestamp, y: java.sql.Timestamp) => x.before(y)
+                case (x: java.util.Date, y: java.util.Date) => x.before(y)
+                case (x, y) => String.valueOf(x) < String.valueOf(y)
+              }
+            }
+            def toD(v: Any): Double = v match {
+              case n: Number => n.doubleValue()
+              case other => other.toString.toDouble
+            }
+            val series = buckets.map(b => b._2.map(r => toD(r.get(vIdx))).sum / b._2.size)
+            val cps =
+              if (series.size > winSize)
+                graft.ml.ChangePoints
+                  .find(series, minChange, minRatio, minZ, inactive, winSize)
+              else Map.empty[Int, (Double, String)]
+            buckets.zipWithIndex.iterator.map { case ((_, rs), idx) =>
+              val cp = cps.get(idx).map { case (sz, tp) => Row(sz, tp) }.orNull
+              Row.fromSeq(rs.head.toSeq :+ cp)
+            }
+          }(Encoders.row(outSchema))
+
       // ref: BaseMLProcessor.scala:130/180/239 — serialize/deserialize/
       // destroy are algorithm-independent against the registry (the
       // serialized format is spark.ml MLWritable, the durable path)

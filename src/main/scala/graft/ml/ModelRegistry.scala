@@ -40,6 +40,7 @@ object ModelRegistry {
       throw new IllegalArgumentException(s"no model '$name' in registry")) match {
       case w: MLWritable => w.write.overwrite().save(path)
       case h: HmmTransformer => HMM.save(h.model, path)
+      case a: AriTransformer => TimeSeries.saveAri(a.model, path)
       case other => throw new IllegalArgumentException(
         s"model '$name' (${other.getClass.getSimpleName}) is not MLWritable")
     }

@@ -93,4 +93,183 @@ object TimeSeries {
         })
       .drop("coef")
   }
+
+  // --------------- per-series ARI(p, d): the reference ARIMA's q = 0 slice
+  // (ref modules/ml/app/tuktu/ml/models/timeseries/ARIMA.scala — the q = 0
+  // path fits AR by exact OLS on the lag-d-differenced series via
+  // Autoregression.scala:45; q > 0 needs the CSS/BOBYQA optimizer).
+
+  /** Lag-`order` difference, size-preserving (ARIMA.scala:163: elements
+    * before `order` copy over unchanged; the reference differences by lag
+    * d ONCE, not d-fold first differencing — mirrored). */
+  def lagDifference(ts: Seq[Double], order: Int): Array[Double] =
+    if (order == 0) ts.toArray
+    else ts.indices.map(i => if (i < order) ts(i) else ts(i) - ts(i - order)).toArray
+
+  /** Inverse lag difference (ARIMA.scala:188). */
+  def lagInvDifference(ts: Seq[Double], order: Int): Array[Double] =
+    if (order == 0) ts.toArray
+    else {
+      val out = new Array[Double](ts.length)
+      for (i <- ts.indices) out(i) = if (i < order) ts(i) else ts(i) + out(i - order)
+      out
+    }
+
+  /** OLS AR(p) + optional intercept on ONE series (AutoRegression.scala:45
+    * via the same normal equations/gaussSolve as the distributed arFit).
+    * `intercept = false` fits WITHOUT the constant — the reference always
+    * fits one and then misindexes `coefficients(intercept + j)` when the
+    * intercept is disabled (ARIMA.scala:305 reads c as φ₁), which is a bug
+    * not worth reproducing. Returns (c, φ). */
+  def arFitSeries(ts: Seq[Double], p: Int, intercept: Boolean = true): (Double, Array[Double]) = {
+    val n = ts.length
+    require(n > p, s"series of $n values cannot fit AR($p)")
+    val ic = if (intercept) 1 else 0
+    val dim = p + ic
+    if (dim == 0) return (0.0, Array.empty)
+    def x(t: Int, k: Int): Double = // k-th regressor at time t
+      if (intercept && k == 0) 1.0 else ts(t - (k - ic) - 1)
+    val a = Array.ofDim[Double](dim * dim)
+    val b = new Array[Double](dim)
+    for (t <- p until n; i <- 0 until dim) {
+      b(i) += x(t, i) * ts(t)
+      for (j <- 0 until dim) a(i * dim + j) += x(t, i) * x(t, j)
+    }
+    val sol = gaussSolve(a.toSeq, b.toSeq, dim)
+    if (intercept) (sol.head, sol.tail.toArray) else (0.0, sol.toArray)
+  }
+
+  /** Reference-shaped ARI forecast (ARIMA.scala:404 with q = 0): returns
+    * `ts.length + h` values — the leading d raw values, the first p
+    * diffed seeds, the 1-step-ahead fitted values, then h recursive
+    * forecasts (seeded from the last p FITTED values, like the
+    * reference's `forward := hist` copy) — all inverse-differenced. */
+  def ariForecast(ts: Seq[Double], c: Double, phi: Array[Double], d: Int,
+                  h: Int): Array[Double] = {
+    val p = phi.length
+    val diffed = lagDifference(ts, d).drop(d)
+    val nD = diffed.length
+    require(nD >= p, s"series too short: ${ts.length} values for ARI($p, $d)")
+    def step(hist: Int => Double, i: Int): Double =
+      c + (0 until math.min(p, i)).map(j => phi(j) * hist(i - j - 1)).sum
+    val hist = new Array[Double](nD)
+    for (i <- p until nD) hist(i) = step(diffed(_), i)
+    val forward = new Array[Double](h + p)
+    for (i <- 0 until p) forward(i) = hist(nD - p + i)
+    for (i <- p until h + p) forward(i) = step(forward(_), i)
+    val results = new Array[Double](ts.length + h)
+    for (i <- 0 until d) results(i) = ts(i)
+    for (i <- 0 until p) results(d + i) = diffed(i)
+    for (i <- p until nD) results(d + i) = hist(i)
+    for (i <- 0 until h) results(nD + d + i) = forward(p + i)
+    lagInvDifference(results.toSeq, d)
+  }
+
+  /** JSON persistence for ARI parameters. */
+  def saveAri(model: AriModel, path: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      s"""{"c":${model.c},"phi":${model.phi.mkString("[", ",", "]")},"d":${model.d}}"""
+        .getBytes("UTF-8"))
+
+  def loadAri(path: String): AriModel = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    import scala.jdk.CollectionConverters._
+    AriModel(root.get("c").asDouble,
+      root.get("phi").elements().asScala.map(_.asDouble).toArray, root.get("d").asInt)
+  }
+}
+
+/**
+ * Change-point detection over one series — the hydra FindChangePoints
+ * algorithm (public, Apache-2: github.com/addthis/hydra FindChangePoints;
+ * the reference ships the same algorithm, ChangePointDetection.scala:19).
+ * Faithfully mirrored quirks: `sd` is the UNNORMALIZED sqrt of the residual
+ * sum, floored at 1e-4; peak detection runs first and SMOOTHS the peaks out
+ * of the series before the rise/fall scan; the change ratio divides by
+ * max(predicted, 1).
+ */
+object ChangePoints {
+  /** (index → (size, type)) with type ∈ RISE/FALL/START/STOP/PEAK. */
+  def find(series: Seq[Double], minChange: Double, minRatio: Double,
+           minZScore: Double, inactiveThreshold: Double,
+           windowSize: Int): Map[Int, (Double, String)] = {
+    val data = series.toArray
+    val out = collection.mutable.Map.empty[Int, (Double, String)]
+    def mean(xs: Array[Double]): Double = xs.sum / xs.length
+    def sd(xs: Array[Double]): Double = {
+      val m = mean(xs)
+      math.max(math.sqrt(xs.map(z => (m - z) * (m - z)).sum), 1e-4)
+    }
+    // pass 1: peaks — and smooth each one away before the trend scan
+    for (i <- data.indices) {
+      val lo = math.max(0, i - windowSize)
+      val hi = math.min(i + windowSize, data.length)
+      val neighborhood = data.slice(lo, hi)
+      val without = data.slice(lo, i) ++ data.slice(i + 1, hi)
+      if (without.nonEmpty && sd(neighborhood) > minZScore * sd(without)) {
+        val change = data(i) - mean(without)
+        if (math.abs(change) > minChange) {
+          out(i) = (change, "PEAK")
+          data(i) = mean(without)
+        }
+      }
+    }
+    // pass 2: sustained changes vs a linear prediction from the window
+    def predictNext(w: Array[Double]): Double = {
+      val n = w.length
+      val meanx = 0.5 * (n - 1.0)
+      val meanxy = w.indices.map(i => i * w(i)).sum / n.toDouble
+      val meanxx = w.indices.map(i => i.toDouble * i).sum / n.toDouble
+      val slope = (meanxy - meanx * mean(w)) / (meanxx - meanx * meanx)
+      val intercept = mean(w) - slope * meanx
+      slope * n + intercept
+    }
+    for (i <- 2 until data.length) {
+      val start = math.max(i - windowSize + 1, 0)
+      val w = data.slice(start, i)
+      val next = data(i)
+      val predicted = predictNext(w)
+      val diff = next - predicted
+      val z = diff / sd(w)
+      val ratio = -1 + next / math.max(predicted, 1.0)
+      // the reference concatenates peaks before trend points and the
+      // processor takes the FIRST hit per index — a PEAK keeps priority
+      if (!out.contains(i) && math.abs(z) > minZScore &&
+          math.abs(diff) > minChange && math.abs(ratio) > minRatio) {
+        val before = mean(w)
+        val tp =
+          if (before > next) { if (next > inactiveThreshold) "FALL" else "STOP" }
+          else { if (before < inactiveThreshold) "START" else "RISE" }
+        out(i) = (diff, tp)
+      }
+    }
+    out.toMap
+  }
+}
+
+final case class AriModel(c: Double, phi: Array[Double], d: Int)
+
+/** Registry adapter for ARI models: `transform` appends the reference-
+  * shaped forecast (`<prefix>_forecast`, ts.length + h values) for the
+  * configured series column. */
+class AriTransformer(val model: AriModel, val obsCol: String,
+                     val nFuture: Int = 1, val prefix: String = "ari")
+    extends org.apache.spark.ml.Transformer {
+  import org.apache.spark.sql.functions.{col => fcol, udf}
+  override val uid: String =
+    org.apache.spark.ml.util.Identifiable.randomUID("ari")
+  /** Forecast column for an array<double> series. */
+  def forecastColumn(obs: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column = {
+    val m = model
+    udf((ts: Seq[Double]) =>
+      if (ts == null) null else TimeSeries.ariForecast(ts, m.c, m.phi, m.d, h))
+      .apply(obs.cast(ArrayType(DoubleType)))
+  }
+  override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame =
+    ds.toDF().withColumn(s"${prefix}_forecast", forecastColumn(fcol(obsCol), nFuture))
+  override def transformSchema(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    schema.add(s"${prefix}_forecast", ArrayType(DoubleType))
+  override def copy(extra: org.apache.spark.ml.param.ParamMap): AriTransformer = this
 }

@@ -62,4 +62,50 @@ class TimeSeriesSpec extends SparkSpec {
     val sing = TimeSeries.gaussSolve(Seq(1.0, 2.0, 2.0, 4.0), Seq(1.0, 2.0), 2)
     assert(sing.forall(_.isNaN))
   }
+
+  test("arFitSeries recovers a planted AR(1) with drift") {
+    val rnd = new scala.util.Random(11)
+    val ts = Iterator.iterate(10.0)(y => 2.0 + 0.5 * y + rnd.nextGaussian() * 0.1)
+      .take(200).toSeq
+    val (c, phi) = TimeSeries.arFitSeries(ts, p = 1)
+    assert(math.abs(c - 2.0) < 0.3, s"c = $c")
+    assert(math.abs(phi(0) - 0.5) < 0.1, s"phi = ${phi.toSeq}")
+  }
+
+  test("lag difference round-trips and ariForecast continues a linear trend exactly") {
+    val ts = (1 to 10).map(_ * 3.0)
+    val diffed = TimeSeries.lagDifference(ts, 1)
+    assert(diffed.toSeq == 3.0 +: Seq.fill(9)(3.0))
+    val back = TimeSeries.lagInvDifference(diffed.toSeq, 1)
+    assert(back.zip(ts).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // p = 0, d = 1, intercept: c = mean of the diffs = 3 exactly; the
+    // reference-shaped forecast reconstructs the trend and extends it
+    val (c, phi) = TimeSeries.arFitSeries(diffed.drop(1).toSeq, p = 0)
+    assert(c == 3.0 && phi.isEmpty)
+    val fc = TimeSeries.ariForecast(ts, c, phi, d = 1, h = 2)
+    assert(fc.toSeq == (1 to 12).map(_ * 3.0))
+  }
+
+  test("ChangePoints classifies step-ups, shutdowns, and lone spikes") {
+    import graft.ml.ChangePoints
+    // sustained step 10 → 100: one RISE where the step lands
+    val rise = ChangePoints.find(Seq.fill(6)(10.0) ++ Seq.fill(6)(100.0),
+      minChange = 20, minRatio = 0.5, minZScore = 3, inactiveThreshold = 1,
+      windowSize = 4)
+    assert(rise.contains(6), s"got $rise")
+    assert(rise(6)._2 == "RISE" && math.abs(rise(6)._1 - 90.0) < 1e-6)
+    assert(!rise.values.exists(_._2 == "PEAK"))
+    // sustained drop 100 → 0 with threshold 1: STOP (inactive after)
+    val stop = ChangePoints.find(Seq.fill(6)(100.0) ++ Seq.fill(6)(0.0),
+      minChange = 20, minRatio = 0.5, minZScore = 3, inactiveThreshold = 1,
+      windowSize = 4)
+    assert(stop.exists(_._2._2 == "STOP"), s"got $stop")
+    // lone spike: PEAK at its index, smoothed away before the trend scan
+    val spike = ChangePoints.find(
+      Seq(10.0, 10, 10, 10, 100, 10, 10, 10, 10),
+      minChange = 20, minRatio = 0.5, minZScore = 3, inactiveThreshold = 1,
+      windowSize = 4)
+    assert(spike.keySet == Set(4), s"got $spike")
+    assert(spike(4)._2 == "PEAK" && spike(4)._1 > 80)
+  }
 }

@@ -955,6 +955,76 @@ class TuktuCompatSpec extends SparkSpec {
     graft.ml.ModelRegistry.destroy("hmm_compat")
     graft.ml.ModelRegistry.destroy("hmm_reloaded")
 
+    // arima (q = 0 slice): train on the packet's last series, forecast
+    // extends a linear trend exactly; q > 0 rejects with guidance
+    val trend = (1 to 10).map(_ * 3.0).mkString("[", ",", "]")
+    val ariTmp = Files.createTempDirectory("aricompat").toString
+    val ariFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [{"series": $trend}]},
+         "next": ["train"]} ],
+      "processors": [
+        {"id": "train", "name": "tuktu.ml.processors.timeseries.ARIMATrainProcessor",
+         "result": "", "config": {"model_name": "ari_compat", "data_field": "series",
+           "p": 0, "d": 1, "q": 0}, "next": ["ser"]},
+        {"id": "ser", "name": "tuktu.ml.processors.MLSerializeProcessor", "result": "",
+         "config": {"model_name": "ari_compat", "file_name": "$ariTmp/ari.json"},
+         "next": ["apply"]},
+        {"id": "apply", "name": "tuktu.ml.processors.timeseries.ARIMAApplyProcessor",
+         "result": "forecast",
+         "config": {"model_name": "ari_compat", "data_field": "series", "n_future": 2},
+         "next": []} ] }"""
+    val fc = graft.engine.Flow.runSingle(spark, ariFlow).head
+      .getSeq[Double](1)
+    assert(fc == (1 to 12).map(_ * 3.0))
+    // reload and apply under a new name: identical forecast
+    val ariReload = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [{"series": $trend}]},
+         "next": ["des"]} ],
+      "processors": [
+        {"id": "des", "name": "tuktu.ml.processors.timeseries.ARIMADeserializeProcessor",
+         "result": "", "config": {"model_name": "ari_reloaded",
+           "file_name": "$ariTmp/ari.json"}, "next": ["apply"]},
+        {"id": "apply", "name": "tuktu.ml.processors.timeseries.ARIMAApplyProcessor",
+         "result": "forecast",
+         "config": {"model_name": "ari_reloaded", "data_field": "series", "n_future": 2},
+         "next": []} ] }"""
+    assert(graft.engine.Flow.runSingle(spark, ariReload).head.getSeq[Double](1) == fc)
+    val qErr = intercept[Exception] {
+      graft.engine.Flow.runSingle(spark, ariFlow.replace(""""q": 0""", """"q": 1"""))
+        .collect()
+    }
+    assert(qErr.getMessage.contains("q = 0"))
+    graft.ml.ModelRegistry.destroy("ari_compat")
+    graft.ml.ModelRegistry.destroy("ari_reloaded")
+
+    // changepoint: per-key timestamp-bucket means, hydra scan; one row per
+    // bucket with {size, type} only where a change point landed
+    val cpRows = (
+      (0 until 6).map(t => s"""{"k": "a", "t": $t, "v": 10}""") ++
+      (6 until 12).map(t => s"""{"k": "a", "t": $t, "v": 100}""") ++
+      // duplicate timestamp bucket: values 8 and 12 mean to 10
+      Seq("""{"k": "b", "t": 0, "v": 8}""", """{"k": "b", "t": 0, "v": 12}""") ++
+      (1 until 12).map(t => s"""{"k": "b", "t": $t, "v": 10}""")
+    ).mkString("[", ",", "]")
+    val cpFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": $cpRows}, "next": ["cp"]} ],
+      "processors": [
+        {"id": "cp", "name": "tuktu.ml.processors.timeseries.ChangePointProcessor",
+         "result": "change",
+         "config": {"key": ["k"], "timestamp_field": "t", "value_field": "v",
+           "min_change": "20", "min_ratio": "0.5", "min_z_score": "3",
+           "inactive_threshold": "1", "window_size": "4"},
+         "next": []} ] }"""
+    val cpOut = Flow.runSingle(spark, cpFlow)
+    assert(cpOut.count() == 24) // one row per (key, timestamp) bucket
+    val hits = cpOut.filter(col("change").isNotNull)
+      .select(col("k"), col("t"), col("change.type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(hits.toSeq == Seq(("a", 6L, "RISE"))) // flat series b stays clean
+
     // fpgrowth: packet becomes one row per frequent itemset (absolute support)
     val fp = Flow.runSingle(spark, listFlow(
       """[{"items": [1, 2]}, {"items": [1, 2, 3]}, {"items": [1, 4]}]""",
