@@ -1291,7 +1291,7 @@ object TuktuCompat {
         val tsIdx = df.schema.fieldIndex(tsF)
         val vIdx = df.schema.fieldIndex(vF)
         df.groupByKey(r => keyCols.map(k => String.valueOf(r.getAs[Any](k)))
-            .mkString(" "))(Encoders.STRING)
+            .mkString("\t"))(Encoders.STRING)
           .flatMapGroups { (_: String, it: Iterator[Row]) =>
             val rows = it.toSeq
             // bucket rows by timestamp, sorted with the reference's
