@@ -208,6 +208,48 @@ object Flow {
   def interpolateVars(json: String, vars: Map[String, String]): String =
     vars.foldLeft(json) { case (acc, (k, v)) => acc.replace(s"#{$k}", v) }
 
+  /** Deep JSON merge, second argument wins; object pairs recurse
+    * (ref modules/api/app/tuktu/api/utils.scala mergeJson). */
+  private def deepMerge(a: JsonNode, b: JsonNode): JsonNode = {
+    def missing(n: JsonNode) = n == null || n.isMissingNode
+    if (!missing(a) && !missing(b) && a.isObject && b.isObject) {
+      val out = mapper.createObjectNode()
+      val keys = (a.properties().asScala.map(_.getKey) ++
+        b.properties().asScala.map(_.getKey)).toSeq.distinct
+      keys.foreach(k => out.set[JsonNode](k, deepMerge(a.get(k), b.get(k))))
+      out
+    } else if (missing(b)) a.deepCopy[JsonNode]() else b.deepCopy[JsonNode]()
+  }
+
+  /** Config overlay (ref modules/api/app/tuktu/api/utils.scala:564
+    * mergeConfig, tested by the reference's UtilsTest): merge `overwrite`
+    * into `base` — generators pairwise by INDEX (zipAll against empty
+    * objects), processors by ID — each pair deep-merged with the
+    * second-wins rule. The launch-time counterpart of [[interpolateVars]]
+    * for config-driven flow overrides. */
+  def mergeConfig(base: String, overwrite: String): String = {
+    val o = mapper.readTree(base)
+    val n = mapper.readTree(overwrite)
+    def items(root: JsonNode, k: String): Seq[JsonNode] =
+      Option(root.get(k)).map(_.elements().asScala.toSeq).getOrElse(Nil)
+    val empty = mapper.createObjectNode()
+    val gens = items(o, "generators").zipAll(items(n, "generators"), empty, empty)
+      .map { case (a, b) => deepMerge(a, b) }
+    def byId(xs: Seq[JsonNode]): Map[String, JsonNode] =
+      xs.groupBy(p => Option(p.get("id")).map(_.asText).getOrElse(""))
+        .view.mapValues(_.head).toMap
+    val (oldP, newP) = (byId(items(o, "processors")), byId(items(n, "processors")))
+    val ids = (items(o, "processors") ++ items(n, "processors"))
+      .map(p => Option(p.get("id")).map(_.asText).getOrElse("")).distinct
+    val root = mapper.createObjectNode()
+    val gArr = root.putArray("generators")
+    gens.foreach(gArr.add)
+    val pArr = root.putArray("processors")
+    ids.map(id => deepMerge(oldP.getOrElse(id, empty), newP.getOrElse(id, empty)))
+      .foreach(pArr.add)
+    root.toString
+  }
+
   /** Run a flow; returns the DataFrame of each terminal node (no `next`). */
   def run(spark: SparkSession, json: String, vars: Map[String, String]): Map[String, DataFrame] =
     run(spark, interpolateVars(json, vars))

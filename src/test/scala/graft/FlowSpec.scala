@@ -206,4 +206,44 @@ class FlowSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Flow.runSingle(spark, flow).collect())
     assert(e.getMessage.contains("unknown processor"))
   }
+
+  test("mergeConfig overlays generators by index, processors by id (UtilsTest cases)") {
+    // compare parsed nodes — key order is irrelevant, like the reference's
+    // unordered inspectJsValue compares
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    def gens(json: String) =
+      mapper.readTree(json).get("generators").elements().asScala.toSeq
+    def procs(json: String) =
+      mapper.readTree(json).get("processors").elements().asScala.toSet
+    def node(json: String) = mapper.readTree(json)
+    val base = """{"generators": [{"a": 1}, {"a": 2}], "processors": []}"""
+    // overlay element 0 only
+    assert(gens(Flow.mergeConfig(base,
+      """{"generators": [{"a": 3}], "processors": []}""")) ==
+      Seq(node("""{"a":3}"""), node("""{"a":2}""")))
+    // skip element 0 with an empty object, overlay element 1
+    assert(gens(Flow.mergeConfig(base,
+      """{"generators": [{}, {"a": 3}], "processors": []}""")) ==
+      Seq(node("""{"a":1}"""), node("""{"a":3}""")))
+    // longer overlay appends
+    assert(gens(Flow.mergeConfig(base,
+      """{"generators": [{}, {}, {"a": 3}], "processors": []}""")) ==
+      Seq(node("""{"a":1}"""), node("""{"a":2}"""), node("""{"a":3}""")))
+    // processors: id "a" overwritten, id "b" kept, new id "c" appended
+    val pBase = """{"generators": [],
+      "processors": [{"id": "b", "b": "b"}, {"id": "a", "b": "a"}]}"""
+    assert(procs(Flow.mergeConfig(pBase,
+      """{"generators": [], "processors": [{"id": "a", "b": "c"}]}""")) ==
+      Set(node("""{"id":"b","b":"b"}"""), node("""{"id":"a","b":"c"}""")))
+    assert(procs(Flow.mergeConfig(pBase,
+      """{"generators": [], "processors": [{"id": "c", "b": "c"}]}""")) ==
+      Set(node("""{"id":"b","b":"b"}"""), node("""{"id":"a","b":"a"}"""),
+        node("""{"id":"c","b":"c"}""")))
+    // deep merge inside a processor: config objects recurse, second wins
+    assert(procs(Flow.mergeConfig(
+      """{"generators": [], "processors": [{"id": "p", "config": {"x": 1, "y": 2}}]}""",
+      """{"generators": [], "processors": [{"id": "p", "config": {"y": 9}}]}""")) ==
+      Set(node("""{"id":"p","config":{"x":1,"y":9}}""")))
+  }
 }
