@@ -157,6 +157,7 @@ object HMM {
     val seqs = df.select(col(obsCol).cast(
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType)))
       .filter(col(obsCol).isNotNull)
+    if (seqs.isEmpty) return model // reference: empty observations → unchanged
     val (piA, aA, bA) = seqs.rdd.mapPartitions { it =>
       val piAcc = new Array[Double](n)
       val aAcc = Array.ofDim[Double](n, n)

@@ -85,6 +85,13 @@ class HMMSpec extends SparkSpec {
     assert(math.abs(re.logLikelihood(obs) - model.logLikelihood(obs)) < 1e-9)
   }
 
+  test("Baum-Welch on an empty corpus returns the model unchanged") {
+    val empty = Seq.empty[Tuple1[Seq[Int]]].toDF("obs")
+    val init = HMM.uniformModel(2, 4)
+    val out = HMM.baumWelchStep(empty, "obs", init, 4)
+    assert(out.pi.toSeq == init.pi.toSeq && out.a.map(_.toSeq).toSeq == init.a.map(_.toSeq).toSeq)
+  }
+
   test("predictSteps draws a reproducible walk over valid symbols") {
     val w1 = HMM.predictSteps(model, 20, seed = 7)
     val w2 = HMM.predictSteps(model, 20, seed = 7)
