@@ -1411,6 +1411,44 @@ object TuktuCompat {
           .select(col("items").as(node.result + "_items"),
             col("freq").as(node.result + "_support"))
 
+      // ref: modules/dlib/app/tuktu/dlib/processors/xsltProcessor.scala:29
+      // — {xsl (stylesheet path/URL), xml (field), encodings?}
+      case "tuktu.dlib.processors.XSLTProcessor" =>
+        val xsl = graft.operators.Xslt.load(df.sparkSession, str(c, "xsl").get,
+          str(c, "encodings").getOrElse("UTF-8"))
+        df.withColumn(node.result,
+          graft.operators.Xslt.transformColumn(col(str(c, "xml").get), xsl))
+
+      // ref: modules/dlib/.../mapMergerProcessor.scala:17 — {map1, map2,
+      // priority?}: "map1"/"map2" SHALLOW-merge two struct fields. Note the
+      // reference's `complete(m1, m2) = m1 ++ m2` makes the OTHER side win
+      // on conflicts (Play's ++ overwrites left with right) — mirrored
+      // verbatim. The priority-less combine mode produces value-dependent
+      // output types per datum (scalar, concatenated array, or pair array)
+      // — impossible under a static schema, rejected like ListJsonFetcher.
+      case "tuktu.dlib.processors.MapMergerProcessor" =>
+        val (a, b) = (str(c, "map1").get, str(c, "map2").get)
+        def shallow(first: String, second: String): Column = {
+          val ft = df.schema(first).dataType.asInstanceOf[StructType]
+          val st = df.schema(second).dataType.asInstanceOf[StructType]
+          val names = (ft.map(_.name) ++ st.map(_.name)).distinct
+          struct(names.map { n =>
+            val inF = ft.exists(_.name == n)
+            val inS = st.exists(_.name == n)
+            (if (inF && inS) coalesce(col(s"$second.$n"), col(s"$first.$n"))
+             else if (inS) col(s"$second.$n")
+             else col(s"$first.$n")).as(n)
+          }: _*)
+        }
+        str(c, "priority") match {
+          case Some("map1") => df.withColumn(node.result, shallow(a, b)) // m1 ++ m2
+          case Some("map2") => df.withColumn(node.result, shallow(b, a)) // m2 ++ m1
+          case _ => throw new UnsupportedOperationException(
+            "MapMergerProcessor combine mode merges VALUE-dependent types per " +
+              "datum (scalar vs concatenated array); use priority map1/map2, " +
+              "or JSONMergerProcessor for deep second-wins merging")
+        }
+
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }
   }

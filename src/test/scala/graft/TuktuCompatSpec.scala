@@ -803,6 +803,50 @@ class TuktuCompatSpec extends SparkSpec {
     } finally graft.engine.TuktuCompat.configRepo = prev
   }
 
+  test("dlib FQCNs: XSLT transformation and struct map merging") {
+    // XSLT: extract a nested element's text via a real JAXP stylesheet
+    val dir = Files.createTempDirectory("xslt")
+    Files.writeString(dir.resolve("pick.xsl"),
+      """<?xml version="1.0"?>
+        |<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+        |  <xsl:output method="text"/>
+        |  <xsl:template match="/">name=<xsl:value-of select="/rec/name"/></xsl:template>
+        |</xsl:stylesheet>""".stripMargin)
+    val xsltFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"doc": "<rec><name>alpha</name><v>1</v></rec>"},
+          {"doc": "<rec><name>beta</name></rec>"}
+        ]}, "next": ["x"]} ],
+      "processors": [
+        {"id": "x", "name": "tuktu.dlib.processors.XSLTProcessor",
+         "result": "text", "config": {"xsl": "${dir.resolve("pick.xsl")}", "xml": "doc"},
+         "next": []} ] }"""
+    val xs = Flow.runSingle(spark, xsltFlow).select("text").as[String]
+      .collect().toSet
+    assert(xs == Set("name=alpha", "name=beta"))
+
+    // MapMerger: priority map1 = reference's m1 ++ m2 (the second wins)
+    def mergeFlow(priority: String) = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"m1": {"a": 1, "b": 2}, "m2": {"b": 9, "c": 3}}
+        ]}, "next": ["mm"]} ],
+      "processors": [
+        {"id": "mm", "name": "tuktu.dlib.processors.MapMergerProcessor",
+         "result": "merged",
+         "config": {"map1": "m1", "map2": "m2", "priority": "$priority"},
+         "next": []} ] }"""
+    val r1 = Flow.runSingle(spark, mergeFlow("map1")).select("merged.*").head
+    assert((r1.getAs[Long]("a"), r1.getAs[Long]("b"), r1.getAs[Long]("c")) == (1L, 9L, 3L))
+    val r2 = Flow.runSingle(spark, mergeFlow("map2")).select("merged.*").head
+    assert((r2.getAs[Long]("a"), r2.getAs[Long]("b"), r2.getAs[Long]("c")) == (1L, 2L, 3L))
+    val comb = intercept[UnsupportedOperationException] {
+      Flow.runSingle(spark, mergeFlow("map1").replace(""", "priority": "map1"""", ""))
+    }
+    assert(comb.getMessage.contains("combine"))
+  }
+
   test("tuktu.ml FQCNs: train → apply, then serialize/destroy/deserialize lifecycle") {
     val tmp = Files.createTempDirectory("mlcompat").toString
     val rows = (1 to 20).map { i =>
