@@ -122,6 +122,19 @@ object TuktuCompat {
         val predef = strs(c, "predef_headers")
         if (predef.nonEmpty) base.toDF(predef: _*) else base
 
+      // ref: modules/nosql/app/tuktu/nosql/generators/sql.scala:11 —
+      // {url, user, password, driver, query, flatten?}: one result row per
+      // DB row. The JDBC driver class self-registers from the classpath
+      // (DriverManager), like the reference's Class.forName; the query
+      // reads as a dbtable subquery so predicates can still push down.
+      case "tuktu.nosql.generators.SQLGenerator" =>
+        spark.read.format("jdbc")
+          .option("url", str(c, "url").get)
+          .option("user", str(c, "user").getOrElse(""))
+          .option("password", str(c, "password").getOrElse(""))
+          .option("dbtable", s"(${str(c, "query").get}) AS q0")
+          .load()
+
       case other => throw new IllegalArgumentException(s"unsupported compat generator: $other")
     }
   }

@@ -32,4 +32,19 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() == 100)
     assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0) == 5050L)
   }
+
+  test("SQLGenerator FQCN runs a query config against the database") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    Sinks.jdbc(df, url, "t_gen", mode = "overwrite")
+    val flow = s"""
+    { "generators": [
+        {"id": "g", "name": "tuktu.nosql.generators.SQLGenerator",
+         "config": {"url": "$url", "user": "", "password": "",
+           "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+           "query": "SELECT \\"id\\", \\"v\\" FROM t_gen WHERE \\"id\\" > 1"},
+         "next": []} ] }"""
+    val out = graft.engine.Flow.run(spark, flow).values.head
+      .orderBy("ID").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "y"), (3L, "z")))
+  }
 }
