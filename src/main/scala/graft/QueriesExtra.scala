@@ -314,6 +314,19 @@ object QueriesExtra {
         .select(col("n_nationkey"), col("n_name").as("name"))
         .orderBy("n_nationkey")
       Ops.zipMerge(Seq(a, b), pad = false).orderBy("c_custkey")
+    }),
+
+    // ---------------- §2.6 PaddingMerger — modulo-cycled positional zip:
+    // the short branch repeats over the long one, so the later branch's
+    // shared column wins at EVERY index
+    "zip_merge_pad" -> ((s, dir) => {
+      val a = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name").as("name"))
+        .orderBy("c_custkey")
+      val b = rd(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("name"))
+        .orderBy("n_nationkey")
+      Ops.zipMerge(Seq(a, b), pad = true).orderBy("c_custkey")
     }))
 
   val oracleSql: Seq[(String, String)] = Seq(
@@ -501,5 +514,17 @@ object QueriesExtra {
                n_nationkey, n_name AS name FROM nation)
          SELECT a.c_custkey, coalesce(b.name, a.name) AS name, b.n_nationkey
          FROM a LEFT JOIN b ON a.i = b.i
+         ORDER BY a.c_custkey""",
+    "zip_merge_pad" ->
+      // the short branch cycles modulo its own length, so every index
+      // pairs and the later branch's shared `name` always wins
+      """WITH a AS (SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS i,
+                    c_custkey, c_name AS name FROM customer),
+         b AS (SELECT row_number() OVER (ORDER BY n_nationkey) - 1 AS i,
+               n_nationkey, n_name AS name FROM nation),
+         n AS (SELECT count(*) AS cnt FROM b)
+         SELECT a.c_custkey, b.name AS name, b.n_nationkey
+         FROM a, n
+         JOIN b ON b.i = a.i % n.cnt
          ORDER BY a.c_custkey""")
 }
