@@ -563,6 +563,28 @@ object QueriesLLM {
       graft.operators.Multimodal.withByteMeta(d, "payload")
         .select("doc_id", "byte_len", "content_md5")
         .orderBy("doc_id")
+    }),
+
+    // ---------------- multimodal REAL image decode round-trip: a solid-colour
+    // PNG is encoded per doc (dims + colour are modular functions of doc_id),
+    // then decoded back with javax.imageio; the oracle recomputes the same
+    // formulas directly, so the codec path (encode → bytes → decode → pixel
+    // means) is what's under test. PNG is lossless → means are exact.
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          val rgb = (((id % 256) << 16) | (((id * 7) % 256) << 8) | ((id * 13) % 256)).toInt
+          (id, graft.operators.Multimodal.encodePng(w, h, rgb))
+        }
+      }.toDF("doc_id", "payload")
+      graft.operators.Multimodal.decodeImages(bin, "doc_id", "payload")(s)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
     }))
 
   /** Shared by decontaminate and decontaminate_bloom — the bloom semi-join
@@ -915,6 +937,14 @@ object QueriesLLM {
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
          md5(text) AS content_md5
+         FROM documents ORDER BY doc_id""",
+    "multimodal_decode" ->
+      """SELECT doc_id,
+         CAST(doc_id % 13 + 1 AS INT) AS width,
+         CAST(doc_id % 7 + 1 AS INT) AS height,
+         CAST(doc_id % 256 AS DOUBLE) AS mean_r,
+         CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+         CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
          FROM documents ORDER BY doc_id""",
     "decontaminate" -> decontaminateSql,
     // bloom pre-filter changes the plan, not the result set

@@ -1,5 +1,10 @@
 package graft.operators
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -8,10 +13,13 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video as opaque `binary` columns
  * with typed metadata, plus decode / feature-extract / frame-sample stages.
  *
- * The Spark-side plumbing (schema, partitioning, batch iteration) is real and
- * tested; the actual media decode is STUBBED (no image/audio libs in this
- * container) behind `decodeStub`, a deterministic fake that derives
- * "features" from the bytes — swap it for a real codec at deployment.
+ * The image decode is REAL: PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
+ * (no external dependency), producing width/height and per-channel pixel
+ * means. Audio metadata (sample rate / channels / duration) is likewise real
+ * for WAV/AU/AIFF via `javax.sound.sampled`. Video remains a chunk-level
+ * frame sampler (the JDK ships no video codec); payloads the JDK cannot
+ * decode fall back to deterministic byte-derived features so the batch shape
+ * stays total.
  *
  * Scale design: binary payloads stay opaque until the per-partition decode
  * stage (`mapPartitions`, the Scala analog of `mapInPandas` batch UDFs);
@@ -38,42 +46,157 @@ object Multimodal {
     df.withColumn("byte_len", length(col(payloadCol)).cast(LongType))
       .withColumn("content_md5", md5(col(payloadCol)))
 
-  /** STUB decode: deterministic fake "decoded frame" — real deployments
-    * replace this with an image/audio codec. Keeps the exact batch shape a
-    * real decoder would use. */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    // deterministic fake features: 8 bytes → 8 floats in [0,1)
-    val n = 8
-    val out = new Array[Float](n)
+  /** One decoded image: dimensions + exact per-channel pixel means (0..255). */
+  final case class DecodedImage(id: Long, width: Option[Int], height: Option[Int],
+                                mean_r: Option[Double], mean_g: Option[Double],
+                                mean_b: Option[Double])
+
+  /** One probed audio clip (WAV/AU/AIFF header + PCM frame count). */
+  final case class DecodedAudio(id: Long, sample_rate: Option[Double],
+                                channels: Option[Int], frames: Option[Long],
+                                duration_ms: Option[Double])
+
+  /** Encode a solid-colour PNG with the JDK encoder — used by tests and the
+    * oracle round-trip query (PNG is lossless, so channel means are exact). */
+  def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real image decode via `javax.imageio`: None when the payload is not a
+    * decodable image (wrong magic, truncated, or an unsupported codec). */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Double, Double, Double)] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null) return None
+      val w = img.getWidth; val h = img.getHeight
+      if (w <= 0 || h <= 0) return None
+      // bulk pixel fetch per row bounds memory at O(width), not O(pixels)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = rowBuf(x)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      Some((w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+    } catch { case _: Exception => None }
+  }
+
+  /** Real audio probe via `javax.sound.sampled` (WAV/AU/AIFF in the JDK). */
+  def decodeAudio(payload: Array[Byte]): Option[(Double, Int, Long, Double)] = {
+    if (payload == null || payload.length == 0) return None
+    var in: AudioInputStream = null
+    try {
+      in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      val frames = in.getFrameLength
+      val rate = fmt.getSampleRate.toDouble
+      if (rate <= 0 || frames < 0) return None
+      Some((rate, fmt.getChannels, frames, frames * 1000.0 / rate))
+    } catch { case _: Exception => None }
+    finally { if (in != null) in.close() }
+  }
+
+  /** Per-partition batch image decode: (id, width, height, mean_r/g/b), null
+    * metadata for undecodable payloads. One decode loop per partition — the
+    * mapInPandas batch shape — so codec setup cost amortizes and binary
+    * columns never enter a shuffle wider than the scan partitioning. */
+  def decodeImages(df: DataFrame, idCol: String, payloadCol: String)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          decodeImage(payload) match {
+            case Some((w, h, r, g, b)) =>
+              DecodedImage(id, Some(w), Some(h), Some(r), Some(g), Some(b))
+            case None => DecodedImage(id, None, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Per-partition batch audio probe: (id, sample_rate, channels, frames,
+    * duration_ms), nulls for undecodable payloads. */
+  def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String)
+                     (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          decodeAudio(payload) match {
+            case Some((rate, ch, frames, ms)) =>
+              DecodedAudio(id, Some(rate), Some(ch), Some(frames), Some(ms))
+            case None => DecodedAudio(id, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
+  /** Deterministic byte-derived fallback features for payloads the JDK has no
+    * codec for — keeps `extractFeatures` total over mixed corpora. */
+  private def byteFeatures(payload: Array[Byte]): Array[Float] = {
+    val out = new Array[Float](8)
     var i = 0
-    while (i < n) {
+    while (i < 7) {
       out(i) = (if (payload.length > i) (payload(i) & 0xff) else 0) / 256.0f
       i += 1
     }
+    out(7) = 0.0f // marker: not image-decoded
     out
   }
 
   /** Feature extraction over binary payloads: per-partition batch decode
-    * (the mapInPandas analog — one decoder instance per partition, rows
-    * streamed through it). Output: (id, features array<float>). */
+    * (the mapInPandas analog — one decoder pass per partition, rows streamed
+    * through it). Image payloads get real pixel-derived features
+    * [w, h, meanR, meanG, meanB, luma (Rec.601), aspect, 1]; everything else
+    * the deterministic byte fallback with a 0 marker in slot 7.
+    * Output: (id, features array<float>). */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String)
                      (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     df.select(col(idCol).cast(LongType), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { iter =>
-        // per-partition "decoder" setup happens here (stubbed) — one decoder
-        // instance per partition, rows streamed through it in batches.
-        iter.map { case (id, payload) =>
-          (id, decodeStub(if (payload == null) Array.empty[Byte] else payload))
+        iter.map { case (id, payloadOrNull) =>
+          val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
+          val feats = decodeImage(payload) match {
+            case Some((w, h, r, g, b)) =>
+              Array(w.toFloat, h.toFloat, (r / 255.0).toFloat, (g / 255.0).toFloat,
+                (b / 255.0).toFloat,
+                ((0.299 * r + 0.587 * g + 0.114 * b) / 255.0).toFloat,
+                (math.min(w, h).toFloat / math.max(w, h)), 1.0f)
+            case None => byteFeatures(payload)
+          }
+          (id, feats)
         }
       }
       .toDF("id", "features")
   }
 
-  /** Frame sampling stub for video payloads: take every `stride`-th chunk of
-    * `frameBytes` bytes as a "frame" (expression-level — real decoders swap in
-    * at the mapPartitions stage). */
+  /** Frame sampling for video payloads: take every `stride`-th chunk of
+    * `frameBytes` bytes as a "frame" (expression-level chunking — the JDK
+    * ships no video codec, so real frame decode plugs in at the
+    * mapPartitions stage like `decodeImages`). */
   def sampleFrames(df: DataFrame, payloadCol: String, frameBytes: Int = 16,
                    stride: Int = 4, result: String = "frames"): DataFrame =
     df.withColumn(result,

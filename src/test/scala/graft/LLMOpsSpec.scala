@@ -610,16 +610,58 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("clean").startsWith("This is a perfectly"))
   }
 
-  test("multimodal: byte metadata + stub feature extraction batch shape") {
+  test("multimodal: byte metadata + feature extraction batch shape") {
     implicit val s = spark
     val bin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
     val meta = Multimodal.withByteMeta(bin, "payload")
     assert(meta.filter(col("byte_len") > 0).count() == 5)
+    // text bytes are not a decodable image → byte-fallback features, 0 marker
     val feats = Multimodal.extractFeatures(bin, "doc_id", "payload")
     val row = feats.orderBy("id").head
     assert(row.getLong(0) == 0L)
     assert(row.getSeq[Float](1).length == 8)
+    assert(row.getSeq[Float](1)(7) == 0.0f)
     val frames = Multimodal.sampleFrames(bin, "payload", frameBytes = 4, stride = 2)
     assert(frames.select(size(col("frames"))).as[Int].head > 0)
+  }
+
+  test("multimodal: real PNG decode via javax.imageio (dims + exact channel means)") {
+    implicit val s = spark
+    // 3 solid-colour PNGs + one non-image payload
+    val png = Seq(
+      (1L, Multimodal.encodePng(5, 3, 0xFF8040)),
+      (2L, Multimodal.encodePng(1, 1, 0x000000)),
+      (3L, Multimodal.encodePng(12, 7, 0x102030)),
+      (4L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeImages(png, "doc_id", "payload").orderBy("id").collect()
+    assert(out(0).getInt(1) == 5 && out(0).getInt(2) == 3)
+    assert(out(0).getDouble(3) == 0xFF.toDouble &&
+      out(0).getDouble(4) == 0x80.toDouble && out(0).getDouble(5) == 0x40.toDouble)
+    assert(out(1).getInt(1) == 1 && out(1).getDouble(3) == 0.0)
+    assert(out(2).getInt(1) == 12 && out(2).getInt(2) == 7)
+    assert(out(3).isNullAt(1) && out(3).isNullAt(3)) // undecodable → nulls
+    // image features carry the 1.0 decoded marker + real dims
+    val f = Multimodal.extractFeatures(png, "doc_id", "payload").orderBy("id").collect()
+    assert(f(0).getSeq[Float](1)(0) == 5.0f && f(0).getSeq[Float](1)(7) == 1.0f)
+    assert(f(3).getSeq[Float](1)(7) == 0.0f)
+  }
+
+  test("multimodal: real WAV audio probe via javax.sound.sampled") {
+    implicit val s = spark
+    // synthesize a 0.5 s mono 8 kHz 16-bit PCM WAV with the JDK encoder
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val d = Seq((1L, wav), (2L, "nope".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioMeta(d, "doc_id", "payload").orderBy("id").collect()
+    assert(out(0).getDouble(1) == 8000.0 && out(0).getInt(2) == 1)
+    assert(out(0).getLong(3) == 4000L && out(0).getDouble(4) == 500.0)
+    assert(out(1).isNullAt(1))
   }
 }

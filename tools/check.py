@@ -18,7 +18,7 @@ ONLY = [a for a in sys.argv[3:] if not a.startswith("-")]
 
 if not SKIP:
     r = subprocess.run(
-        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT} {" ".join(ONLY)}'.strip()],
         cwd="/root/repo", capture_output=True, text=True, timeout=1800)
     for line in r.stdout.splitlines():
         if "[verify]" in line or "error" in line.lower():
