@@ -1,5 +1,8 @@
 package graft.operators
 
+import javax.xml.XMLConstants
+import javax.xml.transform.TransformerFactory
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -15,15 +18,36 @@ import org.apache.spark.sql.functions._
  * (JAXP Transformers are not thread-safe; Templates are). UDF justified
  * like the other library automatons: JAXP is the same JDK machinery the
  * reference calls.
+ *
+ * XXE hardening: row XML is untrusted corpus data, so by default the JAXP
+ * factory runs with FEATURE_SECURE_PROCESSING and all external access shut
+ * off (ACCESS_EXTERNAL_DTD / ACCESS_EXTERNAL_STYLESHEET = "") — a hostile
+ * row carrying a DOCTYPE external entity, or a stylesheet reaching out via
+ * document()/xsl:include, fails the transform instead of reading executor
+ * files or probing the network. Trusted stylesheets that genuinely need
+ * document() can opt out with `secure = false`.
  */
 object Xslt {
   @transient private lazy val compiled =
-    new java.util.concurrent.ConcurrentHashMap[String, javax.xml.transform.Templates]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Boolean), javax.xml.transform.Templates]()
 
-  private def templates(xsl: String): javax.xml.transform.Templates =
-    compiled.computeIfAbsent(xsl, s =>
-      javax.xml.transform.TransformerFactory.newInstance().newTemplates(
-        new javax.xml.transform.stream.StreamSource(new java.io.StringReader(s))))
+  private def factory(secure: Boolean): TransformerFactory = {
+    val f = TransformerFactory.newInstance()
+    if (secure) {
+      f.setFeature(XMLConstants.FEATURE_SECURE_PROCESSING, true)
+      // empty protocol list = no external DTDs (row XML entities) and no
+      // external stylesheet fetches (document(), xsl:import/include)
+      f.setAttribute(XMLConstants.ACCESS_EXTERNAL_DTD, "")
+      f.setAttribute(XMLConstants.ACCESS_EXTERNAL_STYLESHEET, "")
+    }
+    f
+  }
+
+  private def templates(xsl: String, secure: Boolean): javax.xml.transform.Templates =
+    compiled.computeIfAbsent((xsl, secure), { case (s, sec) =>
+      factory(sec).newTemplates(
+        new javax.xml.transform.stream.StreamSource(new java.io.StringReader(s)))
+    })
 
   /** Stylesheet text from any Hadoop-visible path (the reference's
     * `Source.fromURL`). */
@@ -40,13 +64,14 @@ object Xslt {
     } finally in.close()
   }
 
-  /** Transform each row's XML through the stylesheet. */
-  def transformColumn(xml: Column, xslText: String): Column =
+  /** Transform each row's XML through the stylesheet. `secure = false` only
+    * for trusted stylesheets that need document()/external DTDs. */
+  def transformColumn(xml: Column, xslText: String, secure: Boolean = true): Column =
     udf { (x: String) =>
       if (x == null) null
       else {
         val w = new java.io.StringWriter()
-        templates(xslText).newTransformer().transform(
+        templates(xslText, secure).newTransformer().transform(
           new javax.xml.transform.stream.StreamSource(new java.io.StringReader(x)),
           new javax.xml.transform.stream.StreamResult(w))
         w.toString

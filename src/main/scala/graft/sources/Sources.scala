@@ -309,12 +309,14 @@ object Sources {
   /** XmlGenerator / XmlToMapProcessor (ref: FileGenerators.scala:215,
     * BaseProcessors.scala:1247): parse an XML string column into a
     * map<tag,text> of child elements + attributes (via scala-xml, as a UDF —
-    * XML parsing has no Catalyst expression). */
+    * XML parsing has no Catalyst expression). Parsing goes through
+    * [[SecureXml]]: DOCTYPE/external entities are rejected (XXE hardening
+    * for untrusted corpus rows). */
   val xmlToMap: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (s: String) =>
       if (s == null) null
       else {
-        val node = scala.xml.XML.loadString(s)
+        val node = SecureXml.loadString(s)
         val attrs = node.attributes.asAttrMap.map { case (k, v) => s"@$k" -> v }
         val children = node.child.collect {
           case e: scala.xml.Elem => e.label -> e.text

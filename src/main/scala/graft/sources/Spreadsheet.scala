@@ -150,7 +150,7 @@ object Spreadsheet {
     val entries = zipEntries(bytes)
     val shared: IndexedSeq[String] =
       entries.get("xl/sharedStrings.xml").map { ss =>
-        val x = scala.xml.XML.load(new ByteArrayInputStream(ss))
+        val x = SecureXml.load(new ByteArrayInputStream(ss))
         (x \ "si").map(si => (si \\ "t").map(_.text).mkString).toIndexedSeq
       }.getOrElse(IndexedSeq.empty)
     // name → worksheet part: resolve through xl/_rels/workbook.xml.rels when
@@ -159,13 +159,13 @@ object Spreadsheet {
     val relsNs = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
     val relTargets: Map[String, String] =
       entries.get("xl/_rels/workbook.xml.rels").map { rl =>
-        val x = scala.xml.XML.load(new ByteArrayInputStream(rl))
+        val x = SecureXml.load(new ByteArrayInputStream(rl))
         (x \\ "Relationship").map(r =>
           (r \ "@Id").text -> (r \ "@Target").text.stripPrefix("/xl/").stripPrefix("./")).toMap
       }.getOrElse(Map.empty)
     val sheetPath = sheetName.flatMap { name =>
       entries.get("xl/workbook.xml").flatMap { wb =>
-        val x = scala.xml.XML.load(new ByteArrayInputStream(wb))
+        val x = SecureXml.load(new ByteArrayInputStream(wb))
         val sheets = (x \\ "sheet").map { s =>
           val rid = s.attribute(relsNs, "id").map(_.text).getOrElse("")
           ((s \ "@name").text, rid)
@@ -179,7 +179,7 @@ object Spreadsheet {
     }.getOrElse("xl/worksheets/sheet1.xml")
     val sheet = entries.getOrElse(sheetPath,
       throw new IllegalArgumentException(s"no worksheet $sheetPath in xlsx"))
-    val x = scala.xml.XML.load(new ByteArrayInputStream(sheet))
+    val x = SecureXml.load(new ByteArrayInputStream(sheet))
     (x \ "sheetData" \ "row").map { r =>
       // the r= cell reference is optional in OOXML: a cell without one sits
       // immediately after the previous cell (implied sequential position)

@@ -89,6 +89,72 @@ class SourcesSinksMLSpec extends SparkSpec {
     assert(m.getString(0) == "7" && m.getString(1) == "x" && m.getString(2) == "1")
   }
 
+  private def causeChain(t: Throwable): String = {
+    val sb = new StringBuilder
+    var c: Throwable = t
+    while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+    sb.toString
+  }
+
+  test("xmlToMap rejects DOCTYPE external entities (XXE hardening)") {
+    val target = Files.createTempFile("xxe_target", ".txt")
+    Files.writeString(target, "SECRET")
+    val evil =
+      s"""<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file://$target">]><r><name>&x;</name></r>"""
+    val d = Seq(evil).toDF("xml")
+    val e = intercept[Exception] {
+      d.select(Sources.xmlToMap(col("xml")).as("m")).collect()
+    }
+    val chain = causeChain(e)
+    assert(chain.contains("DOCTYPE") && !chain.contains("SECRET"))
+    // well-formed XML without a DTD still parses through the same loader
+    val ok = Seq("""<r a="1"><v>x</v></r>""").toDF("xml")
+      .select(Sources.xmlToMap(col("xml")).as("m")).head
+    assert(ok.getMap[String, String](0)("v") == "x")
+  }
+
+  test("xslt: secure default blocks document() + row-XML entities; opt-out works") {
+    import graft.operators.Xslt
+    val secret = Files.createTempFile("xxe_doc", ".xml")
+    Files.writeString(secret, "<secret>s3kr3t</secret>")
+    val stealXsl =
+      s"""<?xml version="1.0"?>
+         <xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+           <xsl:output method="text"/>
+           <xsl:template match="/">
+             <xsl:value-of select="document('file://$secret')"/>
+           </xsl:template>
+         </xsl:stylesheet>"""
+    val rows = Seq("<r/>").toDF("xml")
+    // secure (default): document() is refused at transform time
+    val e = intercept[Exception] {
+      rows.select(Xslt.transformColumn(col("xml"), stealXsl).as("t")).collect()
+    }
+    assert(!causeChain(e).contains("s3kr3t"))
+    // trusted opt-out: the same stylesheet reads the document
+    val out = rows.select(Xslt.transformColumn(col("xml"), stealXsl, secure = false).as("t"))
+      .as[String].head
+    assert(out.contains("s3kr3t"))
+    // hostile ROW xml (DOCTYPE entity) is also rejected under the secure factory
+    val idXsl =
+      """<?xml version="1.0"?>
+        <xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+          <xsl:output method="text"/>
+          <xsl:template match="/"><xsl:value-of select="/r"/></xsl:template>
+        </xsl:stylesheet>"""
+    val evilRow =
+      s"""<?xml version="1.0"?><!DOCTYPE r [<!ENTITY x SYSTEM "file://$secret">]><r>&x;</r>"""
+    val e2 = intercept[Exception] {
+      Seq(evilRow).toDF("xml")
+        .select(Xslt.transformColumn(col("xml"), idXsl).as("t")).collect()
+    }
+    assert(!causeChain(e2).contains("s3kr3t"))
+    // and a benign row still transforms
+    val benign = Seq("<r>hello</r>").toDF("xml")
+      .select(Xslt.transformColumn(col("xml"), idXsl).as("t")).as[String].head
+    assert(benign == "hello")
+  }
+
   test("registry: put/get/names/drop named buckets") {
     Registry.put("bucket_a", Seq(1, 2, 3).toDF("x"))
     Registry.put("bucket_b", Seq(4).toDF("x"))
