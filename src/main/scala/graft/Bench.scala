@@ -60,7 +60,14 @@ object Bench {
     // complete log).
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"sf":"$sfDir"}"""
+    println(fullLine)
+    // Sidecar file with the same full-precision JSON: round-over-round
+    // comparison reads this instead of scraping a bounded stdout tail.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_PARSED.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: $e") }
     // Final line: the same totals, compacted to fit the harness's bounded
     // output tail (~2000 chars) so it survives truncation and stays
     // machine-parseable. Per-query times at 2 dp, slowest queries first;

@@ -265,15 +265,21 @@ object Flow {
       (gens ++ procs).flatMap(n => n.next.map(_ -> n)).groupBy(_._1)
         .map { case (k, v) => k -> v.map(_._2) }
 
+    // cycle guard: getOrElseUpdate memoizes only after the body returns, so
+    // a `next` cycle would recurse unboundedly — fail with the cycle's id
+    val inProgress = scala.collection.mutable.Set.empty[String]
     def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
-      val node = procById(id)
-      val inputs = preds.getOrElse(id, Nil).map {
-        case g if gens.exists(_.id == g.id) && !procById.contains(g.id) => generate(spark, g)
-        case p => eval(p.id)
-      }
-      require(inputs.nonEmpty, s"processor ${node.id} has no reachable input")
-      // fan-in = union of predecessor outputs (EOF-merge ⇄ plan union)
-      apply1(inputs.reduce(_.unionByName(_, allowMissingColumns = true)), node)
+      require(inProgress.add(id), s"flow cycle at '$id'")
+      try {
+        val node = procById(id)
+        val inputs = preds.getOrElse(id, Nil).map {
+          case g if gens.exists(_.id == g.id) && !procById.contains(g.id) => generate(spark, g)
+          case p => eval(p.id)
+        }
+        require(inputs.nonEmpty, s"processor ${node.id} has no reachable input")
+        // fan-in = union of predecessor outputs (EOF-merge ⇄ plan union)
+        apply1(inputs.reduce(_.unionByName(_, allowMissingColumns = true)), node)
+      } finally inProgress.remove(id)
     })
 
     val terminals = procs.filter(_.next.isEmpty)
@@ -312,13 +318,20 @@ object Flow {
       procs.filter(n => reachable(n.id)).flatMap(n => n.next.map(_ -> n))
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val memo = scala.collection.mutable.Map.empty[String, DataFrame]
+    // getOrElseUpdate memoizes only AFTER the body returns, so a `next`
+    // cycle would re-enter eval unboundedly — fail with the cycle's id
+    // instead of a StackOverflowError
+    val inProgress = scala.collection.mutable.Set.empty[String]
     def eval(id: String): DataFrame = memo.getOrElseUpdate(id, {
-      val node = procById(id)
-      val input =
-        if (id == start) df
-        else preds.getOrElse(id, Nil).map(p => eval(p.id))
-          .reduce(_.unionByName(_, allowMissingColumns = true))
-      apply1(input, node)
+      require(inProgress.add(id), s"sub-flow cycle at '$id'")
+      try {
+        val node = procById(id)
+        val input =
+          if (id == start) df
+          else preds.getOrElse(id, Nil).map(p => eval(p.id))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+        apply1(input, node)
+      } finally inProgress.remove(id)
     })
     val terminals = procs.filter(n => reachable(n.id) &&
       n.next.forall(nx => !procById.contains(nx)))

@@ -199,6 +199,18 @@ class FlowSpec extends SparkSpec {
     assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
   }
 
+  test("cyclic flow fails with the cycle's id instead of a stack overflow") {
+    val cyclic = """
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [{"x": 1}]}, "next": ["p1"]} ],
+      "processors": [
+        {"id": "p1", "name": "field_copy", "config": {"fields": {"x": "y"}}, "next": ["p2"]},
+        {"id": "p2", "name": "field_copy", "config": {"fields": {"y": "z"}}, "next": ["p1", "out"]},
+        {"id": "out", "name": "field_copy", "config": {"fields": {"z": "w"}}, "next": []} ] }"""
+    val e = intercept[IllegalArgumentException] { Flow.run(spark, cyclic) }
+    assert(e.getMessage.contains("cycle at"))
+  }
+
   test("unknown processor fails with a clear message") {
     val flow = """
     { "generators": [ {"id": "g", "name": "range", "config": {"n": 1}, "next": ["bad"]} ],
