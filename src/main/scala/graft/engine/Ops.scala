@@ -556,11 +556,16 @@ object Ops {
         }
         zipJoin(cycled, "inner")
       }
-    // per output column: rightmost branch whose row exists at the index wins
+    // per output column: rightmost branch whose row EXISTS at the index wins,
+    // even when its value is null — the reference's `x ++ y` overwrites with
+    // whatever the later datum holds. The value rides inside a struct gated
+    // on the mark, so coalesce selects on row presence, not value nullness.
     val merged = outCols.map { c =>
       val providers = dfs.zipWithIndex.filter(_._1.columns.contains(c)).map(_._2).reverse
       coalesce(providers.map(k =>
-        when(col(markCol(k)).isNotNull, col(s"__zd_${tag}_${k}_$c"))): _*).as(c)
+        when(col(markCol(k)).isNotNull,
+          struct(col(s"__zd_${tag}_${k}_$c").as("v")))): _*)
+        .getField("v").as(c)
     }
     zipped.sort(idxCol(0)).select(merged: _*)
   }

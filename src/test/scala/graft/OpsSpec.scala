@@ -302,6 +302,16 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1, "b1", 10), (2, "b2", 20), (3, "a3", null)))
   }
 
+  test("zipMerge: a later branch's present-but-null value still overwrites") {
+    // reference SimpleMerger merges datums with `x ++ y`: a key present in
+    // the later datum wins even when its value is null-ish
+    val a = Seq((1, "a1"), (2, "a2")).toDF("n", "s")
+    val b = Seq(Tuple1[String](null), Tuple1("b2")).toDF("s")
+    val out = Ops.zipMerge(Seq(a, b), pad = false).collect()
+      .map(r => (r.getAs[Integer]("n"), r.getAs[String]("s")))
+    assert(out.toSeq == Seq((1, null), (2, "b2")))
+  }
+
   test("zipMerge with padding cycles short branches; empty branch empties all") {
     val a = Seq(1, 2, 3, 4).toDF("n")
     val b = Seq("x", "y").toDF("s")
