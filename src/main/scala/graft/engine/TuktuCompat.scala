@@ -124,16 +124,17 @@ object TuktuCompat {
 
       // ref: modules/nosql/app/tuktu/nosql/generators/sql.scala:11 —
       // {url, user, password, driver, query, flatten?}: one result row per
-      // DB row. The JDBC driver class self-registers from the classpath
-      // (DriverManager), like the reference's Class.forName; the query
-      // reads as a dbtable subquery so predicates can still push down.
+      // DB row. An explicit driver class is passed through (the reference's
+      // Class.forName — JDBC3 drivers lack the service-loader entry that
+      // DriverManager self-registration needs); the query reads as a
+      // dbtable subquery so predicates can still push down.
       case "tuktu.nosql.generators.SQLGenerator" =>
-        spark.read.format("jdbc")
+        val base = spark.read.format("jdbc")
           .option("url", str(c, "url").get)
           .option("user", str(c, "user").getOrElse(""))
           .option("password", str(c, "password").getOrElse(""))
           .option("dbtable", s"(${str(c, "query").get}) AS q0")
-          .load()
+        str(c, "driver").fold(base)(d => base.option("driver", d)).load()
 
       case other => throw new IllegalArgumentException(s"unsupported compat generator: $other")
     }
@@ -1229,30 +1230,29 @@ object TuktuCompat {
       case "tuktu.ml.processors.hmm.HMMDeserializeProcessor" =>
         graft.ml.ModelRegistry.put(str(c, "model_name").get,
           new graft.ml.HmmTransformer(
-            graft.ml.HMM.load(str(c, "file_name").get), "observations"))
+            graft.ml.HMM.load(str(c, "file_name").get),
+            str(c, "observations_field").getOrElse("observations")))
         df
 
-      // ref: timeseries/ARIMA.scala:15/:75/:93 — the q = 0 slice only:
-      // AR by exact OLS on the lag-d-differenced series (the reference's
-      // own Autoregression path for p > 0, q = 0); q > 0 needs its
-      // CSS/BOBYQA optimizer and is rejected with guidance. Train folds
-      // the packet like the reference's per-datum loop: the LAST datum's
-      // series (layout order) yields the packet's model.
+      // ref: timeseries/ARIMA.scala:15/:48 — full (p,d,q): lag-d difference
+      // once; q = 0 is exact AR OLS (the reference's own Autoregression
+      // path), q > 0 is Hannan-Rissanen init + CSS maximization (the
+      // reference's fitWithCSS, with Nelder-Mead standing in for BOBYQA —
+      // same objective, derivative-free, tiny driver-side parameter
+      // vectors). Train folds the packet like the reference's per-datum
+      // loop: the LAST datum's series (layout order) yields the model.
       case "tuktu.ml.processors.timeseries.ARIMATrainProcessor" =>
-        require(c.get("q").asInt == 0, "ARIMATrainProcessor: only q = 0 " +
-          "(ARI) is supported — moving-average terms need the reference's " +
-          "CSS/BOBYQA optimizer; use p/d with q = 0")
         val p = c.get("p").asInt
         val d = c.get("d").asInt
+        val q = c.get("q").asInt
         val obsF = str(c, "data_field").get
         val intercept = Option(c.get("include_intercept")).forall(_.asBoolean)
         val tag = uniq("__ord")
         val last = Ops.indexByLayout(df, tag).orderBy(col(tag).desc)
           .select(col(obsF).cast(ArrayType(DoubleType))).head.getSeq[Double](0)
-        val (c0, phi) = graft.ml.TimeSeries.arFitSeries(
-          graft.ml.TimeSeries.lagDifference(last, d).drop(d).toSeq, p, intercept)
         graft.ml.ModelRegistry.put(str(c, "model_name").get,
-          new graft.ml.AriTransformer(graft.ml.AriModel(c0, phi, d), obsF))
+          new graft.ml.AriTransformer(
+            graft.ml.TimeSeries.arimaFitSeries(last, p, d, q, intercept), obsF))
         df
       // ref: ARIMA.scala:75 — {model_name, data_field, n_future}: the
       // forecast vector (ts.length + n_future values, reference shape)
@@ -1433,12 +1433,16 @@ object TuktuCompat {
           graft.operators.Xslt.transformColumn(col(str(c, "xml").get), xsl))
 
       // ref: modules/dlib/.../mapMergerProcessor.scala:17 — {map1, map2,
-      // priority?}: "map1"/"map2" SHALLOW-merge two struct fields. Note the
+      // priority?}: "map1"/"map2" SHALLOW-merge two struct fields. The
       // reference's `complete(m1, m2) = m1 ++ m2` makes the OTHER side win
-      // on conflicts (Play's ++ overwrites left with right) — mirrored
-      // verbatim. The priority-less combine mode produces value-dependent
-      // output types per datum (scalar, concatenated array, or pair array)
-      // — impossible under a static schema, rejected like ListJsonFetcher.
+      // on conflicts (Play's ++ overwrites left with right) UNCONDITIONALLY
+      // — a JsNull value in the winning map still overwrites. Under a static
+      // schema every field of a present struct is present, so "field in m2"
+      // is exactly "the m2 struct is non-null for this row" (a null struct
+      // is an absent/empty map). The priority-less combine mode produces
+      // value-dependent output types per datum (scalar, concatenated array,
+      // or pair array) — impossible under a static schema, rejected like
+      // ListJsonFetcher.
       case "tuktu.dlib.processors.MapMergerProcessor" =>
         val (a, b) = (str(c, "map1").get, str(c, "map2").get)
         def shallow(first: String, second: String): Column = {
@@ -1448,7 +1452,9 @@ object TuktuCompat {
           struct(names.map { n =>
             val inF = ft.exists(_.name == n)
             val inS = st.exists(_.name == n)
-            (if (inF && inS) coalesce(col(s"$second.$n"), col(s"$first.$n"))
+            (if (inF && inS)
+               when(col(second).isNotNull, col(s"$second.$n"))
+                 .otherwise(col(s"$first.$n"))
              else if (inS) col(s"$second.$n")
              else col(s"$first.$n")).as(n)
           }: _*)

@@ -94,10 +94,10 @@ object TimeSeries {
       .drop("coef")
   }
 
-  // --------------- per-series ARI(p, d): the reference ARIMA's q = 0 slice
-  // (ref modules/ml/app/tuktu/ml/models/timeseries/ARIMA.scala — the q = 0
-  // path fits AR by exact OLS on the lag-d-differenced series via
-  // Autoregression.scala:45; q > 0 needs the CSS/BOBYQA optimizer).
+  // --------------- per-series ARIMA(p, d, q) (ref modules/ml/app/tuktu/ml/
+  // models/timeseries/ARIMA.scala): the q = 0 slice fits AR by exact OLS on
+  // the lag-d-differenced series (Autoregression.scala:45); q > 0 goes
+  // through Hannan-Rissanen init + CSS maximization below.
 
   /** Lag-`order` difference, size-preserving (ARIMA.scala:163: elements
     * before `order` copy over unchanged; the reference differences by lag
@@ -165,10 +165,11 @@ object TimeSeries {
     lagInvDifference(results.toSeq, d)
   }
 
-  /** JSON persistence for ARI parameters. */
+  /** JSON persistence for ARI/ARMA parameters. */
   def saveAri(model: AriModel, path: String): Unit =
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      s"""{"c":${model.c},"phi":${model.phi.mkString("[", ",", "]")},"d":${model.d}}"""
+      (s"""{"c":${model.c},"phi":${model.phi.mkString("[", ",", "]")},""" +
+        s""""theta":${model.theta.mkString("[", ",", "]")},"d":${model.d}}""")
         .getBytes("UTF-8"))
 
   def loadAri(path: String): AriModel = {
@@ -176,7 +177,204 @@ object TimeSeries {
       .readTree(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     import scala.jdk.CollectionConverters._
     AriModel(root.get("c").asDouble,
-      root.get("phi").elements().asScala.map(_.asDouble).toArray, root.get("d").asInt)
+      root.get("phi").elements().asScala.map(_.asDouble).toArray, root.get("d").asInt,
+      // theta is optional so pre-ARMA model files keep loading
+      Option(root.get("theta"))
+        .map(_.elements().asScala.map(_.asDouble).toArray).getOrElse(Array.empty))
+  }
+
+  // --------------------------------------------------------------- ARMA q > 0
+  // (ARIMA.scala:48 fitModel / :227 logLikelihoodCSSARMA / :131
+  // HannanRisannenInit). The reference maximizes the conditional-sum-of-
+  // squares log-likelihood with BOBYQA from a Hannan-Rissanen start; the
+  // same objective here is maximized with Nelder-Mead (public simplex
+  // algorithm, Nelder & Mead 1965 — derivative-free like BOBYQA, and the
+  // parameter vectors are tiny driver-side state). One deliberate
+  // divergence: the reference's updateMAErrors (ARIMA.scala:252) copies the
+  // error buffer ASCENDING, which floods every slot with errs(0) instead of
+  // shifting — for q ≥ 2 its MA terms all read the same lag. Like the
+  // arFitSeries intercept note above, that is a bug not worth reproducing:
+  // here errors shift properly (err(j) = residual at t-1-j).
+
+  /** 1-step-ahead ARMA fitted values over an already-differenced series.
+    * yHat(i) = c + Σφⱼ·y(i-j-1) + Σθⱼ·err(t-1-j) for i ≥ max(p,q); leading
+    * max(p,q) entries stay 0 (reference iterateARMA shape). */
+  private[graft] def armaFitted(diffed: Array[Double], c: Double,
+                                phi: Array[Double], theta: Array[Double]): Array[Double] = {
+    val p = phi.length; val q = theta.length
+    val maxLag = math.max(p, q)
+    val yHat = new Array[Double](diffed.length)
+    val errs = new Array[Double](q) // errs(0) = newest
+    var i = maxLag
+    while (i < diffed.length) {
+      var v = c
+      var j = 0
+      while (j < p) { v += phi(j) * diffed(i - j - 1); j += 1 }
+      j = 0
+      while (j < q) { v += theta(j) * errs(j); j += 1 }
+      yHat(i) = v
+      if (q > 0) {
+        var k = q - 1
+        while (k > 0) { errs(k) = errs(k - 1); k -= 1 }
+        errs(0) = diffed(i) - v
+      }
+      i += 1
+    }
+    yHat
+  }
+
+  /** CSS log-likelihood of an ARMA(p,q) parameterization on a differenced
+    * series (ARIMA.scala:227): residuals start at max(p,q). */
+  private[graft] def cssLogLikelihood(diffed: Array[Double], c: Double,
+                                      phi: Array[Double], theta: Array[Double]): Double = {
+    val n = diffed.length
+    val maxLag = math.max(phi.length, theta.length)
+    val yHat = armaFitted(diffed, c, phi, theta)
+    var css = 0.0
+    var i = maxLag
+    while (i < n) { val e = diffed(i) - yHat(i); css += e * e; i += 1 }
+    val sigma2 = css / n
+    (-n / 2.0) * math.log(2 * math.Pi * sigma2) - css / (2 * sigma2)
+  }
+
+  /** Hannan-Rissanen initial estimates (ARIMA.scala:131): fit AR(m) with
+    * m = max(p,q)+1, take its residuals as error proxies, then OLS of y on
+    * p AR lags + q error lags. Returns [c?, φ…, θ…]. */
+  private[graft] def hannanRissanen(diffed: Array[Double], p: Int, q: Int,
+                                    intercept: Boolean): Array[Double] = {
+    val m = math.max(p, q) + 1
+    require(diffed.length > 2 * m, s"series of ${diffed.length} values too short for ARMA($p,$q)")
+    val (c0, phi0) = arFitSeries(diffed.toSeq, m)
+    // residuals of the AR(m) fit, aligned with yTrunc = diffed.drop(m)
+    val yTrunc = diffed.drop(m)
+    val errors = yTrunc.indices.map { t =>
+      val i = t + m
+      yTrunc(t) - (c0 + (0 until m).map(j => phi0(j) * diffed(i - j - 1)).sum)
+    }.toArray
+    // secondary OLS on [1?, y lags 1..p, err lags 1..q] over t ≥ max(p,q)
+    val maxLag = math.max(p, q)
+    val ic = if (intercept) 1 else 0
+    val dim = ic + p + q
+    val a = Array.ofDim[Double](dim * dim)
+    val b = new Array[Double](dim)
+    def reg(t: Int, k: Int): Double =
+      if (k < ic) 1.0
+      else if (k - ic < p) yTrunc(t - (k - ic) - 1)
+      else errors(t - (k - ic - p) - 1)
+    for (t <- maxLag until yTrunc.length; i <- 0 until dim) {
+      b(i) += reg(t, i) * yTrunc(t)
+      for (j <- 0 until dim) a(i * dim + j) += reg(t, i) * reg(t, j)
+    }
+    gaussSolve(a.toSeq, b.toSeq, dim).toArray
+  }
+
+  /** Nelder-Mead simplex minimization (Nelder & Mead 1965, standard
+    * reflection/expansion/contraction/shrink coefficients). Driver-side:
+    * ARMA parameter vectors are a handful of doubles. */
+  private[graft] def nelderMead(f: Array[Double] => Double, x0: Array[Double],
+                                maxIter: Int = 2000, tol: Double = 1e-10): Array[Double] = {
+    val n = x0.length
+    if (n == 0) return x0
+    val simplex = Array.tabulate(n + 1) { i =>
+      val x = x0.clone()
+      if (i > 0) x(i - 1) = if (x(i - 1) != 0.0) x(i - 1) * 1.05 else 0.00025
+      x
+    }
+    val fx = simplex.map(f)
+    var iter = 0
+    while (iter < maxIter) {
+      // order ascending by f
+      val ord = fx.zipWithIndex.sortBy(_._1).map(_._2)
+      val best = simplex(ord(0)); val fBest = fx(ord(0))
+      val worst = ord(n); val fWorst = fx(worst)
+      val fSecondWorst = fx(ord(n - 1))
+      if (math.abs(fWorst - fBest) <= tol * (math.abs(fBest) + tol)) return best
+      // centroid of all but worst
+      val cen = new Array[Double](n)
+      for (i <- 0 to n if i != worst; j <- 0 until n) cen(j) += simplex(i)(j) / n
+      def lerp(alpha: Double): Array[Double] =
+        Array.tabulate(n)(j => cen(j) + alpha * (cen(j) - simplex(worst)(j)))
+      val refl = lerp(1.0); val fRefl = f(refl)
+      if (fRefl < fBest) {
+        val exp = lerp(2.0); val fExp = f(exp)
+        if (fExp < fRefl) { simplex(worst) = exp; fx(worst) = fExp }
+        else { simplex(worst) = refl; fx(worst) = fRefl }
+      } else if (fRefl < fSecondWorst) {
+        simplex(worst) = refl; fx(worst) = fRefl
+      } else {
+        val con = lerp(if (fRefl < fWorst) 0.5 else -0.5)
+        val fCon = f(con)
+        if (fCon < math.min(fRefl, fWorst)) { simplex(worst) = con; fx(worst) = fCon }
+        else { // shrink toward best
+          for (i <- 0 to n if i != ord(0)) {
+            for (j <- 0 until n) simplex(i)(j) = best(j) + 0.5 * (simplex(i)(j) - best(j))
+            fx(i) = f(simplex(i))
+          }
+        }
+      }
+      iter += 1
+    }
+    val ord = fx.zipWithIndex.sortBy(_._1).map(_._2)
+    simplex(ord(0))
+  }
+
+  /** Full ARIMA(p,d,q) fit on one series (ARIMA.scala:48 fitModel): lag-d
+    * difference once, then exact AR OLS when q = 0, else Hannan-Rissanen
+    * init refined by CSS maximization. */
+  def arimaFitSeries(ts: Seq[Double], p: Int, d: Int, q: Int,
+                     intercept: Boolean = true): AriModel = {
+    val diffed = lagDifference(ts, d).drop(d)
+    if (q == 0) {
+      val (c, phi) = arFitSeries(diffed.toSeq, p, intercept)
+      return AriModel(c, phi, d)
+    }
+    val ic = if (intercept) 1 else 0
+    val init = hannanRissanen(diffed, p, q, intercept)
+    def unpack(x: Array[Double]): (Double, Array[Double], Array[Double]) =
+      (if (intercept) x(0) else 0.0, x.slice(ic, ic + p), x.slice(ic + p, ic + p + q))
+    val best = nelderMead(x => {
+      val (c, phi, theta) = unpack(x)
+      -cssLogLikelihood(diffed, c, phi, theta)
+    }, init)
+    val (c, phi, theta) = unpack(best)
+    AriModel(c, phi, d, theta)
+  }
+
+  /** Reference-shaped ARMA forecast (ARIMA.scala:404): generalizes
+    * [[ariForecast]] with MA terms — the leading d raw values, the first
+    * max(p,q) diffed seeds, the 1-step-ahead fitted values, then h
+    * recursive forecasts (future errors zero, MA seeded from the last
+    * residuals), all inverse-differenced. */
+  def armaForecast(ts: Seq[Double], model: AriModel, h: Int): Array[Double] = {
+    val AriModel(c, phi, d, theta) = model
+    val p = phi.length; val q = theta.length
+    if (q == 0) return ariForecast(ts, c, phi, d, h)
+    val maxLag = math.max(p, q)
+    val diffed = lagDifference(ts, d).drop(d)
+    val nD = diffed.length
+    require(nD >= maxLag, s"series too short: ${ts.length} values for ARMA($p,$d,$q)")
+    val hist = armaFitted(diffed, c, phi, theta)
+    // forecast seeds: last maxLag FITTED values + last q residuals (newest
+    // at index 0); future errors are zero so MA influence fades after q steps
+    val errs = new Array[Double](q)
+    for (j <- 0 until q if nD - 1 - j >= 0) errs(j) = diffed(nD - 1 - j) - hist(nD - 1 - j)
+    val forward = new Array[Double](h + maxLag)
+    for (i <- 0 until maxLag) forward(i) = hist(nD - maxLag + i)
+    for (i <- maxLag until h + maxLag) {
+      var v = c
+      for (j <- 0 until p) v += phi(j) * forward(i - j - 1)
+      for (j <- 0 until q) v += theta(j) * errs(j)
+      forward(i) = v
+      var k = q - 1
+      while (k > 0) { errs(k) = errs(k - 1); k -= 1 }
+      errs(0) = 0.0 // future gold standard = forecast itself
+    }
+    val results = new Array[Double](ts.length + h)
+    for (i <- 0 until d) results(i) = ts(i)
+    for (i <- 0 until maxLag) results(d + i) = diffed(i)
+    for (i <- maxLag until nD) results(d + i) = hist(i)
+    for (i <- 0 until h) results(nD + d + i) = forward(maxLag + i)
+    lagInvDifference(results.toSeq, d)
   }
 }
 
@@ -248,7 +446,8 @@ object ChangePoints {
   }
 }
 
-final case class AriModel(c: Double, phi: Array[Double], d: Int)
+final case class AriModel(c: Double, phi: Array[Double], d: Int,
+                          theta: Array[Double] = Array.empty)
 
 /** Registry adapter for ARI models: `transform` appends the reference-
   * shaped forecast (`<prefix>_forecast`, ts.length + h values) for the
@@ -263,7 +462,7 @@ class AriTransformer(val model: AriModel, val obsCol: String,
   def forecastColumn(obs: org.apache.spark.sql.Column, h: Int): org.apache.spark.sql.Column = {
     val m = model
     udf((ts: Seq[Double]) =>
-      if (ts == null) null else TimeSeries.ariForecast(ts, m.c, m.phi, m.d, h))
+      if (ts == null) null else TimeSeries.armaForecast(ts, m, h))
       .apply(obs.cast(ArrayType(DoubleType)))
   }
   override def transform(ds: org.apache.spark.sql.Dataset[_]): DataFrame =

@@ -86,6 +86,68 @@ class TimeSeriesSpec extends SparkSpec {
     assert(fc.toSeq == (1 to 12).map(_ * 3.0))
   }
 
+  test("nelderMead minimizes a shifted quadratic to its analytic optimum") {
+    val opt = TimeSeries.nelderMead(
+      x => (x(0) - 3.0) * (x(0) - 3.0) + 2.0 * (x(1) + 1.5) * (x(1) + 1.5) + 7.0,
+      Array(0.0, 0.0))
+    assert(math.abs(opt(0) - 3.0) < 1e-4 && math.abs(opt(1) + 1.5) < 1e-4,
+      s"opt = ${opt.toSeq}")
+  }
+
+  test("armaFitted: hand-computed MA(1) one-step predictions") {
+    // c = 0, θ = 0.5 over [1, 2, 1, 3]: yHat = [0, 0.5·e0=0, 0.5·2=1, 0.5·0=0]
+    val yHat = TimeSeries.armaFitted(Array(1.0, 2.0, 1.0, 3.0),
+      c = 0.0, phi = Array.empty, theta = Array(0.5))
+    assert(yHat.toSeq == Seq(0.0, 0.0, 1.0, 0.0))
+  }
+
+  test("arimaFitSeries with q = 1 recovers a planted ARMA(1,1) and beats the true-parameter CSS start") {
+    // x_t = 1 + 0.6·x_{t-1} + ε_t + 0.4·ε_{t-1}, seeded gaussian noise
+    val rnd = new scala.util.Random(7)
+    val n = 600
+    val xs = new Array[Double](n)
+    var prevE = 0.0; var prevX = 2.5
+    for (t <- 0 until n) {
+      val e = rnd.nextGaussian() * 0.5
+      xs(t) = 1.0 + 0.6 * prevX + e + 0.4 * prevE
+      prevE = e; prevX = xs(t)
+    }
+    val m = TimeSeries.arimaFitSeries(xs.toSeq, p = 1, d = 0, q = 1)
+    assert(math.abs(m.phi(0) - 0.6) < 0.15, s"phi = ${m.phi.toSeq}")
+    assert(math.abs(m.theta(0) - 0.4) < 0.2, s"theta = ${m.theta.toSeq}")
+    // the optimizer's CSS log-likelihood is at least the true parameters'
+    val llFit = TimeSeries.cssLogLikelihood(xs, m.c, m.phi, m.theta)
+    val llTrue = TimeSeries.cssLogLikelihood(xs, 1.0, Array(0.6), Array(0.4))
+    assert(llFit >= llTrue - 1e-6, s"llFit=$llFit < llTrue=$llTrue")
+    // q = 0 path is untouched by the ARMA machinery: exact OLS equivalence
+    val ar = TimeSeries.arimaFitSeries(xs.toSeq, p = 2, d = 1, q = 0)
+    val (c0, phi0) = TimeSeries.arFitSeries(
+      TimeSeries.lagDifference(xs.toSeq, 1).drop(1).toSeq, 2)
+    assert(ar.c == c0 && ar.phi.toSeq == phi0.toSeq && ar.theta.isEmpty)
+  }
+
+  test("armaForecast: hand-computed MA(1) continuation and q = 0 delegation") {
+    // same hand case as armaFitted: last residual e = 3, so the first
+    // future step is θ·3 = 1.5 and the second decays to c = 0
+    val m = graft.ml.AriModel(0.0, Array.empty, 0, Array(0.5))
+    val fc = TimeSeries.armaForecast(Seq(1.0, 2.0, 1.0, 3.0), m, h = 2)
+    assert(fc.toSeq == Seq(1.0, 0.0, 1.0, 0.0, 1.5, 0.0))
+    // q = 0 delegates to the established ariForecast
+    val trend = (1 to 10).map(_ * 3.0)
+    val ari = graft.ml.AriModel(3.0, Array.empty, 1)
+    assert(TimeSeries.armaForecast(trend, ari, 2).toSeq ==
+      TimeSeries.ariForecast(trend, 3.0, Array.empty, 1, 2).toSeq)
+  }
+
+  test("ARMA model JSON persistence round-trips theta") {
+    val p = java.nio.file.Files.createTempFile("arma", ".json").toString
+    val m = graft.ml.AriModel(1.25, Array(0.5, -0.25), 1, Array(0.4))
+    TimeSeries.saveAri(m, p)
+    val back = TimeSeries.loadAri(p)
+    assert(back.c == m.c && back.phi.toSeq == m.phi.toSeq &&
+      back.d == m.d && back.theta.toSeq == m.theta.toSeq)
+  }
+
   test("ChangePoints classifies step-ups, shutdowns, and lone spikes") {
     import graft.ml.ChangePoints
     // sustained step 10 → 100: one RISE where the step lands

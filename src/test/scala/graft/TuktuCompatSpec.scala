@@ -845,6 +845,22 @@ class TuktuCompatSpec extends SparkSpec {
       Flow.runSingle(spark, mergeFlow("map1").replace(""", "priority": "map1"""", ""))
     }
     assert(comb.getMessage.contains("combine"))
+
+    // an explicitly-null field in the WINNING map still overwrites (the
+    // reference's m1 ++ m2 is unconditional — JsNull wins over a value)
+    val nullFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"m1": {"a": 1, "b": 2}, "m2": {"b": null, "c": 3}}
+        ]}, "next": ["mm"]} ],
+      "processors": [
+        {"id": "mm", "name": "tuktu.dlib.processors.MapMergerProcessor",
+         "result": "merged",
+         "config": {"map1": "m1", "map2": "m2", "priority": "map1"},
+         "next": []} ] }"""
+    val rn = Flow.runSingle(spark, nullFlow).select("merged.*").head
+    assert(rn.getAs[Long]("a") == 1L && rn.isNullAt(rn.fieldIndex("b")) &&
+      rn.getAs[Long]("c") == 3L)
   }
 
   test("tuktu.ml FQCNs: train → apply, then serialize/destroy/deserialize lifecycle") {
@@ -1035,13 +1051,35 @@ class TuktuCompatSpec extends SparkSpec {
          "config": {"model_name": "ari_reloaded", "data_field": "series", "n_future": 2},
          "next": []} ] }"""
     assert(graft.engine.Flow.runSingle(spark, ariReload).head.getSeq[Double](1) == fc)
-    val qErr = intercept[Exception] {
-      graft.engine.Flow.runSingle(spark, ariFlow.replace(""""q": 0""", """"q": 1"""))
-        .collect()
-    }
-    assert(qErr.getMessage.contains("q = 0"))
     graft.ml.ModelRegistry.destroy("ari_compat")
     graft.ml.ModelRegistry.destroy("ari_reloaded")
+
+    // arima q = 1: the CSS/Nelder-Mead ARMA path through the FQCN — the
+    // registered model carries an MA coefficient and the forecast extends
+    // the series with finite values
+    val rnd5 = new scala.util.Random(5)
+    val noisy = Iterator.iterate(2.0)(y => 1.0 + 0.6 * y + rnd5.nextGaussian() * 0.5)
+      .take(80).toSeq
+    val armaFlow = s"""
+    { "generators": [
+        {"id": "g", "name": "list", "config": {"rows": [
+          {"series": ${noisy.mkString("[", ",", "]")}}]}, "next": ["train"]} ],
+      "processors": [
+        {"id": "train", "name": "tuktu.ml.processors.timeseries.ARIMATrainProcessor",
+         "result": "", "config": {"model_name": "arma_compat", "data_field": "series",
+           "p": 1, "d": 0, "q": 1}, "next": ["apply"]},
+        {"id": "apply", "name": "tuktu.ml.processors.timeseries.ARIMAApplyProcessor",
+         "result": "forecast",
+         "config": {"model_name": "arma_compat", "data_field": "series", "n_future": 3},
+         "next": []} ] }"""
+    val armaFc = graft.engine.Flow.runSingle(spark, armaFlow).head.getSeq[Double](1)
+    assert(armaFc.length == noisy.length + 3)
+    assert(armaFc.forall(v => !v.isNaN && !v.isInfinite))
+    graft.ml.ModelRegistry.get("arma_compat") match {
+      case Some(t: graft.ml.AriTransformer) => assert(t.model.theta.length == 1)
+      case other => fail(s"unexpected registry entry: $other")
+    }
+    graft.ml.ModelRegistry.destroy("arma_compat")
 
     // changepoint: per-key timestamp-bucket means, hydra scan; one row per
     // bucket with {size, type} only where a change point landed
