@@ -177,6 +177,32 @@ object QueriesLLM {
         queryId = 0, kResults = 10, nProbe = 2)
     }),
 
+    // ---------------- pretrained-embedding retrieval end-to-end: a
+    // deterministic word2vec TEXT fixture (200 words × 64 dims,
+    // v[i][j] = ((i·31 + j·17) % 97 − 48) / 64 — exact in float32, so
+    // file → parse → float → double is bit-identical to the oracle's
+    // double arithmetic) is written, read back through the word2vec text
+    // SOURCE, and fed to the same IVF-PQ composite as ann_ivfpq.
+    "w2v_ivfpq" -> ((s, dir) => {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_w2v_fixture.txt")
+      val w = new java.io.PrintWriter(tmp, "UTF-8")
+      try {
+        for (i <- 0 until 200)
+          w.println("w" + i + " " + (0 until 64)
+            .map(j => (((i * 31 + j * 17) % 97 - 48) / 64.0).toFloat).mkString(" "))
+      } finally w.close()
+      val vecs = graft.sources.Sources.word2vecText(s, tmp.getAbsolutePath)
+        .select(substring(col("word"), 2, 10).cast(LongType).as("vec_id"),
+          col("vector"))
+      val lows = vecs.orderBy("vec_id").limit(8)
+        .select(col("vector").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      val books = Similarity.pqCodebooksFrom(lows.take(4), m = 8)
+      Similarity.ivfPqTopK(vecs, "vec_id", "vector", lows, books,
+        queryId = 0, kResults = 10, nProbe = 2)
+    }),
+
     // ---------------- embedding-cosine near-dup pairs, EXACT brute force
     // over a 300-vector slice (the LSH/IVF variants are the scale path and
     // spec-verified; approximation cannot hash-match an oracle). Vectors are
@@ -587,6 +613,57 @@ object QueriesLLM {
         .orderBy("doc_id")
     }))
 
+  /** IVF-PQ oracle: ann_ivf_topk's assignment/probe CTEs restricted to the
+    * probed posting lists, then ann_pq_adc's encode + integerized ADC table
+    * over that slice only — identical fold orders and tie rules.
+    * Parameterized by the vector-source CTE so the embeddings-table and
+    * pretrained-w2v variants share the whole pipeline. */
+  private def ivfPqOracleSql(eCte: String): String =
+    s"""WITH e AS ($eCte),
+         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+               FROM e ORDER BY vec_id LIMIT 8),
+         d AS (SELECT e.vec_id, e.v, c.j,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(e.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (a, b) -> a + b) AS dist
+               FROM e CROSS JOIN c),
+         a AS (SELECT vec_id, v, j AS centroid FROM
+                 (SELECT vec_id, v, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
+               WHERE rn = 1),
+         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         probes AS (SELECT j FROM (
+             SELECT c.j, list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(c.cv, q.qv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) AS dist FROM c, q)
+           ORDER BY dist, j LIMIT 2),
+         pr AS (SELECT vec_id, v FROM a WHERE centroid IN (SELECT j FROM probes)),
+         sub AS (SELECT unnest(range(0, 8)) AS s),
+         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+                   FROM e ORDER BY vec_id LIMIT 4),
+         cb AS (SELECT sub.s, seeds.j, seeds.v[sub.s*8+1 : sub.s*8+8] AS cv
+                FROM sub CROSS JOIN seeds),
+         dist2 AS (SELECT pr.vec_id, cb.s, cb.j,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(pr.v[cb.s*8+1 : cb.s*8+8], cb.cv),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d
+           FROM pr CROSS JOIN cb),
+         codes AS (SELECT vec_id, s, j AS code FROM (
+             SELECT vec_id, s, j,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+             FROM dist2)
+           WHERE rn = 1),
+         tbl AS (SELECT cb.s, cb.j,
+             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(cb.cv, q.qv[cb.s*8+1 : cb.s*8+8]),
+                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) * 1000000)
+               AS BIGINT) AS cell
+           FROM cb, q)
+         SELECT vec_id, CAST(sum(cell) AS BIGINT) AS adc FROM codes
+         JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.j
+         WHERE vec_id != 0
+         GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10"""
+
   /** Shared by decontaminate and decontaminate_bloom — the bloom semi-join
     * is a plan-level optimization with identical output. */
   private val decontaminateSql: String = {
@@ -816,53 +893,16 @@ object QueriesLLM {
          WHERE vec_id != 0
          GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10""",
     "ann_ivfpq" ->
-      // ann_ivf_topk's assignment/probe CTEs restricted to the probed
-      // posting lists, then ann_pq_adc's encode + integerized ADC table
-      // over that slice only — identical fold orders and tie rules
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
-               FROM e ORDER BY vec_id LIMIT 8),
-         d AS (SELECT e.vec_id, e.v, c.j,
-                 list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(list_zip(e.v, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
-                   (a, b) -> a + b) AS dist
-               FROM e CROSS JOIN c),
-         a AS (SELECT vec_id, v, j AS centroid FROM
-                 (SELECT vec_id, v, j,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
-               WHERE rn = 1),
-         q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-         probes AS (SELECT j FROM (
-             SELECT c.j, list_reduce(list_prepend(0.0::DOUBLE,
-               list_transform(list_zip(c.cv, q.qv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
-               (a, b) -> a + b) AS dist FROM c, q)
-           ORDER BY dist, j LIMIT 2),
-         pr AS (SELECT vec_id, v FROM a WHERE centroid IN (SELECT j FROM probes)),
-         sub AS (SELECT unnest(range(0, 8)) AS s),
-         seeds AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
-                   FROM e ORDER BY vec_id LIMIT 4),
-         cb AS (SELECT sub.s, seeds.j, seeds.v[sub.s*8+1 : sub.s*8+8] AS cv
-                FROM sub CROSS JOIN seeds),
-         dist2 AS (SELECT pr.vec_id, cb.s, cb.j,
-             list_reduce(list_prepend(0.0::DOUBLE,
-               list_transform(list_zip(pr.v[cb.s*8+1 : cb.s*8+8], cb.cv),
-                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) AS d
-           FROM pr CROSS JOIN cb),
-         codes AS (SELECT vec_id, s, j AS code FROM (
-             SELECT vec_id, s, j,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
-             FROM dist2)
-           WHERE rn = 1),
-         tbl AS (SELECT cb.s, cb.j,
-             CAST(floor(list_reduce(list_prepend(0.0::DOUBLE,
-               list_transform(list_zip(cb.cv, q.qv[cb.s*8+1 : cb.s*8+8]),
-                 z -> (z[1] - z[2]) * (z[1] - z[2]))), (a, b) -> a + b) * 1000000)
-               AS BIGINT) AS cell
-           FROM cb, q)
-         SELECT vec_id, CAST(sum(cell) AS BIGINT) AS adc FROM codes
-         JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.j
-         WHERE vec_id != 0
-         GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10""",
+      ivfPqOracleSql("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
+    "w2v_ivfpq" ->
+      // same IVF-PQ math over the deterministic pretrained-w2v fixture the
+      // Spark side writes and reads back through the word2vec text source:
+      // v[i][j] = ((i*31 + j*17) % 97 - 48) / 64, exact in float32 so the
+      // file → parse → float → double chain matches this double arithmetic
+      ivfPqOracleSql(
+        """SELECT i AS vec_id, list_transform(range(64), j ->
+             CAST((i*31 + j*17) % 97 - 48 AS DOUBLE) / 64.0) AS v
+           FROM (SELECT unnest(range(200)) AS i) t"""),
     "embedding_near_dup" ->
       """WITH e AS (
            SELECT vec_id,
