@@ -18,10 +18,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * records with per-segment encoding re-declaration), LABEL, NUMBER, RK,
  * MULRK, BOOLERR (bool and error-code cells); BIFF5/7 workbooks ("Book"
  * stream, CODEPAGE-encoded inline byte strings in BOUNDSHEET/LABEL/RSTRING).
- * Not supported (documented): encrypted workbooks (FILEPASS — fails with an
- * explicit error), BIFF4 and earlier. Unknown records are skipped by
- * length, so real-world files with formatting records parse fine; corrupt
- * chains fail loudly with context.
+ * Encrypted workbooks (FILEPASS, [MS-XLS] 2.4.117): the common RC4
+ * "standard" (binary RC4) variant is decrypted from the published
+ * algorithms ([MS-OFFCRYPTO] 2.3.6 — MD5 key derivation, per-1024-byte
+ * block rekeying, password verifier check; the speadsheet default password
+ * "VelvetSweatshop" is tried when none is given, matching Excel's silent
+ * auto-open). XOR obfuscation and RC4 CryptoAPI still fail with an error
+ * naming the variant. BIFF4 and earlier are not supported. Unknown records
+ * are skipped by length, so real-world files with formatting records parse
+ * fine; corrupt chains fail loudly with context.
  *
  * Distribution matches the xlsx path: one task per file via binaryFiles.
  */
@@ -215,6 +220,142 @@ object XlsBiff {
       case other => s"unknown type $other"
     }
 
+  // ------------------------------------------------- FILEPASS / binary RC4
+
+  /** RC4 (KSA + PRGA), transcribed from the public algorithm — own 20 lines
+    * rather than SunJCE ARCFOUR so keystream bytes can be discarded for the
+    * plaintext spans the BIFF rules leave clear. */
+  private[graft] final class Rc4(key: Array[Byte]) {
+    private val S = Array.tabulate(256)(_.toByte)
+    private var i = 0
+    private var j = 0
+    locally {
+      var jj = 0
+      var ii = 0
+      while (ii < 256) {
+        jj = (jj + S(ii) + key(ii % key.length)) & 0xFF
+        val t = S(ii); S(ii) = S(jj); S(jj) = t
+        ii += 1
+      }
+    }
+    def next(): Int = {
+      i = (i + 1) & 0xFF
+      j = (j + S(i)) & 0xFF
+      val t = S(i); S(i) = S(j); S(j) = t
+      S((S(i) + S(j)) & 0xFF) & 0xFF
+    }
+  }
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** [MS-OFFCRYPTO] 2.3.6.2 binary-RC4 key material: the 5-byte truncated
+    * MD5 of the UTF-16LE password, folded with the salt 16 times. */
+  private[graft] def rc4KeyBase(password: String, salt: Array[Byte]): Array[Byte] = {
+    val trunc = md5(password.getBytes("UTF-16LE")).take(5)
+    md5(Array.fill(16)(trunc ++ salt).flatten.toArray).take(5)
+  }
+
+  /** Rekeyed cipher for 1024-byte block `n`: the full 16-byte
+    * MD5(keyBase ++ LE32(n)) is the RC4 key ([MS-OFFCRYPTO] 2.3.6.2). */
+  private[graft] def rc4Block(keyBase: Array[Byte], n: Int): Rc4 =
+    new Rc4(md5(keyBase, Array[Byte](
+      (n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+      ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)))
+
+  /** [MS-OFFCRYPTO] 2.3.6.4: block-0 RC4 over the 32 contiguous verifier
+    * bytes; the password is right iff MD5(verifier) == verifierHash. */
+  private def rc4PasswordOk(password: String, salt: Array[Byte],
+                            encVerifier: Array[Byte], encVerifierHash: Array[Byte]): Boolean = {
+    val c = rc4Block(rc4KeyBase(password, salt), 0)
+    val verifier = encVerifier.map(b => (b ^ c.next()).toByte)
+    val verifierHash = encVerifierHash.map(b => (b ^ c.next()).toByte)
+    java.util.Arrays.equals(md5(verifier), verifierHash)
+  }
+
+  /** Records whose bodies stay plaintext under RC4 ([MS-XLS] 2.2.10): BOF,
+    * FILEPASS, UsrExcl, FileLock, InterfaceHdr, RRDInfo, RRDHead — plus
+    * every record's 4-byte type/length header and BOUNDSHEET's lbPlyPos. */
+  private val PlainBodies = Set(0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138)
+
+  /** XOR the RC4 keystream onto a Workbook stream following the BIFF rules.
+    * The keystream covers EVERY byte — plaintext spans advance it without
+    * applying it — and rekeys each 1024-byte block, so decryption is
+    * position-exact regardless of record layout. XOR makes this symmetric:
+    * applied to a plaintext stream it encrypts (the spec uses it that way). */
+  private[graft] def rc4Crypt(stream: Array[Byte], password: String,
+                              salt: Array[Byte]): Array[Byte] = {
+    val keyBase = rc4KeyBase(password, salt)
+    val out = stream.clone()
+    var cipher = rc4Block(keyBase, 0)
+    var block = 0
+    var pos = 0
+    def advance(n: Int, apply: Boolean): Unit = {
+      var k = 0
+      while (k < n) {
+        val bl = pos >> 10
+        if (bl != block) { block = bl; cipher = rc4Block(keyBase, bl) }
+        val ks = cipher.next()
+        if (apply) out(pos) = (out(pos) ^ ks).toByte
+        pos += 1
+        k += 1
+      }
+    }
+    val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    while (pos + 4 <= stream.length) {
+      val recT = u16(b, pos)
+      val len = math.min(u16(b, pos + 2), stream.length - pos - 4)
+      advance(4, apply = false)
+      if (PlainBodies(recT)) advance(len, apply = false)
+      else if (recT == 0x0085) { // BOUNDSHEET: lbPlyPos clear, name encrypted
+        advance(math.min(4, len), apply = false)
+        advance(len - math.min(4, len), apply = true)
+      } else advance(len, apply = true)
+    }
+    out
+  }
+
+  /** Excel's well-known default password: files "encrypted" without a user
+    * password (workbook protection) use it and open silently. */
+  private val DefaultPassword = "VelvetSweatshop"
+
+  /** Find a FILEPASS record; on the RC4-standard variant decrypt the stream
+    * (tried passwords: the caller's, else the spreadsheet default). XOR
+    * obfuscation / RC4 CryptoAPI keep the explicit unsupported error. */
+  private[graft] def decryptIfNeeded(stream: Array[Byte], password: Option[String]): Array[Byte] = {
+    val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 0
+    while (pos + 4 <= stream.length) {
+      val recT = u16(b, pos)
+      val len = u16(b, pos + 2)
+      val body = pos + 4
+      if (recT == 0x002F) {
+        filepassKind(b, body) match {
+          case "RC4 standard" =>
+            require(len >= 54, "BIFF: truncated FILEPASS record")
+            def bytes(off: Int, n: Int) =
+              java.util.Arrays.copyOfRange(stream, body + off, body + off + n)
+            val salt = bytes(6, 16)
+            val encVerifier = bytes(22, 16)
+            val encVerifierHash = bytes(38, 16)
+            val pw = (password.toSeq :+ DefaultPassword)
+              .find(p => rc4PasswordOk(p, salt, encVerifier, encVerifierHash))
+              .getOrElse(throw new IllegalArgumentException(
+                "BIFF: RC4-encrypted workbook — wrong or missing password " +
+                  "(default password also failed)"))
+            return rc4Crypt(stream, pw, salt)
+          case kind => throw new IllegalArgumentException(
+            s"BIFF: encrypted workbook (FILEPASS, $kind) is not supported")
+        }
+      }
+      pos = body + len
+    }
+    stream
+  }
+
   /** Windows codepage id → JVM charset for BIFF5 byte strings. */
   private def codepageName(cp: Int): String = cp match {
     case 1200  => "UTF-16LE"
@@ -244,8 +385,7 @@ object XlsBiff {
       rec match {
         case 0x0809 => depth += 1
         case 0x000A => depth -= 1; if (depth <= 0) done = true
-        case 0x002F => throw new IllegalArgumentException(
-          s"BIFF: encrypted workbook (FILEPASS, ${filepassKind(b, body)}) is not supported")
+        case 0x002F => () // already decrypted upstream (decryptIfNeeded)
         case 0x0042 => codepage = codepageName(u16(b, body))
         case 0x00FC => // SST (+ any immediately-following CONTINUE records)
           val unique = u32(b, body + 4).toInt
@@ -314,8 +454,7 @@ object XlsBiff {
                 new String(stream, body + 9, cch * 2, "UTF-16LE")
               else new String(stream, body + 9, cch, "ISO-8859-1")
             cells += ((u16(b, body), u16(b, body + 2), s))
-          case 0x002F => throw new IllegalArgumentException(
-            s"BIFF: encrypted workbook (FILEPASS, ${filepassKind(b, body)}) is not supported")
+          case 0x002F => () // already decrypted upstream (decryptIfNeeded)
           case _ => ()
         }
         p = body + len
@@ -331,9 +470,11 @@ object XlsBiff {
   }
 
   /** Dense string rows of one sheet of an xls byte payload (gaps → ""),
-    * parity with Spreadsheet.xlsxRows. */
-  def xlsRows(bytes: Array[Byte], sheetName: Option[String] = None): Seq[IndexedSeq[String]] = {
-    val all = sheets(workbookStream(bytes))
+    * parity with Spreadsheet.xlsxRows. RC4-standard-encrypted workbooks
+    * decrypt with `password` (or the spreadsheet default). */
+  def xlsRows(bytes: Array[Byte], sheetName: Option[String] = None,
+              password: Option[String] = None): Seq[IndexedSeq[String]] = {
+    val all = sheets(decryptIfNeeded(workbookStream(bytes), password))
     sheetName match {
       case Some(n) => all.find(_._1 == n)
         .getOrElse(throw new IllegalArgumentException(s"no sheet $n in xls"))._2
@@ -346,7 +487,9 @@ object XlsBiff {
   def xlsFlattened(spark: SparkSession, glob: String, sheetName: Option[String],
                    valueName: String, dataColStart: Int, dataColEnd: Option[Int],
                    hierarchy: () => List[Spreadsheet.ParseNode],
-                   endFieldCol: Int = -1, endField: String = null): DataFrame =
-    Spreadsheet.flattenedDf(spark, glob, bytes => xlsRows(bytes, sheetName).iterator,
+                   endFieldCol: Int = -1, endField: String = null,
+                   password: Option[String] = None): DataFrame =
+    Spreadsheet.flattenedDf(spark, glob,
+      bytes => xlsRows(bytes, sheetName, password).iterator,
       valueName, dataColStart, dataColEnd, hierarchy, endFieldCol, endField)
 }

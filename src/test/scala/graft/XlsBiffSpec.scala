@@ -229,9 +229,52 @@ class XlsBiffSpec extends SparkSpec {
       assert(ex.getMessage.contains("FILEPASS") && ex.getMessage.contains(want),
         ex.getMessage)
     }
-    failWith(le(u16(1), u16(1), u16(1), Array.fill[Byte](46)(0)), "RC4 standard")
     failWith(le(u16(1), u16(4), u16(2), Array.fill[Byte](46)(0)), "RC4 CryptoAPI")
     failWith(le(u16(0), u16(0xABCD), u16(0x1234)), "XOR obfuscation")
+    // RC4 standard is now DECRYPTED — a garbage verifier is a password error
+    val ex = intercept[IllegalArgumentException] {
+      XlsBiff.xlsRows(cfbMini(le(bofG,
+        rec(0x002F, le(u16(1), u16(1), u16(1), Array.fill[Byte](48)(0))), eof)), None)
+    }
+    assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
+  }
+
+  test("RC4-standard encrypted workbooks decrypt: explicit, default, and wrong password") {
+    val salt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val verifier = Array.tabulate[Byte](16)(i => (i * 13 + 1).toByte)
+    def md5(bs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+    def encryptedXls(password: String): Array[Byte] = {
+      // verifier fields use their own block-0 cipher, 32 contiguous bytes
+      val c0 = XlsBiff.rc4Block(XlsBiff.rc4KeyBase(password, salt), 0)
+      val encVerifier = verifier.map(b => (b ^ c0.next()).toByte)
+      val encVerifierHash = md5(verifier).map(b => (b ^ c0.next()).toByte)
+      val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+      val filepass = rec(0x002F,
+        le(u16(1), u16(1), u16(1), salt, encVerifier, encVerifierHash))
+      val sst = rec(0x00FC, le(u32(1), u32(1),
+        le(u16(6), Array(0.toByte), ascii("secret"))))
+      // 3 KB of unknown record pushes the sheet past several 1024-byte
+      // rekeying blocks, so block-boundary rekeys are exercised
+      val pad = rec(0x0866, Array.fill[Byte](3000)(0x5A.toByte))
+      val eof = rec(0x000A, Array.emptyByteArray)
+      val bofS = rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
+      val sheet = le(bofS, labelSst(0, 0, 0), number(0, 1, 42.0), eof)
+      def globals(lbPlyPos: Int): Array[Byte] = {
+        val bs = rec(0x0085, le(u32(lbPlyPos), u16(0),
+          Array(4.toByte, 0.toByte), ascii("data")))
+        le(bofG, filepass, sst, pad, bs, eof)
+      }
+      val plain = le(globals(globals(0).length), sheet)
+      cfbMini(XlsBiff.rc4Crypt(plain, password, salt)) // XOR: crypt == encrypt
+    }
+    val want = Seq(IndexedSeq("secret", "42"))
+    assert(XlsBiff.xlsRows(encryptedXls("hunter2"), Some("data"), Some("hunter2")) == want)
+    // no password given: Excel's silent default is tried
+    assert(XlsBiff.xlsRows(encryptedXls("VelvetSweatshop"), Some("data"), None) == want)
+    val ex = intercept[IllegalArgumentException](
+      XlsBiff.xlsRows(encryptedXls("hunter2"), Some("data"), Some("wrong")))
+    assert(ex.getMessage.contains("wrong or missing password"))
   }
 
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
