@@ -228,6 +228,23 @@ object QueriesLLM {
         .orderBy("id1", "id2")
     }),
 
+    // ---------------- SemDeDup (Abbas et al. 2023): cluster-scoped semantic
+    // dedup. The 8 lowest-id vectors are the explicit centroids and vectors
+    // are integerized (floor(x*1e6) — dots become exact sums < 2^53, so
+    // every cosine double and the argmin assignment are bit-identical in
+    // both engines); pairs form only within a cluster, duplicate groups are
+    // connected components, and each group keeps its least-central member.
+    "semantic_dedup" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      val cents = e.orderBy("vec_id").limit(16)
+        .select(col("q")).collect().map(_.getSeq[Double](0).toArray).toSeq
+      Dedup.semanticDedup(e, "vec_id", "q", cents, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
     // ---------------- LSH ANN top-k (the approximate scale path). The
     // md5-derived hyperplanes are deterministic, so the ENTIRE approximate
     // pipeline — sign-bit buckets, 4-table candidate set, exact re-rank —
@@ -917,6 +934,44 @@ object QueriesLLM {
                / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS cos
            FROM n a, n b WHERE a.vec_id < b.vec_id)
          WHERE cos >= 0.4 ORDER BY id1, id2""",
+    "semantic_dedup" -> {
+      // the IDENTICAL left-to-right fold arithmetic as the Spark cosine()
+      // (aggregate over zip_with) — exact on the integerized vectors
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def nrm(a: String) = s"sqrt(${dot(a, a)})"
+      s"""WITH RECURSIVE e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)) AS q
+            FROM embeddings),
+          c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS cv
+                FROM e ORDER BY vec_id LIMIT 16),
+          d AS (SELECT e.vec_id, e.q, c.j,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(list_zip(e.q, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) AS dist
+                FROM e CROSS JOIN c),
+          a AS (SELECT vec_id, q, j AS centroid FROM (
+                  SELECT vec_id, q, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
+                WHERE rn = 1),
+          cs AS (SELECT a.vec_id, ${dot("a.q", "c.cv")} / (${nrm("a.q")} * ${nrm("c.cv")}) AS centsim
+                 FROM a JOIN c ON a.centroid = c.j),
+          dup AS (SELECT x.vec_id AS id1, y.vec_id AS id2 FROM a x
+                  JOIN a y ON x.centroid = y.centroid AND x.vec_id < y.vec_id
+                  WHERE ${nrm("x.q")} > 0 AND ${nrm("y.q")} > 0
+                    AND ${dot("x.q", "y.q")} >= (0.4 * ${nrm("x.q")}) * ${nrm("y.q")}),
+          sym AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+          lbl(u, m) AS (SELECT vec_id, vec_id FROM e UNION
+                        SELECT s.u, l.m FROM sym s JOIN lbl l ON l.u = s.v),
+          comp AS (SELECT u AS vec_id, min(m) AS cluster FROM lbl GROUP BY u),
+          ranked AS (SELECT comp.vec_id, comp.cluster,
+                       row_number() OVER (PARTITION BY comp.cluster
+                         ORDER BY cs.centsim, comp.vec_id) AS rn
+                     FROM comp JOIN cs ON comp.vec_id = cs.vec_id)
+          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rn = 1 AS keep
+          FROM ranked ORDER BY vec_id"""
+    },
     "lang_id" -> {
       val scores = TextAnalysis.langMarkers.zipWithIndex.map { case ((lang, markers), i) =>
         val inList = markers.map(m => s"'$m'").mkString(", ")

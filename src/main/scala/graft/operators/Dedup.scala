@@ -540,4 +540,58 @@ object Dedup {
                         threshold: Double): DataFrame =
     Similarity.lshCandidatePairs(df, idCol, vecCol)
       .filter(col("cosine") >= threshold)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
+    * near-duplicate removal over an embedding column. Assign every vector to
+    * its nearest explicit centroid ([[Similarity.ivfAssignExplicit]] —
+    * deterministic argmin L2, expression-only), form candidate pairs ONLY
+    * within a cluster, keep pairs with cosine ≥ `tau` as semantic
+    * duplicates, group them with the large/small-star component loop, and
+    * retain per group the member LEAST similar to its centroid (the paper's
+    * keep rule: extreme points carry the information), ties to the lowest
+    * id. Returns one row per input: (id, cluster, keep).
+    *
+    * 100 TB shape: the quadratic term is cluster-scoped — the centroid count
+    * plays the paper's k ≈ √N role, bounding every bucket of the self-join;
+    * the join carries only (centroid, id) and vectors hash-join back once
+    * per side (the pairs-first layout minhash LSH uses), so the wide stages
+    * are three hash joins plus the component loop — never all-pairs. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Array[Double]], tau: Double): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val assigned = Similarity.ivfAssignExplicit(df, vecCol, centroids)
+    val centsLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val centSim = Similarity.cosine(v, element_at(centsLit, col("__centroid") + 1))
+    // slim per-vector frame (id, centroid, centsim — ~24 B/row), checkpointed
+    // so the k·d centroid-literal expression tree is evaluated in ONE stage;
+    // without this every downstream stage re-ships and re-runs it (measured
+    // ~3× the whole query at bench scale). Vectors are NOT materialized —
+    // the pair stage re-reads them from the source.
+    val nodes = assigned
+      .select(col(idCol).as("node"), col("__centroid"), centSim.as("__centsim"))
+      .localCheckpoint()
+    val cand = nodes.select(col("__centroid"), col("node").as("id1"))
+      .join(nodes.select(col("__centroid"), col("node").as("id2")), Seq("__centroid"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2")
+    // norms fold once per VECTOR; the per-pair check is then a single dot
+    // fold against (tau·n1)·n2 — same correctly-rounded double sequence the
+    // oracle replays. Zero vectors are guarded out (cosine is undefined).
+    val va = df.select(col(idCol).as("id1"), v.as("__v1"),
+      Similarity.norm(v).as("__n1"))
+    val vb = df.select(col(idCol).as("id2"), v.as("__v2"),
+      Similarity.norm(v).as("__n2"))
+    val dup = cand.join(va, Seq("id1")).join(vb, Seq("id2"))
+      .filter(col("__n1") > 0 && col("__n2") > 0 &&
+        Similarity.dot(col("__v1"), col("__v2")) >= (lit(tau) * col("__n1")) * col("__n2"))
+      .select("id1", "id2")
+    val cc = connectedComponents(dup, "id1", "id2")
+    val lab = nodes.join(cc, Seq("node"), "left")
+      .withColumn("cluster", coalesce(col("component"), col("node")))
+    val keeper = lab.groupBy("cluster")
+      .agg(min_by(col("node"), struct(col("__centsim"), col("node"))).as("__keeper"))
+    lab.join(keeper, Seq("cluster"))
+      .select(col("node").as(idCol), col("cluster"),
+        (col("node") === col("__keeper")).as("keep"))
+  }
 }

@@ -291,6 +291,27 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(3L) == 3L && out(4L) == 4L)                  // singletons untouched
   }
 
+  test("semanticDedup groups within-cluster near-dups and keeps the least-central member") {
+    // two well-separated centroids; around c0: an exact pair (1,2) plus an
+    // outlier-leaning member 3 (lower centroid similarity than 1/2 but still
+    // cosine ≥ τ to them); around c1: a lone vector. SemDeDup must cluster
+    // {1,2,3} and keep exactly 3 (least similar to its centroid).
+    val c0 = Array(1.0, 0.0, 0.0, 0.0)
+    val c1 = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 0.0)),   // == c0 direction
+      (2L, Seq(10.0, 0.0, 0.0, 0.0)),   // exact dup of 1
+      (3L, Seq(9.0, 0.0, 3.0, 0.0)),    // tilted: cos to 1/2 ≈ 0.95, to c0 lower
+      (4L, Seq(0.0, 5.0, 0.0, 0.0)))    // alone near c1
+    val df = rows.toDF("id", "v")
+    val out = Dedup.semanticDedup(df, "id", "v", Seq(c0, c1), tau = 0.9)
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((1L, false)) && out(2L) == ((1L, false)),
+      "central dups are dropped")
+    assert(out(3L) == ((1L, true)), "the least-central group member is kept")
+    assert(out(4L) == ((4L, true)), "singletons keep themselves")
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
       .as[(Long, Long)].collect().toMap
