@@ -81,6 +81,56 @@ object LangModel {
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — public):
+    * select pretraining data that "looks like" a trusted target set by
+    * importance weighting in a hashed n-gram feature space. Word unigram and
+    * bigram hashes (the md5/rolling-131 scheme shared with Dedup) fold into
+    * `buckets` buckets; target and source bucket distributions are add-one
+    * smoothed; each source document scores
+    * log w(x) = Σ_grams [ln p_tgt(b) − ln p_cur(b)], each term quantized as
+    * floor(1e4·term) (same cross-engine-ln mitigation as [[scoreBigram]]).
+    * Returns (id, n_grams, logw_q4); the paper's final Gumbel resampling
+    * ∝ w is a caller-side orderBy/sample on the weight.
+    *
+    * Scale shape: both bucket tables are ≤ `buckets` rows — broadcast
+    * joins, totals as broadcast one-row frames; the only corpus-wide
+    * shuffle is the per-document sum. */
+  def dsirWeights(source: DataFrame, target: DataFrame, idCol: String,
+                  textCol: String, buckets: Int = 10000): DataFrame = {
+    def grams(df: DataFrame): DataFrame = {
+      val withTh = df.select(col(idCol).as("id"),
+        Dedup.tokenHashes(col(textCol)).as("__th"))
+      // sequence(1, k) descends for k<1 — guard single-token docs
+      val bi = when(size(col("__th")) < 2, array().cast(ArrayType(LongType)))
+        .otherwise(transform(sequence(lit(1), size(col("__th")) - 1), i =>
+          (element_at(col("__th"), i) * 131 + element_at(col("__th"), i + 1)) % Dedup.P))
+      withTh.select(col("id"), explode(concat(col("__th"), bi)).as("h"))
+        .select(col("id"), (col("h") % buckets).as("bucket"))
+    }
+    val srcG = grams(source)
+    val tgtG = grams(target)
+    val cT = tgtG.groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+    val cS = srcG.groupBy(col("bucket")).agg(count(lit(1)).as("c_s"))
+    val totT = cT.agg(coalesce(sum(col("c_t")), lit(0L)).as("tot_t"))
+    val totS = cS.agg(coalesce(sum(col("c_s")), lit(0L)).as("tot_s"))
+    val term = floor(lit(1e4) *
+      (log(coalesce(col("c_t"), lit(0L)) + lit(1L)) -
+        log(col("tot_t") + lit(buckets.toLong)) -
+        log(coalesce(col("c_s"), lit(0L)) + lit(1L)) +
+        log(col("tot_s") + lit(buckets.toLong))))
+    val scored = srcG
+      .join(broadcast(cT), Seq("bucket"), "left")
+      .join(broadcast(cS), Seq("bucket"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totS))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(term).as("logw_q4"))
+    val base = source.select(col(idCol))
+    base.join(scored, base(idCol) === scored("id"), "left")
+      .select(base(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("logw_q4"), lit(0L)).as("logw_q4"))
+  }
+
   /** Adjacent token pairs per document: explode + per-doc lead window (the
     * codegen path — array HOFs are interpreted). */
   private def bigramPairs(df: DataFrame, idCol: String,

@@ -21,7 +21,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * Encrypted workbooks (FILEPASS, [MS-XLS] 2.4.117): the common RC4
  * "standard" (binary RC4) variant is decrypted from the published
  * algorithms ([MS-OFFCRYPTO] 2.3.6 — MD5 key derivation, per-1024-byte
- * block rekeying, password verifier check; the speadsheet default password
+ * block rekeying, password verifier check; the spreadsheet default password
  * "VelvetSweatshop" is tried when none is given, matching Excel's silent
  * auto-open). XOR obfuscation and RC4 CryptoAPI still fail with an error
  * naming the variant. BIFF4 and earlier are not supported. Unknown records

@@ -208,6 +208,25 @@ class LLMOpsSpec extends SparkSpec {
     assert(f == ((9L, 1L, q4(0, 2))))
   }
 
+  test("dsirWeights ranks target-like documents above off-distribution ones") {
+    import graft.operators.LangModel
+    val target = Seq((100L, "the cat sat on the mat"), (101L, "the dog sat on the rug"))
+      .toDF("doc_id", "text")
+    val source = Seq(
+      (1L, "the cat sat on the rug"),       // target-like
+      (2L, "qq ww ee rr tt yy"),            // off-distribution
+      (3L, "the dog sat on the mat"))       // target-like
+      .toDF("doc_id", "text")
+    val w = LangModel.dsirWeights(source, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(1L) > w(2L) && w(3L) > w(2L),
+      s"target-like docs must outweigh off-distribution: $w")
+    // n_grams = unigrams + bigrams = 2·tokens − 1
+    val n = LangModel.dsirWeights(source, target, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(n(1L) == 11L && n(2L) == 11L)
+  }
+
   test("lineDedup strips lines shared across docs, keeps order and blanks") {
     val d = Seq(
       (1L, "keep me\ncommon footer\nunique line a"),
