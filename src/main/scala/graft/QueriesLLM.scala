@@ -525,6 +525,17 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- the full Gopher quality-rule battery (Rae et al.
+    // 2021 §A1.1): integer-count ratios, so every statistic and the
+    // composite keep bit are bit-identical in the oracle
+    "gopher_filter" -> ((s, dir) => {
+      graft.operators.TextAnalysis.gopherFilter(rd(s, dir, "documents"), "text")
+        .select("doc_id", "n_words", "mean_word_len", "hash_ratio",
+          "ellipsis_ratio", "bullet_frac", "ellipsis_line_frac", "alpha_frac",
+          "n_req_stop", "keep")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- DSIR importance weights (Xie et al. 2023): the
     // held-out doc_id % 97 == 0 slice is the trusted target (the same split
     // decontaminate uses as its benchmark); every other document is scored
@@ -1082,6 +1093,41 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "gopher_filter" -> {
+      val stops = TextAnalysis.gopherRequiredStops
+        .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (
+            SELECT doc_id, text,
+              string_split_regex(trim(lower(text)), '\\s+') AS toks,
+              string_split(text, chr(10)) AS lines
+            FROM documents),
+          f AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+              CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS hash_ratio,
+              CAST((length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS ellipsis_ratio,
+              CAST(len(list_filter(lines, l -> starts_with(l, chr(8226))
+                  OR starts_with(l, '-') OR starts_with(l, '*'))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) AS bullet_frac,
+              CAST(len(list_filter(lines, l -> ends_with(l, '...')
+                  OR ends_with(l, chr(8230)))) AS DOUBLE)
+                / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac,
+              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+              CAST($stops AS BIGINT) AS n_req_stop
+            FROM t)
+          SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+            bullet_frac, ellipsis_line_frac, alpha_frac, n_req_stop,
+            (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+              AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1
+              AND bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+              AND alpha_frac >= 0.8 AND n_req_stop >= 2 AS keep
+          FROM f ORDER BY doc_id"""
+    },
     "dsir_weights" ->
       // same md5/rolling-131 gram hashes as decontaminate; ln quantized per
       // term like lm_perplexity (mitigation, not guarantee — see there)

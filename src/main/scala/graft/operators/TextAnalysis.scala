@@ -122,6 +122,59 @@ object TextAnalysis {
       .drop("__lines", "__toks", "__g2")
   }
 
+  /** Stopwords a quality document must hit (Gopher rule 8). */
+  val gopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher document-quality rules (Rae et al. 2021, arXiv:2112.11446
+    * §A1.1 — public) as one pure-expression pass: word count in [50, 100k];
+    * mean word length in [3, 10]; hash-symbol and ellipsis symbol-to-word
+    * ratios ≤ 0.1; ≤ 90% of lines starting with a bullet (•, -, *); ≤ 30%
+    * of lines ending with "…"/"..."; ≥ 80% of words containing an
+    * alphabetic character; ≥ 2 of the required stopwords present. Emits the
+    * raw statistics plus the composite `keep`. Ratios are integer-count
+    * divisions — bit-identical in the SQL oracle. Zero shuffles. */
+  def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
+    // staged projections: HOF lambdas get no codegen CSE (see repetitionStats)
+    val staged = df
+      .withColumn("__toks", tokens(col(textCol)))
+      .withColumn("__lines", split(col(textCol), "\n"))
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val nW = size(toks).cast(LongType)
+    val nL = size(lines).cast(LongType)
+    val nHash = (length(col(textCol)) -
+      length(replace(col(textCol), lit("#"), lit("")))).cast(LongType)
+    val nEll = ((length(col(textCol)) -
+      length(replace(col(textCol), lit("..."), lit("")))) / 3).cast(LongType)
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("-") || l.startsWith("*"))).cast(LongType)
+    val nEllLine = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast(LongType)
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast(LongType)
+    val nStop = gopherRequiredStops
+      .map(w => when(array_contains(toks, w), 1L).otherwise(0L))
+      .reduce(_ + _)
+    staged
+      .withColumn("n_words", nW)
+      .withColumn("mean_word_len",
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+          nW.cast(DoubleType))
+      .withColumn("hash_ratio", nHash.cast(DoubleType) / nW.cast(DoubleType))
+      .withColumn("ellipsis_ratio", nEll.cast(DoubleType) / nW.cast(DoubleType))
+      .withColumn("bullet_frac", nBullet.cast(DoubleType) / nL.cast(DoubleType))
+      .withColumn("ellipsis_line_frac", nEllLine.cast(DoubleType) / nL.cast(DoubleType))
+      .withColumn("alpha_frac", nAlpha.cast(DoubleType) / nW.cast(DoubleType))
+      .withColumn("n_req_stop", nStop)
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1 &&
+          col("bullet_frac") <= 0.9 && col("ellipsis_line_frac") <= 0.3 &&
+          col("alpha_frac") >= 0.8 && col("n_req_stop") >= 2L)
+      .drop("__toks", "__lines")
+  }
+
   // ---------------------------------------------------------------- PII scrub
   /** Training-corpus PII scrubbing: redact emails and phone-shaped numbers,
     * reporting match counts. Patterns stay in the RE2-compatible subset so

@@ -208,6 +208,29 @@ class LLMOpsSpec extends SparkSpec {
     assert(f == ((9L, 1L, q4(0, 2))))
   }
 
+  test("gopherFilter: each rule flips keep; a conforming doc passes") {
+    import graft.operators.TextAnalysis
+    // 66 words, mean length in range, stopwords present, clean lines
+    val good = (("the quick brown fox jumps over that lazy dog have with " * 6).trim)
+    val rows = Seq(
+      (0L, good),                                        // passes all rules
+      (1L, "tiny doc the that have with"),               // < 50 words
+      (2L, good + " " + ("#" * 1) * 12),                 // hash ratio > 0.1
+      (3L, good.split(" ").map("- " + _).mkString("\n")), // every line bulleted
+      (4L, ("aa " * 60).trim + " the that have with"))   // stopwords but mean len < 3
+    val df = rows.toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(df, "text")
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(0L), "conforming doc must pass")
+    assert(!out(1L) && !out(2L) && !out(3L) && !out(4L))
+    // rule-level stats are exact integer ratios
+    val r = TextAnalysis.gopherFilter(df, "text")
+      .select("doc_id", "n_words", "n_req_stop", "bullet_frac")
+      .as[(Long, Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(r(0L)._2 == 66L && r(0L)._3 >= 4L)
+    assert(r(3L)._4 == 1.0, "all lines bulleted")
+  }
+
   test("dsirWeights ranks target-like documents above off-distribution ones") {
     import graft.operators.LangModel
     val target = Seq((100L, "the cat sat on the mat"), (101L, "the dog sat on the rug"))
