@@ -525,6 +525,14 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- exact duplicate-substring removal (Lee et al. 2022
+    // ExactSubstr, distributed): 8-token windows, double rolling hash,
+    // minimal occurrence kept, merged removal intervals per doc
+    "substring_dedup" -> ((s, dir) => {
+      Dedup.substringDedup(rd(s, dir, "documents"), "doc_id", "text", l = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---------------- the full Gopher quality-rule battery (Rae et al.
     // 2021 §A1.1): integer-count ratios, so every statistic and the
     // composite keep bit are bit-identical in the oracle
@@ -1093,6 +1101,48 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "substring_dedup" -> {
+      def chainSql(mult: Int) = (1 until 8).foldLeft("th[i]") { (acc, j) =>
+        s"(($acc * $mult + th[i+$j]) % 2147483647)"
+      }
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (SELECT doc_id, toks, list_transform(toks,
+                  t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+                FROM t),
+          win AS (SELECT doc_id, unnest(list_transform(range(1, len(th) - 6),
+                    i -> struct_pack(pos := i, h1 := ${chainSql(131)}, h2 := ${chainSql(137)}))) AS s
+                  FROM h),
+          w2 AS (SELECT doc_id, s.pos AS pos, s.h1 AS h1, s.h2 AS h2 FROM win),
+          rk AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY h1, h2 ORDER BY doc_id, pos) AS rn,
+                   count(*) OVER (PARTITION BY h1, h2) AS c
+                 FROM w2),
+          rm AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM rk WHERE c > 1 AND rn > 1),
+          isl AS (SELECT doc_id, s, e,
+                    sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+                  FROM (SELECT doc_id, s, e,
+                          max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+                        FROM rm)),
+          mg AS (SELECT doc_id, island, min(s) AS s, max(e) AS e FROM isl GROUP BY 1, 2),
+          v AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                  CAST(sum(e - s + 1) AS BIGINT) AS n_removed FROM mg GROUP BY 1),
+          remidx AS (SELECT doc_id, unnest(range(s, e + 1)) AS idx FROM mg),
+          tok AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                    i -> struct_pack(idx := i, tk := toks[i]))) AS s FROM h),
+          tk AS (SELECT doc_id, s.idx AS idx, s.tk AS tk FROM tok),
+          kept AS (SELECT tk.doc_id, tk.idx, tk.tk FROM tk
+                   LEFT JOIN remidx ON tk.doc_id = remidx.doc_id AND tk.idx = remidx.idx
+                   WHERE remidx.idx IS NULL),
+          cl AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY idx) AS clean FROM kept GROUP BY 1)
+          SELECT d.doc_id, CAST(coalesce(v.n_spans, 0) AS BIGINT) AS n_dup_spans,
+            CAST(coalesce(v.n_removed, 0) AS BIGINT) AS n_removed_tokens,
+            coalesce(cl.clean, '') AS clean
+          FROM documents d LEFT JOIN v USING (doc_id) LEFT JOIN cl USING (doc_id)
+          ORDER BY d.doc_id"""
+    },
     "gopher_filter" -> {
       val stops = TextAnalysis.gopherRequiredStops
         .map(w => s"CASE WHEN list_contains(toks, '$w') THEN 1 ELSE 0 END")

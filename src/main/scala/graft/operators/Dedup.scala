@@ -541,6 +541,73 @@ object Dedup {
     Similarity.lshCandidatePairs(df, idCol, vecCol)
       .filter(col("cosine") >= threshold)
 
+  /** Exact duplicate-substring removal (Lee et al. 2022, arXiv:2107.06499
+    * "Deduplicating Training Data Makes Language Models Better" — public),
+    * re-expressed distributed: their single-node suffix array becomes a
+    * corpus-wide shuffle of rolling-hash token windows. Every `l`-token
+    * window is keyed by TWO independent 31-bit rolling hashes (multipliers
+    * 131/137 mod P — ~2⁻⁶² collision odds per pair, the hash-only stand-in
+    * for the suffix array's exactness); windows occurring more than once
+    * keep their minimal (doc, pos) occurrence and every other occurrence
+    * becomes a removal interval [pos, pos+l), merged per doc by the
+    * classic running-max island scan. Output per doc: span/token removal
+    * counts and the cleaned (token-normalized) text.
+    *
+    * 100 TB shape: one wide shuffle keyed on the hash pair with map-side
+    * combine (duplicate windows are rare after the first occurrence), one
+    * per-doc window for interval merging (per-doc rows only), and the
+    * interval set joins back as a collect_list per doc — never a suffix
+    * array, never all-pairs. */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     l: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withTh = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__th", tokenHashes(col("__text")))
+    def chain(mult: Long): Column =
+      when(size(col("__th")) < l, array().cast(ArrayType(LongType)))
+        .otherwise(transform(sequence(lit(1), size(col("__th")) - (l - 1)), i =>
+          (1 until l).foldLeft(element_at(col("__th"), i))((h, k) =>
+            (h * mult + element_at(col("__th"), i + k)) % P)))
+    val win = withTh
+      .withColumn("__w1", chain(131L))
+      .withColumn("__w2", chain(137L))
+      .select(col("id"), posexplode(zip_with(col("__w1"), col("__w2"),
+        (a, b) => struct(a.as("h1"), b.as("h2")))).as(Seq("pos0", "hh")))
+      .select(col("id"), (col("pos0") + 1).as("pos"),
+        col("hh.h1").as("h1"), col("hh.h2").as("h2"))
+    // one shuffle, one pass: rank + count in the SAME (h1, h2) exchange —
+    // the groupBy+join-back shape would re-run the md5/chain pipeline for
+    // the probe side (measured ~2× the query at bench scale)
+    val byHash = Window.partitionBy(col("h1"), col("h2"))
+    val rm = win
+      .withColumn("rn", row_number().over(byHash.orderBy(col("id"), col("pos"))))
+      .withColumn("c", count(lit(1)).over(byHash))
+      .filter(col("c") > 1 && col("rn") > 1)
+      .select(col("id"), col("pos").as("s"), (col("pos") + (l - 1)).as("e"))
+    val w = Window.partitionBy("id").orderBy("s", "e")
+    val islands = rm
+      .withColumn("pmax", max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("nw", when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("nw")).over(w))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ivs = islands.groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("__ivs"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + lit(1L)).as("n_removed"))
+    // rebuilt from the raw frame: the kept-token scan needs tokens only,
+    // not the md5 hash stream
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(ivs, Seq("id"), "left")
+      .withColumn("__kept", filter(TextAnalysis.tokens(col("__text")), (t, i0) =>
+        coalesce(!exists(col("__ivs"), iv =>
+          iv.getField("s") <= i0 + 1 && i0 + 1 <= iv.getField("e")), lit(true))))
+      .select(col("id").as(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed_tokens"),
+        concat_ws(" ", col("__kept")).as("clean"))
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public): semantic
     * near-duplicate removal over an embedding column. Assign every vector to
     * its nearest explicit centroid ([[Similarity.ivfAssignExplicit]] —

@@ -208,6 +208,24 @@ class LLMOpsSpec extends SparkSpec {
     assert(f == ((9L, 1L, q4(0, 2))))
   }
 
+  test("substringDedup removes later copies of shared 8-token runs, merging overlaps") {
+    val shared = "one two three four five six seven eight nine ten" // 10 tokens
+    val d = Seq(
+      (1L, s"intro words here $shared closing part"),
+      (2L, s"different opening text $shared and a tail"), // later copy → removed
+      (3L, "totally unrelated content with no duplicated run at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, "doc_id", "text", l = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 holds the minimal occurrences — untouched
+    assert(out(1L)._2 == 0L && out(1L)._4.contains("one two three"))
+    // doc 2: three overlapping 8-token windows merge into ONE 10-token span
+    assert(out(2L)._2 == 1L, s"merged spans: ${out(2L)}")
+    assert(out(2L)._3 == 10L, s"removed tokens: ${out(2L)}")
+    assert(out(2L)._4 == "different opening text and a tail")
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0L)
+  }
+
   test("gopherFilter: each rule flips keep; a conforming doc passes") {
     import graft.operators.TextAnalysis
     // 66 words, mean length in range, stopwords present, clean lines
