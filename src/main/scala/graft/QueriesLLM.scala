@@ -544,6 +544,14 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- the Gopher n-gram repetition rules (Table A1):
+    // top-{2,3,4}-gram and duplicated-{5..10}-gram character fractions
+    "gopher_repetition" -> ((s, dir) => {
+      graft.operators.TextAnalysis.gopherRepetition(
+        rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- DSIR importance weights (Xie et al. 2023): the
     // held-out doc_id % 97 == 0 slice is the trusted target (the same split
     // decontaminate uses as its benchmark); every other document is scored
@@ -1177,6 +1185,53 @@ object QueriesLLM {
               AND bullet_frac <= 0.9 AND ellipsis_line_frac <= 0.3
               AND alpha_frac >= 0.8 AND n_req_stop >= 2 AS keep
           FROM f ORDER BY doc_id"""
+    },
+    "gopher_repetition" -> {
+      val topNs = 2 to 4
+      val dupNs = 5 to 10
+      val gramStreams = (topNs ++ dupNs).map { n =>
+        s"""SELECT doc_id, tot, $n AS n,
+              unnest(list_transform(range(1, len(toks) - ${n - 2}),
+                i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g
+            FROM s WHERE len(toks) >= $n"""
+      }.mkString(" UNION ALL ")
+      val ths = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15, 6 -> 0.14,
+        7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+      def fracCol(n: Int, src: String, alias: String) =
+        s"""least(CAST(coalesce(max(CASE WHEN n = $n THEN $src END), 0) AS DOUBLE)
+              / CAST(tot AS DOUBLE), 1.0) AS $alias"""
+      val topCols = topNs.map(n => fracCol(n, "topchars", s"top_${n}gram_frac"))
+      val dupCols = dupNs.map(n => fracCol(n, "dupchars", s"dup_${n}gram_frac"))
+      val keepExpr = (topNs.map(n => s"f.top_${n}gram_frac <= ${ths(n)}") ++
+        dupNs.map(n => s"f.dup_${n}gram_frac <= ${ths(n)}")).mkString(" AND ")
+      val outFracs = (topNs.map(n => s"top_${n}gram_frac") ++
+        dupNs.map(n => s"dup_${n}gram_frac"))
+        .map(c => s"coalesce(f.$c, 0.0) AS $c").mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          s AS (SELECT doc_id, toks,
+                  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                    + len(toks) - 1 AS tot
+                FROM t),
+          g AS ($gramStreams),
+          c AS (SELECT doc_id, tot, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4),
+          a1 AS (SELECT doc_id, tot, n, cnt, length(g) AS gl,
+                   row_number() OVER (PARTITION BY doc_id, n
+                     ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn
+                 FROM c),
+          atop AS (SELECT doc_id, tot, n, cnt * gl AS topchars FROM a1 WHERE rn = 1),
+          adup AS (SELECT doc_id, tot, n,
+                     sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dupchars
+                   FROM c GROUP BY 1, 2, 3),
+          u AS (SELECT doc_id, tot, n, topchars, NULL::BIGINT AS dupchars FROM atop
+                UNION ALL
+                SELECT doc_id, tot, n, NULL::BIGINT, dupchars FROM adup),
+          f AS (SELECT doc_id, tot, ${(topCols ++ dupCols).mkString(", ")}
+                FROM u GROUP BY doc_id, tot)
+          SELECT d.doc_id, $outFracs,
+            coalesce($keepExpr, TRUE) AS keep
+          FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+          ORDER BY d.doc_id"""
     },
     "dsir_weights" ->
       // same md5/rolling-131 gram hashes as decontaminate; ln quantized per

@@ -175,6 +175,85 @@ object TextAnalysis {
       .drop("__toks", "__lines")
   }
 
+  /** The Gopher n-gram repetition rules (Rae et al. 2021 §A1.1, Table A1 —
+    * public): per document, the character fraction covered by the single
+    * most frequent {2,3,4}-gram and by all duplicated {5..10}-grams, with
+    * the paper's removal thresholds (0.20/0.18/0.16 and 0.15 down to 0.10).
+    * Conventions (the paper leaves them open; both engines replay them
+    * identically): characters are counted over the whitespace-normalized
+    * token text (Σ token lengths + gaps); duplicated-gram coverage counts
+    * every occurrence (overlaps double-count) and is capped at 1.0; the top
+    * gram ties break by (count, char length, byte order).
+    *
+    * Shape: tokens explode ONCE; all 9 gram widths come from one window's
+    * lead chain (codegen'd — a per-n HOF union re-tokenizes the corpus 9
+    * times interpreted, measured ~3× slower), stacked to (doc, n, gram)
+    * rows → one count with map-side combine → one (doc, n) reduce → one
+    * per-doc pivot. Linear in corpus size; no joins. */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topNs = 2 to 4
+    val dupNs = 5 to 10
+    val maxN = dupNs.max
+    val staged = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__tot",
+        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)) +
+          size(col("__toks")) - 1)
+    val ex = staged.select(col("id"), col("__tot"),
+      posexplode(col("__toks")).as(Seq("pos", "t0")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val withLeads = ex.select(col("id") +: col("__tot") +: col("pos") +: col("t0") +:
+      (1 until maxN).map(k => lead(col("t0"), k).over(w).as(s"t$k")): _*)
+    // gram of width n starts here iff its last token exists (leads go null
+    // only past the tail); the 9-element stack per position is a cheap
+    // constant-width explode
+    val gramStructs = (topNs ++ dupNs).map { n =>
+      struct(lit(n).as("n"),
+        when(col(s"t${n - 1}").isNotNull,
+          concat_ws(" ", (0 until n).map(k => col(s"t$k")): _*)).as("g"))
+    }
+    val exploded = withLeads
+      .select(col("id"), col("__tot"),
+        explode(filter(array(gramStructs: _*), s => s.getField("g").isNotNull)).as("s"))
+      .select(col("id"), col("__tot"), col("s.n").as("n"), col("s.g").as("g"))
+    val counts = exploded.groupBy(col("id"), col("__tot"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = counts.groupBy(col("id"), col("__tot"), col("n"))
+      .agg(
+        max(struct(col("cnt"), length(col("g")).as("gl"), col("g"))).as("top"),
+        sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+          .otherwise(0L)).as("dupchars"))
+    // coalesce the char count BEFORE the cap: least() skips nulls, so
+    // least(null/tot, 1.0) would yield 1.0 for a width the doc is too
+    // short to have, not 0.0
+    def frac(chars: Column): Column =
+      least(coalesce(chars, lit(0L)).cast(DoubleType) /
+        col("__tot").cast(DoubleType), lit(1.0))
+    val topCols = topNs.map(n => frac(
+      max(when(col("n") === n, col("top.cnt") * col("top.gl"))))
+      .as(s"top_${n}gram_frac"))
+    val dupCols = dupNs.map(n => frac(
+      max(when(col("n") === n, col("dupchars"))))
+      .as(s"dup_${n}gram_frac"))
+    val thresholds = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+      5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+    val keep = (topNs.map(n => col(s"top_${n}gram_frac") <= thresholds(n)) ++
+      dupNs.map(n => col(s"dup_${n}gram_frac") <= thresholds(n))).reduce(_ && _)
+    val perDoc = perN.groupBy(col("id"), col("__tot"))
+      .agg(topCols.head, (topCols.tail ++ dupCols): _*)
+      .withColumn("keep", keep)
+      .drop("__tot")
+    // a doc with no 2..10-grams at all (single token) has no count rows —
+    // it re-enters with zero fractions and keep=true
+    val allCols = topNs.map(n => s"top_${n}gram_frac") ++
+      dupNs.map(n => s"dup_${n}gram_frac")
+    df.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select((col("id").as(idCol) +:
+        allCols.map(c => coalesce(col(c), lit(0.0)).as(c))) :+
+        coalesce(col("keep"), lit(true)).as("keep"): _*)
+  }
+
   // ---------------------------------------------------------------- PII scrub
   /** Training-corpus PII scrubbing: redact emails and phone-shaped numbers,
     * reporting match counts. Patterns stay in the RE2-compatible subset so

@@ -249,6 +249,33 @@ class LLMOpsSpec extends SparkSpec {
     assert(r(3L)._4 == 1.0, "all lines bulleted")
   }
 
+  test("gopherRepetition: exact top/dup n-gram char fractions and keep flags") {
+    import graft.operators.TextAnalysis
+    val d = Seq(
+      // 6 tokens "a b a b a b": tot = 6 chars + 5 gaps = 11.
+      // top 2-gram "a b" ×3 → 9/11; top 3-gram ties at cnt=2, byte-order
+      // break picks "b a b" → 10/11; top 4-gram "a b a b" ×2 → 14/11 → cap 1.
+      (0L, "a b a b a b"),
+      (1L, "solo"), // single token: no grams at all → zero fracs, keep=true
+      // 8 tokens "x y ..." : both 5-grams occur twice (dup 36/15 → cap 1),
+      // the repeated 6-gram occurs twice (22/15 → cap 1), 7-grams unique.
+      (2L, "x y x y x y x y")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRepetition(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String) = out(id).getAs[Double](c)
+    assert(math.abs(f(0L, "top_2gram_frac") - 9.0 / 11) < 1e-12)
+    assert(math.abs(f(0L, "top_3gram_frac") - 10.0 / 11) < 1e-12)
+    assert(f(0L, "top_4gram_frac") == 1.0)
+    assert((5 to 10).forall(n => f(0L, s"dup_${n}gram_frac") == 0.0))
+    assert(!out(0L).getAs[Boolean]("keep"))
+    assert((2 to 4).forall(n => f(1L, s"top_${n}gram_frac") == 0.0))
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(f(2L, "dup_5gram_frac") == 1.0 && f(2L, "dup_6gram_frac") == 1.0)
+    assert(f(2L, "dup_7gram_frac") == 0.0)
+    assert(!out(2L).getAs[Boolean]("keep"))
+  }
+
   test("dsirWeights ranks target-like documents above off-distribution ones") {
     import graft.operators.LangModel
     val target = Seq((100L, "the cat sat on the mat"), (101L, "the dog sat on the rug"))
