@@ -44,6 +44,30 @@ object QueriesLLM {
             ELSE '' END ||
        CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"""
 
+  /** DuckDB replay of `Bpe.train`: K merge iterations unrolled as CTE
+    * stages (pair counts → argmax with the same tie-break → delimiter
+    * replace), sharing the U+0001 double-delimiter encoding with the
+    * Spark side so merge application is bit-identical. */
+  private def bpeTrainCtes(k: Int): String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(1)||chr(1)"
+    val sb = new StringBuilder
+    sb ++= s"""wf AS (SELECT w, count(*) AS freq FROM (
+         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) GROUP BY 1),
+       r0 AS (SELECT w, $d1 || array_to_string(list_append(string_split(w, ''), '</w>'), $d2) || $d1 AS rep, freq FROM wf)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+       p$i AS (SELECT u.lft AS lft, u.rgt AS rgt, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(list_transform(range(1, len(syms)), j -> {'lft': syms[j], 'rgt': syms[j+1]})) AS u
+           FROM (SELECT freq, string_split(trim(rep, $d1), $d2) AS syms FROM r${i - 1})) GROUP BY 1, 2),
+       m$i AS (SELECT $i AS step, lft, rgt, lft||rgt AS merged, cnt FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       r$i AS (SELECT w, replace(rep, $d1||lft||$d2||rgt||$d1, $d1||lft||rgt||$d1) AS rep, freq FROM r${i - 1}, m$i)"""
+    }
+    sb.toString
+  }
+
+  private val bpeMerges = 8
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---------------- exact dedup: hash-groupBy
@@ -274,6 +298,27 @@ object QueriesLLM {
     "token_count" -> ((s, dir) => {
       TextAnalysis.tokenCounts(rd(s, dir, "documents").select("doc_id", "text"), "text")
         .select("doc_id", "ws_tokens", "bpeish_tokens")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- BPE tokenizer TRAINING (Sennrich et al. 2016):
+    // learn merge rules from the corpus — one tokenize shuffle, then K
+    // vocab-sized iterations; only the per-step argmax reaches the driver
+    "bpe_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = graft.operators.Bpe.train(
+        rd(s, dir, "documents").select("text"), "text", bpeMerges)(s)
+      merges.toDF().select("step", "lft", "rgt", "merged", "cnt")
+        .orderBy("step")
+    }),
+
+    // ---------------- BPE encoding with corpus-trained merges: distinct
+    // words encoded once, broadcast-joined back to per-doc counts
+    "bpe_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val (merges, _) = graft.operators.Bpe.train(
+        docs.select("text"), "text", bpeMerges)(s)
+      graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", merges)
         .orderBy("doc_id")
     }),
 
@@ -748,6 +793,18 @@ object QueriesLLM {
   }
 
   val oracleSql: Seq[(String, String)] = Seq(
+    "bpe_train" -> {
+      val union = (1 to bpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      s"WITH ${bpeTrainCtes(bpeMerges)} SELECT step, lft, rgt, merged, cnt FROM ($union) ORDER BY step"
+    },
+    "bpe_encode" ->
+      s"""WITH ${bpeTrainCtes(bpeMerges)},
+         enc AS (SELECT w, CAST(len(string_split(trim(rep, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_syms FROM r$bpeMerges),
+         dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents) GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(c) AS BIGINT) AS n_words
+         FROM dw JOIN enc USING (w) GROUP BY 1 ORDER BY doc_id""",
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1 ORDER BY 1""",

@@ -772,4 +772,50 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(0).getLong(3) == 4000L && out(0).getDouble(4) == 500.0)
     assert(out(1).isNullAt(1))
   }
+
+  test("BPE merge application is the canonical left-to-right greedy merge") {
+    import graft.operators.Bpe
+    // repeated run: [a,a,a] + (a,a) → [aa,a]; alternating: [a,b,a,b] + (a,b)
+    // → [ab,ab]; both exercise the shared-boundary delimiter encoding
+    val d = Seq("aaa", "abab", "xab").toDF("w")
+    val out = d.select(col("w"),
+      Bpe.symbols(Bpe.applyMerge(Bpe.initRep(col("w")), "a", "a")).as("s_aa"),
+      Bpe.symbols(Bpe.applyMerge(Bpe.initRep(col("w")), "a", "b")).as("s_ab"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[String](1).toList, r.getSeq[String](2).toList)).toMap
+    assert(out("aaa")._1 == List("aa", "a", "</w>"))
+    assert(out("abab")._2 == List("ab", "ab", "</w>"))
+    // substring safety: (a,b) must not fuse inside the symbol pair (xa, b)
+    val xab = d.filter(col("w") === "xab").select(
+      Bpe.symbols(Bpe.applyMerge(Bpe.applyMerge(Bpe.initRep(col("w")),
+        "x", "a"), "a", "b"))).as[Seq[String]].head()
+    assert(xab == Seq("xa", "b", "</w>"))
+  }
+
+  test("BPE training replays the classic low/lower/newest/widest example") {
+    import graft.operators.Bpe
+    implicit val s = spark
+    // Sennrich et al. 2016 §3.2 corpus: freqs via repetition
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val (merges, vocab) = Bpe.train(corpus, "text", 4)
+    // hand-trace: (e,s):9 → (es,t):9 → (est,</w>):9 → (l,o):7 (ties broken
+    // by symbol order: e<s<t at 9; l,o beats o,w at 7)
+    assert(merges.map(m => (m.step, m.lft, m.rgt, m.cnt)) == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L), (4, "l", "o", 7L)))
+    val reps = vocab.select(col("w"), Bpe.symbols(col("rep")))
+      .as[(String, Seq[String])].collect().toMap
+    assert(reps("newest") == Seq("n", "e", "w", "est</w>"))
+    assert(reps("low") == Seq("lo", "w", "</w>"))
+    // encoding with the learned merges: counts per doc
+    val enc = Bpe.encodeCounts(corpus.limit(0).union(
+      Seq((100L, "the newest low"), (101L, "zz")).toDF("doc_id", "text")),
+      "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // "the"→[t,h,e,</w>]=4, "newest"→4, "low"→[lo,w,</w>]=3 ⇒ 11 over 3 words
+    assert(enc(100L) == ((100L, 11L, 3L)))
+    assert(enc(101L) == ((101L, 3L, 1L))) // [z,z,</w>]: no merge applies
+  }
 }
