@@ -570,6 +570,26 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- UniMax budget allocation (Chung et al. 2023):
+    // char-budgeted uniform sharing, 2-epoch cap, deterministic
+    // fractional-epoch draws
+    "corpus_unimax" -> ((s, dir) => {
+      graft.operators.Corpus.unimaxSample(
+        rd(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        "source", "doc_id", budget = 250000.0, maxEpochs = 2.0,
+        sizeCol = Some("n_chars"))
+        .select("doc_id", "source", "n_epochs")
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- CCNet perplexity tiers (Wenzek et al. 2020): per
+    // language, head/middle/tail terciles of LM perplexity
+    "ppl_buckets" -> ((s, dir) => {
+      graft.operators.LangModel.perplexityBuckets(
+        rd(s, dir, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- exact duplicate-substring removal (Lee et al. 2022
     // ExactSubstr, distributed): 8-token windows, double rolling hash,
     // minimal occurrence kept, merged removal intervals per doc
@@ -1166,6 +1186,74 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "corpus_unimax" ->
+      // the waterfill is a fixed sequence of IEEE double ops (multiply,
+      // divide, least, subtract) replayed in driver-visit order by the
+      // recursive CTE; epoch thresholds integer-compare like corpus_mix
+      """WITH RECURSIVE c AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS n,
+                  CAST(row_number() OVER (ORDER BY CAST(sum(n_chars) AS BIGINT), source)
+                    AS INTEGER) AS rn
+           FROM documents GROUP BY source),
+         l AS (SELECT CAST(max(rn) AS INTEGER) AS nl FROM c),
+         alloc AS (
+           SELECT 0 AS rn, CAST(250000 AS DOUBLE) AS b_rem,
+                  CAST(NULL AS VARCHAR) AS source, CAST(0 AS DOUBLE) AS a,
+                  CAST(1 AS DOUBLE) AS n
+           UNION ALL
+           SELECT c.rn,
+             alloc.b_rem - least(2.0 * c.n, alloc.b_rem / ((SELECT nl FROM l) - alloc.rn)),
+             c.source,
+             least(2.0 * c.n, alloc.b_rem / ((SELECT nl FROM l) - alloc.rn)),
+             CAST(c.n AS DOUBLE)
+           FROM alloc JOIN c ON c.rn = alloc.rn + 1),
+         e AS (SELECT source, a / n AS epochs FROM alloc WHERE rn > 0),
+         r AS (SELECT source, CAST(floor(epochs) AS BIGINT) AS m_full,
+                 CAST(floor((epochs - floor(epochs)) * 2147483647) AS BIGINT) AS thr
+               FROM e)
+         SELECT doc_id, source, n_epochs FROM (
+           SELECT d.doc_id, d.source,
+             r.m_full + CASE WHEN ('0x' || substr(md5('unimax:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 2147483647 < r.thr THEN 1 ELSE 0 END AS n_epochs
+           FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source)
+         WHERE n_epochs > 0 ORDER BY doc_id""",
+    "ppl_buckets" ->
+      // same quantized scoring CTEs as lm_perplexity; the tercile order key
+      // is one IEEE division of identical integers, so it is bit-stable
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i+1]))) AS pr
+               FROM t WHERE len(toks) >= 2),
+         pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
+         big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vocab_size
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         terms AS (
+           SELECT pairs.doc_id,
+             CAST(floor(1e4 * (ln(big.c_ab + 1)
+               - ln(ctx.c_a + (SELECT vocab_size FROM v)))) AS BIGINT) AS term
+           FROM pairs JOIN big USING (a, b) JOIN ctx USING (a)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(term) AS BIGINT) AS logprob_q4
+                 FROM terms GROUP BY 1),
+         sc AS (SELECT d.doc_id, d.lang,
+                  CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                  CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
+                FROM documents d LEFT JOIN agg g USING (doc_id)),
+         ne AS (SELECT doc_id, lang, n_bigrams,
+                  CAST(-logprob_q4 AS DOUBLE) / n_bigrams AS ppl,
+                  CAST(ntile(3) OVER (PARTITION BY lang
+                    ORDER BY CAST(-logprob_q4 AS DOUBLE) / n_bigrams ASC, doc_id ASC)
+                    AS INTEGER) AS ppl_bucket
+                FROM sc WHERE n_bigrams > 0),
+         em AS (SELECT doc_id, lang, n_bigrams, NULL::DOUBLE AS ppl,
+                  0 AS ppl_bucket FROM sc WHERE n_bigrams = 0)
+         SELECT doc_id, lang, n_bigrams, ppl, ppl_bucket,
+           CASE WHEN ppl_bucket = 0 THEN 'none' WHEN ppl_bucket = 1 THEN 'head'
+                WHEN ppl_bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
+         FROM (SELECT * FROM ne UNION ALL SELECT * FROM em) ORDER BY doc_id""",
     "substring_dedup" -> {
       def chainSql(mult: Int) = (1 until 8).foldLeft("th[i]") { (acc, j) =>
         s"(($acc * $mult + th[i+$j]) % 2147483647)"

@@ -64,6 +64,66 @@ object Corpus {
       .drop("_mix_domain")
   }
 
+  /** UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining"
+    * — public): distribute a total training budget uniformly across
+    * domains, capping every domain at `maxEpochs` repetitions of its own
+    * size; budget a capped domain cannot absorb is re-shared uniformly
+    * among the rest. Closed form: visit domains in increasing size order
+    * and give each min(maxEpochs·n_d, remaining budget / domains left).
+    *
+    * Returns (domain, alloc, epochs = alloc/n_d) in that visit order. The
+    * arithmetic is a fixed sequence of IEEE double ops, replayed verbatim
+    * by the oracle's recursive CTE — bit-identical. */
+  def unimaxAllocate(counts: Seq[(String, Long)], budget: Double,
+                     maxEpochs: Double): Seq[(String, Double, Double)] = {
+    require(budget >= 0 && maxEpochs > 0, "need budget >= 0, maxEpochs > 0")
+    val sorted = counts.sortBy { case (d, n) => (n, d) }
+    var bRem = budget
+    var rem = sorted.size
+    sorted.map { case (d, n) =>
+      val a = math.min(maxEpochs * n, bRem / rem)
+      bRem -= a
+      rem -= 1
+      (d, a, a / n)
+    }
+  }
+
+  /** UniMax sampling: every kept row carries `n_epochs` — how many times
+    * the document appears in the training mixture (fractional epochs
+    * resolve per-document by the same salted-hash draw as
+    * [[mixtureSample]], so the sample is deterministic engine-to-engine).
+    *
+    * Scale shape: one |domains|-row count aggregate reaches the driver
+    * (the allocation is model-sized); the per-row decision is a broadcast
+    * join + codegen'd hash compare — the corpus never shuffles. Budget
+    * units are documents by default, or Σ `sizeCol` per domain (chars,
+    * tokens) when given — the paper's character-budget form. */
+  def unimaxSample(df: DataFrame, domainCol: String, idCol: String,
+                   budget: Double, maxEpochs: Double,
+                   sizeCol: Option[String] = None): DataFrame = {
+    val weight = sizeCol.map(c => sum(col(c).cast(LongType)))
+      .getOrElse(count(lit(1)))
+    val counts = df.groupBy(col(domainCol).as("_um_domain"))
+      .agg(weight.as("_um_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val allocs = unimaxAllocate(counts, budget, maxEpochs)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = allocs.map { case (d, _, e) =>
+      val full = math.floor(e)
+      (d, full.toLong, math.floor((e - full) * Dedup.P).toLong)
+    }.toDF("_um_domain", "_um_full", "_um_thr")
+    // distinct salt so the fractional-epoch draw is independent of the
+    // mixtureSample keep draw when both stages run in one pipeline
+    val draw = Dedup.hash60(concat(lit("unimax:"), df(idCol).cast(StringType)))
+    df.join(broadcast(rates), df(domainCol) <=> col("_um_domain"))
+      .withColumn("n_epochs", col("_um_full") +
+        when(draw < col("_um_thr"), lit(1L)).otherwise(lit(0L)))
+      .filter(col("n_epochs") > 0)
+      .drop("_um_domain", "_um_full", "_um_thr")
+  }
+
   /** Concatenate-and-chunk sequence packing (GPT-style pre-training
     * batching): documents are deterministically sharded by salted id hash,
     * totally ordered within each shard (hash, then id — a reproducible

@@ -81,6 +81,46 @@ object LangModel {
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * public): per language, split documents into head/middle/tail terciles
+    * of language-model perplexity, the standard coarse quality tiering for
+    * web corpora. Perplexity proxy = −logprob_q4 / n_bigrams over the
+    * [[selfScore]] integer-quantized scores, so ordering is deterministic
+    * cross-engine (one IEEE division of identical integers); docs with no
+    * bigrams get bucket 0 / label "none" rather than riding a null through
+    * engine-dependent null ordering.
+    *
+    * Scale shape: the only addition over scoring is one ntile window
+    * partitioned BY LANGUAGE — each language's docs shuffle to its
+    * partition, no global sort. Skew note: a 100 TB corpus is mostly one
+    * language, so the window key is skewed by construction; for that
+    * deployment swap ntile for the percentile-of-histogram variant (two
+    * aggregations, no window) — at the reference's scale the window is the
+    * simpler, equally-correct plan. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String, buckets: Int = 3): DataFrame = {
+    val scored = selfScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val ppl = (-col("logprob_q4").cast(DoubleType)) / col("n_bigrams")
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("ppl").asc, col(idCol).asc)
+    val nonEmpty = scored.filter(col("n_bigrams") > 0)
+      .withColumn("ppl", ppl)
+      .withColumn("ppl_bucket", ntile(buckets).over(w))
+    val empty = scored.filter(col("n_bigrams") === 0)
+      .withColumn("ppl", lit(null).cast(DoubleType))
+      .withColumn("ppl_bucket", lit(0))
+    nonEmpty.unionByName(empty)
+      .withColumn("bucket_label",
+        when(col("ppl_bucket") === 0, "none")
+          .when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
+        col("ppl_bucket"), col("bucket_label"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — public):
     * select pretraining data that "looks like" a trusted target set by
     * importance weighting in a hashed n-gram feature space. Word unigram and

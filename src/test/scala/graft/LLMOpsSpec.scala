@@ -773,6 +773,58 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("unimax: waterfill allocation caps small domains, shares the rest") {
+    import graft.operators.Corpus
+    // budget 120, cap 2 epochs: a(10) caps at 20; b(40) gets 100/2=50
+    // (1.25 epochs); c(100) the remaining 50 (0.5 epochs)
+    val alloc = Corpus.unimaxAllocate(
+      Seq(("c", 100L), ("a", 10L), ("b", 40L)), budget = 120, maxEpochs = 2.0)
+    assert(alloc == Seq(("a", 20.0, 2.0), ("b", 50.0, 1.25), ("c", 50.0, 0.5)))
+    // sampling: whole-epoch domains keep everything at their epoch count;
+    // fractional domains keep a deterministic hash-selected subset
+    val rows = Seq.tabulate(10)(i => (i.toLong, "a")) ++
+      Seq.tabulate(40)(i => (100L + i, "b")) ++
+      Seq.tabulate(100)(i => (1000L + i, "c"))
+    val df = rows.toDF("doc_id", "dom")
+    val out = Corpus.unimaxSample(df, "dom", "doc_id", 120, 2.0)
+      .select("doc_id", "dom", "n_epochs")
+      .as[(Long, String, Long)].collect()
+    val byDom = out.groupBy(_._2)
+    assert(byDom("a").length == 10 && byDom("a").forall(_._3 == 2L))
+    assert(byDom("b").length == 40 && byDom("b").forall(r => r._3 == 1L || r._3 == 2L))
+    val cKept = byDom.get("c").map(_.toSeq).getOrElse(Seq())
+    assert(cKept.forall(_._3 == 1L) && cKept.nonEmpty && cKept.length < 100)
+    // re-running yields the identical sample (hash-deterministic)
+    val again = Corpus.unimaxSample(df, "dom", "doc_id", 120, 2.0)
+      .select("doc_id", "n_epochs").as[(Long, Long)].collect().toSet
+    assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("perplexityBuckets: per-language terciles, deterministic, none-bucket") {
+    import graft.operators.LangModel
+    implicit val s = spark
+    val d = (
+      (1L to 6L).map(i => (i, ("w" + i + " ") * 3 + "the cat sat on mat " + i, "en")) ++
+        Seq((7L, "solo", "en"), // single token: no bigrams → bucket 0
+          (8L, "de kat zat op de mat", "nl"))) // own language partition
+      .toDF("doc_id", "text", "lang")
+    val out = LangModel.perplexityBuckets(d, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getInt(4), r.getString(5))).toMap
+    // en docs 1-6 split 2/2/2 across head/middle/tail
+    val en = (1L to 6L).map(out)
+    assert(en.map(_._4).sorted == Seq(1, 1, 2, 2, 3, 3))
+    // bucket order follows perplexity order
+    val byPpl = (1L to 6L).sortBy(i => (out(i)._3.get, i))
+    assert(byPpl.map(i => out(i)._4) == Seq(1, 1, 2, 2, 3, 3))
+    assert(out(byPpl.head)._5 == "head" && out(byPpl.last)._5 == "tail")
+    // no bigrams → bucket 0 / none, null ppl
+    assert(out(7L) == (("en", 0L, None, 0, "none")))
+    // a single-doc language is its own head
+    assert(out(8L)._4 == 1 && out(8L)._5 == "head")
+  }
+
   test("BPE merge application is the canonical left-to-right greedy merge") {
     import graft.operators.Bpe
     // repeated run: [a,a,a] + (a,a) → [aa,a]; alternating: [a,b,a,b] + (a,b)
