@@ -1334,11 +1334,20 @@ object QueriesLLM {
     "gopher_repetition" -> {
       val topNs = 2 to 4
       val dupNs = 5 to 10
+      // gram identity = (rolling hash, char length) — same md5/131 scheme
+      // as the Spark side, so the count shuffle payload is longs-only in
+      // BOTH engines and collisions (if any) merge identically
+      def ghashExpr(n: Int): String =
+        (1 until n).foldLeft("th[i]") { (prev, k) =>
+          s"(($prev * 131 + th[i+$k]) % 2147483647)"
+        }
+      def glenExpr(n: Int): String =
+        (0 until n).map(k => s"ls[i+$k]").mkString(" + ") + s" + ${n - 1}"
       val gramStreams = (topNs ++ dupNs).map { n =>
         s"""SELECT doc_id, tot, $n AS n,
-              unnest(list_transform(range(1, len(toks) - ${n - 2}),
-                i -> array_to_string(toks[i:i+${n - 1}], ' '))) AS g
-            FROM s WHERE len(toks) >= $n"""
+              unnest(list_transform(range(1, len(th) - ${n - 2}), i -> ${ghashExpr(n)})) AS gh,
+              unnest(list_transform(range(1, len(th) - ${n - 2}), i -> ${glenExpr(n)})) AS gl
+            FROM s WHERE len(th) >= $n"""
       }.mkString(" UNION ALL ")
       val ths = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16, 5 -> 0.15, 6 -> 0.14,
         7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
@@ -1354,19 +1363,22 @@ object QueriesLLM {
         .map(c => s"coalesce(f.$c, 0.0) AS $c").mkString(", ")
       s"""WITH t AS (
             SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
-          s AS (SELECT doc_id, toks,
+          s AS (SELECT doc_id,
+                  list_transform(toks, x ->
+                    ('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647) AS th,
+                  list_transform(toks, x -> CAST(length(x) AS BIGINT)) AS ls,
                   CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
                     + len(toks) - 1 AS tot
                 FROM t),
           g AS ($gramStreams),
-          c AS (SELECT doc_id, tot, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4),
-          a1 AS (SELECT doc_id, tot, n, cnt, length(g) AS gl,
+          c AS (SELECT doc_id, tot, n, gh, gl, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4, 5),
+          a1 AS (SELECT doc_id, tot, n, cnt, gl,
                    row_number() OVER (PARTITION BY doc_id, n
-                     ORDER BY cnt DESC, length(g) DESC, g DESC) AS rn
+                     ORDER BY cnt DESC, gl DESC, gh DESC) AS rn
                  FROM c),
           atop AS (SELECT doc_id, tot, n, cnt * gl AS topchars FROM a1 WHERE rn = 1),
           adup AS (SELECT doc_id, tot, n,
-                     sum(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS dupchars
+                     sum(CASE WHEN cnt >= 2 THEN cnt * gl ELSE 0 END) AS dupchars
                    FROM c GROUP BY 1, 2, 3),
           u AS (SELECT doc_id, tot, n, topchars, NULL::BIGINT AS dupchars FROM atop
                 UNION ALL

@@ -182,14 +182,21 @@ object TextAnalysis {
     * Conventions (the paper leaves them open; both engines replay them
     * identically): characters are counted over the whitespace-normalized
     * token text (Σ token lengths + gaps); duplicated-gram coverage counts
-    * every occurrence (overlaps double-count) and is capped at 1.0; the top
-    * gram ties break by (count, char length, byte order).
+    * every occurrence (overlaps double-count) and is capped at 1.0.
     *
-    * Shape: tokens explode ONCE; all 9 gram widths come from one window's
-    * lead chain (codegen'd — a per-n HOF union re-tokenizes the corpus 9
-    * times interpreted, measured ~3× slower), stacked to (doc, n, gram)
-    * rows → one count with map-side combine → one (doc, n) reduce → one
-    * per-doc pivot. Linear in corpus size; no joins. */
+    * Gram identity is (rolling hash, char length), not the gram text: the
+    * count shuffle then carries three longs per gram instead of up-to-60
+    * char strings (measured 7.7 s → see SCALE.md — the string form was the
+    * most expensive query in the suite). The output is unchanged up to md5
+    * collisions shared by both engines: ties at equal count resolve by
+    * char length first, and any further tie contributes the identical
+    * cnt·len chars regardless of which gram wins, so the byte-order
+    * tie-break the string form used was never observable in the fractions.
+    *
+    * Shape: tokens explode ONCE; per-token hash + length feed one window's
+    * lead chain (codegen'd); each position stacks 9 (n, hash, len) triples
+    * → one count with map-side combine → one (doc, n) reduce → one per-doc
+    * pivot. Linear in corpus size; no joins. */
   def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val topNs = 2 to 4
@@ -199,29 +206,50 @@ object TextAnalysis {
       .withColumn("__tot",
         aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)) +
           size(col("__toks")) - 1)
+    // hash and char length ride ONE packed long through the lead chain
+    // (9 window functions, not 18); token length saturates at 2^20-1 chars
+    val PACK = 1L << 20
     val ex = staged.select(col("id"), col("__tot"),
-      posexplode(col("__toks")).as(Seq("pos", "t0")))
+      posexplode(col("__toks")).as(Seq("pos", "t")))
+      .select(col("id"), col("__tot"), col("pos"),
+        ((tokenHash(col("t")) % Dedup.P) * PACK +
+          least(length(col("t")).cast(LongType), lit(PACK - 1))).as("p0"))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val withLeads = ex.select(col("id") +: col("__tot") +: col("pos") +: col("t0") +:
-      (1 until maxN).map(k => lead(col("t0"), k).over(w).as(s"t$k")): _*)
+    val withLeads = ex.select(col("id") +: col("__tot") +: col("p0") +:
+      (1 until maxN).map(k => lead(col("p0"), k).over(w).as(s"p$k")): _*)
+    def h(k: Int): Column = shiftright(col(s"p$k"), 20)
+    def l(k: Int): Column = col(s"p$k").bitwiseAND(PACK - 1)
+    // rolling hash/length chains: width n extends width n-1 by one term,
+    // so the 9 exprs share prefixes
+    val ghash = scala.collection.mutable.Map(1 -> h(0))
+    val glen = scala.collection.mutable.Map(1 -> l(0))
+    for (n <- 2 to maxN) {
+      ghash(n) = (ghash(n - 1) * 131 + h(n - 1)) % Dedup.P
+      glen(n) = glen(n - 1) + l(n - 1)
+    }
     // gram of width n starts here iff its last token exists (leads go null
-    // only past the tail); the 9-element stack per position is a cheap
-    // constant-width explode
+    // only past the tail; null then propagates through the hash chain). A
+    // plain codegen'd filter AFTER the explode — a filter() HOF on the
+    // struct array would drag the whole expression tree into interpreted
+    // per-row eval (measured: the HOF form is the difference between this
+    // being the slowest query in the suite and a mid-pack one)
     val gramStructs = (topNs ++ dupNs).map { n =>
-      struct(lit(n).as("n"),
-        when(col(s"t${n - 1}").isNotNull,
-          concat_ws(" ", (0 until n).map(k => col(s"t$k")): _*)).as("g"))
+      struct(lit(n).as("n"), ghash(n).as("gh"),
+        (glen(n) + (n - 1)).as("gl"))
     }
     val exploded = withLeads
       .select(col("id"), col("__tot"),
-        explode(filter(array(gramStructs: _*), s => s.getField("g").isNotNull)).as("s"))
-      .select(col("id"), col("__tot"), col("s.n").as("n"), col("s.g").as("g"))
-    val counts = exploded.groupBy(col("id"), col("__tot"), col("n"), col("g"))
+        explode(array(gramStructs: _*)).as("s"))
+      .filter(col("s.gh").isNotNull)
+      .select(col("id"), col("__tot"), col("s.n").as("n"),
+        col("s.gh").as("gh"), col("s.gl").as("gl"))
+    val counts = exploded.groupBy(col("id"), col("__tot"), col("n"),
+      col("gh"), col("gl"))
       .agg(count(lit(1)).as("cnt"))
     val perN = counts.groupBy(col("id"), col("__tot"), col("n"))
       .agg(
-        max(struct(col("cnt"), length(col("g")).as("gl"), col("g"))).as("top"),
-        sum(when(col("cnt") >= 2, col("cnt") * length(col("g")))
+        max(struct(col("cnt"), col("gl"), col("gh"))).as("top"),
+        sum(when(col("cnt") >= 2, col("cnt") * col("gl"))
           .otherwise(0L)).as("dupchars"))
     // coalesce the char count BEFORE the cap: least() skips nulls, so
     // least(null/tot, 1.0) would yield 1.0 for a width the doc is too
