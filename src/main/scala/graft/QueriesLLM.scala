@@ -570,6 +570,18 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- exact k-NN self-join (hard-negative mining /
+    // dedup-sweep baseline): per-vector top-5 neighbors, oracle-exact on
+    // the integerized slice; the scale path is Similarity.knnJoinIvf
+    "ann_knn_join" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      graft.operators.Similarity.knnJoinExact(e, "vec_id", "q", k = 5)
+        .orderBy("id", "rank")
+    }),
+
     // ---------------- UniMax budget allocation (Chung et al. 2023):
     // char-budgeted uniform sharing, 2-epoch cap, deterministic
     // fractional-epoch draws
@@ -1186,6 +1198,24 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "ann_knn_join" -> {
+      // the same left-to-right 0.0-seeded fold as Similarity.cosine
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
+            FROM embeddings WHERE vec_id < 300),
+          p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                  ${dot("a.q", "b.q")} / (sqrt(${dot("a.q", "a.q")}) * sqrt(${dot("b.q", "b.q")})) AS cosine
+                FROM e a, e b WHERE a.vec_id != b.vec_id),
+          r AS (SELECT id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+                FROM p)
+          SELECT id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
+          ORDER BY id, rank"""
+    },
     "corpus_unimax" ->
       // the waterfill is a fixed sequence of IEEE double ops (multiply,
       // divide, least, subtract) replayed in driver-visit order by the

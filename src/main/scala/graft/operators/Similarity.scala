@@ -143,6 +143,30 @@ object Similarity {
     withD.withColumn("__centroid", centroid).drop("__dists")
   }
 
+  /** Like [[ivfAssignExplicit]] but also emits each vector's `__probes` —
+    * the indices of its `nProbe` nearest centroids, same (distance, index)
+    * tie order as the home assignment. The per-row sort runs over the
+    * |centroids|-sized array, not the data. */
+  def ivfAssignProbes(df: DataFrame, vecCol: String,
+                      centroids: Seq[Array[Double]], nProbe: Int): DataFrame = {
+    require(centroids.nonEmpty && nProbe >= 1, "need centroids and nProbe >= 1")
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val dists = centroids.map { c =>
+      val cl = array(c.map(lit): _*)
+      aggregate(zip_with(v, cl, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    val zipped = array(centroids.indices.map(j =>
+      struct(dists(j).as("d"), lit(j).as("j"))): _*)
+    val sorted = array_sort(zipped) // lexicographic: (distance, index)
+    df.withColumn("__sorted", sorted)
+      .withColumn("__centroid", element_at(col("__sorted"), 1).getField("j"))
+      .withColumn("__probes", transform(
+        slice(col("__sorted"), 1, math.min(nProbe, centroids.size)),
+        s => s.getField("j")))
+      .drop("__sorted")
+  }
+
   /** Deterministic IVF top-k over explicit centroids: probe the `nProbe`
     * nearest centroids (model-sized driver computation with the same
     * left-to-right fold order as the assignment expressions), then exact
@@ -308,5 +332,63 @@ object Similarity {
       .join(base.select(col("id").as("id1"), col("v").as("v1")), Seq("id1"))
       .join(base.select(col("id").as("id2"), col("v").as("v2")), Seq("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cosine"))
+  }
+
+  // ------------------------------------------------------------ k-NN join
+  // Per-vector top-k neighbors over the WHOLE collection — the workhorse
+  // behind hard-negative mining, semantic dedup sweeps, and diversity
+  // sampling. Two shapes: the exact all-pairs form (the correctness
+  // baseline, bounded corpora / oracle slices) and the IVF-cell-scoped
+  // form (the 100 TB path: candidates only from each vector's probed
+  // cells, so the join shuffles on cell id and never goes quadratic).
+
+  /** Exact cosine k-NN self-join: (id, neighbor_id, rank, cosine), rank
+    * 1..k by (cosine desc, neighbor asc). Integerize vectors first (the
+    * floor(x·1e6) convention) when oracle-exact output is needed. O(n²)
+    * pair work by construction — at scale use [[knnJoinIvf]]. */
+  def knnJoinExact(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    val pairs = base.select(col("__kid").as("id"), col("__kv").as("v1"))
+      .crossJoin(base.select(col("__kid").as("neighbor_id"), col("__kv").as("v2")))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        cosine(col("v1"), col("v2")).as("cosine"))
+    topKPerId(pairs, k)
+  }
+
+  /** IVF-cell-scoped k-NN join: every vector's home cell is its argmin-L2
+    * centroid; each vector probes its `nProbe` nearest cells and re-ranks
+    * exactly against the vectors HOMED there. One cell-keyed shuffle whose
+    * fan-out is nProbe·|cell| per vector — the standard recall/cost dial.
+    * With nProbe = |centroids| this degenerates to [[knnJoinExact]]. */
+  def knnJoinIvf(df: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[Array[Double]], k: Int,
+                 nProbe: Int = 2): DataFrame = {
+    val assigned = ivfAssignProbes(df, vecCol, centroids, nProbe)
+      .select(col(idCol).as("__kid"), col(vecCol).as("__kv"),
+        col("__centroid").as("__home"), col("__probes"))
+    val home = assigned.select(col("__home").as("__cell"),
+      col("__kid").as("neighbor_id"), col("__kv").as("v2"))
+    val probing = assigned.select(col("__kid").as("id"), col("__kv").as("v1"),
+      explode(col("__probes")).as("__cell"))
+    val pairs = probing.join(home, Seq("__cell"))
+      .filter(col("id") =!= col("neighbor_id"))
+      // a neighbor homed in several probed cells appears once per cell —
+      // dedup BEFORE scoring so ranks match the exact form
+      .select(col("id"), col("neighbor_id"), col("v1"), col("v2")).distinct()
+      .select(col("id"), col("neighbor_id"),
+        cosine(col("v1"), col("v2")).as("cosine"))
+    topKPerId(pairs, k)
+  }
+
+  private def topKPerId(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("neighbor_id"), col("rank").cast(IntegerType),
+        col("cosine"))
   }
 }

@@ -773,6 +773,39 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("knnJoin: exact ranks by cosine; IVF form matches with full probes") {
+    // two planted clusters around (1,0) and (0,1), one stray
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.9, 0.1)), (2L, Array(0.8, 0.05)),
+      (10L, Array(0.0, 1.0)), (11L, Array(0.1, 0.9)), (12L, Array(0.05, 0.8)),
+      (99L, Array(-1.0, -1.0)))
+    val df = vecs.toDF("vec_id", "v")
+    val exact = Similarity.knnJoinExact(df, "vec_id", "v", k = 2)
+    val byId = exact.collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(2))
+        .map(_.getLong(1)).toSeq).toMap
+    // every cluster member's top-2 are its cluster mates
+    assert(byId(0L).toSet == Set(1L, 2L) && byId(10L).toSet == Set(11L, 12L))
+    assert(byId(1L).head == 2L || byId(1L).head == 0L)
+    assert(exact.filter(col("id") === 0L).count() == 2)
+    // ranks are 1..k with descending cosine
+    val r0 = exact.filter(col("id") === 0L).orderBy("rank")
+      .select("rank", "cosine").as[(Int, Double)].collect()
+    assert(r0.map(_._1).toSeq == Seq(1, 2) && r0(0)._2 >= r0(1)._2)
+    // IVF with all cells probed reproduces the exact join bit-for-bit
+    val cents = Seq(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, -1.0))
+    val full = Similarity.knnJoinIvf(df, "vec_id", "v", cents, k = 2,
+      nProbe = 3)
+    assert(full.collect().map(_.toSeq).toSet ==
+      exact.collect().map(_.toSeq).toSet)
+    // single-probe: cluster members still find their mates (home cell)
+    val one = Similarity.knnJoinIvf(df, "vec_id", "v", cents, k = 2,
+      nProbe = 1)
+    val oneMap = one.collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(oneMap(0L) == Set(1L, 2L) && oneMap(10L) == Set(11L, 12L))
+  }
+
   test("unimax: waterfill allocation caps small domains, shares the rest") {
     import graft.operators.Corpus
     // budget 120, cap 2 epochs: a(10) caps at 20; b(40) gets 100/2=50
