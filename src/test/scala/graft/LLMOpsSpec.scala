@@ -773,6 +773,50 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("BPE differential: distributed trainer == naive reference on random corpora") {
+    import graft.operators.Bpe
+    implicit val s = spark
+    // naive in-memory BPE: word-freq map, exact pair counts, canonical
+    // left-to-right greedy merge — independent of the delimiter encoding
+    def naiveTrain(words: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var vocab: Map[List[String], Long] = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toMap
+        .map { case (w, f) => (w.toList.map(_.toString) :+ "</w>") -> f }
+      val out = Seq.newBuilder[(String, String, Long)]
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, f) <- vocab; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          vocab = vocab.groupBy { case (syms, _) =>
+            // canonical greedy: fold left, merge when (last, cur) == (l, r)
+            syms.foldLeft(List.empty[String]) { (acc, s) =>
+              if (acc.nonEmpty && acc.last == l && s == r)
+                acc.init :+ (l + r)
+              else acc :+ s
+            }
+          }.view.mapValues(_.values.sum).toMap
+        }
+      }
+      out.result()
+    }
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val alphabet = "abc"
+      val words = Seq.fill(60 + trial * 10)(
+        Seq.fill(1 + rng.nextInt(6))(alphabet(rng.nextInt(alphabet.length))).mkString)
+      val docs = words.grouped(5).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+        .toDF("doc_id", "text")
+      val (merges, _) = Bpe.train(docs, "text", 6)
+      val expected = naiveTrain(words, 6)
+      assert(merges.map(m => (m.lft, m.rgt, m.cnt)) == expected,
+        s"trial $trial: ${merges.map(m => (m.lft, m.rgt, m.cnt))} vs $expected")
+    }
+  }
+
   test("knnJoin: exact ranks by cosine; IVF form matches with full probes") {
     // two planted clusters around (1,0) and (0,1), one stray
     val vecs = Seq(
