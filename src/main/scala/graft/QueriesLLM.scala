@@ -316,9 +316,10 @@ object QueriesLLM {
     // words encoded once, broadcast-joined back to per-doc counts
     "bpe_encode" -> ((s, dir) => {
       val docs = rd(s, dir, "documents").select("doc_id", "text")
-      val (merges, _) = graft.operators.Bpe.train(
+      val (merges, vocab) = graft.operators.Bpe.train(
         docs.select("text"), "text", bpeMerges)(s)
-      graft.operators.Bpe.encodeCounts(docs, "doc_id", "text", merges)
+      graft.operators.Bpe.encodeCountsFromVocab(docs, "doc_id", "text",
+        vocab, merges)
         .orderBy("doc_id")
     }),
 
@@ -568,6 +569,26 @@ object QueriesLLM {
       val d = rd(s, dir, "documents")
       graft.operators.LangModel.selfScore(d, "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // ---------------- corpus data card: per-language report of the
+    // numbers every dataset release documents (docs, tokens, chars,
+    // source diversity, exact-dup incidence) — one pass + one hash join
+    "corpus_stats" -> ((s, dir) => {
+      val t = rd(s, dir, "documents").select(col("lang"), col("source"),
+        col("n_chars").cast(LongType).as("nc"),
+        size(TextAnalysis.tokens(col("text"))).cast(LongType).as("ntok"),
+        md5(col("text")).as("h"))
+      val hc = t.groupBy(col("h")).agg(count(lit(1)).as("k"))
+      t.join(hc, Seq("h"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          sum(col("nc")).as("total_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(when(col("k") >= 2, lit(1L)).otherwise(lit(0L)))
+            .as("n_exact_dup_docs"))
+        .orderBy("lang")
     }),
 
     // ---------------- exact k-NN self-join (hard-negative mining /
@@ -1198,6 +1219,19 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "corpus_stats" ->
+      """WITH t AS (
+           SELECT lang, source, CAST(n_chars AS BIGINT) AS nc,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok,
+             md5(text) AS h
+           FROM documents),
+         hc AS (SELECT h, count(*) AS k FROM t GROUP BY 1)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(ntok) AS BIGINT) AS n_tokens,
+           CAST(sum(nc) AS BIGINT) AS total_chars,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
+         FROM t JOIN hc USING (h) GROUP BY lang ORDER BY lang""",
     "ann_knn_join" -> {
       // the same left-to-right 0.0-seeded fold as Similarity.cosine
       def dot(a: String, b: String) =

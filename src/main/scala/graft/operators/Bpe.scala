@@ -150,6 +150,44 @@ object Bpe {
       .select(col("id").as(idCol), col("n_bpe_tokens"), col("n_words"))
   }
 
+  /** Persist the learned merge table (the tokenizer artifact a training
+    * run ships): ordered parquet of (step, lft, rgt, merged, cnt). */
+  def saveMerges(spark: SparkSession, merges: Seq[Merge], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF().coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a merge table saved by [[saveMerges]], in application order. */
+  def loadMerges(spark: SparkSession, path: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(path).as[Merge].collect().toSeq.sortBy(_.step)
+  }
+
+  /** Encode against a trained vocab table (w, rep, freq) — the final reps
+    * [[train]] already computed — so nothing refolds the merges; words
+    * missing from the vocab (fresh text) fall back to their unmerged
+    * symbol count via the merge fold. */
+  def encodeCountsFromVocab(df: DataFrame, idCol: String, textCol: String,
+                            vocab: DataFrame,
+                            merges: Seq[Merge]): DataFrame = {
+    val docWords = df.select(col(idCol).as("id"),
+      explode(words(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    val known = vocab.select(col("w"),
+      size(symbols(col("rep"))).cast(LongType).as("n_syms"))
+    val fresh = docWords.select(col("w")).distinct()
+      .join(known.select(col("w")), Seq("w"), "left_anti")
+      .withColumn("rep", merges.foldLeft(initRep(col("w"))) {
+        (r, m) => applyMerge(r, m.lft, m.rgt)
+      })
+      .select(col("w"), size(symbols(col("rep"))).cast(LongType).as("n_syms"))
+    docWords.join(broadcast(known.unionByName(fresh)), Seq("w"))
+      .groupBy(col("id"))
+      .agg(sum(col("c") * col("n_syms")).as("n_bpe_tokens"),
+        sum(col("c")).as("n_words"))
+      .select(col("id").as(idCol), col("n_bpe_tokens"), col("n_words"))
+  }
+
   /** Tokenize one text column into BPE tokens (array<string>) with the
     * learned merges — the per-row form for downstream operators; the
     * scale path for counting is `encodeCounts`. */

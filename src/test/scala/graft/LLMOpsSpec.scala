@@ -946,5 +946,15 @@ class LLMOpsSpec extends SparkSpec {
     // "the"→[t,h,e,</w>]=4, "newest"→4, "low"→[lo,w,</w>]=3 ⇒ 11 over 3 words
     assert(enc(100L) == ((100L, 11L, 3L)))
     assert(enc(101L) == ((101L, 3L, 1L))) // [z,z,</w>]: no merge applies
+    // the vocab-reuse path agrees, including on words absent from training
+    val encV = Bpe.encodeCountsFromVocab(
+      Seq((100L, "the newest low"), (101L, "zz")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(encV == enc)
+    // the merge table round-trips through its parquet artifact, in order
+    val dir = java.nio.file.Files.createTempDirectory("bpe_merges").toString
+    Bpe.saveMerges(spark, merges, dir + "/m")
+    assert(Bpe.loadMerges(spark, dir + "/m") == merges)
   }
 }
