@@ -23,8 +23,16 @@ import org.apache.spark.sql.types._
  */
 object Similarity {
 
-  /** Left-to-right double dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Left-to-right double dot product of two float-array columns — the
+    * native codegen expression ([[graft.plans.VecDot]], registered by
+    * GraftExtensions): tight primitive loop, no per-element boxing. Same
+    * fold order, cast and null semantics as the HOF form below, so every
+    * oracle hash is unchanged (spec-asserted equivalence). */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** The interpreted higher-order-function form [[dot]] replaces — kept as
+    * the executable specification of its semantics. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 

@@ -57,5 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NearlyEqual].getName, "nearly_equal"),
       (children: Seq[Expression]) => NearlyEqual(
         Cast(children.head, DoubleType), Cast(children(1), DoubleType))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(
+        Cast(children.head, org.apache.spark.sql.types.ArrayType(DoubleType)),
+        Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
   }
 }

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+
+/**
+ * Native dot product over two `array<double>` columns with whole-stage
+ * codegen: a tight primitive loop over `ArrayData`, no per-element boxing
+ * and no lambda dispatch. The SQL-function form every embedding operator's
+ * hot path can use in place of `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+ * — higher-order functions run interpreted (per-element
+ * `InterpretedExpression.eval` with boxed Doubles), which is the dominant
+ * per-row cost of cosine scoring at 100 TB vector counts.
+ *
+ * Exactness contract: the sum accumulates LEFT TO RIGHT from +0.0 —
+ * bit-identical to the HOF fold it replaces and to the DuckDB oracle's
+ * `list_reduce(list_prepend(0.0, ...), +)`, so swapping it into
+ * oracle-checked queries cannot change a hash.
+ *
+ * Null semantics match `aggregate(zip_with(...))`: null array, length
+ * mismatch (zip_with would pad with null), or any null element → null.
+ */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot needs two array<double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      s += aa.getDouble(i) * bb.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull} &&
+            ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+          ${ev.isNull} = false;
+          int $n = ${leftGen.value}.numElements();
+          for (int $i = 0; $i < $n; $i++) {
+            if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+              ${ev.isNull} = true;
+              ${ev.value} = 0.0;
+              break;
+            }
+            ${ev.value} +=
+              ${leftGen.value}.getDouble($i) * ${rightGen.value}.getDouble($i);
+          }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}

@@ -817,6 +817,42 @@ class LLMOpsSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot: codegen expression ≡ HOF fold, bit-for-bit, incl. nulls") {
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat()), Array.fill(16)(rng.nextFloat()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotHof(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    // bit-identical (same left-to-right fold), not merely approximately equal
+    assert(cmp.forall { case (n, h) =>
+      java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(h)
+    })
+    // null semantics: null array, length mismatch, null element → null
+    val edge = Seq(
+      (1L, Some(Seq(1.0, 2.0)), None),
+      (2L, Some(Seq(1.0, 2.0)), Some(Seq(3.0))),
+      (3L, Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0)))
+    ).toDF("id", "a", "b")
+    val e = edge.select(col("id"), Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(e(1L).isEmpty && e(2L).isEmpty && e(3L).contains(11.0))
+    val withNullElem = spark.sql(
+      "SELECT vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 1.0d)) AS d")
+    assert(withNullElem.collect()(0).isNullAt(0))
+    // interpreted path (eval) agrees with codegen: force via filter pushed
+    // to the driver-side literal fold
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val lit1 = Literal.create(ArrayData.toArrayData(Array(1.0, 2.0, 3.0)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val d = graft.plans.VecDot(lit1, lit1).eval(null)
+    assert(d == 14.0)
+  }
+
   test("knnJoin: exact ranks by cosine; IVF form matches with full probes") {
     // two planted clusters around (1,0) and (0,1), one stray
     val vecs = Seq(
