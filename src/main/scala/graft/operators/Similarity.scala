@@ -36,6 +36,15 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Native squared-L2 distance ([[graft.plans.VecL2Sq]]) — same
+    * fold-order/null contract discipline as [[dot]]. */
+  def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
+
+  /** Executable specification of [[l2sq]]. */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -141,8 +150,7 @@ object Similarity {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val dists = centroids.map { c =>
       val cl = array(c.map(lit): _*)
-      aggregate(zip_with(v, cl, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      l2sq(v, cl)
     }
     val withD = df.withColumn("__dists", array(dists: _*))
     val m = array_min(col("__dists"))
@@ -161,8 +169,7 @@ object Similarity {
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val dists = centroids.map { c =>
       val cl = array(c.map(lit): _*)
-      aggregate(zip_with(v, cl, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
+      l2sq(v, cl)
     }
     val zipped = array(centroids.indices.map(j =>
       struct(dists(j).as("d"), lit(j).as("j"))): _*)
@@ -255,8 +262,7 @@ object Similarity {
     val staged = books.zipWithIndex.foldLeft(df) { case (d, (book, s)) =>
       val sub = slice(v, s * dsub + 1, dsub)
       d.withColumn(tags(s), transform(typedlit(book.map(_.toSeq)), cb =>
-        aggregate(zip_with(sub, cb, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)))
+        l2sq(sub, cb)))
     }
     staged.withColumn(out, array(tags.map(t =>
         (array_position(col(t), array_min(col(t))) - 1).cast(IntegerType)): _*))

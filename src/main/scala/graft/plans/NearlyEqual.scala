@@ -63,5 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => VecDot(
         Cast(children.head, org.apache.spark.sql.types.ArrayType(DoubleType)),
         Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Sq].getName, "vec_l2sq"),
+      (children: Seq[Expression]) => VecL2Sq(
+        Cast(children.head, org.apache.spark.sql.types.ArrayType(DoubleType)),
+        Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
   }
 }

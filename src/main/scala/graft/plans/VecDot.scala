@@ -93,3 +93,82 @@ case class VecDot(left: Expression, right: Expression)
                                                  newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Native squared-L2 distance over two `array<double>` columns — the IVF
+ * assignment hot loop (per row × per centroid). Same contract as
+ * [[VecDot]]: left-to-right fold from +0.0 of (a-b)·(a-b), bit-identical
+ * to the `aggregate(zip_with(...))` form and the oracle; null array,
+ * length mismatch, or null element → null.
+ */
+case class VecL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_l2sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _                        => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_l2sq needs two array<double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      val d = aa.getDouble(i) - bb.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    val d = ctx.freshName("d")
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull} &&
+            ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+          ${ev.isNull} = false;
+          int $n = ${leftGen.value}.numElements();
+          for (int $i = 0; $i < $n; $i++) {
+            if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+              ${ev.isNull} = true;
+              ${ev.value} = 0.0;
+              break;
+            }
+            double $d =
+              ${leftGen.value}.getDouble($i) - ${rightGen.value}.getDouble($i);
+            ${ev.value} += $d * $d;
+          }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}

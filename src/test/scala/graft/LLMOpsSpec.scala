@@ -831,6 +831,15 @@ class LLMOpsSpec extends SparkSpec {
     assert(cmp.forall { case (n, h) =>
       java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(h)
     })
+    val cmpL2 = df.select(
+      Similarity.l2sq(col("a").cast("array<double>"),
+        col("b").cast("array<double>")).as("native"),
+      Similarity.l2sqHof(col("a").cast("array<double>"),
+        col("b").cast("array<double>")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(cmpL2.forall { case (n, h) =>
+      java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(h)
+    })
     // null semantics: null array, length mismatch, null element → null
     val edge = Seq(
       (1L, Some(Seq(1.0, 2.0)), None),
