@@ -70,20 +70,17 @@ object Similarity {
   }
 
   /** Sign-bit LSH bucket key for `nPlanes` hyperplanes (one LSH table).
-    * The plane matrix is ONE ArrayType literal (typedlit) folded with
-    * zip_with/aggregate — not `dim × nPlanes` unrolled expression terms,
-    * which at embedding dims (768–1536) would blow the 64KB codegen method
-    * limit and fall back to interpreted evaluation. */
+    * Each plane's projection is ONE native [[dot]] call against an array
+    * literal — nPlanes codegen'd primitive loops per row, where the old
+    * nested zip_with/aggregate form evaluated `dim × nPlanes` interpreted
+    * lambda steps (and an unrolled per-component expression would blow the
+    * 64KB codegen method limit at embedding dims). Bit values and the
+    * bucket string are unchanged, so LSH oracle hashes are stable. */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int = 8, table: Int = 0): Column = {
-    val planes: Seq[Seq[Double]] = (0 until nPlanes).map { p =>
-      (0 until dim).map(d => planeComponent(table * 1000 + p, d))
-    }
-    val bits = aggregate(
-      zip_with(typedlit(planes), sequence(lit(0), lit(nPlanes - 1)), (plane, p) =>
-        when(aggregate(zip_with(vec, plane, (x, w) => x.cast(DoubleType) * w),
-          lit(0.0), (acc, x) => acc + x) >= 0,
-          pow(lit(2.0), p).cast(LongType)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
+    val bits = (0 until nPlanes).map { p =>
+      val plane = typedlit((0 until dim).map(d => planeComponent(table * 1000 + p, d)))
+      when(dot(vec, plane) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
     concat_ws(":", lit(table.toString), bits.cast(StringType))
   }
 
