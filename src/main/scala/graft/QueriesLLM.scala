@@ -603,6 +603,21 @@ object QueriesLLM {
         .orderBy("id", "rank")
     }),
 
+    // ---------------- IVF-cell-scoped k-NN join (the scale path of
+    // ann_knn_join): explicit integerized centroids, 2-probe candidate
+    // join, exact re-rank — the whole pipeline under the hash gate
+    "ann_knn_join_ivf" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+        .select("q").collect().map(_.getSeq[Double](0).toArray).toSeq
+      graft.operators.Similarity.knnJoinIvf(e, "vec_id", "q", cents,
+        k = 3, nProbe = 2)
+        .orderBy("id", "rank")
+    }),
+
     // ---------------- UniMax budget allocation (Chung et al. 2023):
     // char-budgeted uniform sharing, 2-epoch cap, deterministic
     // fractional-epoch draws
@@ -1248,6 +1263,39 @@ object QueriesLLM {
                     ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
                 FROM p)
           SELECT id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
+          ORDER BY id, rank"""
+    },
+    "ann_knn_join_ivf" -> {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def l2(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> (p[1] - p[2]) * (p[1] - p[2]))), (x, y) -> x + y)"""
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
+            FROM embeddings),
+          cents AS (SELECT vec_id AS cj, q AS cq FROM e WHERE vec_id < 8),
+          d AS (SELECT e.vec_id, c.cj, ${l2("e.q", "c.cq")} AS dist
+                FROM e, cents c),
+          ranked AS (SELECT vec_id, cj,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cj) AS rn
+                     FROM d),
+          home AS (SELECT vec_id, cj AS cell FROM ranked WHERE rn = 1),
+          probes AS (SELECT vec_id, cj AS cell FROM ranked WHERE rn <= 2),
+          cand AS (SELECT DISTINCT p.vec_id AS id, h.vec_id AS neighbor_id
+                   FROM probes p JOIN home h USING (cell)
+                   WHERE p.vec_id != h.vec_id),
+          scored AS (SELECT cand.id, cand.neighbor_id,
+                       ${dot("a.q", "b.q")} / (sqrt(${dot("a.q", "a.q")}) * sqrt(${dot("b.q", "b.q")})) AS cosine
+                     FROM cand
+                     JOIN e a ON a.vec_id = cand.id
+                     JOIN e b ON b.vec_id = cand.neighbor_id),
+          r AS (SELECT id, neighbor_id, cosine,
+                  CAST(row_number() OVER (PARTITION BY id
+                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+                FROM scored)
+          SELECT id, neighbor_id, rank, cosine FROM r WHERE rank <= 3
           ORDER BY id, rank"""
     },
     "corpus_unimax" ->
