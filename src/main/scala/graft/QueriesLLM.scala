@@ -571,6 +571,16 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- cross-corpus near-dup (crawl-over-crawl dedup):
+    // even doc_ids play the incoming crawl, odd ones the retained corpus
+    "cross_corpus_dedup" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+      graft.operators.Dedup.crossCorpusNearDups(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3, k = 16, bands = 4, threshold = 0.3)
+        .orderBy("in_id", "ref_id")
+    }),
+
     // ---------------- corpus data card: per-language report of the
     // numbers every dataset release documents (docs, tokens, chars,
     // source diversity, exact-dup incidence) — one pass + one hash join
@@ -1234,6 +1244,39 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "cross_corpus_dedup" -> {
+      val perm = (0 until 16).map { j =>
+        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+      }.mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+            FROM t),
+          sh AS (
+            SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 2 + 1),
+                i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+            END AS gh
+            FROM h),
+          sig AS (SELECT doc_id, gh, [$perm] AS sig FROM sh WHERE len(gh) > 0),
+          bands AS (
+            SELECT doc_id, gh, unnest(list_transform(range(4), j ->
+              j::VARCHAR || ':' || sig[4*j+1]::VARCHAR || ':' || sig[4*j+2]::VARCHAR || ':' || sig[4*j+3]::VARCHAR || ':' || sig[4*j+4]::VARCHAR)) AS band
+            FROM sig),
+          pairs AS (
+            SELECT DISTINCT a.doc_id AS in_id, b.doc_id AS ref_id, a.gh AS gh1, b.gh AS gh2
+            FROM bands a JOIN bands b ON a.band = b.band
+            WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+          scored AS (
+            SELECT in_id, ref_id,
+              CAST(len(list_intersect(gh1, gh2)) AS DOUBLE) /
+              CAST(len(list_distinct(list_concat(gh1, gh2))) AS DOUBLE) AS jaccard
+            FROM pairs)
+          SELECT in_id, ref_id, jaccard FROM scored WHERE jaccard >= 0.3
+          ORDER BY in_id, ref_id"""
+    },
     "corpus_stats" ->
       """WITH t AS (
            SELECT lang, source, CAST(n_chars AS BIGINT) AS nc,

@@ -195,6 +195,34 @@ object Dedup {
       k, bands, threshold)
   }
 
+  /** Cross-corpus near-dup: pairs (incoming doc, reference doc) whose
+    * n-gram Jaccard crosses `threshold` — the crawl-over-crawl dedup pass
+    * (flag documents of a NEW crawl already present, possibly mutated, in
+    * the corpus you keep). Same pairs-first LSH shape as
+    * [[minhashNearDups]], but the band join is incoming×reference — its
+    * cost is bucket-collision-bounded between the two corpora and never
+    * touches reference×reference pairs, so re-checking a daily increment
+    * against a 100 TB retained corpus shuffles the increment's bands plus
+    * the (precomputable, reusable) reference bands, not the corpora. */
+  def crossCorpusNearDups(incoming: DataFrame, reference: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 3, k: Int = 16, bands: Int = 4,
+                          threshold: Double = 0.5): DataFrame = {
+    val bi = minhashBase(incoming, idCol, textCol, n, k, collectShingles = true)
+    val br = minhashBase(reference, idCol, textCol, n, k, collectShingles = true)
+    def banded(b: DataFrame, a: String) = b
+      .withColumn("band", explode(lshBands(col("sig"), bands, k / bands)))
+      .select(col("band"), col("id").as(a))
+    val pairs = banded(bi, "in_id").join(banded(br, "ref_id"), Seq("band"))
+      .select("in_id", "ref_id").distinct()
+    pairs
+      .join(bi.select(col("id").as("in_id"), col("sh").as("__sh1")), Seq("in_id"))
+      .join(br.select(col("id").as("ref_id"), col("sh").as("__sh2")), Seq("ref_id"))
+      .select(col("in_id"), col("ref_id"),
+        jaccard(col("__sh1"), col("__sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** As `minhashNearDups(cacheBase = true)`, but also returns the persisted
     * base so the caller can `base.unpersist()` once the result is
     * materialized — deterministic cache release for sessions that loop over

@@ -817,6 +817,30 @@ class LLMOpsSpec extends SparkSpec {
     }
   }
 
+  test("crossCorpusNearDups pairs incoming with reference only") {
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "some retained corpus document with its own distinct content"),
+      // a dup INSIDE the reference — must never surface as a pair
+      (102L, "some retained corpus document with its own distinct content"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"), // = 100
+      (2L, "the quick brown fox jumps over the lazy cat again and again"), // near 100
+      (3L, "fresh incoming content never seen in the retained corpus set"),
+      (4L, "fresh incoming content never seen in the retained corpus set")) // dup of 3 — in×in, excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.crossCorpusNearDups(incoming, reference, "doc_id", "text",
+      n = 3, k = 16, bands = 8, threshold = 0.3)
+      .as[(Long, Long, Double)].collect()
+    val pairs = out.map(r => (r._1, r._2)).toSet
+    assert(pairs.contains((1L, 100L)))
+    assert(pairs.contains((2L, 100L))) // near-dup banded at k=16/bands=8
+    assert(pairs.forall { case (i, r) => i < 100L && r >= 100L })
+    assert(!pairs.exists { case (i, _) => i == 3L || i == 4L })
+    assert(out.find(r => r._1 == 1L && r._2 == 100L).get._3 == 1.0)
+  }
+
   test("vec_dot: codegen expression ≡ HOF fold, bit-for-bit, incl. nulls") {
     val rng = new scala.util.Random(7)
     val rows = Seq.tabulate(200) { i =>
