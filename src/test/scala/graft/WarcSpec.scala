@@ -89,6 +89,40 @@ class WarcSpec extends SparkSpec {
     assert(two.toSeq == Seq("http://example.test/1", "http://example.test/2"))
   }
 
+  test("end-to-end corpus build: WARC → html → quality battery → dedup") {
+    import graft.operators.{Dedup, Html, TextAnalysis}
+    // a crawl with a boilerplate page fetched twice under different URLs,
+    // a good article, and a low-quality stub
+    val article = "<html><body><p>" +
+      ("the quick brown fox jumps over that lazy dog have with " * 6).trim +
+      "</p></body></html>"
+    val boiler = "<html><body><p>buy now click here</p></body></html>"
+    val crawl =
+      record("response", Some("http://a.test/article"),
+        httpBlock(200, "text/html", article)) ++
+        record("response", Some("http://b.test/mirror-1"),
+          httpBlock(200, "text/html", boiler)) ++
+        record("response", Some("http://b.test/mirror-2"),
+          httpBlock(200, "text/html", boiler)) ++
+        record("response", Some("http://c.test/404"),
+          httpBlock(404, "text/html", "<p>gone</p>"))
+    val path = writeTmp(".warc", crawl)
+    val docs = graft.operators.Html.extract(
+      Warc.htmlResponses(Warc.read(spark, path))
+        .select(col("record_seq").as("doc_id"), col("target_uri"), col("html")),
+      "html", "text")
+    assert(docs.count() == 3) // the 404 never enters the corpus
+    // quality gate: the article passes Gopher, the boilerplate stubs fail
+    val q = TextAnalysis.gopherFilter(docs, "text")
+      .select("target_uri", "keep").as[(String, Boolean)].collect().toMap
+    assert(q("http://a.test/article"))
+    assert(!q("http://b.test/mirror-1") && !q("http://b.test/mirror-2"))
+    // dedup stage still collapses the mirrored fetches
+    val dd = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(dd.count() == 2)
+    assert(dd.filter(col("dup_count") === 2).count() == 1)
+  }
+
   test("htmlResponses filters to 200 text/html and feeds htmlExtract") {
     val path = writeTmp(".warc", sampleWarc())
     val html = Warc.htmlResponses(Warc.read(spark, path))
