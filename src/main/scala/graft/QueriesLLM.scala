@@ -621,7 +621,7 @@ object QueriesLLM {
         .select(col("vec_id"),
           transform(col("embedding").cast(ArrayType(DoubleType)),
             x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
-      val cents = e.filter(col("vec_id") < 8).orderBy("vec_id")
+      val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
         .select("q").collect().map(_.getSeq[Double](0).toArray).toSeq
       graft.operators.Similarity.knnJoinIvf(e, "vec_id", "q", cents,
         k = 3, nProbe = 2)
@@ -1318,7 +1318,7 @@ object QueriesLLM {
       s"""WITH e AS (
             SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
             FROM embeddings),
-          cents AS (SELECT vec_id AS cj, q AS cq FROM e WHERE vec_id < 8),
+          cents AS (SELECT vec_id AS cj, q AS cq FROM e WHERE vec_id < 32),
           d AS (SELECT e.vec_id, c.cj, ${l2("e.q", "c.cq")} AS dist
                 FROM e, cents c),
           ranked AS (SELECT vec_id, cj,

@@ -379,18 +379,25 @@ object Similarity {
     val assigned = ivfAssignProbes(df, vecCol, centroids, nProbe)
       .select(col(idCol).as("__kid"), col(vecCol).as("__kv"),
         col("__centroid").as("__home"), col("__probes"))
+    // pairs-first (the same discipline as the LSH band join): the cell
+    // join carries only scalar ids — vectors join back once per DISTINCT
+    // surviving pair, so the dedup of multi-cell collisions shuffles ids,
+    // never the embedding payloads
     val home = assigned.select(col("__home").as("__cell"),
-      col("__kid").as("neighbor_id"), col("__kv").as("v2"))
-    val probing = assigned.select(col("__kid").as("id"), col("__kv").as("v1"),
+      col("__kid").as("neighbor_id"))
+    val probing = assigned.select(col("__kid").as("id"),
       explode(col("__probes")).as("__cell"))
     val pairs = probing.join(home, Seq("__cell"))
       .filter(col("id") =!= col("neighbor_id"))
-      // a neighbor homed in several probed cells appears once per cell —
-      // dedup BEFORE scoring so ranks match the exact form
-      .select(col("id"), col("neighbor_id"), col("v1"), col("v2")).distinct()
+      .select(col("id"), col("neighbor_id")).distinct()
+    val vecs = assigned.select(col("__kid"), col("__kv"))
+    val scored = pairs
+      .join(vecs.select(col("__kid").as("id"), col("__kv").as("__v1")), Seq("id"))
+      .join(vecs.select(col("__kid").as("neighbor_id"), col("__kv").as("__v2")),
+        Seq("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
-        cosine(col("v1"), col("v2")).as("cosine"))
-    topKPerId(pairs, k)
+        cosine(col("__v1"), col("__v2")).as("cosine"))
+    topKPerId(scored, k)
   }
 
   private def topKPerId(pairs: DataFrame, k: Int): DataFrame = {
