@@ -150,9 +150,16 @@ object Similarity {
       l2sq(v, cl)
     }
     val withD = df.withColumn("__dists", array(dists: _*))
-    val m = array_min(col("__dists"))
-    val centroid = coalesce(centroids.indices.map(j =>
-      when(element_at(col("__dists"), j + 1) === m, lit(j))): _*)
+    // argmin as array_position(min): FIRST occurrence = lowest centroid
+    // index on ties (same semantics as the old per-index when-chain), and
+    // crucially only TWO references to __dists. Downstream filters on
+    // __centroid get the alias substituted by predicate pushdown — the
+    // when-chain form blew the pushed predicate up to 16 copies of the
+    // full 16-kernel distance array (measured 2.8 s vs 0.2 s on the probe
+    // filter at sf0.1).
+    val centroid =
+      (array_position(col("__dists"), array_min(col("__dists"))) - 1)
+        .cast(org.apache.spark.sql.types.IntegerType)
     withD.withColumn("__centroid", centroid).drop("__dists")
   }
 
