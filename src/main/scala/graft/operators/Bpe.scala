@@ -97,8 +97,18 @@ object Bpe {
   }
 
   /** Learn `numMerges` merge rules from a corpus. Returns the rules in
-    * order plus the final vocab table (w, rep, freq) for encoding. */
-  def train(df: DataFrame, textCol: String, numMerges: Int)
+    * order plus the final vocab table (w, rep, freq) for encoding.
+    *
+    * Lineage discipline: each step stacks one `replace` on the vocab plan,
+    * so without truncation step i would replay all i-1 prior merges from
+    * the cached base (O(K²) total work) and Catalyst analysis depth would
+    * grow linearly — fatal at realistic tokenizer sizes (tens of thousands
+    * of merges). The vocab is therefore localCheckpointed every
+    * `checkpointEvery` merges, bounding both replay and plan depth to one
+    * window; the practical merge-count ceiling is then driver memory for
+    * the merge list, not Catalyst. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            checkpointEvery: Int = 32)
            (implicit spark: SparkSession): (Seq[Merge], DataFrame) = {
     val base = wordFreqs(df, textCol)
       .select(col("w"), initRep(col("w")).as("rep"), col("freq"))
@@ -118,6 +128,7 @@ object Bpe {
         merges += Merge(step, l, g, l + g, c)
         vocab = vocab.select(col("w"),
           applyMerge(col("rep"), l, g).as("rep"), col("freq"))
+        if (step % checkpointEvery == 0) vocab = vocab.localCheckpoint(true)
         step += 1
       }
     }

@@ -40,9 +40,12 @@ object Similarity {
     * fold-order/null contract discipline as [[dot]]. */
   def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
 
-  /** Executable specification of [[l2sq]]. */
+  /** Executable specification of [[l2sq]]. The per-element cast matches
+    * the native expression's array<double> Cast: float inputs must
+    * subtract in DOUBLE (subtracting in float first rounds differently). */
   def l2sqHof(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(DoubleType) - y.cast(DoubleType)) * (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))

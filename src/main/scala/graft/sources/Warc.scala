@@ -111,7 +111,9 @@ object Warc {
       private def advance(): Unit = {
         if (done || nextRec != null) return
         headerBlock(in) match {
-          case None => done = true
+          case None =>
+            done = true
+            try in.close() catch { case _: java.io.IOException => () }
           case Some(h) =>
             val len = h.getOrElse("content-length", "0").toLong
             val block = readFully(in, len)
@@ -171,7 +173,15 @@ object Warc {
     spark.sparkContext.binaryFiles(glob, parts)
       .flatMap { case (path, pds) =>
         val in = pds.open()
-        parseStream(in, path) // stream closes at task end with the split
+        // parseStream closes at record-iterator EOF; the task-completion
+        // listener is the backstop for partially consumed iterators
+        // (limit/take early-out, task failure) — long-lived executors
+        // scanning many segments must not accumulate open descriptors
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            try in.close() catch { case _: java.io.IOException => () }
+          })
+        parseStream(in, path)
       }
       .toDF()
   }

@@ -277,6 +277,87 @@ class XlsBiffSpec extends SparkSpec {
     assert(ex.getMessage.contains("wrong or missing password"))
   }
 
+  test("RC4-standard decrypts a fixture from an INDEPENDENT encryptor (JCE ARCFOUR)") {
+    // The round-trip test above shares rc4Crypt/rc4KeyBase with the code
+    // under test, so a deviation from the published derivation would pass
+    // it. This encryptor shares nothing: the keystream is the JDK's own
+    // ARCFOUR cipher, the [MS-OFFCRYPTO] 2.3.6.2 key derivation is
+    // restated here with bare MessageDigest calls, and the [MS-XLS] 2.2.10
+    // plaintext-span walk is re-written from the spec text. If the
+    // production derivation or span rules drift, this fixture stops
+    // decrypting.
+    val salt = Array.tabulate[Byte](16)(i => (i * 11 + 5).toByte)
+    def md5(bs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+    // 2.3.6.2: 5-byte truncated MD5 of UTF-16LE password, then MD5 of
+    // 16 copies of (trunc ++ salt), truncated to 5 bytes again
+    def keyBase(password: String): Array[Byte] = {
+      val trunc = md5(password.getBytes("UTF-16LE")).take(5)
+      md5((0 until 16).toArray.flatMap(_ => trunc ++ salt)).take(5)
+    }
+    // full-block ARCFOUR keystream for 1024-byte block n: RC4 key is the
+    // full MD5 of keyBase ++ LE32(n); keystream = E(0^1024)
+    def ksBlock(password: String, n: Int): Array[Byte] = {
+      val key = md5(keyBase(password) ++ Array[Byte](
+        (n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte))
+      val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "ARCFOUR"))
+      c.doFinal(new Array[Byte](1024))
+    }
+    def encrypt(plain: Array[Byte], password: String): Array[Byte] = {
+      val blocks = collection.mutable.Map.empty[Int, Array[Byte]]
+      def ks(pos: Int): Byte =
+        blocks.getOrElseUpdate(pos >> 10, ksBlock(password, pos >> 10))(pos & 1023)
+      val out = plain.clone()
+      // 2.2.10: record headers always clear; BOF/FILEPASS/UsrExcl/FileLock/
+      // InterfaceHdr/RRDInfo/RRDHead bodies clear; BOUNDSHEET's first 4
+      // body bytes (lbPlyPos) clear. The keystream position is the stream
+      // offset, so clear spans skip bytes without rewinding.
+      val clearBodies = Set(0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138)
+      var pos = 0
+      while (pos + 4 <= plain.length) {
+        val t = (plain(pos) & 0xFF) | ((plain(pos + 1) & 0xFF) << 8)
+        val len = math.min((plain(pos + 2) & 0xFF) | ((plain(pos + 3) & 0xFF) << 8),
+          plain.length - pos - 4)
+        val body = pos + 4
+        val clearPrefix =
+          if (clearBodies(t)) len
+          else if (t == 0x0085) math.min(4, len)
+          else 0
+        var q = body + clearPrefix
+        while (q < body + len) { out(q) = (out(q) ^ ks(q)).toByte; q += 1 }
+        pos = body + len
+      }
+      out
+    }
+    // 2.3.6.4: verifier + MD5(verifier) encrypted contiguously by a fresh
+    // block-0 cipher (keystream position 0, independent of stream offset)
+    val password = "opensesame"
+    val verifier = Array.tabulate[Byte](16)(i => (i * 29 + 7).toByte)
+    val ks0 = ksBlock(password, 0)
+    val encVerifier = verifier.zipWithIndex.map { case (b, i) => (b ^ ks0(i)).toByte }
+    val encVerifierHash = md5(verifier).zipWithIndex.map { case (b, i) =>
+      (b ^ ks0(16 + i)).toByte }
+    val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+    val filepass = rec(0x002F, le(u16(1), u16(1), u16(1), salt, encVerifier, encVerifierHash))
+    val sst = rec(0x00FC, le(u32(1), u32(1), le(u16(8), Array(0.toByte), ascii("external"))))
+    // span several 1024-byte blocks so rekeying must agree too
+    val pad = rec(0x0866, Array.fill[Byte](3000)(0x33.toByte))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val bofS = rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
+    val sheet = le(bofS, labelSst(0, 0, 0), number(0, 1, 7.25), eof)
+    def globals(lbPlyPos: Int): Array[Byte] = {
+      val bs = rec(0x0085, le(u32(lbPlyPos), u16(0), Array(4.toByte, 0.toByte), ascii("data")))
+      le(bofG, filepass, sst, pad, bs, eof)
+    }
+    val plain = le(globals(globals(0).length), sheet)
+    val encrypted = cfbMini(encrypt(plain, password))
+    assert(XlsBiff.xlsRows(encrypted, Some("data"), Some(password)) ==
+      Seq(IndexedSeq("external", "7.25")))
+  }
+
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
     val eof = rec(0x000A, Array.emptyByteArray)
