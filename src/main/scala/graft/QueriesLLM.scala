@@ -628,6 +628,40 @@ object QueriesLLM {
         .orderBy("id", "rank")
     }),
 
+    // ---------------- IVF assignment via the centroids-as-DATA path: the
+    // 64 lowest-id vectors form a (centroid_id, centroid) DataFrame that
+    // broadcast-hash-joins against every row — k = 64 is past what the
+    // expression-literal encoding should carry, and at 100 TB this is the
+    // form whose k reaches SemDeDup's √N. Integerized vectors make every
+    // distance double exact, so the argmin assignment hash-matches.
+    "ivf_assign_join" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      val cents = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("centroid_id"), col("q").as("centroid"))
+      Similarity.ivfAssignJoin(e, "vec_id", "q", cents)
+        .select(col("vec_id"), col("__centroid").cast(LongType).as("centroid"))
+        .orderBy("vec_id")
+    }),
+
+    // ---------------- SemDeDup end-to-end on the centroids-as-data path:
+    // same pipeline as semantic_dedup but with a 64-centroid DataFrame
+    // quantizer (assignment + centroid-similarity in one broadcast-join
+    // pass) — the full dedup wiring of the scale path under the hash gate.
+    "semantic_dedup_join" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      val cents = e.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("centroid_id"), col("q").as("centroid"))
+      Dedup.semanticDedup(e, "vec_id", "q", cents, tau = 0.4,
+          "centroid_id", "centroid")
+        .orderBy("vec_id")
+    }),
+
     // ---------------- UniMax budget allocation (Chung et al. 2023):
     // char-budgeted uniform sharing, 2-epoch cap, deterministic
     // fractional-epoch draws
@@ -1120,6 +1154,61 @@ object QueriesLLM {
             FROM embeddings),
           c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS cv
                 FROM e ORDER BY vec_id LIMIT 16),
+          d AS (SELECT e.vec_id, e.q, c.j,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(list_zip(e.q, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) AS dist
+                FROM e CROSS JOIN c),
+          a AS (SELECT vec_id, q, j AS centroid FROM (
+                  SELECT vec_id, q, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn FROM d)
+                WHERE rn = 1),
+          cs AS (SELECT a.vec_id, ${dot("a.q", "c.cv")} / (${nrm("a.q")} * ${nrm("c.cv")}) AS centsim
+                 FROM a JOIN c ON a.centroid = c.j),
+          dup AS (SELECT x.vec_id AS id1, y.vec_id AS id2 FROM a x
+                  JOIN a y ON x.centroid = y.centroid AND x.vec_id < y.vec_id
+                  WHERE ${nrm("x.q")} > 0 AND ${nrm("y.q")} > 0
+                    AND ${dot("x.q", "y.q")} >= (0.4 * ${nrm("x.q")}) * ${nrm("y.q")}),
+          sym AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+          lbl(u, m) AS (SELECT vec_id, vec_id FROM e UNION
+                        SELECT s.u, l.m FROM sym s JOIN lbl l ON l.u = s.v),
+          comp AS (SELECT u AS vec_id, min(m) AS cluster FROM lbl GROUP BY u),
+          ranked AS (SELECT comp.vec_id, comp.cluster,
+                       row_number() OVER (PARTITION BY comp.cluster
+                         ORDER BY cs.centsim, comp.vec_id) AS rn
+                     FROM comp JOIN cs ON comp.vec_id = cs.vec_id)
+          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rn = 1 AS keep
+          FROM ranked ORDER BY vec_id"""
+    },
+    "ivf_assign_join" ->
+      // centroid ids ARE the low vec_ids; argmin squared-L2 with ties to
+      // the lowest centroid id — the min-over-(dist,id)-structs rule
+      """WITH e AS (SELECT vec_id,
+           list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)) AS q
+           FROM embeddings),
+         c AS (SELECT vec_id AS cid, q AS cv FROM e WHERE vec_id < 64),
+         d AS (SELECT e.vec_id, c.cid,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list_zip(e.q, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                   (a, b) -> a + b) AS dist
+               FROM e CROSS JOIN c)
+         SELECT vec_id, CAST(cid AS BIGINT) AS centroid FROM (
+           SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           FROM d)
+         WHERE rn = 1 ORDER BY vec_id""",
+    "semantic_dedup_join" -> {
+      // semantic_dedup's program with the 64-centroid quantizer: centroid
+      // ids are the low vec_ids themselves, everything else identical
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def nrm(a: String) = s"sqrt(${dot(a, a)})"
+      s"""WITH RECURSIVE e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)) AS q
+            FROM embeddings),
+          c AS (SELECT vec_id AS j, q AS cv FROM e WHERE vec_id < 64),
           d AS (SELECT e.vec_id, e.q, c.j,
                   list_reduce(list_prepend(0.0::DOUBLE,
                     list_transform(list_zip(e.q, c.cv), p -> (p[1] - p[2]) * (p[1] - p[2]))),

@@ -665,6 +665,32 @@ object Dedup {
     val nodes = assigned
       .select(col(idCol).as("node"), col("__centroid"), centSim.as("__centsim"))
       .localCheckpoint()
+    semanticDedupFrom(df, idCol, vecCol, nodes, tau)
+  }
+
+  /** [[semanticDedup]] with centroids as DATA
+    * ([[Similarity.ivfAssignJoin]]) — the form whose centroid count can
+    * reach the paper's k ≈ √N at 100 TB (10⁵–10⁶ centroids never fit an
+    * expression tree). Assignment AND centroid-similarity ride the same
+    * broadcast-hash join pass; identical output to the literal path on the
+    * same centroid set (spec-asserted: the join computes the same vec_l2sq
+    * / cosine doubles and the same (dist, id) argmin tie rule). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, tau: Double,
+                    centIdCol: String, centVecCol: String): DataFrame = {
+    val nodes = Similarity.ivfAssignJoin(df, idCol, vecCol, cents,
+        centIdCol, centVecCol, withCentSim = true)
+      .select(col(idCol).as("node"), col("__centroid"), col("__centsim"))
+      .localCheckpoint()
+    semanticDedupFrom(df, idCol, vecCol, nodes, tau)
+  }
+
+  /** Shared SemDeDup core over the slim `nodes` = (node, __centroid,
+    * __centsim) frame: cluster-scoped candidate pairs, cosine-τ gate,
+    * connected components, keep-least-central. */
+  private def semanticDedupFrom(df: DataFrame, idCol: String, vecCol: String,
+                                nodes: DataFrame, tau: Double): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
     val cand = nodes.select(col("__centroid"), col("node").as("id1"))
       .join(nodes.select(col("__centroid"), col("node").as("id2")), Seq("__centroid"))
       .filter(col("id1") < col("id2"))

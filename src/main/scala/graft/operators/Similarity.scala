@@ -189,6 +189,77 @@ object Similarity {
       .drop("__sorted")
   }
 
+  // ------------------------------------------- centroids as DATA, not code
+  // ivfAssignExplicit/ivfAssignProbes embed the centroids in the expression
+  // tree — fine at the k ≤ ~256 the oracle rows use, but SemDeDup's own
+  // k ≈ √N prescription at 100 TB (10⁵–10⁶ centroids × 768 dims) cannot
+  // ride a projection. These variants take a (centroid_id, vector)
+  // DataFrame instead: the centroid table broadcast-hash-joins against the
+  // data (constant-key equi-join, so the build side is the k-row table and
+  // the plan is a BroadcastHashJoin — k never appears in any expression),
+  // each (row, centroid) pair scores ONE codegen'd vec_l2sq, and the
+  // per-row argmin folds in the partial aggregate, map-side: k pair-rows
+  // collapse to one before the exchange, so the only shuffle carries
+  // (id, centroid) — the vectors never leave their scan.
+
+  /** Assignment with centroids as data: returns the SLIM frame
+    * (idCol, __centroid[, __centsim]) — join it back by id where the
+    * payload is needed; the pairs-first consumers (semanticDedup,
+    * knnJoinIvf) never need to. Tie rule matches [[ivfAssignExplicit]]
+    * when `centIdCol` carries the centroid's index: argmin squared-L2 with
+    * ties to the lowest centroid id (`min` over (dist, id) structs — the
+    * struct ordering is the tie rule, so the aggregate is deterministic).
+    * The struct-typed min buffer plans as a partial SortAggregate (struct
+    * buffers are not UnsafeRow-mutable); the sorted input is the slim
+    * (id, dist, cid) pair stream whose ids arrive clustered from the
+    * join, so the sort runs over nearly-sorted runs. */
+  def ivfAssignJoin(df: DataFrame, idCol: String, vecCol: String,
+                    cents: DataFrame, centIdCol: String = "centroid_id",
+                    centVecCol: String = "centroid",
+                    withCentSim: Boolean = false): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val c = cents.select(col(centIdCol).cast(IntegerType).as("__cid"),
+      col(centVecCol).cast(ArrayType(DoubleType)).as("__cv"), lit(1).as("__ck"))
+    val pairs = df.select(col(idCol), v.as("__v"), lit(1).as("__ck"))
+      .join(broadcast(c), Seq("__ck"))
+    val d = l2sq(col("__v"), col("__cv"))
+    if (withCentSim)
+      // cs never tie-breaks (cid is unique), it just rides the argmin
+      pairs.groupBy(col(idCol))
+        .agg(min(struct(d.as("d"), col("__cid").as("j"),
+          cosine(col("__v"), col("__cv")).as("cs"))).as("__m"))
+        .select(col(idCol), col("__m.j").as("__centroid"),
+          col("__m.cs").as("__centsim"))
+    else
+      pairs.groupBy(col(idCol))
+        .agg(min(struct(d.as("d"), col("__cid").as("j"))).as("__m"))
+        .select(col(idCol), col("__m.j").as("__centroid"))
+  }
+
+  /** [[ivfAssignJoin]] plus each row's `__probes` (its `nProbe` nearest
+    * centroid ids, (distance, id) order — same contract as
+    * [[ivfAssignProbes]]). The per-group collect_list buffer holds k
+    * (dist, id) structs — the same transient the literal path's per-row
+    * sorted array materializes, so the memory bound is unchanged. */
+  def ivfAssignProbesJoin(df: DataFrame, idCol: String, vecCol: String,
+                          cents: DataFrame, nProbe: Int,
+                          centIdCol: String = "centroid_id",
+                          centVecCol: String = "centroid"): DataFrame = {
+    require(nProbe >= 1, "need nProbe >= 1")
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val c = cents.select(col(centIdCol).cast(IntegerType).as("__cid"),
+      col(centVecCol).cast(ArrayType(DoubleType)).as("__cv"), lit(1).as("__ck"))
+    df.select(col(idCol), v.as("__v"), lit(1).as("__ck"))
+      .join(broadcast(c), Seq("__ck"))
+      .select(col(idCol),
+        struct(l2sq(col("__v"), col("__cv")).as("d"), col("__cid").as("j")).as("__dj"))
+      .groupBy(col(idCol))
+      .agg(slice(array_sort(collect_list(col("__dj"))), 1, nProbe).as("__top"))
+      .select(col(idCol),
+        element_at(col("__top"), 1).getField("j").as("__centroid"),
+        transform(col("__top"), s => s.getField("j")).as("__probes"))
+  }
+
   /** Deterministic IVF top-k over explicit centroids: probe the `nProbe`
     * nearest centroids (model-sized driver computation with the same
     * left-to-right fold order as the assignment expressions), then exact
@@ -334,6 +405,36 @@ object Similarity {
     pqAdcTopK(probed, idCol, vecCol, books, queryId, kResults)
   }
 
+  /** [[ivfPqTopK]] with the coarse quantizer's centroids as DATA (see
+    * [[ivfAssignJoin]]): query-to-centroid probing is a k-row broadcast
+    * scan collected down to `nProbe` ids, assignment is the broadcast-hash
+    * join, and only the probed posting lists are PQ-encoded. The PQ
+    * codebooks stay driver-side — m·k_pq·dsub doubles, model-sized by
+    * construction, a different animal from the √N coarse centroids. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                cents: DataFrame, books: Seq[Seq[Array[Double]]],
+                queryId: Long, kResults: Int, nProbe: Int,
+                centIdCol: String, centVecCol: String): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast(ArrayType(DoubleType)).as("__qv"))
+    // nProbe nearest centroids to the query: a scan of the k-row centroid
+    // table, nProbe ids collected (model-sized, same (dist, id) tie order
+    // as the driver fold in the literal path — vec_l2sq IS that fold)
+    val probes = cents.select(col(centIdCol).cast(IntegerType).as("__cid"),
+        col(centVecCol).cast(ArrayType(DoubleType)).as("__cv"))
+      .crossJoin(broadcast(q))
+      .select(col("__cid"), l2sq(col("__qv"), col("__cv")).as("__d"))
+      .orderBy(col("__d").asc, col("__cid").asc).limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    val probedIds = ivfAssignJoin(df, idCol, vecCol, cents, centIdCol, centVecCol)
+      .filter(col("__centroid").isin(probes: _*))
+      .select(col(idCol))
+    val probed = pqEncodeExplicit(
+        df.join(probedIds, Seq(idCol), "left_semi"), vecCol, books)
+      .localCheckpoint()
+    pqAdcTopK(probed, idCol, vecCol, books, queryId, kResults)
+  }
+
   /** All near-dup candidate pairs sharing an LSH bucket (for Dedup):
     * explode tables×bucket, self-join per bucket on (bucket, id) ONLY, dedup
     * the id pairs, then join the vectors back so each pair's cosine is
@@ -387,12 +488,33 @@ object Similarity {
                  centroids: Seq[Array[Double]], k: Int,
                  nProbe: Int = 2): DataFrame = {
     val assigned = ivfAssignProbes(df, vecCol, centroids, nProbe)
-      .select(col(idCol).as("__kid"), col(vecCol).as("__kv"),
-        col("__centroid").as("__home"), col("__probes"))
-    // pairs-first (the same discipline as the LSH band join): the cell
-    // join carries only scalar ids — vectors join back once per DISTINCT
-    // surviving pair, so the dedup of multi-cell collisions shuffles ids,
-    // never the embedding payloads
+      .select(col(idCol).as("__kid"), col("__centroid").as("__home"),
+        col("__probes"))
+    knnJoinIvfFrom(assigned,
+      df.select(col(idCol).as("__kid"), col(vecCol).as("__kv")), k)
+  }
+
+  /** [[knnJoinIvf]] with centroids as DATA (see [[ivfAssignJoin]]) — the
+    * form whose k can reach √N at 100 TB. Identical output to the literal
+    * path on the same centroid set (spec-asserted). */
+  def knnJoinIvf(df: DataFrame, idCol: String, vecCol: String,
+                 cents: DataFrame, k: Int, nProbe: Int,
+                 centIdCol: String, centVecCol: String): DataFrame = {
+    val assigned = ivfAssignProbesJoin(df, idCol, vecCol, cents, nProbe,
+        centIdCol, centVecCol)
+      .select(col(idCol).as("__kid"), col("__centroid").as("__home"),
+        col("__probes"))
+    knnJoinIvfFrom(assigned,
+      df.select(col(idCol).as("__kid"), col(vecCol).as("__kv")), k)
+  }
+
+  /** Shared pairs-first core: `assigned` = (__kid, __home, __probes) slim
+    * frame, `vecs` = (__kid, __kv). The cell join carries only scalar ids
+    * (the LSH band-join discipline) — vectors join back once per DISTINCT
+    * surviving pair, so the dedup of multi-cell collisions shuffles ids,
+    * never the embedding payloads. */
+  private def knnJoinIvfFrom(assigned: DataFrame, vecs: DataFrame,
+                             k: Int): DataFrame = {
     val home = assigned.select(col("__home").as("__cell"),
       col("__kid").as("neighbor_id"))
     val probing = assigned.select(col("__kid").as("id"),
@@ -400,7 +522,6 @@ object Similarity {
     val pairs = probing.join(home, Seq("__cell"))
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id")).distinct()
-    val vecs = assigned.select(col("__kid"), col("__kv"))
     val scored = pairs
       .join(vecs.select(col("__kid").as("id"), col("__kv").as("__v1")), Seq("id"))
       .join(vecs.select(col("__kid").as("neighbor_id"), col("__kv").as("__v2")),

@@ -919,6 +919,82 @@ class LLMOpsSpec extends SparkSpec {
     assert(oneMap(0L) == Set(1L, 2L) && oneMap(10L) == Set(11L, 12L))
   }
 
+  test("centroids-as-data: join path ≡ literal path across the IVF family") {
+    // the same planted-cluster fixture as the explicit-centroid tests: the
+    // join path must reproduce the literal path EXACTLY (same vec_l2sq /
+    // cosine doubles, same (dist, id) argmin tie rule), not approximately
+    val rnd = new scala.util.Random(23)
+    val rows = (0L until 200L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(16)(0f)
+      base(c * 4) = 1f
+      (i, base.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map { c =>
+      val a = Array.fill(16)(0.0); a(c * 4) = 1.0; a
+    }
+    val centsDf = cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+
+    val litA = Similarity.ivfAssignExplicit(vecs, "embedding", cents)
+      .select(col("vec_id"), col("__centroid"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    val joinA = Similarity.ivfAssignJoin(vecs, "vec_id", "embedding", centsDf)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(joinA == litA)
+
+    val litP = Similarity.ivfAssignProbes(vecs, "embedding", cents, nProbe = 2)
+      .select(col("vec_id"), col("__centroid"), col("__probes"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    val joinP = Similarity.ivfAssignProbesJoin(vecs, "vec_id", "embedding",
+        centsDf, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    assert(joinP == litP)
+
+    val litKnn = Similarity.knnJoinIvf(vecs, "vec_id", "embedding", cents,
+      k = 3, nProbe = 2).collect().map(_.toSeq).toSet
+    val joinKnn = Similarity.knnJoinIvf(vecs, "vec_id", "embedding", centsDf,
+      k = 3, nProbe = 2, "centroid_id", "centroid").collect().map(_.toSeq).toSet
+    assert(joinKnn == litKnn)
+
+    val books = Similarity.pqCodebooksFrom(cents, m = 4)
+    val litPq = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", cents, books,
+      queryId = 0L, kResults = 10, nProbe = 2).collect().map(_.toSeq).toSeq
+    val joinPq = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", centsDf,
+      books, queryId = 0L, kResults = 10, nProbe = 2, "centroid_id", "centroid")
+      .collect().map(_.toSeq).toSeq
+    assert(joinPq == litPq)
+
+    // the plan is a broadcast HASH join of the centroid table — k lives in
+    // data, not in a k-term projection of the expression tree
+    val plan = Similarity.ivfAssignJoin(vecs, "vec_id", "embedding", centsDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("vec_l2sq(vec_l2sq"), "no unrolled per-centroid terms")
+  }
+
+  test("centroids-as-data: semanticDedup join path ≡ literal path") {
+    val c0 = Array(1.0, 0.0, 0.0, 0.0)
+    val c1 = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = Seq(
+      (1L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(10.0, 0.0, 0.0, 0.0)),
+      (3L, Seq(9.0, 0.0, 3.0, 0.0)),
+      (4L, Seq(0.0, 5.0, 0.0, 0.0)))
+    val df = rows.toDF("id", "v")
+    val centsDf = Seq(c0, c1).zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+      .toDF("centroid_id", "centroid")
+    val lit = Dedup.semanticDedup(df, "id", "v", Seq(c0, c1), tau = 0.9)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    val join = Dedup.semanticDedup(df, "id", "v", centsDf, 0.9,
+        "centroid_id", "centroid")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(join == lit)
+  }
+
   test("unimax: waterfill allocation caps small domains, shares the rest") {
     import graft.operators.Corpus
     // budget 120, cap 2 epochs: a(10) caps at 20; b(40) gets 100/2=50
