@@ -677,8 +677,13 @@ object QueriesLLM {
     // ---------------- CCNet perplexity tiers (Wenzek et al. 2020): per
     // language, head/middle/tail terciles of LM perplexity
     "ppl_buckets" -> ((s, dir) => {
+      // fan out the single-file scan before the per-row-heavy tokenize
+      // (the dedup-family discipline — r7 replaced r6's global 256 KB
+      // split override with per-query repartitions like this one)
       graft.operators.LangModel.perplexityBuckets(
-        rd(s, dir, "documents"), "doc_id", "text", "lang")
+        rd(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "lang")
         .orderBy("doc_id")
     }),
 
@@ -704,8 +709,13 @@ object QueriesLLM {
     // ---------------- the Gopher n-gram repetition rules (Table A1):
     // top-{2,3,4}-gram and duplicated-{5..10}-gram character fractions
     "gopher_repetition" -> ((s, dir) => {
+      // fan-out repartition: the explode→window→count pipeline is the
+      // per-row-heaviest query in the suite; hashing by doc_id here also
+      // IS the window's required distribution, so no extra exchange
       graft.operators.TextAnalysis.gopherRepetition(
-        rd(s, dir, "documents"), "doc_id", "text")
+        rd(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text")
         .orderBy("doc_id")
     }),
 

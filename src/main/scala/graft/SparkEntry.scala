@@ -20,23 +20,16 @@ object SparkEntry {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    // Harness-regime sizing, NOT production values: the SF test tables are
-    // single ~1-10 MB parquet files, which the 128 MB default maps to ONE
-    // scan task regardless of core count — and the scan stage is where the
-    // per-row-heavy phase of every text operator (tokenize/hash/explode)
-    // runs (measured: all of gopher_repetition's explode pipeline on one
-    // core, 5+ s single-threaded). Likewise the 64 MB AQE advisory
-    // coalesces every small-SF shuffle back to 1-2 tasks. These three
-    // shrink both to the MB regime so local[32] actually uses its cores; a
-    // cluster run against TB-scale inputs must use the defaults (tune() is
-    // the test-harness contract, not a deployment profile — 256 KB splits
-    // on 100 TB would mean 4e8 tasks).
-    .config("spark.sql.files.maxPartitionBytes", (256 * 1024).toString)
-    .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
-    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      (512 * 1024).toString)
-    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      (64 * 1024).toString)
+  // NOTE (r7): r6 carried a harness-wide 256 KB maxPartitionBytes + 512 KB
+  // AQE advisory here so the per-row-heavy text operators would fan out on
+  // the single-file SF tables — but the global knob taxed every small query
+  // with extra tasks/exchanges (like-for-like bench ~1.2-1.4× slower per
+  // the r6 adjudication). The fan-out now lives where the dedup family
+  // always put it: an explicit `repartition(n, key)` after the first
+  // narrow stage of each scan-bound heavy query (see QueriesLLM), which
+  // ALSO pins the wide stages' partitioning against AQE's small-input
+  // coalescing and is the shape a cluster run wants — session configs stay
+  // at Spark defaults.
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * filter → groupBy-agg (AggregateByValue) → sort, the §7.3 slice. */
