@@ -19,6 +19,53 @@ object QueriesLLM {
     Tables.read(s, dir, name)
   private val D = DecimalType(30, 10)
 
+  /** Deterministic WARC fixture for `corpus_build_warc`: every document
+    * becomes one `200 text/html` WARC response (body =
+    * `<html><body><p>{text}</p></body></html>` in UTF-8, target URI
+    * `http://corpus.test/doc/{id}`) in segment file `doc_id % 4`. Written
+    * once per (sf dir, version) under java.io.tmpdir and reused.
+    *
+    * This is harness plumbing, not an operator: the production pipeline
+    * reads real crawl segments, and the query under test starts at
+    * `Warc.read` over these files — the driver-side collect here is
+    * fixture SYNTHESIS (sf-table sized, one-time), not part of the
+    * measured plan. */
+  private def warcFixture(s: SparkSession, dir: String): String = {
+    val tag = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_warc_fixture_v1_$tag")
+    val marker = new java.io.File(out, "_SUCCESS")
+    if (!marker.exists()) {
+      out.mkdirs()
+      val crlf = "\r\n"
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+        .orderBy("doc_id").collect()
+      val streams = (0 until 4).map { i =>
+        new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(new java.io.File(out, s"seg-$i.warc")))
+      }
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val text = Option(r.getString(1)).getOrElse("")
+        val body = ("<html><body><p>" + text + "</p></body></html>")
+          .getBytes("UTF-8")
+        val http = (s"HTTP/1.1 200 OK${crlf}Content-Type: text/html; " +
+          s"charset=utf-8$crlf$crlf").getBytes("ISO-8859-1") ++ body
+        val head = (s"WARC/1.0${crlf}WARC-Type: response$crlf" +
+          s"WARC-Target-URI: http://corpus.test/doc/$id$crlf" +
+          s"WARC-Date: 2026-01-01T00:00:00Z$crlf" +
+          s"WARC-Record-ID: <urn:doc:$id>$crlf" +
+          s"Content-Length: ${http.length}$crlf$crlf").getBytes("ISO-8859-1")
+        val st = streams((id % 4).toInt)
+        st.write(head); st.write(http)
+        st.write((crlf + crlf).getBytes("ISO-8859-1"))
+      }
+      streams.foreach(_.close())
+      marker.createNewFile()
+    }
+    out.getAbsolutePath
+  }
+
   /** Deterministic messy URL per doc (mixed case, default port, tracking
     * params, fragment) — the IDENTICAL expression is used in the oracle SQL,
     * so Url.normalize/host/etc. are the only things under test. */
@@ -779,6 +826,43 @@ object QueriesLLM {
         .select(col("doc_id"), col("clean"),
           // driver gate takes scalar columns only — join the link array
           array_join(col("clean_links"), "|").as("links"), col("n_links"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- the flagship COMPOSITION under the hash gate: a real
+    // WARC crawl archive (deterministic fixture derived from documents —
+    // every doc one 200 text/html response across 4 segment files) runs
+    // the whole corpus build: Warc.read → htmlResponses → Html.extract →
+    // Gopher quality gate → minhash near-dup clustering → keep cluster
+    // representatives → sequence packing. Output = the packed survivors;
+    // a doc appears iff every stage agreed, and its pack coordinates
+    // depend on every other survivor — so the oracle checks the stages'
+    // WIRING, not just each stage alone.
+    "corpus_build_warc" -> ((s, dir) => {
+      val fixture = warcFixture(s, dir)
+      val pages = graft.sources.Warc.htmlResponses(
+        graft.sources.Warc.read(s, fixture + "/seg-*.warc"))
+        .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+          .cast(LongType).as("doc_id"), col("html"))
+      val docs = graft.operators.Html.extract(pages, "html", "text")
+        .select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      // gate = the word-count / word-length / alpha-fraction rules: the
+      // synthetic corpus has no English stopword signal, so the full
+      // battery's required-stopword rule (hash-checked by gopher_filter)
+      // would annihilate the corpus and void the composition — this
+      // subset splits it 277/500 at sf0.01
+      val kept = graft.operators.TextAnalysis.gopherFilter(docs, "text")
+        .filter(col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) && col("alpha_frac") >= 0.8)
+        .select(col("doc_id"), col("text"))
+      val reps = Dedup.nearDupClusters(kept, "text", "doc_id",
+          n = 3, k = 8, bands = 4, threshold = 0.5)
+        .filter(col("cluster") === col("doc_id")).select("doc_id")
+      val survivors = kept.join(reps, Seq("doc_id"))
+      graft.operators.Corpus.packSequences(survivors, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), nShards = 8, budget = 512)
+        .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -1849,6 +1933,61 @@ object QueriesLLM {
            coalesce(array_to_string(clean_links, '|'), '') AS links,
            CAST(len(clean_links) AS BIGINT) AS n_links
          FROM lk ORDER BY doc_id""",
+    "corpus_build_warc" -> {
+      // the full composition replayed from documents: the WARC/HTTP layer
+      // must be byte-lossless (wrap → crawl archive → parse → extract must
+      // return the same clean text this chain computes), then the gopher
+      // gate, minhash clustering (clusterSql, source = quality keepers)
+      // and packing all run on each other's outputs
+      val prelude = s"""h0 AS (SELECT doc_id,
+            '<html><body><p>' || text || '</p></body></html>' AS html
+            FROM documents),
+          s1 AS (SELECT doc_id, regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS a FROM h0),
+          s2 AS (SELECT *, regexp_replace(a, '(?is)<script.*?</script>', '', 'g') AS b FROM s1),
+          s3 AS (SELECT *, regexp_replace(b, '(?is)<style.*?</style>', '', 'g') AS c FROM s2),
+          s4 AS (SELECT *, regexp_replace(c,
+            '(?i)<br[^>]*>|</p>|</div>|</li>|</tr>|</h[1-6]>|</title>', chr(10), 'g') AS d FROM s3),
+          s5 AS (SELECT *, regexp_replace(d, '<[^>]*>', ' ', 'g') AS e FROM s4),
+          s6 AS (SELECT *, replace(replace(replace(replace(replace(replace(e,
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+            '&#39;', ''''), '&amp;', '&') AS f FROM s5),
+          s7 AS (SELECT *, regexp_replace(f, '[ \\t\\x0B\\f\\r]+', ' ', 'g') AS g1 FROM s6),
+          s8 AS (SELECT *, regexp_replace(g1, ' ?\\n ?', chr(10), 'g') AS g2 FROM s7),
+          s9 AS (SELECT doc_id, trim(regexp_replace(g2, '\\n{2,}', chr(10), 'g')) AS text FROM s8),
+          gt AS (SELECT doc_id, text,
+              string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM s9),
+          gf AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+              CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) AS alpha_frac
+            FROM gt),
+          kept AS (SELECT s9.doc_id, s9.text FROM s9 JOIN gf ON s9.doc_id = gf.doc_id
+            WHERE (gf.n_words BETWEEN 50 AND 100000)
+              AND (gf.mean_word_len BETWEEN 3.0 AND 10.0)
+              AND gf.alpha_frac >= 0.8),"""
+      val tail = """, comp AS (SELECT u AS doc_id, min(m) AS cluster FROM lbl GROUP BY u),
+          surv AS (SELECT k.doc_id, k.text FROM kept k
+            JOIN comp c ON k.doc_id = c.doc_id WHERE c.cluster = k.doc_id),
+          pk0 AS (SELECT doc_id,
+              CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+              ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 2147483647 AS h
+            FROM surv),
+          pk1 AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM pk0),
+          pkw AS (SELECT doc_id, shard,
+              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos,
+              n_tok,
+              CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY h, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+            FROM pk1)
+          SELECT doc_id, shard, pos, n_tok, tok_offset,
+            CAST(tok_offset // 512 AS BIGINT) AS seq_id
+          FROM pkw ORDER BY doc_id"""
+      clusterSql(tail, source = "kept", prelude = prelude)
+    },
     "c4_filter" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -1937,12 +2076,17 @@ object QueriesLLM {
     * recursive min-label fixpoint — `lbl` holds every (node, reachable id)
     * pair, so min(m) per node is the component minimum, which is exactly what
     * the star-contraction returns. */
-  private def clusterSql(select: String): String = {
+  /** The minhash→LSH→verify→connected-components CTE chain shared by the
+    * dedup oracle rows. `source` is the (doc_id, text) relation to dedup;
+    * `prelude` lets a caller prepend its own CTEs (must end with a comma);
+    * `select` may itself continue the WITH list (", cte AS (...) SELECT"). */
+  private def clusterSql(select: String, source: String = "documents",
+                         prelude: String = ""): String = {
     val perm = (0 until 8).map { j =>
       s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
     }.mkString(", ")
-    s"""WITH RECURSIVE t AS (
-          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+    s"""WITH RECURSIVE $prelude t AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM $source),
         h AS (
           SELECT doc_id, list_transform(toks,
             t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
@@ -1968,7 +2112,7 @@ object QueriesLLM {
         sym AS (SELECT id1 AS u, id2 AS v FROM verified
                 UNION SELECT id2, id1 FROM verified),
         lbl(u, m) AS (
-          SELECT doc_id, doc_id FROM documents
+          SELECT doc_id, doc_id FROM $source
           UNION
           SELECT s.u, l.m FROM sym s JOIN lbl l ON l.u = s.v)
         $select"""
