@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Commit and fault the whole heap at JVM start (the standard production
+  // executor setting): this box virtualizes page faults expensively, and
+  // letting the heap grow lazily put ~90% of a 22M-group aggregation's
+  // wall-clock into kernel time (measured 29s -> 9s with pretouch).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

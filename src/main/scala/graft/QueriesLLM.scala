@@ -758,11 +758,19 @@ object QueriesLLM {
     "gopher_repetition" -> ((s, dir) => {
       // fan-out repartition: the explode→window→count pipeline is the
       // per-row-heaviest query in the suite; hashing by doc_id here also
-      // IS the window's required distribution, so no extra exchange
+      // IS the window's required distribution (and the gram counts', whose
+      // keys contain doc_id), so no further exchange. The partition count
+      // must scale with the CORPUS, not the core count: every downstream
+      // stage reuses this partitioning, and ~9 grams/token × mostly-unique
+      // keys means the per-task aggregation state is proportional to
+      // docs/partition — ~200 docs/task keeps it ~100 MB at any scale
+      // (measured: 32 fixed partitions at 10× sf0.1 = 60-300 s of
+      // spill/GC; 250 count-scaled partitions = linear wall-clock).
+      val d = rd(s, dir, "documents")
+      val n = math.max(s.sparkContext.defaultParallelism,
+        (d.count() / 200).toInt)
       graft.operators.TextAnalysis.gopherRepetition(
-        rd(s, dir, "documents")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
-        "doc_id", "text")
+        d.repartition(n, col("doc_id")), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
