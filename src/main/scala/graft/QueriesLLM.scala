@@ -926,6 +926,36 @@ object QueriesLLM {
         .select(col("id").as("doc_id"), col("width"), col("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    // ---------------- streaming near-dup candidates, deterministically
+    // replayed: the whole documents table arrives as ONE micro-batch of a
+    // MemoryStream, so "previously seen" reduces to lexicographically-
+    // smaller string doc id (the operator sorts each batch by its string
+    // id) and the emitted rows are exactly the same-LSH-bucket pairs with
+    // signature-estimated Jaccard >= threshold — a closed form the DuckDB
+    // oracle reproduces. The collect is replay-harness plumbing
+    // (MemoryStream is driver-fed by definition), not the operator's plan;
+    // maxPerBucket is raised past the corpus size so the single-batch
+    // replay never evicts (the multi-batch/eviction/TTL behaviors are
+    // covered by StreamsSpec/StreamingE2ESpec).
+    "streaming_neardup" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val in = MemoryStream[(Long, String)]
+      in.addData(docs: _*)
+      val out = graft.streaming.Streams.streamingNearDupCandidates(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        n = 3, k = 16, bands = 8, threshold = 0.3, maxPerBucket = 1 << 20)
+      val name = "sneardup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(name).orderBy("id", "dup_of", "band")
     }))
 
   /** IVF-PQ oracle: ann_ivf_topk's assignment/probe CTEs restricted to the
@@ -2077,6 +2107,42 @@ object QueriesLLM {
                           string_split_regex(trim(lower(text)), '\\s+') AS toks
                         FROM documents)) q ON q.doc_id = c.u)
           WHERE rn = 1 ORDER BY cluster"""
+    },
+    "streaming_neardup" -> {
+      // k=16 signature, 8 bands × 2 rows — coefficients are
+      // minhashSignature's (2j+1, 12289j+741) mod P for j = 0..15
+      val perm = (0 until 16).map { j =>
+        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+      }.mkString(", ")
+      s"""WITH t AS (
+            SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+          h AS (
+            SELECT doc_id, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+            FROM t),
+          sh AS (
+            SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 2 + 1),
+                i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+            END AS gh
+            FROM h),
+          sig AS (SELECT doc_id, [$perm] AS sig FROM sh WHERE len(gh) > 0),
+          bands AS (
+            SELECT doc_id, sig, unnest(list_transform(range(8), j ->
+              struct_pack(bi := CAST(j AS INTEGER), bk :=
+                j::VARCHAR || ':' || sig[2*j+1]::VARCHAR || ':' || sig[2*j+2]::VARCHAR))) AS u
+            FROM sig),
+          pairs AS (
+            SELECT CAST(a.doc_id AS VARCHAR) AS id, CAST(b.doc_id AS VARCHAR) AS dup_of,
+              (a.u).bi AS band,
+              CAST(list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+                AS est_jaccard
+            FROM bands a JOIN bands b
+              ON (a.u).bk = (b.u).bk
+              AND CAST(a.doc_id AS VARCHAR) > CAST(b.doc_id AS VARCHAR))
+          SELECT id, dup_of, band, est_jaccard FROM pairs
+          WHERE est_jaccard >= 0.3 ORDER BY id, dup_of, band"""
     })
 
   /** Shared oracle scaffold for the clustering queries: the same minhash+LSH
