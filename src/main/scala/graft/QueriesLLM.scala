@@ -734,6 +734,17 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- the same tiers via percentile-of-histogram — the
+    // skewed-language 100 TB shape (no per-language corpus-sized sort;
+    // thresholds from an integer-bin histogram, assignment by comparison)
+    "ppl_buckets_hist" -> ((s, dir) => {
+      graft.operators.LangModel.perplexityBucketsHist(
+        rd(s, dir, "documents")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- exact duplicate-substring removal (Lee et al. 2022
     // ExactSubstr, distributed): 8-token windows, double rolling hash,
     // minimal occurrence kept, merged removal intervals per doc
@@ -1035,6 +1046,34 @@ object QueriesLLM {
         FROM documents d LEFT JOIN hits x ON d.doc_id = x.doc_id
         WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id"""
   }
+
+  /** lm_perplexity's quantized self-scoring CTE chain through `sc` =
+    * (doc_id, lang, n_bigrams, logprob_q4) — shared by both perplexity-tier
+    * oracles. The tier key is one IEEE division of identical integers, so
+    * it is bit-stable cross-engine. */
+  private val pplScoreCtes: String =
+    """t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i+1]))) AS pr
+               FROM t WHERE len(toks) >= 2),
+         pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
+         big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
+         ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1),
+         v AS (SELECT count(DISTINCT tok) AS vocab_size
+               FROM (SELECT unnest(toks) AS tok FROM t)),
+         terms AS (
+           SELECT pairs.doc_id,
+             CAST(floor(1e4 * (ln(big.c_ab + 1)
+               - ln(ctx.c_a + (SELECT vocab_size FROM v)))) AS BIGINT) AS term
+           FROM pairs JOIN big USING (a, b) JOIN ctx USING (a)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(term) AS BIGINT) AS logprob_q4
+                 FROM terms GROUP BY 1),
+         sc AS (SELECT d.doc_id, d.lang,
+                  CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                  CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
+                FROM documents d LEFT JOIN agg g USING (doc_id))"""
 
   val oracleSql: Seq[(String, String)] = Seq(
     "bpe_train" -> {
@@ -1594,30 +1633,7 @@ object QueriesLLM {
            FROM documents d JOIN r ON d.source IS NOT DISTINCT FROM r.source)
          WHERE n_epochs > 0 ORDER BY doc_id""",
     "ppl_buckets" ->
-      // same quantized scoring CTEs as lm_perplexity; the tercile order key
-      // is one IEEE division of identical integers, so it is bit-stable
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                 i -> struct_pack(a := toks[i], b := toks[i+1]))) AS pr
-               FROM t WHERE len(toks) >= 2),
-         pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
-         big AS (SELECT a, b, count(*) AS c_ab FROM pairs GROUP BY 1, 2),
-         ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM big GROUP BY 1),
-         v AS (SELECT count(DISTINCT tok) AS vocab_size
-               FROM (SELECT unnest(toks) AS tok FROM t)),
-         terms AS (
-           SELECT pairs.doc_id,
-             CAST(floor(1e4 * (ln(big.c_ab + 1)
-               - ln(ctx.c_a + (SELECT vocab_size FROM v)))) AS BIGINT) AS term
-           FROM pairs JOIN big USING (a, b) JOIN ctx USING (a)),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-                   CAST(sum(term) AS BIGINT) AS logprob_q4
-                 FROM terms GROUP BY 1),
-         sc AS (SELECT d.doc_id, d.lang,
-                  CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                  CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
-                FROM documents d LEFT JOIN agg g USING (doc_id)),
+      s"""WITH $pplScoreCtes,
          ne AS (SELECT doc_id, lang, n_bigrams,
                   CAST(-logprob_q4 AS DOUBLE) / n_bigrams AS ppl,
                   CAST(ntile(3) OVER (PARTITION BY lang
@@ -1630,6 +1646,35 @@ object QueriesLLM {
            CASE WHEN ppl_bucket = 0 THEN 'none' WHEN ppl_bucket = 1 THEN 'head'
                 WHEN ppl_bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
          FROM (SELECT * FROM ne UNION ALL SELECT * FROM em) ORDER BY doc_id""",
+    "ppl_buckets_hist" ->
+      // histogram thresholds: t_q = min integer-ppl bin whose per-language
+      // cumulative count reaches ceil(q·N/3); docs bucket by threshold
+      // comparison, so same-bin ties share a bucket (unlike ntile)
+      s"""WITH $pplScoreCtes,
+         ne AS (SELECT doc_id, lang, n_bigrams,
+                  CAST(-logprob_q4 AS DOUBLE) / n_bigrams AS ppl,
+                  CAST(floor(CAST(-logprob_q4 AS DOUBLE) / n_bigrams) AS BIGINT) AS bin
+                FROM sc WHERE n_bigrams > 0),
+         hist AS (SELECT lang, bin, count(*) AS c FROM ne GROUP BY 1, 2),
+         cm AS (SELECT lang, bin,
+                  sum(c) OVER (PARTITION BY lang ORDER BY bin) AS cs FROM hist),
+         tot AS (SELECT lang, count(*) AS n FROM ne GROUP BY 1),
+         thr AS (SELECT cm.lang,
+                   min(CASE WHEN cs >= (1 * n + 2) // 3 THEN bin END) AS t1,
+                   min(CASE WHEN cs >= (2 * n + 2) // 3 THEN bin END) AS t2
+                 FROM cm JOIN tot ON cm.lang IS NOT DISTINCT FROM tot.lang
+                 GROUP BY 1),
+         nb AS (SELECT ne.doc_id, ne.lang, ne.n_bigrams, ne.ppl,
+                  1 + CASE WHEN ne.bin > thr.t1 THEN 1 ELSE 0 END
+                    + CASE WHEN ne.bin > thr.t2 THEN 1 ELSE 0 END AS ppl_bucket
+                FROM ne JOIN thr ON ne.lang IS NOT DISTINCT FROM thr.lang),
+         em AS (SELECT doc_id, lang, n_bigrams, NULL::DOUBLE AS ppl,
+                  0 AS ppl_bucket FROM sc WHERE n_bigrams = 0)
+         SELECT doc_id, lang, n_bigrams, ppl,
+           CAST(ppl_bucket AS INTEGER) AS ppl_bucket,
+           CASE WHEN ppl_bucket = 0 THEN 'none' WHEN ppl_bucket = 1 THEN 'head'
+                WHEN ppl_bucket = 3 THEN 'tail' ELSE 'middle' END AS bucket_label
+         FROM (SELECT * FROM nb UNION ALL SELECT * FROM em) ORDER BY doc_id""",
     "substring_dedup" -> {
       def chainSql(mult: Int) = (1 until 8).foldLeft("th[i]") { (acc, j) =>
         s"(($acc * $mult + th[i+$j]) % 2147483647)"

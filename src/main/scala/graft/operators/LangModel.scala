@@ -121,6 +121,69 @@ object LangModel {
         col("ppl_bucket"), col("bucket_label"))
   }
 
+  /** Percentile-of-histogram variant of [[perplexityBuckets]] — the shape
+    * for the 100 TB deployment where one language dominates the corpus and
+    * `ntile`'s per-language window would sort that language's entire slice
+    * on one partition chain. Here no corpus-sized sort exists: documents
+    * histogram into integer perplexity bins (`floor(ppl)` — ppl is already
+    * 1e4-quantized nats/bigram, so bin count is bounded by the score range,
+    * not the corpus), per-language cumulative counts over the BIN table
+    * yield the tercile thresholds t_q = min bin with cum ≥ ceil(q·N/k), and
+    * each doc's bucket is 1 + |{q : bin > t_q}| via a language-count-sized
+    * broadcast join. Corpus-wide work = one groupBy(lang, bin) aggregation
+    * plus the scoring pass itself.
+    *
+    * Semantics vs the ntile variant: all docs in the same (lang, bin) get
+    * the SAME bucket — boundary bins are not split by doc id — so bucket
+    * populations are balanced only up to bin granularity. That is the
+    * documented CCNet behavior (Wenzek et al. 2020 compute head/middle/tail
+    * cutoffs from a perplexity histogram, then assign by threshold). */
+  def perplexityBucketsHist(df: DataFrame, idCol: String, textCol: String,
+                            langCol: String, buckets: Int = 3): DataFrame = {
+    val scored = selfScore(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+    val ppl = (-col("logprob_q4").cast(DoubleType)) / col("n_bigrams")
+    val nonEmpty = scored.filter(col("n_bigrams") > 0)
+      .withColumn("ppl", ppl)
+      .withColumn("__bin", floor(col("ppl")).cast(LongType))
+    val hist = nonEmpty.groupBy(col(langCol), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    // cum runs over the BIN table (≤ score-range rows per language), so the
+    // skewed-language concern the ntile variant has does not apply
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.partitionBy(col(langCol)).orderBy(col("__bin"))))
+    // rename before the self-derived joins: cum/tot/nonEmpty share lineage,
+    // so a raw langCol <=> langCol condition would resolve trivially true
+    val tot = nonEmpty.groupBy(col(langCol)).agg(count(lit(1)).as("__n"))
+      .withColumnRenamed(langCol, "__tlang")
+    // ceil(q·N/k) in exact integer arithmetic: (q·N + k − 1) div k
+    val thrAggs = (1 until buckets).map { q =>
+      min(when(col("__cum") >= expr(s"(${q}L * __n + ${buckets - 1}) div $buckets"),
+        col("__bin"))).as(s"__t$q")
+    }
+    val thr = cum.join(tot, col(langCol) <=> col("__tlang"))
+      .groupBy(col(langCol)).agg(thrAggs.head, thrAggs.tail: _*)
+      .withColumnRenamed(langCol, "__lang")
+    val bucketCol = (1 until buckets).foldLeft(lit(1)) { (acc, q) =>
+      acc + when(col("__bin") > col(s"__t$q"), 1).otherwise(0)
+    }
+    val binned = nonEmpty.join(broadcast(thr), col(langCol) <=> col("__lang"))
+      .withColumn("ppl_bucket", bucketCol)
+      .drop((1 until buckets).map(q => s"__t$q") :+ "__lang": _*)
+    val empty = scored.filter(col("n_bigrams") === 0)
+      .withColumn("ppl", lit(null).cast(DoubleType))
+      .withColumn("__bin", lit(null).cast(LongType))
+      .withColumn("ppl_bucket", lit(0))
+    binned.unionByName(empty)
+      .withColumn("bucket_label",
+        when(col("ppl_bucket") === 0, "none")
+          .when(col("ppl_bucket") === 1, "head")
+          .when(col("ppl_bucket") === buckets, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col(langCol), col("n_bigrams"), col("ppl"),
+        col("ppl_bucket"), col("bucket_label"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 — public):
     * select pretraining data that "looks like" a trusted target set by
     * importance weighting in a hashed n-gram feature space. Word unigram and

@@ -1047,6 +1047,49 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(8L)._4 == 1 && out(8L)._5 == "head")
   }
 
+  test("perplexityBucketsHist: threshold tiers, same-bin ties, none-bucket") {
+    import graft.operators.LangModel
+    implicit val s = spark
+    // doc i carries i unique rare tokens, so perplexity strictly grows with
+    // i (the symmetric fixture above has IDENTICAL ppl across docs — fine
+    // for ntile's doc_id tie-break, degenerate for histogram thresholds)
+    val d = (
+      (1L to 6L).map(i => (i, "the cat sat on the mat " +
+        (1L to i).map(j => s"z${i}q$j").mkString(" "), "en")) ++
+        Seq((7L, "solo", "en"),
+          (8L, "de kat zat op de mat", "nl")))
+      .toDF("doc_id", "text", "lang")
+    val nt = LangModel.perplexityBuckets(d, "doc_id", "text", "lang")
+    val out = LangModel.perplexityBucketsHist(d, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getInt(4), r.getString(5))).toMap
+    // buckets are monotone in ppl: a doc never outranks a higher-ppl doc
+    val en = (1L to 6L).sortBy(i => (out(i)._3.get, i))
+    assert(en.map(i => out(i)._4) == en.map(i => out(i)._4).sorted)
+    assert(out(en.head)._4 == 1 && out(en.head)._5 == "head")
+    assert(out(en.last)._4 == 3 && out(en.last)._5 == "tail")
+    // all docs in the same integer-ppl bin share a bucket
+    val binOf = (1L to 6L).map(i => i -> math.floor(out(i)._3.get).toLong).toMap
+    (1L to 6L).combinations(2).foreach { case Seq(a, b) =>
+      if (binOf(a) == binOf(b)) assert(out(a)._4 == out(b)._4)
+    }
+    // when every bin is distinct, hist tiers equal the ntile tiers
+    if (binOf.values.toSet.size == 6) {
+      val ntm = nt.collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+      (1L to 6L).foreach(i => assert(out(i)._4 == ntm(i), s"doc $i"))
+    }
+    // no bigrams → bucket 0 / none, null ppl; single-doc language = head
+    assert(out(7L) == (("en", 0L, None, 0, "none")))
+    assert(out(8L)._4 == 1 && out(8L)._5 == "head")
+    // degenerate corpus: identical docs land in one bin → everyone is head
+    val same = (1L to 5L).map(i => (i, "same text every time here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val sm = LangModel.perplexityBucketsHist(same, "doc_id", "text", "lang")
+      .collect().map(r => (r.getInt(4), r.getString(5))).toSet
+    assert(sm == Set((1, "head")))
+  }
+
   test("BPE merge application is the canonical left-to-right greedy merge") {
     import graft.operators.Bpe
     // repeated run: [a,a,a] + (a,a) → [aa,a]; alternating: [a,b,a,b] + (a,b)
