@@ -939,6 +939,52 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- multimodal resize: deterministic GRADIENT PNGs
+    // (pixel channels affine in x,y) are nearest-neighbor resized to 4×3
+    // with the floor grid mapping, re-encoded, then decoded back — the
+    // oracle recomputes the sampled-pixel means directly, so the whole
+    // decode → resize → encode → decode chain is under test.
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 13 + 2).toInt
+          val h = (id % 7 + 2).toInt
+          (id, graft.operators.Multimodal.encodeGradientPng(w, h, (id % 256).toInt))
+        }
+      }.toDF("doc_id", "payload")
+      val small = graft.operators.Multimodal.resizeImages(bin, "doc_id", "payload", 4, 3)(s)
+      graft.operators.Multimodal.decodeImages(small, "doc_id", "payload")(s)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- multimodal frame sampling with REAL container
+    // decode: animated GIFs (the JDK's one multi-frame codec, solid-colour
+    // frames so palette round-trip is exact) are frame-sampled at stride 2
+    // and each sampled frame decoded to dims + channel means executor-side.
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 5 + 1).toInt
+          val h = (id % 3 + 1).toInt
+          val rgbs = (0 until (id % 4 + 1).toInt).map { f =>
+            ((((id + 7 * f) % 256) << 16) | (((3 * id + 11 * f) % 256) << 8) |
+              ((5 * id + 13 * f) % 256)).toInt
+          }
+          (id, graft.operators.Multimodal.encodeGif(w, h, rgbs))
+        }
+      }.toDF("doc_id", "payload")
+      graft.operators.Multimodal.sampleDecodeFrames(bin, "doc_id", "payload", stride = 2)(s)
+        .select(col("id").as("doc_id"), col("frame"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy("doc_id", "frame")
+    }),
+
     // ---------------- streaming near-dup candidates, deterministically
     // replayed: the whole documents table arrives as ONE micro-batch of a
     // MemoryStream, so "previously seen" reduces to lexicographically-
@@ -2153,6 +2199,37 @@ object QueriesLLM {
                         FROM documents)) q ON q.doc_id = c.u)
           WHERE rn = 1 ORDER BY cluster"""
     },
+    "multimodal_resize" ->
+      // the nearest-neighbor floor grid: src = (t·srcDim) // dstDim; pixel
+      // channel formulas mirror encodeGradientPng (mod-256 affine in x,y)
+      """WITH d AS (SELECT doc_id, (doc_id % 13) + 2 AS sw, (doc_id % 7) + 2 AS sh,
+                      doc_id % 256 AS base FROM documents),
+         px AS (SELECT doc_id,
+                  (base + 3 * ((tx * sw) // 4) + 5 * ((ty * sh) // 3)) % 256 AS r,
+                  (base * 3 + 3 * ((tx * sw) // 4) + 5 * ((ty * sh) // 3)) % 256 AS g,
+                  (base * 5 + 3 * ((tx * sw) // 4) + 5 * ((ty * sh) // 3)) % 256 AS b
+                FROM d,
+                  (SELECT unnest(range(4)) AS tx),
+                  (SELECT unnest(range(3)) AS ty))
+         SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+           CAST(sum(r) AS DOUBLE) / 12 AS mean_r,
+           CAST(sum(g) AS DOUBLE) / 12 AS mean_g,
+           CAST(sum(b) AS DOUBLE) / 12 AS mean_b
+         FROM px GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_frames" ->
+      // solid-colour frames: the sampled frame's channel means ARE the
+      // palette colour; stride 2 keeps frames 0 and 2 of the 1..4 present
+      """WITH d AS (SELECT doc_id, (doc_id % 5) + 1 AS w, (doc_id % 3) + 1 AS h,
+                      (doc_id % 4) + 1 AS nf FROM documents),
+         fr AS (SELECT doc_id, w, h, CAST(f AS INTEGER) AS frame,
+                  (doc_id + 7 * f) % 256 AS r,
+                  (3 * doc_id + 11 * f) % 256 AS g,
+                  (5 * doc_id + 13 * f) % 256 AS b
+                FROM d, (SELECT unnest(range(4)) AS f) WHERE f < nf AND f % 2 = 0)
+         SELECT doc_id, frame, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(r AS DOUBLE) AS mean_r, CAST(g AS DOUBLE) AS mean_g,
+           CAST(b AS DOUBLE) AS mean_b
+         FROM fr ORDER BY doc_id, frame""",
     "streaming_neardup" -> {
       // k=16 signature, 8 bands × 2 rows — coefficients are
       // minhashSignature's (2j+1, 12289j+741) mod P for j = 0..15

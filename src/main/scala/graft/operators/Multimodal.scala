@@ -193,6 +193,160 @@ object Multimodal {
       .toDF("id", "features")
   }
 
+  /** Encode a PNG whose pixel channels are affine functions of (x, y) —
+    * the deterministic gradient fixture for the resize oracle (PNG is
+    * lossless, so every sampled pixel is exactly the formula value).
+    * Channel c at (x, y) = (base_c + mx_c·x + my_c·y) mod 256. */
+  def encodeGradientPng(width: Int, height: Int, base: Int,
+                        mx: Int = 3, my: Int = 5): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val r = (base + mx * x + my * y) & 0xff
+        val g = (base * 3 + mx * x + my * y) & 0xff
+        val b = (base * 5 + mx * x + my * y) & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Nearest-neighbor resize with the standard floor mapping
+    * src_x = tx·srcW div dstW (explicit integer arithmetic rather than
+    * Graphics2D so the sampled grid is engine-reproducible), re-encoded
+    * as PNG. None when the payload is not a decodable image. */
+  def resizeImage(payload: Array[Byte], dstW: Int, dstH: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      var ty = 0
+      while (ty < dstH) {
+        val sy = ty * img.getHeight / dstH
+        var tx = 0
+        while (tx < dstW) {
+          out.setRGB(tx, ty, img.getRGB(tx * img.getWidth / dstW, sy))
+          tx += 1
+        }
+        ty += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-partition batch resize: (id, payload) with the payload re-encoded
+    * at dstW×dstH (null when undecodable). Same mapPartitions batch shape
+    * as [[decodeImages]]; compose with it for resize→decode pipelines. */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   dstW: Int, dstH: Int)
+                  (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          (id, resizeImage(payload, dstW, dstH).orNull)
+        }
+      }.toDF(idCol, payloadCol)
+  }
+
+  /** Encode an animated GIF (one palette per solid-colour frame, so every
+    * frame round-trips exactly) — the fixture for the frame-sample oracle.
+    * GIF is the one multi-frame container the JDK both reads and writes. */
+  def encodeGif(width: Int, height: Int, frameRgbs: Seq[Int]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frameRgbs.foreach { rgb =>
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** One sampled, decoded frame of a multi-frame payload. */
+  final case class DecodedFrame(id: Long, frame: Int, width: Option[Int],
+                                height: Option[Int], mean_r: Option[Double],
+                                mean_g: Option[Double], mean_b: Option[Double])
+
+  /** Real frame decode for multi-frame containers (animated GIF in the
+    * JDK): every `stride`-th frame is decoded to dims + exact channel
+    * means. Returns Nil for undecodable payloads. */
+  def decodeFrames(payload: Array[Byte], stride: Int): Seq[(Int, Int, Int, Double, Double, Double)] = {
+    if (payload == null || payload.length == 0) return Nil
+    val in = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Nil
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        (0 until n by stride).flatMap { i =>
+          val img = reader.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          val rowBuf = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = rowBuf(x)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val np = w.toLong * h
+          Some((i, w, h, sr.toDouble / np, sg.toDouble / np, sb.toDouble / np))
+        }
+      } finally reader.dispose()
+    } catch { case _: Exception => Nil }
+    finally in.close()
+  }
+
+  /** Per-partition batch frame sampling with REAL decode: one output row
+    * per sampled frame — (id, frame, width, height, mean_r/g/b). The
+    * mapPartitions flatMap is the video analog of [[decodeImages]]: frame
+    * explosion happens executor-side, after the binary column has reached
+    * its final partitioning, so payload bytes never ride a wider shuffle
+    * than the scan. */
+  def sampleDecodeFrames(df: DataFrame, idCol: String, payloadCol: String,
+                         stride: Int = 2)
+                        (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.flatMap { case (id, payload) =>
+          decodeFrames(payload, stride).map { case (i, w, h, r, g, b) =>
+            DecodedFrame(id, i, Some(w), Some(h), Some(r), Some(g), Some(b))
+          }
+        }
+      }.toDF()
+  }
+
   /** Frame sampling for video payloads: take every `stride`-th chunk of
     * `frameBytes` bytes as a "frame" (expression-level chunking — the JDK
     * ships no video codec, so real frame decode plugs in at the

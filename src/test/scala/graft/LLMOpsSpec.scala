@@ -754,6 +754,44 @@ class LLMOpsSpec extends SparkSpec {
     assert(f(3).getSeq[Float](1)(7) == 0.0f)
   }
 
+  test("multimodal: nearest-neighbor resize samples the floor grid exactly") {
+    implicit val s = spark
+    // 8×6 gradient → 4×3: sampled src pixels are (0,2,4,6)×(0,2,4), so the
+    // resized means are hand-computable from the affine channel formulas
+    val d = Seq(
+      (1L, Multimodal.encodeGradientPng(8, 6, 10)),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val small = Multimodal.resizeImages(d, "doc_id", "payload", 4, 3)
+    val out = Multimodal.decodeImages(small, "doc_id", "payload")
+      .orderBy("id").collect()
+    assert(out(0).getInt(1) == 4 && out(0).getInt(2) == 3)
+    val sx = Seq(0, 2, 4, 6); val sy = Seq(0, 2, 4)
+    val expR = (for (x <- sx; y <- sy) yield (10 + 3 * x + 5 * y) % 256).sum / 12.0
+    val expG = (for (x <- sx; y <- sy) yield (30 + 3 * x + 5 * y) % 256).sum / 12.0
+    assert(out(0).getDouble(3) == expR && out(0).getDouble(4) == expG)
+    assert(out(1).isNullAt(1)) // undecodable propagates as null payload → nulls
+  }
+
+  test("multimodal: animated-GIF frame sampling decodes every stride-th frame") {
+    implicit val s = spark
+    val gif = Multimodal.encodeGif(3, 2, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030))
+    val d = Seq((1L, gif), (2L, "junk".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val out = Multimodal.sampleDecodeFrames(d, "doc_id", "payload", stride = 2)
+      .orderBy("id", "frame").collect()
+    // 4 frames at stride 2 → frames 0 and 2; junk payload → no rows
+    assert(out.length == 2 && out.forall(_.getLong(0) == 1L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(0, 2))
+    assert(out.forall(r => r.getInt(2) == 3 && r.getInt(3) == 2))
+    assert(out(0).getDouble(4) == 255.0 && out(0).getDouble(5) == 0.0) // red
+    assert(out(1).getDouble(6) == 255.0) // blue
+    // stride 1 decodes all four, palette-exact
+    val all = Multimodal.sampleDecodeFrames(d.filter(col("doc_id") === 1), "doc_id",
+      "payload", stride = 1).orderBy("frame").collect()
+    assert(all.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(all(3).getDouble(4) == 0x10.toDouble && all(3).getDouble(5) == 0x20.toDouble
+      && all(3).getDouble(6) == 0x30.toDouble)
+  }
+
   test("multimodal: real WAV audio probe via javax.sound.sampled") {
     implicit val s = spark
     // synthesize a 0.5 s mono 8 kHz 16-bit PCM WAV with the JDK encoder
