@@ -939,6 +939,15 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- BM25 retrieval against fixed seed terms — targeted
+    // curation's ranking primitive (quantized idf + order-free integer
+    // score sum make the ranking bit-stable cross-engine)
+    "bm25_topk" -> ((s, dir) => {
+      graft.operators.TextAnalysis.bm25TopK(
+        rd(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "vector", "join"), k = 20)
+    }),
+
     // ---------------- multimodal resize: deterministic GRADIENT PNGs
     // (pixel channels affine in x,y) are nearest-neighbor resized to 4×3
     // with the floor grid mapping, re-encoded, then decoded back — the
@@ -2199,6 +2208,27 @@ object QueriesLLM {
                         FROM documents)) q ON q.doc_id = c.u)
           WHERE rn = 1 ORDER BY cluster"""
     },
+    "bm25_topk" ->
+      // identical operation order to bm25TopK: ((1e4-quantized idf) ·
+      // tf·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl)), floor(100·…), int sum
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM tf GROUP BY 1),
+         idf AS (SELECT term,
+                   CAST(floor(1e4 * ln((n - dfr + 0.5) / (dfr + 0.5) + 1.0)) AS BIGINT)
+                     AS idf_q4
+                 FROM dfreq, st),
+         contrib AS (SELECT tf.doc_id,
+             CAST(floor(100.0 * idf.idf_q4 * (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS BIGINT) AS c
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q FROM contrib
+         GROUP BY 1 ORDER BY score_q DESC, doc_id ASC LIMIT 20""",
     "multimodal_resize" ->
       // the nearest-neighbor floor grid: src = (t·srcDim) // dstDim; pixel
       // channel formulas mirror encodeGradientPng (mod-256 affine in x,y)

@@ -134,6 +134,57 @@ object TextAnalysis {
     * alphabetic character; ≥ 2 of the required stopwords present. Emits the
     * raw statistics plus the composite `keep`. Ratios are integer-count
     * divisions — bit-identical in the SQL oracle. Zero shuffles. */
+  /** BM25 relevance of every document against a fixed query-term set
+    * (Robertson & Zaragoza 2009) — the retrieval primitive for targeted
+    * curation (rank a web corpus against seed queries, keep the head).
+    * Per term t: idf = ln((N − df_t + 0.5)/(df_t + 0.5) + 1), contribution
+    * = idf · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). Determinism: ln is
+    * not correctly-rounded cross-engine, so idf is quantized to
+    * floor(1e4·idf) first (the scoreBigram mitigation); each term
+    * contribution is then quantized to floor(100·…) and the per-doc score
+    * is an ORDER-FREE integer sum (double accumulation order would differ
+    * between engines). Docs containing no query term are absent (standard
+    * retrieval semantics).
+    *
+    * Scale shape: corpus stats (N, Σdl) and the ≤|terms| df/idf table ride
+    * as broadcast one-row/tiny frames; the only corpus-wide work is the
+    * tokenize+filter scan stage and one doc-keyed sum; top-k is a
+    * TakeOrderedAndProject, never a full sort. */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    // materialize the postings ONCE: both the idf branch and the scoring
+    // branch consume tf, and without this checkpoint each would re-run the
+    // corpus tokenize+explode scan (the connectedComponents edge pattern);
+    // a multi-query deployment persists this index across queries instead
+    val tf = base
+      .select(col("id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .filter(col("__t").isin(terms: _*))
+      .groupBy(col("id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val idf = tf.groupBy(col("__t"))
+      .agg(count_distinct(col("id")).as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("__t"),
+        floor(lit(1e4) * log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0))).as("__idf_q4"))
+    val contrib = tf.join(broadcast(idf), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        floor(lit(100.0) * col("__idf_q4") * (col("__tf") * (lit(k1) + lit(1.0))) /
+          (col("__tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("__dl") / col("__avgdl")))).as("__c"))
+    contrib.groupBy(col("id")).agg(sum(col("__c")).as("score_q"))
+      .orderBy(col("score_q").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score_q"))
+  }
+
   def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
     // staged projections: HOF lambdas get no codegen CSE (see repetitionStats)
     val staged = df

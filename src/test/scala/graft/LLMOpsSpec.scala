@@ -718,6 +718,29 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("clean").startsWith("This is a perfectly"))
   }
 
+  test("bm25TopK ranks by term frequency, length norm, and idf rarity") {
+    implicit val s = spark
+    val d = Seq(
+      (1L, "cat cat cat dog"), // tf(cat)=3, short
+      (2L, "cat " + ("filler " * 40) + "cat"), // tf(cat)=2, long → length-normed down
+      (3L, "cat dog"), // both terms
+      (4L, "zebra only here"), // no query terms → absent
+      (5L, "dog")) // rare term only
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("cat", "dog"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 5L)) // 4 has no terms
+    val score = out.toMap
+    // high-tf short doc with both terms beats the long low-density one
+    assert(score(1L) > score(2L))
+    // ranking is the collect order (desc score, asc id)
+    assert(out.map(_._2).toSeq == out.map(_._2).toSeq.sorted.reverse)
+    // k truncates: top-2 only
+    val top2 = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("cat", "dog"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == out.sortBy(r => (-r._2, r._1)).take(2).map(_._1).toSeq)
+  }
+
   test("multimodal: byte metadata + feature extraction batch shape") {
     implicit val s = spark
     val bin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
