@@ -939,6 +939,16 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- quality-classifier inference (FineWeb-Edu shape):
+    // hashed bag-of-words linear model with integer milli-weights, one
+    // doc-keyed sum, threshold keep — the weights are a deterministic
+    // md5 fixture the oracle reproduces
+    "quality_classifier" -> ((s, dir) => {
+      graft.operators.TextAnalysis.classifierScore(
+        rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- BM25 retrieval against fixed seed terms — targeted
     // curation's ranking primitive (quantized idf + order-free integer
     // score sum make the ranking bit-stable cross-engine)
@@ -2208,6 +2218,26 @@ object QueriesLLM {
                         FROM documents)) q ON q.doc_id = c.u)
           WHERE rn = 1 ORDER BY cluster"""
     },
+    "quality_classifier" ->
+      // same md5 bucket + milli-weight fixture; logit = (Σw / 1000.0) / n
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         tok AS (SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32768 AS bucket
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         w AS (SELECT doc_id,
+                 ('0x' || substr(md5('qc1:' || CAST(bucket AS VARCHAR)), 1, 15))::BIGINT
+                   % 2001 - 1000 AS w
+               FROM tok),
+         sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  CAST(sum(w) AS BIGINT) AS score_milli FROM w GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_toks, 0) AS n_toks,
+           coalesce(sc.score_milli, 0) AS score_milli,
+           CASE WHEN coalesce(sc.n_toks, 0) > 0
+             THEN coalesce(sc.score_milli, 0) / 1000.0 / sc.n_toks ELSE 0.0 END AS logit,
+           CASE WHEN coalesce(sc.n_toks, 0) > 0
+             THEN coalesce(sc.score_milli, 0) / 1000.0 / sc.n_toks ELSE 0.0 END > 0.0 AS keep
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     "bm25_topk" ->
       // identical operation order to bm25TopK: ((1e4-quantized idf) ·
       // tf·(k1+1)) / (tf + k1·((1−b) + (b·dl)/avgdl)), floor(100·…), int sum

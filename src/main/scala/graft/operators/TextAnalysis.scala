@@ -134,6 +134,45 @@ object TextAnalysis {
     * alphabetic character; ≥ 2 of the required stopwords present. Emits the
     * raw statistics plus the composite `keep`. Ratios are integer-count
     * divisions — bit-identical in the SQL oracle. Zero shuffles. */
+  /** Quality-classifier APPLY over a hashed bag-of-words linear model —
+    * the FineWeb-Edu-shaped inference stage: a trained classifier scores
+    * every document and a threshold keeps the head. The model here is a
+    * deterministic fixture (per-bucket integer milli-weights derived from
+    * md5 of the bucket id, so the oracle reproduces them); a real
+    * deployment feeds coefficients from `ml.ML`'s logistic regression into
+    * the same apply shape via a (bucket, w_milli) DataFrame.
+    *
+    * Determinism: weights are INTEGERS in [-1000, 1000] and the per-doc
+    * score is their order-free integer sum; the logit is one double
+    * division chain of exact integers. No exp/sigmoid in the compared
+    * output — monotone in the logit, so thresholding is equivalent.
+    *
+    * Scale shape: tokenize+hash+bucket runs in the scan stage (all
+    * codegen'd md5/conv expressions, no dictionary), one doc-keyed sum
+    * shuffle; there is no weight table at all — the fixture weight is an
+    * expression of the bucket id (a broadcast-join against learned
+    * coefficients replaces that one projection at deployment). */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 1 << 15, seed: String = "qc1",
+                      threshold: Double = 0.0): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .withColumn("__bucket", tokenHash(col("__t")) % buckets)
+      .withColumn("__w",
+        tokenHash(concat(lit(seed + ":"), col("__bucket"))) % 2001 - 1000)
+    val scored = tok.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("__w")).as("score_milli"))
+    val base = df.select(col(idCol))
+    base.join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_milli"), lit(0L)).as("score_milli"))
+      .withColumn("logit",
+        when(col("n_toks") > 0,
+          col("score_milli") / lit(1000.0) / col("n_toks"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("logit") > threshold)
+  }
+
   /** BM25 relevance of every document against a fixed query-term set
     * (Robertson & Zaragoza 2009) — the retrieval primitive for targeted
     * curation (rank a web corpus against seed queries, keep the head).

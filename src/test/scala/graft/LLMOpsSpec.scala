@@ -718,6 +718,30 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(0).getAs[String]("clean").startsWith("This is a perfectly"))
   }
 
+  test("classifierScore: hashed linear apply, integer milli-score, keep gate") {
+    implicit val s = spark
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha alpha"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    // same-token doc: score is 3× the token's weight and the logit reduces
+    // to that single weight in units of 1.0
+    assert(out(1)._2 % 3 == 0)
+    assert(out(1)._3 == out(1)._2 / 1000.0 / 3)
+    assert(math.abs(out(1)._3) <= 1.0) // milli-weights are in [-1000, 1000]
+    // n_toks counts tokens, keep is the logit threshold
+    assert(out(0)._1 == 3 && out(1)._1 == 3)
+    out.foreach { case (_, _, logit, keep) => assert(keep == (logit > 0.0)) }
+    // null text → zero-token path: score 0, logit 0, not kept
+    assert(out(2) == ((0L, 0L, 0.0, false)))
+    // weights are a pure function of the token, so equal corpora score
+    // equally and the mapping is stable across invocations
+    val again = TextAnalysis.classifierScore(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getLong(2)).toSeq
+    assert(again == out.map(_._2).toSeq)
+  }
+
   test("bm25TopK ranks by term frequency, length norm, and idf rarity") {
     implicit val s = spark
     val d = Seq(
