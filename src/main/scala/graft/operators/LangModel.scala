@@ -100,8 +100,12 @@ object LangModel {
     * simpler, equally-correct plan. */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
                         langCol: String, buckets: Int = 3): DataFrame = {
+    // materialize the scored frame ONCE: the non-empty and empty branches
+    // both consume it, and without this each would re-run the whole
+    // train+score pipeline (two corpus passes each)
     val scored = selfScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
     val ppl = (-col("logprob_q4").cast(DoubleType)) / col("n_bigrams")
     val w = Window.partitionBy(col(langCol))
       .orderBy(col("ppl").asc, col(idCol).asc)
@@ -140,8 +144,11 @@ object LangModel {
     * cutoffs from a perplexity histogram, then assign by threshold). */
   def perplexityBucketsHist(df: DataFrame, idCol: String, textCol: String,
                             langCol: String, buckets: Int = 3): DataFrame = {
+    // four consumers (hist, tot, assignment join, empty branch) — without
+    // this checkpoint each replays the whole train+score pipeline
     val scored = selfScore(df, idCol, textCol)
       .join(df.select(col(idCol), col(langCol)), Seq(idCol))
+      .localCheckpoint()
     val ppl = (-col("logprob_q4").cast(DoubleType)) / col("n_bigrams")
     val nonEmpty = scored.filter(col("n_bigrams") > 0)
       .withColumn("ppl", ppl)

@@ -158,33 +158,42 @@ object Streams {
     // HOFs get no codegen subexpression elimination, so inlining the shingle
     // pipeline into minhashSignature would re-hash every shingle k times per
     // doc (minhashSignature's documented contract). Sub-n-token docs have an
-    // EMPTY shingle set and must be dropped here: their signature would be
-    // the all-sentinel fold init, making every short doc a "dup" of every
-    // other.
-    val base = docs.select(col(idCol).cast("string").as("id"),
-      col(textCol).as("__text"))
+    // EMPTY shingle set and must be dropped: their signature would be the
+    // all-sentinel fold init, making every short doc a "dup" of every other.
+    // The drop is a TOKEN-COUNT pre-filter, NOT filter(size(__sh) > 0)
+    // post-hoc: predicate pushdown alias-substitutes __sh's whole pipeline
+    // into the pushed filter, where element_at(transform(th), i) re-derives
+    // the token-hash array PER SHINGLE INDEX — O(tokens²) interpreted md5
+    // per doc, measured 10+ s/1000 docs vs ~1 s for the same stream with
+    // the pre-filter (tokens ≥ n ⟺ shingle set non-empty).
+    val base = docs
+      .filter(size(graft.operators.TextAnalysis.tokens(col(textCol))) >= n)
+      .select(col(idCol).cast("string").as("id"), col(textCol).as("__text"))
     val banded = Dedup.withShingleHashes(base, "__text", "__sh", n)
-      .filter(size(col("__sh")) > 0)
       .withColumn("sig", Dedup.minhashSignature(col("__sh"), k))
       // lshBands keys are already "band:v1:v2:…" — distinct across bands
       .select(col("id"), col("sig"),
         explode(Dedup.lshBands(col("sig"), bands, k / bands)).as("bucket"))
       .select(col("bucket"), col("id"), col("sig"))
-      .as[(String, String, Seq[Long])]
+      // primitive-array signatures: the hot loop compares every arriving
+      // doc against every bucket neighbor, and boxed Seq[Long] element
+      // reads profiled ~4× slower end-to-end on dense buckets
+      .as[(String, String, Array[Long])]
     val timeoutConf =
       if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     // the bucket string is the STATE-STORE KEY: its format (lshBands'
     // "band:v1:v2:…") is part of the checkpoint contract — changing it
     // orphans every entry in existing checkpoints (old keys are never
-    // grouped to again, and with NoTimeout never evicted). Bump only with a
-    // fresh checkpoint location.
+    // grouped to again, and with NoTimeout never evicted). The state VALUE
+    // encoding (r7: bigint array signatures) is part of the same contract.
+    // Bump either only with a fresh checkpoint location.
     banded
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(String, Seq[Long])], (String, String, Int, Double)](
+      .flatMapGroupsWithState[List[(String, Array[Long])], (String, String, Int, Double)](
         OutputMode.Append, timeoutConf) {
-        (bucket: String, rows: Iterator[(String, String, Seq[Long])],
-         state: GroupState[List[(String, Seq[Long])]]) =>
+        (bucket: String, rows: Iterator[(String, String, Array[Long])],
+         state: GroupState[List[(String, Array[Long])]]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             val band = bucket.takeWhile(_ != ':').toInt
@@ -192,7 +201,9 @@ object Streams {
             val out = List.newBuilder[(String, String, Int, Double)]
             rows.toList.sortBy(_._2).foreach { case (_, id, s) =>
               seen.foreach { case (pid, psig) =>
-                val est = psig.iterator.zip(s.iterator).count { case (a, b) => a == b }.toDouble / k
+                var m = 0; var i = 0
+                while (i < k) { if (psig(i) == s(i)) m += 1; i += 1 }
+                val est = m.toDouble / k
                 if (est >= threshold) out += ((id, pid, band, est))
               }
               seen = ((id, s) :: seen).take(maxPerBucket)
