@@ -254,6 +254,23 @@ object QueriesLLM {
     // file → parse → float → double is bit-identical to the oracle's
     // double arithmetic) is written, read back through the word2vec text
     // SOURCE, and fed to the same IVF-PQ composite as ann_ivfpq.
+    // ---------------- the same IVF-PQ search on the centroids-as-data
+    // path: the coarse quantizer rides as a broadcast-joined (id, vector)
+    // table instead of expression literals — identical (distance, id) tie
+    // order, so the same oracle hash must come back
+    "ann_ivfpq_join" -> ((s, dir) => {
+      import s.implicits._
+      val e = rd(s, dir, "embeddings")
+      val lows = e.orderBy("vec_id").limit(8)
+        .select(col("embedding").cast(ArrayType(DoubleType)))
+        .collect().map(_.getSeq[Double](0).toArray).toSeq
+      val cents = lows.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("centroid_id", "centroid")
+      val books = Similarity.pqCodebooksFrom(lows.take(4), m = 8)
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", cents, books,
+        queryId = 0, kResults = 10, nProbe = 2, "centroid_id", "centroid")
+    }),
+
     "w2v_ivfpq" -> ((s, dir) => {
       val tmp = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_w2v_fixture.txt")
@@ -1366,6 +1383,8 @@ object QueriesLLM {
          WHERE vec_id != 0
          GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10""",
     "ann_ivfpq" ->
+      ivfPqOracleSql("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
+    "ann_ivfpq_join" -> // literal-path ≡ join-path: same oracle
       ivfPqOracleSql("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"),
     "w2v_ivfpq" ->
       // same IVF-PQ math over the deterministic pretrained-w2v fixture the
