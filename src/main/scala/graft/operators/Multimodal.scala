@@ -60,12 +60,9 @@ object Multimodal {
     * oracle round-trip query (PNG is lossless, so channel means are exact). */
   def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val row = Array.fill(width)(rgb)
     var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
+    while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -200,6 +197,7 @@ object Multimodal {
   def encodeGradientPng(width: Int, height: Int, base: Int,
                         mx: Int = 3, my: Int = 5): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](width)
     var y = 0
     while (y < height) {
       var x = 0
@@ -207,9 +205,10 @@ object Multimodal {
         val r = (base + mx * x + my * y) & 0xff
         val g = (base * 3 + mx * x + my * y) & 0xff
         val b = (base * 5 + mx * x + my * y) & 0xff
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        row(x) = (r << 16) | (g << 8) | b
         x += 1
       }
+      img.setRGB(0, y, width, 1, row, 0, width)
       y += 1
     }
     val bos = new ByteArrayOutputStream()
@@ -227,14 +226,15 @@ object Multimodal {
       val img = ImageIO.read(new ByteArrayInputStream(payload))
       if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
       val out = new BufferedImage(dstW, dstH, BufferedImage.TYPE_INT_RGB)
+      val srcRow = new Array[Int](img.getWidth)
+      val dstRow = new Array[Int](dstW)
       var ty = 0
       while (ty < dstH) {
         val sy = ty * img.getHeight / dstH
+        img.getRGB(0, sy, img.getWidth, 1, srcRow, 0, img.getWidth)
         var tx = 0
-        while (tx < dstW) {
-          out.setRGB(tx, ty, img.getRGB(tx * img.getWidth / dstW, sy))
-          tx += 1
-        }
+        while (tx < dstW) { dstRow(tx) = srcRow(tx * img.getWidth / dstW); tx += 1 }
+        out.setRGB(0, ty, dstW, 1, dstRow, 0, dstW)
         ty += 1
       }
       val bos = new ByteArrayOutputStream()
@@ -271,12 +271,9 @@ object Multimodal {
       writer.prepareWriteSequence(null)
       frameRgbs.foreach { rgb =>
         val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        val row = Array.fill(width)(rgb)
         var y = 0
-        while (y < height) {
-          var x = 0
-          while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-          y += 1
-        }
+        while (y < height) { img.setRGB(0, y, width, 1, row, 0, width); y += 1 }
         writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
       }
       writer.endWriteSequence()
