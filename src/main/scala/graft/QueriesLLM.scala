@@ -814,6 +814,17 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- DSIR's final selection: Gumbel top-k resampling
+    // ∝ importance weight (deterministic md5 uniforms, quantized draws)
+    "dsir_resample" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val w = graft.operators.LangModel.dsirWeights(
+        d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text")
+      graft.operators.LangModel.dsirResample(w, "doc_id", k = 100)
+        .select("doc_id", "logw_q4", "g_q4", "key_q4")
+    }),
+
     // ---------------- URL canonicalization (URL-level dedup needs one
     // canonical form per page). The tables carry no URL column, so the query
     // synthesizes a deterministic messy URL per doc (mixed case, default
@@ -1168,6 +1179,32 @@ object QueriesLLM {
                   CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                   CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
                 FROM documents d LEFT JOIN agg g USING (doc_id))"""
+
+  /** dsirWeights' hashed-gram scoring CTEs through `agg` = (doc_id,
+    * n_grams, logw_q4) — shared by the weight and resample oracles. */
+  private val dsirWeightCtes: String =
+    """t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, list_transform(toks,
+                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+               FROM t),
+         g AS (SELECT doc_id, unnest(list_concat(th,
+                 list_transform(range(1, len(th)),
+                   i -> (th[i] * 131 + th[i+1]) % 2147483647))) AS hsh
+               FROM h),
+         b AS (SELECT doc_id, hsh % 10000 AS bucket FROM g),
+         ct AS (SELECT bucket, count(*) AS c_t FROM b WHERE doc_id % 97 = 0 GROUP BY 1),
+         cs AS (SELECT bucket, count(*) AS c_s FROM b WHERE doc_id % 97 != 0 GROUP BY 1),
+         tt AS (SELECT coalesce(sum(c_t), 0) AS tot_t FROM ct),
+         ts AS (SELECT coalesce(sum(c_s), 0) AS tot_s FROM cs),
+         terms AS (SELECT b.doc_id,
+             CAST(floor(1e4 * (ln(coalesce(ct.c_t, 0) + 1) - ln(tt.tot_t + 10000)
+               - ln(coalesce(cs.c_s, 0) + 1) + ln(ts.tot_s + 10000))) AS BIGINT) AS term
+           FROM b LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, ts
+           WHERE b.doc_id % 97 != 0),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(sum(term) AS BIGINT) AS logw_q4
+                 FROM terms GROUP BY 1)"""
 
   val oracleSql: Seq[(String, String)] = Seq(
     "bpe_train" -> {
@@ -1910,32 +1947,25 @@ object QueriesLLM {
     "dsir_weights" ->
       // same md5/rolling-131 gram hashes as decontaminate; ln quantized per
       // term like lm_perplexity (mitigation, not guarantee — see there)
-      """WITH t AS (
-           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
-         h AS (SELECT doc_id, list_transform(toks,
-                 t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
-               FROM t),
-         g AS (SELECT doc_id, unnest(list_concat(th,
-                 list_transform(range(1, len(th)),
-                   i -> (th[i] * 131 + th[i+1]) % 2147483647))) AS hsh
-               FROM h),
-         b AS (SELECT doc_id, hsh % 10000 AS bucket FROM g),
-         ct AS (SELECT bucket, count(*) AS c_t FROM b WHERE doc_id % 97 = 0 GROUP BY 1),
-         cs AS (SELECT bucket, count(*) AS c_s FROM b WHERE doc_id % 97 != 0 GROUP BY 1),
-         tt AS (SELECT coalesce(sum(c_t), 0) AS tot_t FROM ct),
-         ts AS (SELECT coalesce(sum(c_s), 0) AS tot_s FROM cs),
-         terms AS (SELECT b.doc_id,
-             CAST(floor(1e4 * (ln(coalesce(ct.c_t, 0) + 1) - ln(tt.tot_t + 10000)
-               - ln(coalesce(cs.c_s, 0) + 1) + ln(ts.tot_s + 10000))) AS BIGINT) AS term
-           FROM b LEFT JOIN ct USING (bucket) LEFT JOIN cs USING (bucket), tt, ts
-           WHERE b.doc_id % 97 != 0),
-         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-                   CAST(sum(term) AS BIGINT) AS logw_q4
-                 FROM terms GROUP BY 1)
+      s"""WITH $dsirWeightCtes
          SELECT d.doc_id, CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
            CAST(coalesce(a.logw_q4, 0) AS BIGINT) AS logw_q4
          FROM documents d LEFT JOIN agg a USING (doc_id)
          WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id""",
+    "dsir_resample" ->
+      // Gumbel top-k over the same weights: u = (md5-hash + 0.5)/2^60,
+      // g_q4 = floor(1e4 * -ln(-ln(u))), keep the 100 largest logw+g keys
+      s"""WITH $dsirWeightCtes,
+         w AS (SELECT d.doc_id, CAST(coalesce(a.logw_q4, 0) AS BIGINT) AS logw_q4
+               FROM documents d LEFT JOIN agg a USING (doc_id)
+               WHERE d.doc_id % 97 != 0),
+         gq AS (SELECT doc_id, logw_q4,
+                  CAST(floor(1e4 * -ln(-ln(
+                    (CAST(('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       AS DOUBLE) + 0.5) / 1152921504606846976.0))) AS BIGINT) AS g_q4
+                FROM w)
+         SELECT doc_id, logw_q4, g_q4, logw_q4 + g_q4 AS key_q4 FROM gq
+         ORDER BY key_q4 DESC, doc_id ASC LIMIT 100""",
     "corpus_mix" ->
       // sqrt is IEEE-correctly-rounded in both engines; the keep threshold is
       // integer-compared so the sample is bit-identical

@@ -81,6 +81,28 @@ object LangModel {
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)
   }
 
+  /** DSIR's final selection step (Xie et al. 2023 §2.3): k documents
+    * sampled without replacement with probability ∝ importance weight via
+    * the Gumbel top-k trick — key = log w + Gumbel(0,1), keep the k
+    * largest keys. The Gumbel draw is deterministic: u = md5-derived
+    * uniform in (0,1) (h + 0.5)/2⁶⁰ over the salted doc id,
+    * g = −ln(−ln u), quantized floor(1e4·g) (the ln mitigation shared
+    * with [[scoreBigram]]) so key_q4 = logw_q4 + g_q4 is an exact integer
+    * comparison. One TakeOrderedAndProject — no full sort, no shuffle
+    * beyond it; re-runs are identical and changing `salt` redraws.
+    * Input is [[dsirWeights]] output (or anything with idCol + logw_q4). */
+  def dsirResample(weights: DataFrame, idCol: String, k: Int,
+                   salt: String = "dsir"): DataFrame = {
+    val h = TextAnalysis.tokenHash(
+      concat(lit(salt + ":"), col(idCol).cast(StringType)))
+    val u = (h.cast(DoubleType) + lit(0.5)) / lit(1152921504606846976.0)
+    weights
+      .withColumn("g_q4", floor(lit(1e4) * -log(-log(u))).cast(LongType))
+      .withColumn("key_q4", col("logw_q4") + col("g_q4"))
+      .orderBy(col("key_q4").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
     * public): per language, split documents into head/middle/tail terciles

@@ -295,6 +295,27 @@ class LLMOpsSpec extends SparkSpec {
     assert(n(1L) == 11L && n(2L) == 11L)
   }
 
+  test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
+    import graft.operators.LangModel
+    // planted weights with a wide spread: the heavy doc must always be in
+    // a small top-k and keys must come back sorted
+    val w = ((1L to 30L).map(i => (i, 2L * i, 0L)) :+ ((31L, 40L, 500000L)))
+      .toDF("doc_id", "n_grams", "logw_q4")
+    val top = LangModel.dsirResample(w, "doc_id", k = 5)
+      .select("doc_id", "key_q4").as[(Long, Long)].collect()
+    assert(top.length == 5)
+    assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sorted.reverse)
+    assert(top.map(_._1).contains(31L)) // +50 nats dwarfs any Gumbel draw
+    // identical rerun; different salt = different draw order
+    val again = LangModel.dsirResample(w, "doc_id", k = 5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again == top.map(_._1).toSeq)
+    val other = LangModel.dsirResample(w, "doc_id", k = 5, salt = "epoch2")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(other != again) // 30 near-tied docs: a fixed draw would be ~impossible
+    assert(other.contains(31L))
+  }
+
   test("lineDedup strips lines shared across docs, keeps order and blanks") {
     val d = Seq(
       (1L, "keep me\ncommon footer\nunique line a"),
