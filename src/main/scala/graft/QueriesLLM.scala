@@ -814,6 +814,25 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- KMV distinct-count sketch: per-source distinct
+    // bigram cardinality, estimated from the 64 smallest hashes — the
+    // deterministic, oracle-replayable form of production HLL sketches;
+    // exact count rides along to show the estimate lands
+    "kmv_distinct" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      // size >= 2 guard: sequence(1, k) is DESCENDING for k < 1
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val est = graft.operators.Sketch.kmvDistinct(bigrams, Seq("source"), col("bg"), k = 64)
+      val exact = bigrams.groupBy(col("source"))
+        .agg(count_distinct(col("bg")).as("n_exact"))
+      est.join(exact, Seq("source")).orderBy("source")
+    }),
+
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
@@ -1952,6 +1971,27 @@ object QueriesLLM {
            CAST(coalesce(a.logw_q4, 0) AS BIGINT) AS logw_q4
          FROM documents d LEFT JOIN agg a USING (doc_id)
          WHERE d.doc_id % 97 != 0 ORDER BY d.doc_id""",
+    "kmv_distinct" ->
+      // same bottom-64 hash sketch: the estimate is ONE IEEE division of
+      // the shared constants by the k-th minimum, so it hash-matches
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT DISTINCT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rn AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM hh),
+         bk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+                FROM rn WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS n_exact FROM bg GROUP BY 1)
+         SELECT bk.source, bk.n_kept,
+           CASE WHEN bk.n_kept < 64 THEN CAST(bk.n_kept AS DOUBLE)
+                ELSE floor(63.0 * 1152921504606846976.0 / CAST(bk.hk AS DOUBLE)) END
+             AS kmv_est,
+           ex.n_exact
+         FROM bk JOIN ex ON bk.source IS NOT DISTINCT FROM ex.source
+         ORDER BY bk.source""",
     "dsir_resample" ->
       // Gumbel top-k over the same weights: u = (md5-hash + 0.5)/2^60,
       // g_q4 = floor(1e4 * -ln(-ln(u))), keep the 100 largest logw+g keys

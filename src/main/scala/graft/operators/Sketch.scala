@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Deterministic distributed sketches for corpus statistics.
+ *
+ * The KMV (k-minimum-values) estimator (Bar-Yossef et al. 2002; the
+ * bottom-k form surveyed in Beyer et al. 2007, "On Synopses for Distinct-
+ * Value Estimation Under Multiset Operations") is the exchange-friendly
+ * mechanism behind production cardinality sketches: hash every value into
+ * [0, 1), keep only the k smallest hashes, and estimate the distinct count
+ * as (k−1)/U_(k) where U_(k) is the k-th smallest normalized hash. Unlike
+ * HLL (whose register layout differs engine to engine), KMV over a shared
+ * hash function is EXACTLY replayable — the oracle reproduces the same k
+ * minima and the same estimate, so the sketch itself is under the hash
+ * gate, not just its error bound.
+ *
+ * Scale shape: one distinct-reduce on (group, hash) with map-side combine,
+ * then a bottom-k per group. Here bottom-k is a row_number window over the
+ * DISTINCT-hash table (already vocabulary-bounded for token streams); for
+ * unbounded-cardinality columns the same math rides a bounded-heap
+ * aggregator instead — the estimator and its contract don't change.
+ */
+object Sketch {
+
+  private val TWO60 = 1152921504606846976.0 // 2^60, hash domain size
+
+  /** Per-group KMV distinct estimate over an expression. Returns one row
+    * per group: (groupCols…, n_kept, kmv_est) where n_kept ≤ k is the
+    * retained-minima count. Groups with fewer than k distinct values are
+    * EXACT (n_kept is the true distinct count and kmv_est equals it);
+    * otherwise kmv_est = floor((k−1) · 2⁶⁰ / h_k) with h_k the k-th
+    * smallest 60-bit hash — one IEEE division, bit-stable cross-engine. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], value: org.apache.spark.sql.Column,
+                  k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val gcols = groupCols.map(col)
+    val hashed = df.select(gcols :+ TextAnalysis.tokenHash(value).as("__h"): _*)
+      .distinct() // one (group, hash) row — map-side combined
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__h").asc)
+    val bottomK = hashed.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+    bottomK.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
+      .withColumn("kmv_est",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(TWO60) / col("__hk"))
+            .cast(DoubleType)))
+      .drop("__hk")
+  }
+}

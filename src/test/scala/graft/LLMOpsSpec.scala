@@ -295,6 +295,26 @@ class LLMOpsSpec extends SparkSpec {
     assert(n(1L) == 11L && n(2L) == 11L)
   }
 
+  test("kmvDistinct: exact below k, estimator lands within KMV error above") {
+    import graft.operators.Sketch
+    // group "small": 10 distinct values (< k=64) → exact; group "big":
+    // 20 000 distinct values → estimate within the sketch's error regime
+    val rows = (1 to 10).map(i => ("small", s"v$i")) ++
+      (1 to 20000).map(i => ("big", s"value-$i"))
+    val d = rows.toDF("grp", "v")
+    val out = Sketch.kmvDistinct(d, Seq("grp"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("small") == ((10L, 10.0)))
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    // stderr ≈ n/sqrt(k−1) ≈ 12.6% at k=64; 4 sigma leaves ~0 flake odds
+    assert(math.abs(est - 20000.0) < 20000.0 * 0.5, s"est=$est")
+    // duplicates don't move the sketch (distinct-reduce first)
+    val dup = Sketch.kmvDistinct(d.union(d), Seq("grp"), col("v"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(dup("big") == est && dup("small") == 10.0)
+  }
+
   test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
     import graft.operators.LangModel
     // planted weights with a wide spread: the heavy doc must always be in
