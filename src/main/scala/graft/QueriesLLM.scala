@@ -833,6 +833,23 @@ object QueriesLLM {
       est.join(exact, Seq("source")).orderBy("source")
     }),
 
+    // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap
+    // (union / Jaccard / intersection estimates) — the cheap pre-check
+    // before a full cross-corpus dedup, bit-replayed by the oracle
+    "kmv_overlap" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      graft.operators.Sketch.kmvOverlap(
+        bigrams.filter(col("doc_id") % 2 === 0),
+        bigrams.filter(col("doc_id") % 2 === 1),
+        col("bg"), k = 64)
+    }),
+
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
@@ -1992,6 +2009,30 @@ object QueriesLLM {
            ex.n_exact
          FROM bk JOIN ex ON bk.source IS NOT DISTINCT FROM ex.source
          ORDER BY bk.source""",
+    "kmv_overlap" ->
+      // bottom-64 of each corpus, bottom-64 of their union, coincidence
+      // fraction — identical CASE/arithmetic order to the Spark side
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         bgAll AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bg
+                   FROM t WHERE len(toks) >= 2),
+         ba AS (SELECT DISTINCT ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+                FROM bgAll WHERE doc_id % 2 = 0 ORDER BY h LIMIT 64),
+         bb AS (SELECT DISTINCT ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h
+                FROM bgAll WHERE doc_id % 2 = 1 ORDER BY h LIMIT 64),
+         u AS (SELECT DISTINCT h FROM
+                 (SELECT h FROM ba UNION ALL SELECT h FROM bb) ORDER BY h LIMIT 64),
+         us AS (SELECT CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk FROM u),
+         nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+                FROM u JOIN ba USING (h) JOIN bb USING (h)),
+         ue AS (SELECT CASE WHEN us.n_kept < 64 THEN CAST(us.n_kept AS DOUBLE)
+                  ELSE floor(63.0 * 1152921504606846976.0 / CAST(us.hk AS DOUBLE)) END
+                  AS union_est FROM us)
+         SELECT us.n_kept, nc.n_common, ue.union_est,
+           CAST(nc.n_common AS DOUBLE) / us.n_kept AS jaccard_est,
+           floor(CAST(nc.n_common AS DOUBLE) / us.n_kept * ue.union_est) AS inter_est
+         FROM us, nc, ue""",
     "dsir_resample" ->
       // Gumbel top-k over the same weights: u = (md5-hash + 0.5)/2^60,
       // g_q4 = floor(1e4 * -ln(-ln(u))), keep the 100 largest logw+g keys

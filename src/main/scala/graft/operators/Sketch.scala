@@ -52,4 +52,39 @@ object Sketch {
             .cast(DoubleType)))
       .drop("__hk")
   }
+
+  /** Corpus-overlap estimation from KMV sketches (Beyer et al. 2007 §5):
+    * the bottom-k of A ∪ B is the bottom-k of K(A) ∪ K(B), and the
+    * fraction ρ of those union minima present in BOTH per-corpus sketches
+    * estimates the Jaccard similarity; |A ∩ B| ≈ ρ · |A ∪ B|. This is the
+    * cheap pre-check before a full cross-corpus dedup pass: two
+    * TakeOrdered bottom-k's (k rows each cross the wire, never a corpus)
+    * decide whether the expensive band join is worth running.
+    *
+    * Returns one row: (n_kept, n_common, union_est, jaccard_est,
+    * inter_est). Small inputs degrade gracefully: with fewer than k union
+    * minima the union estimate is exact and ρ uses the retained count. */
+  def kmvOverlap(a: DataFrame, b: DataFrame, value: org.apache.spark.sql.Column,
+                 k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    def bottom(df: DataFrame) =
+      df.select(TextAnalysis.tokenHash(value).as("__h")).distinct()
+        .orderBy(col("__h").asc).limit(k)
+    val ba = bottom(a).localCheckpoint() // k rows; reused twice below
+    val bb = bottom(b).localCheckpoint()
+    val u = ba.union(bb).distinct().orderBy(col("__h").asc).limit(k)
+    val uStats = u.agg(count(lit(1)).as("n_kept"), max(col("__h")).as("__hk"))
+    val nCommon = u.join(ba, Seq("__h")).join(bb, Seq("__h"))
+      .agg(count(lit(1)).as("n_common"))
+    uStats.crossJoin(nCommon)
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(TWO60) / col("__hk"))
+            .cast(DoubleType)))
+      .withColumn("jaccard_est",
+        col("n_common").cast(DoubleType) / col("n_kept"))
+      .withColumn("inter_est",
+        floor(col("jaccard_est") * col("union_est")).cast(DoubleType))
+      .select("n_kept", "n_common", "union_est", "jaccard_est", "inter_est")
+  }
 }

@@ -315,6 +315,32 @@ class LLMOpsSpec extends SparkSpec {
     assert(dup("big") == est && dup("small") == 10.0)
   }
 
+  test("kmvOverlap: Jaccard estimate from sketch coincidences, exact edges") {
+    import graft.operators.Sketch
+    val a = (1 to 1500).map(i => Tuple1(s"item-$i")).toDF("v")
+    val b = (1001 to 2500).map(i => Tuple1(s"item-$i")).toDF("v")
+    // planted J = 500 / 2500 = 0.2
+    val r = Sketch.kmvOverlap(a, b, col("v"), k = 64).head()
+    val (nKept, jac, union, inter) =
+      (r.getLong(0), r.getDouble(3), r.getDouble(2), r.getDouble(4))
+    assert(nKept == 64L)
+    assert(math.abs(jac - 0.2) < 0.2, s"jaccard_est=$jac")   // ±1.6 sigma·few
+    assert(math.abs(union - 2500.0) < 2500.0 * 0.5, s"union_est=$union")
+    assert(inter == math.floor(jac * union))
+    // identical corpora → every union minimum coincides: exact Jaccard 1
+    val same = Sketch.kmvOverlap(a, a, col("v"), k = 64).head()
+    assert(same.getDouble(3) == 1.0)
+    // disjoint corpora → zero coincidences
+    val disj = Sketch.kmvOverlap(a,
+      (5000 to 6000).map(i => Tuple1(s"other-$i")).toDF("v"), col("v"), k = 64).head()
+    assert(disj.getLong(1) == 0L && disj.getDouble(3) == 0.0)
+    // small inputs: union below k is exact
+    val tiny = Sketch.kmvOverlap(
+      Seq("x", "y").toDF("v"), Seq("y", "z").toDF("v"), col("v"), k = 64).head()
+    assert(tiny.getLong(0) == 3L && tiny.getDouble(2) == 3.0)
+    assert(tiny.getDouble(3) == 1.0 / 3)
+  }
+
   test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
     import graft.operators.LangModel
     // planted weights with a wide spread: the heavy doc must always be in
