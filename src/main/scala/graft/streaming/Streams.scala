@@ -226,6 +226,41 @@ object Streams {
     * `suspect`. Route suspect=true docs to the exact batch verify
     * (`Dedup.decontaminate`) downstream; suspect=false is definitive
     * (Bloom filters have no false negatives). */
+  /** Streaming KMV distinct-count estimation — the ingestion-time form of
+    * `Sketch.kmvDistinct`: per group the state is the bottom-k 60-bit hash
+    * set (k longs, CONSTANT regardless of stream cardinality — an exact
+    * streaming count_distinct would hold cardinality-sized state), and
+    * every batch emits the group's current (n_kept, kmv_est) with the
+    * batch estimator's exact arithmetic, so a converged stream reports the
+    * identical estimate. Update output mode (each batch re-emits touched
+    * groups); pair with the same TTL caution as the near-dup operator. */
+  def streamingKmvDistinct(stream: DataFrame, groupCol: String,
+                           valueCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val two60 = 1152921504606846976.0
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
+          // merge the batch's hashes into the bottom-k: sort-distinct the
+          // union, truncate — O((k + batch) log(k + batch)) per group-batch
+          val merged = (state.getOption.getOrElse(Array.empty[Long]).iterator ++
+            rows.map(_._2)).toArray.distinct.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else math.floor((k - 1).toDouble * two60 / merged.last)
+          (g, merged.length.toLong, est)
+      }
+      .toDF(groupCol, "n_kept", "kmv_est")
+  }
+
   def streamingDecontaminationGate(stream: DataFrame, bench: DataFrame,
                                    idCol: String, textCol: String,
                                    n: Int = 8, fpp: Double = 0.01): DataFrame = {

@@ -122,6 +122,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming KMV converges to the batch sketch estimate across batches") {
+    implicit val sql = spark.sqlContext
+    import graft.operators.Sketch
+    val in = MemoryStream[(String, String)]
+    val out = Streams.streamingKmvDistinct(in.toDF.toDF("grp", "v"), "grp", "v", k = 16)
+    val q = out.writeStream.format("memory").queryName("skmv")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 300).map(i => ("big", s"val-$i")) :+ (("small", "x")): _*)
+      q.processAllAvailable()
+      in.addData((200 to 500).map(i => ("big", s"val-$i")) :+ (("small", "x")): _*)
+      q.processAllAvailable()
+      // latest update per group (memory sink keeps every batch's emissions)
+      val rows = spark.sql("SELECT * FROM skmv").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      val byGrp = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1 } // latest emission per group
+      // batch sketch over the union of both batches must agree exactly
+      val union = ((1 to 500).map(i => ("big", s"val-$i")) ++ Seq(("small", "x"), ("small", "x")))
+        .toDF("grp", "v")
+      val batch = Sketch.kmvDistinct(union, Seq("grp"), col("v"), k = 16)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert((byGrp("big")._2, byGrp("big")._3) == ((batch("big")._1, batch("big")._2)))
+      // duplicate value across batches didn't inflate the small group
+      assert((byGrp("small")._2, byGrp("small")._3) == ((1L, 1.0)))
+      assert(batch("small") == ((1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
