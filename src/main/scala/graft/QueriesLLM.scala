@@ -830,7 +830,10 @@ object QueriesLLM {
       val est = graft.operators.Sketch.kmvDistinct(bigrams, Seq("source"), col("bg"), k = 64)
       val exact = bigrams.groupBy(col("source"))
         .agg(count_distinct(col("bg")).as("n_exact"))
-      est.join(exact, Seq("source")).orderBy("source")
+      // null-safe join: the oracle joins IS NOT DISTINCT FROM, so a null
+      // source group must survive on the Spark side too (cf. corpus_mix)
+      est.join(exact, est("source") <=> exact("source"))
+        .drop(exact("source")).orderBy("source")
     }),
 
     // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap

@@ -28,6 +28,15 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // The JDK default `ImageIO.useCache = true` backs EVERY image input/output
+  // stream with a temp FILE on disk — per tiny per-row image, per task, this
+  // round-trips the filesystem and serializes on temp-dir creation. All our
+  // payloads are in-memory byte arrays, so force the memory-cache streams
+  // once per JVM (executors hit this on classload of the first decode
+  // closure). Applies to ImageIO.read/write AND createImage{Input,Output}
+  // Stream used by the GIF frame sampler.
+  ImageIO.setUseCache(false)
+
   /** Media asset schema: opaque payload + typed metadata. */
   val assetSchema: StructType = StructType(Seq(
     StructField("asset_id", LongType, nullable = false),

@@ -40,6 +40,9 @@ object Sketch {
     require(k >= 2, "KMV needs k >= 2")
     val gcols = groupCols.map(col)
     val hashed = df.select(gcols :+ TextAnalysis.tokenHash(value).as("__h"): _*)
+      .filter(col("__h").isNotNull) // null value ⇒ null hash; a null would
+      // survive distinct() and, with NULLS FIRST asc ordering, permanently
+      // occupy bottom-k rank 1 while max(__h) ignores it — skewed estimate
       .distinct() // one (group, hash) row — map-side combined
     val w = Window.partitionBy(gcols: _*).orderBy(col("__h").asc)
     val bottomK = hashed.withColumn("__rn", row_number().over(w))
@@ -68,7 +71,8 @@ object Sketch {
                  k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     def bottom(df: DataFrame) =
-      df.select(TextAnalysis.tokenHash(value).as("__h")).distinct()
+      df.select(TextAnalysis.tokenHash(value).as("__h"))
+        .filter(col("__h").isNotNull).distinct()
         .orderBy(col("__h").asc).limit(k)
     val ba = bottom(a).localCheckpoint() // k rows; reused twice below
     val bb = bottom(b).localCheckpoint()

@@ -192,6 +192,9 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // tokens() lowercases the corpus, so an uppercase query term would
+    // silently match nothing — normalize the seed list to the token space
+    val termsLc = terms.map(_.toLowerCase)
     val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .withColumn("__dl", size(col("__toks")))
     val stats = base.agg(count(lit(1)).as("__n"),
@@ -202,7 +205,7 @@ object TextAnalysis {
     // a multi-query deployment persists this index across queries instead
     val tf = base
       .select(col("id"), col("__dl"), explode(col("__toks")).as("__t"))
-      .filter(col("__t").isin(terms: _*))
+      .filter(col("__t").isin(termsLc: _*))
       .groupBy(col("id"), col("__dl"), col("__t"))
       .agg(count(lit(1)).as("__tf"))
       .localCheckpoint()

@@ -243,6 +243,10 @@ object Streams {
     stream
       .select(col(groupCol).cast("string").as("g"),
         graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"))
+      // a null value hashes to null and the (String, Long) encoder throws
+      // on a null primitive at runtime — one bad record would kill the
+      // whole streaming query; drop it here, matching the batch estimator
+      .filter(col("h").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[Array[Long], (String, Long, Double)](
