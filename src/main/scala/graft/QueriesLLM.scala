@@ -832,8 +832,30 @@ object QueriesLLM {
         .agg(count_distinct(col("bg")).as("n_exact"))
       // null-safe join: the oracle joins IS NOT DISTINCT FROM, so a null
       // source group must survive on the Spark side too (cf. corpus_mix)
-      est.join(exact, est("source") <=> exact("source"))
-        .drop(exact("source")).orderBy("source")
+      val exactR = exact.withColumnRenamed("source", "__src")
+      est.join(exactR, col("source") <=> col("__src"))
+        .drop("__src").orderBy("source")
+    }),
+
+    // ---------------- Same sketch through the bounded-heap aggregator
+    // (plans.KmvBottomK): k-sized state at every stage, no window/sort in
+    // the plan — the unbounded-cardinality scale path. MUST hash-match the
+    // window path's oracle bit-for-bit (the bottom-k set is order-free).
+    "kmv_distinct_heap" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      // size >= 2 guard: sequence(1, k) is DESCENDING for k < 1
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val est = graft.operators.Sketch.kmvDistinctHeap(bigrams, Seq("source"), col("bg"), k = 64)
+      val exact = bigrams.groupBy(col("source"))
+        .agg(count_distinct(col("bg")).as("n_exact"))
+      val exactR = exact.withColumnRenamed("source", "__src")
+      est.join(exactR, col("source") <=> col("__src"))
+        .drop("__src").orderBy("source")
     }),
 
     // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap
@@ -1994,6 +2016,27 @@ object QueriesLLM {
     "kmv_distinct" ->
       // same bottom-64 hash sketch: the estimate is ONE IEEE division of
       // the shared constants by the k-th minimum, so it hash-matches
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT DISTINCT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rn AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM hh),
+         bk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+                FROM rn WHERE rn <= 64 GROUP BY 1),
+         ex AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS n_exact FROM bg GROUP BY 1)
+         SELECT bk.source, bk.n_kept,
+           CASE WHEN bk.n_kept < 64 THEN CAST(bk.n_kept AS DOUBLE)
+                ELSE floor(63.0 * 1152921504606846976.0 / CAST(bk.hk AS DOUBLE)) END
+             AS kmv_est,
+           ex.n_exact
+         FROM bk JOIN ex ON bk.source IS NOT DISTINCT FROM ex.source
+         ORDER BY bk.source""",
+    "kmv_distinct_heap" ->
+      // the bounded-heap path keeps the SAME k smallest distinct hashes —
+      // a set property, so the oracle is the window formulation verbatim
       """WITH t AS (
            SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
          bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),

@@ -56,6 +56,40 @@ object Sketch {
       .drop("__hk")
   }
 
+  /** The unbounded-cardinality path: same estimator, bounded-heap bottom-k.
+    *
+    * [[kmvDistinct]]'s row_number window materializes and sorts every
+    * distinct hash per group to keep 64 — fine when the value domain is
+    * vocabulary-bounded, hostile on a high-cardinality key (URLs, doc ids)
+    * at 100 TB. Here bottom-k is the native [[graft.plans.KmvBottomK]]
+    * `TypedImperativeAggregate`: per-group state is ≤ k longs at EVERY
+    * stage, the map-side partial ships k longs per (partition, group)
+    * instead of the group's whole distinct-hash set, and the plan carries
+    * no sort, no window, and no distinct-reduce — one ObjectHashAggregate
+    * pair. The retained set (k smallest distinct hashes) is a set property
+    * independent of row order, so the output is bit-identical to the
+    * window path and replays under the same DuckDB oracle.
+    *
+    * Groups whose every value is null are dropped, matching the window
+    * path (their rows never survive the null filter there). */
+  def kmvDistinctHeap(df: DataFrame, groupCols: Seq[String],
+                      value: org.apache.spark.sql.Column, k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val gcols = groupCols.map(col)
+    df.select(gcols :+ TextAnalysis.tokenHash(value).as("__h"): _*)
+      .groupBy(gcols: _*)
+      .agg(call_function("kmv_bottomk", col("__h"), lit(k)).as("__bk"))
+      .select(gcols ++ Seq(
+        size(col("__bk")).cast(LongType).as("n_kept"),
+        get(col("__bk"), size(col("__bk")) - 1).as("__hk")): _*)
+      .filter(col("n_kept") > 0)
+      .withColumn("kmv_est",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(TWO60) / col("__hk"))
+            .cast(DoubleType)))
+      .drop("__hk")
+  }
+
   /** Corpus-overlap estimation from KMV sketches (Beyer et al. 2007 §5):
     * the bottom-k of A ∪ B is the bottom-k of K(A) ∪ K(B), and the
     * fraction ρ of those union minima present in BOTH per-corpus sketches

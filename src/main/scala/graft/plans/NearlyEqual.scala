@@ -69,5 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => VecL2Sq(
         Cast(children.head, org.apache.spark.sql.types.ArrayType(DoubleType)),
         Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_bottomk"),
+      new ExpressionInfo(classOf[KmvBottomK].getName, "kmv_bottomk"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+          case s: java.lang.Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"kmv_bottomk(hash, k): k must be a foldable integer literal, got $other")
+        }
+        KmvBottomK(Cast(children.head, org.apache.spark.sql.types.LongType), k)
+      }))
   }
 }

@@ -315,6 +315,31 @@ class LLMOpsSpec extends SparkSpec {
     assert(dup("big") == est && dup("small") == 10.0)
   }
 
+  test("kmvDistinctHeap: bounded-heap path is bit-identical to the window path") {
+    import graft.operators.Sketch
+    val rows = (1 to 10).map(i => ("small", s"v$i")) ++
+      (1 to 20000).map(i => ("big", s"value-$i")) ++
+      (1 to 500).map(i => ("big", s"value-$i")) // duplicates: sketch must dedup
+    val d = rows.toDF("grp", "v").repartition(7) // force multi-partition merge()
+    val win = Sketch.kmvDistinct(d, Seq("grp"), col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val heap = Sketch.kmvDistinctHeap(d, Seq("grp"), col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(heap == win, s"heap=$heap win=$win")
+    // nulls are skipped; an all-null group vanishes, matching the window path
+    val withNulls = (rows.map { case (g, v) => (g, v: String) } ++
+      Seq(("big", null: String), ("allnull", null: String))).toDF("grp", "v")
+    val hn = Sketch.kmvDistinctHeap(withNulls, Seq("grp"), col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hn == win, s"null handling diverged: $hn")
+    // the scale claim: ObjectHashAggregate, no Window and no Sort in the plan
+    val plan = Sketch.kmvDistinctHeap(d, Seq("grp"), col("v"), k = 64)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), "heap path must not plan a window")
+    assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
+  }
+
   test("kmvOverlap: Jaccard estimate from sketch coincidences, exact edges") {
     import graft.operators.Sketch
     val a = (1 to 1500).map(i => Tuple1(s"item-$i")).toDF("v")
