@@ -1038,6 +1038,22 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- same classifier through the weights-as-DATA apply
+    // path (classifierScoreWeights): the (bucket, w_milli) table — here the
+    // md5 fixture materialized as 32k rows, in deployment the coefficients
+    // classifierTrain/classifierExportWeights learn — rides a
+    // BroadcastHashJoin; must reproduce the expression path bit-for-bit
+    "quality_classifier_join" -> ((s, dir) => {
+      val wtab = s.range(0, 1L << 15).select(
+        col("id").cast(IntegerType).as("bucket"),
+        (graft.operators.TextAnalysis.tokenHash(
+          concat(lit("qc1:"), col("id").cast(StringType))) % 2001 - 1000)
+          .as("w_milli"))
+      graft.operators.TextAnalysis.classifierScoreWeights(
+        rd(s, dir, "documents"), "doc_id", "text", wtab)
+        .orderBy("doc_id")
+    }),
+
     // ---------------- BM25 retrieval against fixed seed terms — targeted
     // curation's ranking primitive (quantized idf + order-free integer
     // score sum make the ranking bit-stable cross-engine)
@@ -2419,6 +2435,28 @@ object QueriesLLM {
                FROM tok),
          sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
                   CAST(sum(w) AS BIGINT) AS score_milli FROM w GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_toks, 0) AS n_toks,
+           coalesce(sc.score_milli, 0) AS score_milli,
+           CASE WHEN coalesce(sc.n_toks, 0) > 0
+             THEN coalesce(sc.score_milli, 0) / 1000.0 / sc.n_toks ELSE 0.0 END AS logit,
+           CASE WHEN coalesce(sc.n_toks, 0) > 0
+             THEN coalesce(sc.score_milli, 0) / 1000.0 / sc.n_toks ELSE 0.0 END > 0.0 AS keep
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    "quality_classifier_join" ->
+      // the weight table materializes the same md5 fixture as 32k rows and
+      // joins on bucket — scores must match the expression path exactly
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         tok AS (SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT % 32768 AS bucket
+                 FROM (SELECT doc_id, unnest(toks) AS tok FROM t)),
+         wt AS (SELECT r.range AS bucket,
+                  ('0x' || substr(md5('qc1:' || CAST(r.range AS VARCHAR)), 1, 15))::BIGINT
+                    % 2001 - 1000 AS w_milli
+                FROM range(0, 32768) r),
+         sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                  CAST(sum(coalesce(wt.w_milli, 0)) AS BIGINT) AS score_milli
+                FROM tok LEFT JOIN wt USING (bucket) GROUP BY 1)
          SELECT d.doc_id, coalesce(sc.n_toks, 0) AS n_toks,
            coalesce(sc.score_milli, 0) AS score_milli,
            CASE WHEN coalesce(sc.n_toks, 0) > 0

@@ -173,6 +173,95 @@ object TextAnalysis {
       .withColumn("keep", col("logit") > threshold)
   }
 
+  /** Quality-classifier TRAIN — the other half of the FineWeb-Edu shape
+    * (label a seed set → fit a linear model on hashed bag-of-words →
+    * broadcast the learned weights and threshold the corpus). Features are
+    * the SAME hashed buckets [[classifierScore]] scores with
+    * (`tokenHash(token) % buckets`, shared with the DuckDB oracle), so a
+    * model trained here drops straight into [[classifierScoreWeights]].
+    *
+    * Scale shape: featurization is the tokenize+hash scan plus one
+    * (doc, bucket) count shuffle; each document becomes ONE sparse vector
+    * (≤ distinct-tokens entries, never `buckets`), and spark.ml's
+    * LogisticRegression aggregates gradients tree-wise — the only
+    * driver-sized object is the coefficient vector itself (buckets
+    * doubles). The returned model is a standard spark.ml Transformer:
+    * register / serialize / deserialize through [[graft.ml.ModelRegistry]]
+    * like every other model in the engine. */
+  def classifierTrain(df: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, buckets: Int = 1 << 15,
+                      maxIter: Int = 100, regParam: Double = 0.0)
+      : org.apache.spark.ml.classification.LogisticRegressionModel = {
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.linalg.Vectors
+    val counts = df
+      .select(col(idCol), col(labelCol).cast(DoubleType).as("label"),
+        explode(tokens(col(textCol))).as("__t"))
+      .withColumn("__bucket", (tokenHash(col("__t")) % buckets).cast(IntegerType))
+      .groupBy(col(idCol), col("label"), col("__bucket"))
+      .agg(count(lit(1)).cast(DoubleType).as("__c"))
+    // sort_array orders the (index, value) structs by index — SparseVector
+    // requires strictly increasing indices (distinct by the groupBy above)
+    val toVec = udf { (iv: Seq[org.apache.spark.sql.Row]) =>
+      Vectors.sparse(buckets,
+        iv.map(_.getInt(0)).toArray, iv.map(_.getDouble(1)).toArray)
+    }
+    val assembled = counts.groupBy(col(idCol), col("label"))
+      .agg(sort_array(collect_list(struct(col("__bucket").as("i"),
+        col("__c").as("v")))).as("__iv"))
+      .select(col("label"), toVec(col("__iv")).as("features"))
+    new LogisticRegression()
+      .setMaxIter(maxIter).setRegParam(regParam)
+      .setFeaturesCol("features").setLabelCol("label")
+      .fit(assembled)
+  }
+
+  /** Export a trained model's nonzero coefficients as the (bucket, w_milli)
+    * weight table [[classifierScoreWeights]] broadcast-joins — integer
+    * milli-weights keep the apply path's score an order-free integer sum
+    * (the determinism contract of [[classifierScore]]). */
+  def classifierExportWeights(
+      model: org.apache.spark.ml.classification.LogisticRegressionModel)
+      : DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    model.coefficients.foreachActive { (i, w) =>
+      val milli = math.round(w * 1000.0)
+      if (milli != 0L) buf += ((i, milli))
+    }
+    buf.toSeq.toDF("bucket", "w_milli")
+  }
+
+  /** Quality-classifier APPLY with the weights as DATA — the deployment
+    * form of [[classifierScore]]: the learned (bucket, w_milli) table rides
+    * a BroadcastHashJoin against the tokenized corpus (it is at most
+    * `buckets` rows — kilobytes), so the scoring pass stays one scan plus
+    * one doc-keyed sum, identical to the fixture-expression path. Buckets
+    * absent from the table contribute 0 (unseen features). */
+  def classifierScoreWeights(df: DataFrame, idCol: String, textCol: String,
+                             weights: DataFrame, buckets: Int = 1 << 15,
+                             threshold: Double = 0.0): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+      .withColumn("__bucket", tokenHash(col("__t")) % buckets)
+    val w = weights.select(col("bucket").cast(LongType).as("__bucket"),
+      col("w_milli").cast(LongType).as("__w"))
+    val scored = tok.join(broadcast(w), Seq("__bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__w"), lit(0L))).as("score_milli"))
+    val base = df.select(col(idCol))
+    base.join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("score_milli"), lit(0L)).as("score_milli"))
+      .withColumn("logit",
+        when(col("n_toks") > 0,
+          col("score_milli") / lit(1000.0) / col("n_toks"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("logit") > threshold)
+  }
+
   /** BM25 relevance of every document against a fixed query-term set
     * (Robertson & Zaragoza 2009) — the retrieval primitive for targeted
     * curation (rank a web corpus against seed queries, keep the head).

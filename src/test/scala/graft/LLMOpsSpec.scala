@@ -834,6 +834,50 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == out.map(_._2).toSeq)
   }
 
+  test("classifierTrain recovers planted weights; registry round-trip; trained apply") {
+    implicit val s = spark
+    // planted model: "goodN" tokens are +, "badN" tokens are −; label is
+    // the majority sign of an 11-token doc (odd length — no ties)
+    val good = (0 until 20).map(i => s"good$i")
+    val bad = (0 until 20).map(i => s"bad$i")
+    val vocab = (good ++ bad).toArray
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 300).map { id =>
+      val toks = Seq.fill(11)(vocab(rnd.nextInt(vocab.length)))
+      val label = if (toks.count(_.startsWith("good")) > 5) 1.0 else 0.0
+      (id.toLong, toks.mkString(" "), label)
+    }
+    val d = docs.toDF("doc_id", "text", "label")
+    val model = TextAnalysis.classifierTrain(d, "doc_id", "text", "label")
+    // exported weights drive the broadcast-join apply path; keep must agree
+    // with the planted label on this linearly separable corpus
+    val w = TextAnalysis.classifierExportWeights(model)
+    val scored = TextAnalysis.classifierScoreWeights(d, "doc_id", "text", w)
+      .select("doc_id", "keep")
+    val agree = scored.join(d.select(col("doc_id"), col("label")), "doc_id")
+      .filter((col("keep") && col("label") === 1.0) ||
+        (!col("keep") && col("label") === 0.0)).count()
+    assert(agree >= 285, s"trained classifier agreed on $agree/300")
+    // planted signs are recovered: every good bucket weight >0, bad <0
+    val bucketOf = vocab.toSeq.toDF("t")
+      .select(col("t"), (TextAnalysis.tokenHash(col("t")) % (1 << 15)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    val wm = w.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val goodSigns = good.count(t => wm.getOrElse(bucketOf(t), 0L) > 0L)
+    val badSigns = bad.count(t => wm.getOrElse(bucketOf(t), 0L) < 0L)
+    assert(goodSigns >= 19 && badSigns >= 19, s"signs: +$goodSigns −$badSigns")
+    // lifecycle: register, serialize, deserialize — coefficients identical
+    import graft.ml.ModelRegistry
+    ModelRegistry.put("qc_test", model)
+    val dir = java.nio.file.Files.createTempDirectory("qc_model").toString
+    ModelRegistry.serialize("qc_test", dir)
+    ModelRegistry.destroy("qc_test")
+    val back = ModelRegistry.deserialize("qc_test2", dir)
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(back.coefficients == model.coefficients)
+    ModelRegistry.destroy("qc_test2")
+  }
+
   test("bm25TopK ranks by term frequency, length norm, and idf rarity") {
     implicit val s = spark
     val d = Seq(
