@@ -1063,6 +1063,22 @@ object QueriesLLM {
         Seq("spark", "vector", "join"), k = 20)
     }),
 
+    // ---------------- BM25 with the query terms as DATA (bm25TopKJoin):
+    // three seed queries ride a broadcast-joined (query_id, term) table;
+    // corpus-side postings/idf are computed once, per-query top-k is a
+    // query-partitioned window — the thousands-of-seed-queries shape
+    "bm25_multiquery" -> ((s, dir) => {
+      import s.implicits._
+      val qt = Seq(
+        ("q_data", "spark"), ("q_data", "vector"), ("q_data", "join"),
+        ("q_scan", "scan"), ("q_scan", "filter"), ("q_scan", "column"),
+        ("q_stream", "stream"), ("q_stream", "window"), ("q_stream", "batch"))
+        .toDF("query_id", "term")
+      graft.operators.TextAnalysis.bm25TopKJoin(
+        rd(s, dir, "documents"), "doc_id", "text", qt, k = 15)
+        .orderBy(col("query_id"), col("score_q").desc, col("doc_id"))
+    }),
+
     // ---------------- multimodal resize: deterministic GRADIENT PNGs
     // (pixel channels affine in x,y) are nearest-neighbor resized to 4×3
     // with the floor grid mapping, re-encoded, then decoded back — the
@@ -2485,6 +2501,38 @@ object QueriesLLM {
            FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st)
          SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_q FROM contrib
          GROUP BY 1 ORDER BY score_q DESC, doc_id ASC LIMIT 20""",
+    "bm25_multiquery" ->
+      // terms-as-data form: postings/idf computed ONCE over the distinct
+      // vocabulary, then fanned out to queries; per-query top-15 by
+      // row_number — arithmetic identical to bm25_topk
+      """WITH qt(query_id, term) AS (VALUES
+           ('q_data', 'spark'), ('q_data', 'vector'), ('q_data', 'join'),
+           ('q_scan', 'scan'), ('q_scan', 'filter'), ('q_scan', 'column'),
+           ('q_stream', 'stream'), ('q_stream', 'window'), ('q_stream', 'batch')),
+         vocab AS (SELECT DISTINCT term FROM qt),
+         t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok IN (SELECT term FROM vocab) GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfr FROM tf GROUP BY 1),
+         idf AS (SELECT term,
+                   CAST(floor(1e4 * ln((n - dfr + 0.5) / (dfr + 0.5) + 1.0)) AS BIGINT)
+                     AS idf_q4
+                 FROM dfreq, st),
+         contrib AS (SELECT tf.doc_id, tf.term,
+             CAST(floor(100.0 * idf.idf_q4 * (tf.tf * (1.2 + 1.0)) /
+               (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS BIGINT) AS c
+           FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), st),
+         pq AS (SELECT qt.query_id, contrib.doc_id, CAST(sum(c) AS BIGINT) AS score_q
+                FROM contrib JOIN qt USING (term) GROUP BY 1, 2),
+         rn AS (SELECT query_id, doc_id, score_q,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY score_q DESC, doc_id ASC) AS rn FROM pq)
+         SELECT query_id, doc_id, score_q FROM rn WHERE rn <= 15
+         ORDER BY query_id, score_q DESC, doc_id""",
     "multimodal_resize" ->
       // the nearest-neighbor floor grid: src = (t·srcDim) // dstDim; pixel
       // channel formulas mirror encodeGradientPng (mod-256 affine in x,y)

@@ -316,6 +316,59 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("score_q"))
   }
 
+  /** BM25 with the query terms as DATA — the at-scale form of [[bm25TopK]]:
+    * targeted curation ranks a corpus against THOUSANDS of seed queries, so
+    * the term set must be a (query_id, term) DataFrame, not a literal
+    * compiled into an `isin` filter. Same quantized-idf / integer-sum
+    * arithmetic as the literal path (single-query results are identical).
+    *
+    * Scale shape: the corpus-side work — tokenize, filter to the DISTINCT
+    * term vocabulary (one BroadcastHashJoin), per-(doc, term) tf, per-term
+    * idf — happens ONCE regardless of query count; fanning out to queries
+    * is a second broadcast join of the ≤|qt| row term table against the
+    * already-tiny (doc, term, contribution) frame. Per-query top-k is a
+    * row_number window partitioned BY QUERY — each query's candidates sort
+    * within their own partition, no global sort. */
+  def bm25TopKJoin(df: DataFrame, idCol: String, textCol: String,
+                   queryTerms: DataFrame, k: Int = 10,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = queryTerms.select(col("query_id"),
+      lower(col("term")).as("__t")).distinct()
+    val vocab = qt.select(col("__t")).distinct()
+    val base = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .withColumn("__dl", size(col("__toks")))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      (sum(col("__dl")).cast(DoubleType) / count(lit(1))).as("__avgdl"))
+    // postings materialized once (shared by idf and scoring, like bm25TopK)
+    val tf = base
+      .select(col("id"), col("__dl"), explode(col("__toks")).as("__t"))
+      .join(broadcast(vocab), Seq("__t"))
+      .groupBy(col("id"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).as("__tf"))
+      .localCheckpoint()
+    val idf = tf.groupBy(col("__t"))
+      .agg(count_distinct(col("id")).as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("__t"),
+        floor(lit(1e4) * log((col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5)) + lit(1.0))).as("__idf_q4"))
+    val contrib = tf.join(broadcast(idf), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"), col("__t"),
+        floor(lit(100.0) * col("__idf_q4") * (col("__tf") * (lit(k1) + lit(1.0))) /
+          (col("__tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * col("__dl") / col("__avgdl")))).as("__c"))
+    val perQuery = contrib.join(broadcast(qt), Seq("__t"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("score_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("id").asc)
+    perQuery.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("id").as(idCol), col("score_q"))
+  }
+
   def gopherFilter(df: DataFrame, textCol: String): DataFrame = {
     // staged projections: HOF lambdas get no codegen CSE (see repetitionStats)
     val staged = df

@@ -901,6 +901,41 @@ class LLMOpsSpec extends SparkSpec {
     assert(top2 == out.sortBy(r => (-r._2, r._1)).take(2).map(_._1).toSeq)
   }
 
+  test("bm25TopKJoin: terms-as-data path matches the literal path per query") {
+    implicit val s = spark
+    val d = Seq(
+      (1L, "cat cat cat dog"), (2L, "cat mouse mouse mouse bird fish lion"),
+      (3L, "cat dog"), (4L, "zebra only here"), (5L, "dog"),
+      (6L, "mouse bird"), (7L, "bird bird bird"))
+      .toDF("doc_id", "text")
+    // single query ≡ literal path, scores included
+    val lit1 = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("cat", "dog"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qt1 = Seq(("q1", "cat"), ("q1", "dog")).toDF("query_id", "term")
+    val join1 = TextAnalysis.bm25TopKJoin(d, "doc_id", "text", qt1, k = 10)
+      .orderBy(col("score_q").desc, col("doc_id"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(join1 == lit1, s"join=$join1 literal=$lit1")
+    // multi-query: each query's slice equals its own literal run (idf is a
+    // per-term corpus property, identical whichever query carries the term)
+    val qt = Seq(("qa", "cat"), ("qa", "dog"), ("qb", "mouse"), ("qb", "Bird"))
+      .toDF("query_id", "term") // uppercase term must still match (lowered)
+    val multi = TextAnalysis.bm25TopKJoin(d, "doc_id", "text", qt, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val qa = multi.filter(_._1 == "qa").map(t => (t._2, t._3))
+      .sortBy(t => (-t._2, t._1)).toSeq
+    assert(qa == lit1)
+    val litB = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("mouse", "bird"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qb = multi.filter(_._1 == "qb").map(t => (t._2, t._3))
+      .sortBy(t => (-t._2, t._1)).toSeq
+    assert(qb == litB, s"qb=$qb literal=$litB")
+    // k truncates per query, not globally
+    val k1 = TextAnalysis.bm25TopKJoin(d, "doc_id", "text", qt, k = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(k1.size == 2 && k1.map(_._1) == Set("qa", "qb"))
+  }
+
   test("multimodal: byte metadata + feature extraction batch shape") {
     implicit val s = spark
     val bin = docs.withColumn("payload", encode(col("text"), "UTF-8"))
