@@ -1165,6 +1165,40 @@ object QueriesLLM {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table(name).orderBy("id", "dup_of", "band")
+    }),
+
+    // ---------------- the same replay split across TWO micro-batches, so
+    // the CROSS-BATCH state path itself is under the hash gate: docs 0-499
+    // arrive (and pair among themselves by string-id order), the batch
+    // commits, then docs 500-999 arrive and pair against the RETAINED
+    // STATE plus their own batch. "Seen before" therefore has a closed
+    // form the oracle reproduces: earlier batch, or same batch with
+    // lexicographically smaller string id.
+    "streaming_neardup_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("text"))
+        .filter(col("doc_id") < 1000)
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val (b1, b2) = docs.partition(_._1 < 500)
+      val in = MemoryStream[(Long, String)]
+      val out = graft.streaming.Streams.streamingNearDupCandidates(
+        in.toDF.toDF("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+        "doc_id", "text",
+        n = 3, k = 16, bands = 8, threshold = 0.3, maxPerBucket = 1 << 20)
+      val name = "sneardup2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*)
+        q.processAllAvailable() // batch 1 commits; its state persists
+        in.addData(b2: _*)
+        q.processAllAvailable() // batch 2 pairs against retained state
+      } finally q.stop()
+      s.table(name).orderBy("id", "dup_of", "band")
     }))
 
   /** IVF-PQ oracle: ann_ivf_topk's assignment/probe CTEs restricted to the
@@ -2598,6 +2632,45 @@ object QueriesLLM {
             FROM bands a JOIN bands b
               ON (a.u).bk = (b.u).bk
               AND CAST(a.doc_id AS VARCHAR) > CAST(b.doc_id AS VARCHAR))
+          SELECT id, dup_of, band, est_jaccard FROM pairs
+          WHERE est_jaccard >= 0.3 ORDER BY id, dup_of, band"""
+    },
+    "streaming_neardup_2batch" -> {
+      val perm = (0 until 16).map { j =>
+        s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"
+      }.mkString(", ")
+      // batch = (doc_id >= 500); "seen before" ⟺ earlier batch OR same
+      // batch with lexicographically smaller string id
+      s"""WITH t AS (
+            SELECT doc_id, CASE WHEN doc_id < 500 THEN 0 ELSE 1 END AS batch,
+              string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents WHERE doc_id < 1000),
+          h AS (
+            SELECT doc_id, batch, list_transform(toks,
+              t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+            FROM t),
+          sh AS (
+            SELECT doc_id, batch, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+              list_distinct(list_transform(range(1, len(th) - 2 + 1),
+                i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2]) % 2147483647))
+            END AS gh
+            FROM h),
+          sig AS (SELECT doc_id, batch, [$perm] AS sig FROM sh WHERE len(gh) > 0),
+          bands AS (
+            SELECT doc_id, batch, sig, unnest(list_transform(range(8), j ->
+              struct_pack(bi := CAST(j AS INTEGER), bk :=
+                j::VARCHAR || ':' || sig[2*j+1]::VARCHAR || ':' || sig[2*j+2]::VARCHAR))) AS u
+            FROM sig),
+          pairs AS (
+            SELECT CAST(a.doc_id AS VARCHAR) AS id, CAST(b.doc_id AS VARCHAR) AS dup_of,
+              (a.u).bi AS band,
+              CAST(list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 16
+                AS est_jaccard
+            FROM bands a JOIN bands b
+              ON (a.u).bk = (b.u).bk
+              AND (b.batch < a.batch OR (b.batch = a.batch
+                AND CAST(b.doc_id AS VARCHAR) < CAST(a.doc_id AS VARCHAR))))
           SELECT id, dup_of, band, est_jaccard FROM pairs
           WHERE est_jaccard >= 0.3 ORDER BY id, dup_of, band"""
     })
