@@ -875,6 +875,21 @@ object QueriesLLM {
         col("bg"), k = 64)
     }),
 
+    // ---------------- Count-Min heavy hitters: the d×w counter matrix is
+    // a DataFrame (order-free integer sums — bit-replayable), candidates
+    // are estimated by a broadcast join against the sketch, threshold
+    // keeps the head; exact counts ride along to exhibit the one-sided
+    // (overestimate-only) error contract
+    "cms_heavy_hitters" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val hh = graft.operators.Sketch.cmsHeavyHitters(
+        toks, col("tok"), minCount = 500L, d = 4, w = 1024)
+      val exact = toks.groupBy(col("tok").as("q"))
+        .agg(count(lit(1)).as("n_exact"))
+      hh.join(exact, Seq("q")).orderBy("q")
+    }),
+
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
@@ -2121,6 +2136,32 @@ object QueriesLLM {
            ex.n_exact
          FROM bk JOIN ex ON bk.source IS NOT DISTINCT FROM ex.source
          ORDER BY bk.source""",
+    "cms_heavy_hitters" ->
+      // same affine (2j+1, 12289j+741) mod P row hashes over the shared
+      // 60-bit token hash; counters are plain GROUP BY sums, estimates are
+      // min over the d=4 rows, threshold 500
+      """WITH t AS (
+           SELECT string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         tok AS (SELECT unnest(toks) AS tok FROM t),
+         h AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+               FROM tok),
+         cells AS (SELECT h.tok, r.j,
+                     (h.h * (2*r.j + 1) + (12289*r.j + 741)) % 2147483647 % 1024 AS cell
+                   FROM h, (SELECT unnest(range(4)) AS j) r),
+         cms AS (SELECT j, cell, CAST(count(*) AS BIGINT) AS cnt
+                 FROM cells GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT tok FROM tok),
+         qc AS (SELECT cand.tok, r.j,
+                  (('0x' || substr(md5(cand.tok), 1, 15))::BIGINT % 2147483647
+                    * (2*r.j + 1) + (12289*r.j + 741)) % 2147483647 % 1024 AS cell
+                FROM cand, (SELECT unnest(range(4)) AS j) r),
+         est AS (SELECT qc.tok AS q, min(coalesce(cms.cnt, 0)) AS cms_est
+                 FROM qc LEFT JOIN cms ON cms.j = qc.j AND cms.cell = qc.cell
+                 GROUP BY 1),
+         ex AS (SELECT tok AS q, CAST(count(*) AS BIGINT) AS n_exact
+                FROM tok GROUP BY 1)
+         SELECT est.q, est.cms_est, ex.n_exact FROM est JOIN ex USING (q)
+         WHERE est.cms_est >= 500 ORDER BY q""",
     "kmv_overlap" ->
       // bottom-64 of each corpus, bottom-64 of their union, coincidence
       // fraction — identical CASE/arithmetic order to the Spark side

@@ -90,6 +90,71 @@ object Sketch {
       .drop("__hk")
   }
 
+  private val P31 = 2147483647L // 2^31 − 1, the affine hash family modulus
+
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) built AS DATA: the
+    * d×w counter matrix is a (row, cell, cnt) DataFrame, the shape that
+    * scales — counters are order-free integer sums (one groupBy with
+    * map-side combine, state bounded by d·w regardless of input size), and
+    * the sketch itself is exactly replayable cross-engine (same affine
+    * hash family as the minhash permutations over the shared 60-bit token
+    * hash), so the SKETCH is under the hash gate, not just its ε·N bound.
+    * Merging sketches of two corpora is `union → sum` — counters commute.
+    * Null values are skipped. */
+  def cmsBuild(df: DataFrame, value: org.apache.spark.sql.Column,
+               d: Int = 4, w: Int = 1024): DataFrame = {
+    require(d >= 1 && w >= 2, "CMS needs d >= 1, w >= 2")
+    val cells = cmsCells(value, d, w)
+    df.select(explode(cells).as("__rc"))
+      .select(col("__rc.r").as("row"), col("__rc.c").as("cell"))
+      .filter(col("cell").isNotNull)
+      .groupBy(col("row"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The d (row, cell) coordinates of one value — shared by build and
+    * query so both sides land on identical counters. */
+  private def cmsCells(value: org.apache.spark.sql.Column, d: Int, w: Int) = {
+    val h = TextAnalysis.tokenHash(value) % P31
+    array((0 until d).map { j =>
+      struct(lit(j).as("r"),
+        ((h * (2 * j + 1) + (12289L * j + 741)) % P31 % w)
+          .cast(IntegerType).as("c"))
+    }: _*)
+  }
+
+  /** Point-query a built sketch for each value in `queries` (a one-column
+    * DataFrame named by `qCol`): est = min over the d rows of the matching
+    * counter (0 when a cell was never touched). CMS guarantees
+    * est ≥ true count always, and est ≤ true + ε·N with probability 1−δ
+    * for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. One broadcast-able join against the
+    * d·w-row sketch — the corpus is never rescanned. */
+  def cmsEstimate(cms: DataFrame, queries: DataFrame, qCol: String = "q",
+                  d: Int = 4, w: Int = 1024): DataFrame = {
+    val q = queries.select(col(qCol).as("q")).filter(col("q").isNotNull)
+      .distinct()
+    q.select(col("q"), explode(cmsCells(col("q"), d, w)).as("__rc"))
+      .select(col("q"), col("__rc.r").as("row"), col("__rc.c").as("cell"))
+      .join(broadcast(cms), Seq("row", "cell"), "left")
+      .groupBy(col("q"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
+  /** Heavy hitters by CMS: estimate every candidate against the sketch and
+    * keep those with est ≥ minCount. The candidate set here is the corpus's
+    * distinct values (batch two-pass form); at 100 TB the same estimate
+    * join runs against ANY cheap candidate set (a sampled head, last
+    * window's hitters) — the sketch answers point queries without
+    * rescanning the corpus, which is the whole point. Overestimates only:
+    * no true hitter is ever missed (one-sided error). */
+  def cmsHeavyHitters(df: DataFrame, value: org.apache.spark.sql.Column,
+                      minCount: Long, d: Int = 4, w: Int = 1024): DataFrame = {
+    val cms = cmsBuild(df, value, d, w).localCheckpoint()
+    val cand = df.select(value.as("q"))
+    cmsEstimate(cms, cand, "q", d, w)
+      .filter(col("cms_est") >= minCount)
+  }
+
   /** Corpus-overlap estimation from KMV sketches (Beyer et al. 2007 §5):
     * the bottom-k of A ∪ B is the bottom-k of K(A) ∪ K(B), and the
     * fraction ρ of those union minima present in BOTH per-corpus sketches

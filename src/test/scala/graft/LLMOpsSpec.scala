@@ -366,6 +366,46 @@ class LLMOpsSpec extends SparkSpec {
     assert(tiny.getDouble(3) == 1.0 / 3)
   }
 
+  test("CMS: overestimate-only, partition-invariant, exact when uncrowded") {
+    import graft.operators.Sketch
+    // 3 heavy values + a long tail; w=1024 ≫ 103 distinct values, so with
+    // d=4 independent rows collisions are overwhelmingly unlikely to hit
+    // the SAME value in every row → estimates are exact here
+    val rows = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(100)("gamma") ++ (1 to 100).flatMap(i => Seq.fill(3)(s"tail$i"))
+    val d = rows.map(Tuple1(_)).toDF("v")
+    val est = Sketch.cmsHeavyHitters(d, col("v"), minCount = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map("alpha" -> 500L, "beta" -> 300L, "gamma" -> 100L))
+    // one-sided error: est >= exact for EVERY candidate, any threshold
+    val all = Sketch.cmsHeavyHitters(d, col("v"), minCount = 1L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    exact.foreach { case (v, n) =>
+      assert(all(v) >= n, s"CMS underestimated $v: ${all(v)} < $n") }
+    // counters are order-free sums: the sketch is partition-invariant
+    val a = Sketch.cmsBuild(d, col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val b = Sketch.cmsBuild(d.repartition(13), col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    // sketch size is bounded by d·w regardless of input size
+    assert(a.size <= 4 * 1024)
+    // merging two corpora = union + sum: equals the sketch of the union
+    val half1 = rows.take(600).map(Tuple1(_)).toDF("v")
+    val half2 = rows.drop(600).map(Tuple1(_)).toDF("v")
+    val merged = Sketch.cmsBuild(half1, col("v"))
+      .unionByName(Sketch.cmsBuild(half2, col("v")))
+      .groupBy("row", "cell").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(merged == a)
+    // nulls are skipped
+    val withNull = (rows.map(v => Tuple1(v: String)) :+ Tuple1(null: String)).toDF("v")
+    val c = Sketch.cmsBuild(withNull, col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(c == a)
+  }
+
   test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
     import graft.operators.LangModel
     // planted weights with a wide spread: the heavy doc must always be in
