@@ -858,6 +858,50 @@ object QueriesLLM {
         .drop("__src").orderBy("source")
     }),
 
+    // ---------------- HyperLogLog distinct-bigram estimate per source:
+    // deterministic registers (shared 60-bit hash, shared bucket/rank
+    // integer math), harmonic sum as an EXACT integer, estimate = one
+    // floor'd IEEE division — the whole sketch is under the hash gate.
+    // Unlike KMV there is no distinct-reduce: register build is a direct
+    // m-bounded groupBy-max, the shape to ship when even the distinct-hash
+    // table is too big to shuffle.
+    "hll_distinct" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val est = graft.operators.Sketch.hllDistinct(bigrams, Seq("source"), col("bg"), p = 8)
+      val exact = bigrams.groupBy(col("source"))
+        .agg(count_distinct(col("bg")).as("n_exact"))
+      val exactR = exact.withColumnRenamed("source", "__src")
+      est.join(exactR, col("source") <=> col("__src"))
+        .drop("__src").orderBy("source")
+    }),
+
+    // ---------------- HLL mergeability under the oracle: per-source
+    // register tables union into a corpus-wide sketch via groupBy(bucket)
+    // .max(r) — the distributive merge that makes HLL the
+    // shard-then-combine cardinality sketch (per-shard registers ride as
+    // m-row data; no re-scan of any shard to get the global count).
+    "hll_union" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val perSource = graft.operators.Sketch.hllRegisters(bigrams, Seq("source"), col("bg"), p = 8)
+      val merged = perSource.groupBy(col("bucket"))
+        .agg(max(col("r")).cast(org.apache.spark.sql.types.LongType).as("r"))
+      val est = graft.operators.Sketch.hllEstimate(merged, Nil, p = 8)
+      val exact = bigrams.agg(count_distinct(col("bg")).as("n_exact"))
+      est.crossJoin(exact)
+    }),
+
     // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap
     // (union / Jaccard / intersection estimates) — the cheap pre-check
     // before a full cross-corpus dedup, bit-replayed by the oracle
@@ -2162,6 +2206,53 @@ object QueriesLLM {
                 FROM tok GROUP BY 1)
          SELECT est.q, est.cms_est, ex.n_exact FROM est JOIN ex USING (q)
          WHERE est.cms_est >= 500 ORDER BY q""",
+    "hll_distinct" ->
+      // deterministic HLL p=8: bucket = h >> 52, rank = 53 − length(bin(low))
+      // (low = 0 ⇒ 53); harmonic sum as the exact integer Σ 2^(53−ρ) plus
+      // 2^53 per zero register; estimate = floor(α·m²·2^53 / sum) — the
+      // identical double literal and single division as the Spark side
+      s"""WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rg AS (SELECT source, h >> 52 AS bucket,
+                  max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                           ELSE 53 - length(bin(h & 4503599627370495)) END) AS r
+                FROM hh GROUP BY 1, 2),
+         ag AS (SELECT source, count(*) AS n_obs,
+                  sum(1::BIGINT << CAST(53 - r AS INT)) AS s_obs FROM rg GROUP BY 1),
+         ex AS (SELECT source, CAST(count(DISTINCT bg) AS BIGINT) AS n_exact FROM bg GROUP BY 1)
+         SELECT ag.source, CAST(256 - n_obs AS BIGINT) AS n_zero,
+           CAST(s_obs + (256 - n_obs) * 9007199254740992 AS BIGINT) AS sum_scaled,
+           floor(${graft.operators.Sketch.hllConstant(8)} /
+             CAST(s_obs + (256 - n_obs) * 9007199254740992 AS DOUBLE)) AS hll_est,
+           ex.n_exact
+         FROM ag JOIN ex ON ag.source IS NOT DISTINCT FROM ex.source
+         ORDER BY ag.source""",
+    "hll_union" ->
+      // merged registers = global registers (max distributes over union),
+      // so the oracle folds the corpus-wide register table directly
+      s"""WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rg AS (SELECT h >> 52 AS bucket,
+                  max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                           ELSE 53 - length(bin(h & 4503599627370495)) END) AS r
+                FROM hh GROUP BY 1),
+         ag AS (SELECT count(*) AS n_obs,
+                  sum(1::BIGINT << CAST(53 - r AS INT)) AS s_obs FROM rg),
+         ex AS (SELECT CAST(count(DISTINCT bg) AS BIGINT) AS n_exact FROM bg)
+         SELECT CAST(256 - n_obs AS BIGINT) AS n_zero,
+           CAST(s_obs + (256 - n_obs) * 9007199254740992 AS BIGINT) AS sum_scaled,
+           floor(${graft.operators.Sketch.hllConstant(8)} /
+             CAST(s_obs + (256 - n_obs) * 9007199254740992 AS DOUBLE)) AS hll_est,
+           ex.n_exact
+         FROM ag, ex""",
     "kmv_overlap" ->
       // bottom-64 of each corpus, bottom-64 of their union, coincidence
       // fraction — identical CASE/arithmetic order to the Spark side

@@ -155,6 +155,87 @@ object Sketch {
       .filter(col("cms_est") >= minCount)
   }
 
+  // ------------------------------------------------------------------ HLL
+  /** HyperLogLog (Flajolet et al. 2007) with DETERMINISTIC registers, so
+    * the sketch itself replays under the DuckDB oracle — the usual
+    * objection to HLL as a test surface (register layout differs engine to
+    * engine) disappears when both engines derive bucket and rank from the
+    * same 60-bit md5 hash with the same integer expressions:
+    * bucket = h >> (60−p), rank ρ = 1 + leading-zeros of the low 60−p
+    * bits, computed exactly in BOTH engines as (60−p)+1 − length(bin(low))
+    * (`bin` renders without leading zeros in Spark and DuckDB alike).
+    *
+    * Unlike KMV, HLL needs NO distinct-reduce: registers are a direct
+    * groupBy(group, bucket).max(ρ) with map-side combine, so per-group
+    * state is m = 2^p registers at every stage regardless of input
+    * cardinality — this is the sketch to ship when even the distinct-hash
+    * table is too big to shuffle. Registers are returned AS DATA
+    * ((group, bucket, r) rows): merging corpora or rolling windows is
+    * `union → max`, the estimate is a separate fold over m rows.
+    *
+    * The estimate avoids the classic float-sum pitfall (Σ 2^−ρ is
+    * order-dependent in IEEE arithmetic): the harmonic sum rides as the
+    * EXACT integer Σ 2^(P1−ρ) (P1 = 61−p; terms ≤ 2^(P1−1), m terms fit a
+    * long), zero registers contribute (m − observed)·2^P1, and the raw
+    * estimate is ONE floor'd IEEE division of the shared constant
+    * α_m·m²·2^P1 by that integer — bit-stable cross-engine, same recipe as
+    * KMV's (k−1)/h_k. Small-range (linear-counting) correction needs ln,
+    * whose libm rounding differs across engines; the gated output instead
+    * carries n_zero so callers apply it downstream (the spec covers it). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String],
+                   value: org.apache.spark.sql.Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
+    val width = 60 - p
+    val mask = (1L << width) - 1
+    val gcols = groupCols.map(col)
+    val h = TextAnalysis.tokenHash(value)
+    val low = h.bitwiseAND(lit(mask))
+    val rho = when(low === 0, lit(width + 1))
+      .otherwise(lit(width + 1) - length(bin(low)))
+    df.select(gcols ++ Seq(shiftright(h, width).as("bucket"), rho.as("r")): _*)
+      .filter(col("bucket").isNotNull)
+      .groupBy(gcols :+ col("bucket"): _*)
+      .agg(max(col("r")).cast(LongType).as("r"))
+  }
+
+  /** Fold an HLL register table (from [[hllRegisters]], possibly unioned
+    * across corpora with `groupBy(bucket).max(r)`) into one estimate row
+    * per group: (group…, n_zero, sum_scaled, hll_est). All columns exact
+    * integers except hll_est = floor(α_m·m²·2^P1 / sum_scaled) — one IEEE
+    * division, replayable. */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    val m = 1 << p
+    val p1 = 61 - p // scaled exponent: term for ρ is 2^(P1 − ρ), ρ=0 ⇒ 2^P1
+    val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
+    else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    val c = alpha * m * m * java.lang.Math.pow(2.0, p1)
+    val gcols = groupCols.map(col)
+    regs.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("__n_obs"),
+        sum(expr(s"shiftleft(cast(1 as bigint), cast($p1 - r as int))")).as("__s_obs"))
+      .withColumn("n_zero", (lit(m.toLong) - col("__n_obs")).cast(LongType))
+      .withColumn("sum_scaled",
+        (col("__s_obs") + col("n_zero") * lit(1L << p1)).cast(LongType))
+      .withColumn("hll_est",
+        floor(lit(c) / col("sum_scaled").cast(DoubleType)).cast(DoubleType))
+      .drop("__n_obs", "__s_obs")
+  }
+
+  /** Per-group HLL distinct estimate: registers → estimate in one call.
+    * Shares [[hllEstimate]]'s column contract. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String],
+                  value: org.apache.spark.sql.Column, p: Int = 8): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, value, p), groupCols, p)
+
+  /** The shared constant α_m·m²·2^(61−p), exposed so oracle SQL embeds the
+    * IDENTICAL double literal (Double.toString round-trips). */
+  def hllConstant(p: Int): Double = {
+    val m = 1 << p
+    val alpha = if (m >= 128) 0.7213 / (1 + 1.079 / m)
+    else if (m == 64) 0.709 else if (m == 32) 0.697 else 0.673
+    alpha * m * m * java.lang.Math.pow(2.0, 61 - p)
+  }
+
   /** Corpus-overlap estimation from KMV sketches (Beyer et al. 2007 §5):
     * the bottom-k of A ∪ B is the bottom-k of K(A) ∪ K(B), and the
     * fraction ρ of those union minima present in BOTH per-corpus sketches

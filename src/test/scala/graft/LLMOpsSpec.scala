@@ -340,6 +340,52 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
   }
 
+  test("hllDistinct: estimate within HLL error; small range flagged via n_zero") {
+    import graft.operators.Sketch
+    val rows = (1 to 10).map(i => ("small", s"v$i")) ++
+      (1 to 20000).map(i => ("big", s"value-$i"))
+    val d = rows.toDF("grp", "v")
+    val out = Sketch.hllDistinct(d, Seq("grp"), col("v"), p = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    // big: relative stderr ≈ 1.04/√256 = 6.5%; 4σ = 26% leaves ~0 flake odds
+    val (_, estBig) = out("big")
+    assert(math.abs(estBig - 20000.0) < 20000.0 * 0.26, s"est=$estBig")
+    // small range: the RAW estimate is biased high by design (that's what
+    // linear counting corrects); n_zero carries the correction's input:
+    // m·ln(m/V) with V = zero registers ≈ the true 10
+    val (zeros, _) = out("small")
+    val lc = 256.0 * math.log(256.0 / zeros)
+    assert(math.abs(lc - 10.0) < 3.0, s"linear count=$lc zeros=$zeros")
+    // duplicates never move a register (max of an idempotent rank)
+    val dup = Sketch.hllDistinct(d.union(d), Seq("grp"), col("v"), p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(dup("big") == estBig)
+  }
+
+  test("hllRegisters merge: max-union of shard sketches equals whole-corpus sketch") {
+    import graft.operators.Sketch
+    import org.apache.spark.sql.types.LongType
+    val a = (1 to 3000).map(i => Tuple1(s"item-$i")).toDF("v")
+    val b = (2000 to 5000).map(i => Tuple1(s"item-$i")).toDF("v")
+    val merged = Sketch.hllRegisters(a, Nil, col("v"), p = 8)
+      .union(Sketch.hllRegisters(b, Nil, col("v"), p = 8))
+      .groupBy(col("bucket")).agg(max(col("r")).cast(LongType).as("r"))
+    val whole = Sketch.hllRegisters(a.union(b), Nil, col("v"), p = 8)
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      whole.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val estM = Sketch.hllEstimate(merged, Nil, p = 8).collect()(0)
+    val estW = Sketch.hllEstimate(whole, Nil, p = 8).collect()(0)
+    assert(estM == estW)
+    // 5000 true distinct; merged estimate within 4σ
+    assert(math.abs(estM.getDouble(2) - 5000.0) < 5000.0 * 0.26, estM.toString)
+    // the scale claim: register build is a straight two-level hash agg —
+    // no window, no sort, no distinct-reduce of the value column
+    val plan = Sketch.hllDistinct(a, Nil, col("v"), p = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "HLL must not plan a window")
+    assert(!plan.toLowerCase.contains("sort "), "HLL must not plan a sort")
+  }
+
   test("kmvOverlap: Jaccard estimate from sketch coincidences, exact edges") {
     import graft.operators.Sketch
     val a = (1 to 1500).map(i => Tuple1(s"item-$i")).toDF("v")
