@@ -91,6 +91,38 @@ object QueriesLLM {
             ELSE '' END ||
        CASE WHEN doc_id % 5 = 0 THEN '#Section-2' ELSE '' END)"""
 
+  /** DuckDB replay of `Graph.pageRank` over the stride link graph:
+    * iterations unrolled as CTE stages with the same truncating integer
+    * arithmetic (`//` floor-div ≡ Spark `div` on the all-positive ranks),
+    * so 5 iterations are bit-identical cross-engine. */
+  private def pageRankSql(iters: Int): String = {
+    val sc = "1000000000000"
+    val base =
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         le AS (SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                UNION ALL
+                SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 7),
+         ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM le GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS ow FROM ew GROUP BY 1),
+         r0 AS (SELECT node, CAST($sc // nn.n AS BIGINT) AS pr FROM nodes CROSS JOIN nn)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""
+         c$i AS (SELECT ew.dst AS node,
+                  CAST(sum((r${i - 1}.pr * ew.w) // ow.ow) AS BIGINT) AS c
+                FROM r${i - 1} JOIN ew ON ew.src = r${i - 1}.node
+                  JOIN ow ON ow.src = ew.src GROUP BY 1),
+         r$i AS (SELECT nodes.node,
+                  CAST((($sc * 15) // 100) // nn.n
+                    + (85 * coalesce(c$i.c, 0)) // 100 AS BIGINT) AS pr
+                FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.node = nodes.node)"""
+    }.mkString(",")
+    base + "," + iterCtes + s"\n SELECT node, pr FROM r$iters ORDER BY node"
+  }
+
   /** DuckDB replay of `Bpe.train`: K merge iterations unrolled as CTE
     * stages (pair counts → argmax with the same tie-break → delimiter
     * replace), sharing the U+0001 double-delimiter encoding with the
@@ -968,6 +1000,23 @@ object QueriesLLM {
         .groupBy("host")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("host")
+    }),
+
+    // ---------------- domain-level PageRank over a deterministic stride
+    // link graph (doc i links to docs i+1 and i+7; edges lift to source
+    // domains): the Common-Crawl-style quality prior, in EXACT fixed-point
+    // integer arithmetic — every iteration is integer multiply /
+    // truncating divide / order-free sum, so 5 synchronous iterations
+    // hash-match DuckDB's unrolled CTE chain bit-for-bit.
+    "domain_pagerank" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("source"))
+      val b = d.select(col("doc_id").as("__did2"), col("source").as("__src2"))
+      def stride(n: Int) = d.join(b, col("__did2") === col("doc_id") + n)
+        .select(col("source").as("src"), col("__src2").as("dst"))
+      val edges = stride(1).unionAll(stride(7))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .orderBy("node")
     }),
 
     // ---------------- HTML-to-text extraction: the tables carry no HTML, so
@@ -2435,6 +2484,7 @@ object QueriesLLM {
          SELECT lower(regexp_extract(url, '^[^:/?#]+://([^:/?#]*)', 1)) AS host,
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM u GROUP BY 1 ORDER BY 1""",
+    "domain_pagerank" -> pageRankSql(5),
     "html_extract" ->
       s"""WITH h AS (SELECT doc_id,
            ('<html><head><title>' || coalesce(source, '') || '</title>' ||

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Link-graph analytics for web-corpus curation.
+ *
+ * Domain-level PageRank (Page et al. 1999) is the classic web-scale
+ * quality prior: Common-Crawl-style curation ranks registrable domains by
+ * the host link graph and uses the rank as a crawl/keep signal. The graph
+ * here is domains-as-nodes — at 100 TB the node table is millions of rows
+ * and the edge table billions, both far smaller than the corpus, and each
+ * iteration is one join + one aggregate on the edge table's natural key.
+ *
+ * Arithmetic is EXACT fixed-point integer (ranks scaled by `scale`):
+ * float PageRank sums contributions in nondeterministic order, so two
+ * engines (or two runs) disagree in the low bits; here every step is
+ * integer multiply / truncating divide / order-free integer sum, so the
+ * result is bit-identical cross-engine and the whole operator sits under
+ * the DuckDB hash gate. Truncation loses < 1 ulp of mass per edge per
+ * iteration — at scale=1e12 that is a relative error of ~1e-9, far below
+ * the few-iteration approximation error PageRank already carries.
+ */
+object Graph {
+
+  /** Weighted PageRank over an edge list, `iters` synchronous iterations,
+    * damping `dampPct`/100, ranks scaled by `scale`. Returns (node, pr)
+    * with pr a scaled long; Σ pr ≈ scale (minus truncation dust).
+    *
+    * Nodes are the union of edge endpoints. Dangling nodes (no
+    * out-edges) keep only the teleport share — their lost mass is NOT
+    * redistributed, matching the simplest published formulation; feed a
+    * dangling-free graph (or add self-loops) when mass conservation
+    * matters.
+    *
+    * Scale shape: per iteration, one broadcast-able join of the rank
+    * table against the edge table on src (both partitioned by the same
+    * key across iterations) and one integer-sum groupBy on dst. The rank
+    * table is |nodes| rows — `localCheckpoint` per iteration keeps the
+    * plan flat, the recursiveLookup / connectedComponents discipline. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String, wCol: String,
+               iters: Int = 5, scale: Long = 1000000000000L,
+               dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"),
+        col(wCol).cast(LongType).as("__w"))
+      .groupBy("__s", "__d").agg(sum("__w").as("__w"))
+      .localCheckpoint() // reused every iteration: cut the upstream plan once
+    val nodes = e.select(col("__s").as("node"))
+      .union(e.select(col("__d").as("node"))).distinct()
+      .localCheckpoint()
+    val outW = e.groupBy(col("__s")).agg(sum("__w").as("__ow")).localCheckpoint()
+    val nDf = nodes.agg(count(lit(1)).as("__n")) // 1 row; rides as a frame
+    var rank = nodes.crossJoin(nDf)
+      .select(col("node"), expr(s"$scale div __n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = rank.join(e, col("node") === col("__s"))
+        .join(outW, "__s")
+        .select(col("__d").as("node"),
+          expr("(pr * __w) div __ow").as("__c"))
+        .groupBy("node").agg(sum("__c").as("__c"))
+      rank = nodes.crossJoin(nDf)
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr(s"(($scale * ${100 - dampPct}) div 100) div __n" +
+            s" + ($dampPct * coalesce(__c, 0L)) div 100").as("pr"))
+        .localCheckpoint()
+    }
+    rank
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Fixed-point PageRank behavior on known graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  test("pageRank: star graph concentrates rank on the hub") {
+    // 4 spokes each link only to the hub; hub links back to every spoke
+    val edges = (Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d")) ++
+      Seq("a", "b", "c", "d").map(sp => (sp, "hub"))).map { case (s0, d0) => (s0, d0, 1L) }
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("hub") > pr("a") * 2, s"hub must dominate: $pr")
+    assert(Seq("a", "b", "c", "d").map(pr).distinct.size == 1,
+      "spokes are symmetric, ranks must be identical integers")
+    // mass conservation up to integer-truncation dust (< 1 ulp per node per
+    // iteration plus the teleport rounding): within 100 units of S here
+    val total = pr.values.sum
+    assert(S - total >= 0 && S - total < 100, s"mass: $total")
+  }
+
+  test("pageRank: directed cycle is exactly uniform") {
+    val nodes = Seq("n0", "n1", "n2", "n3", "n4")
+    val edges = nodes.zip(nodes.tail :+ nodes.head)
+      .map { case (s0, d0) => (s0, d0, 1L) }.toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 7)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(pr.size == 1, s"cycle ranks must be one integer value: $pr")
+  }
+
+  test("pageRank: edge weights steer contribution proportionally") {
+    // b receives a 3x-weighted edge from a; c a 1x edge. After 1 iteration,
+    // b's contribution share is exactly 3/4 of a's mass (integer div).
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L))
+      .toDF("src", "dst", "w")
+    val pr = Graph.pageRank(edges, "src", "dst", "w", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val r0 = S / 3 // uniform start over 3 nodes
+    val expB = (S * 15 / 100) / 3 + 85L * ((r0 * 3) / 4) / 100
+    val expC = (S * 15 / 100) / 3 + 85L * ((r0 * 1) / 4) / 100
+    assert(pr("b") == expB && pr("c") == expC, s"$pr")
+  }
+}
