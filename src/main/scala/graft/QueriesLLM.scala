@@ -1019,6 +1019,21 @@ object QueriesLLM {
         .orderBy("node")
     }),
 
+    // ---------------- CCNet-style boilerplate removal: lines repeating in
+    // ≥50% of a source's docs (header/footer templates, synthesized with
+    // the SAME expression as the oracle) are dropped; the 20%-frequency
+    // line and the unique body survive. Integer threshold compare, ordered
+    // line reassembly — exact under the hash gate.
+    "boilerplate_removal" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val synth = concat(lit("Home | About | Contact\n"), col("text"),
+        when(col("doc_id") % 5 === 0, lit("\nSpecial Offer Today")).otherwise(lit("")),
+        lit("\nCopyright "), col("source"), lit(" All rights reserved"))
+      val in = d.select(col("doc_id"), col("source"), synth.as("text"))
+      graft.operators.Boilerplate.removeBoilerplate(in, "doc_id", "text", "source",
+        fracPct = 50, minDocs = 2).orderBy("doc_id")
+    }),
+
     // ---------------- HTML-to-text extraction: the tables carry no HTML, so
     // the query wraps each doc in deterministic markup (script/style/comment
     // blocks, entities, two anchor styles) with the SAME expression as the
@@ -2485,6 +2500,33 @@ object QueriesLLM {
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM u GROUP BY 1 ORDER BY 1""",
     "domain_pagerank" -> pageRankSql(5),
+    "boilerplate_removal" ->
+      // same synthesized template; boilerplate = trimmed lines in ≥50% of a
+      // source's docs (and ≥2), removal by anti-join, ordered reassembly
+      """WITH syn AS (SELECT doc_id, source,
+           'Home | About | Contact' || chr(10) || text ||
+           CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'Special Offer Today' ELSE '' END ||
+           chr(10) || 'Copyright ' || source || ' All rights reserved' AS text
+         FROM documents),
+         lns AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM syn),
+         ln AS (SELECT doc_id, source,
+                  unnest(list_transform(range(1, len(ls) + 1),
+                    i -> {'pos': i, 'line': ls[i]}), recursive := true)
+                FROM lns),
+         ld AS (SELECT DISTINCT source, trim(line) AS key, doc_id FROM ln),
+         lc AS (SELECT source, key, CAST(count(*) AS BIGINT) AS n_docs FROM ld GROUP BY 1, 2),
+         gt AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_total
+                FROM syn GROUP BY 1),
+         bp AS (SELECT lc.source, lc.key FROM lc JOIN gt ON gt.source = lc.source
+                WHERE n_docs >= 2 AND n_docs * 100 >= n_total * 50),
+         kept AS (SELECT ln.* FROM ln
+                  WHERE NOT EXISTS (SELECT 1 FROM bp
+                    WHERE bp.source = ln.source AND bp.key = trim(ln.line))),
+         outt AS (SELECT doc_id, source, string_agg(line, chr(10) ORDER BY pos) AS text
+                  FROM kept GROUP BY 1, 2)
+         SELECT syn.doc_id, syn.source, coalesce(outt.text, '') AS text
+         FROM syn LEFT JOIN outt ON outt.doc_id = syn.doc_id AND outt.source = syn.source
+         ORDER BY syn.doc_id""",
     "html_extract" ->
       s"""WITH h AS (SELECT doc_id,
            ('<html><head><title>' || coalesce(source, '') || '</title>' ||

@@ -295,6 +295,31 @@ class LLMOpsSpec extends SparkSpec {
     assert(n(1L) == 11L && n(2L) == 11L)
   }
 
+  test("removeBoilerplate: template lines go, rare and unique lines stay, order kept") {
+    import graft.operators.Boilerplate
+    val in = Seq(
+      (1L, "siteA", "NAV BAR\nunique body one\nRare Promo\nfooter (c)"),
+      (2L, "siteA", "NAV BAR\nunique body two\nfooter (c)"),
+      (3L, "siteA", "NAV BAR\nunique body three\nfooter (c)"),
+      (4L, "siteA", "NAV BAR\nfooter (c)"), // all-boilerplate doc → empty text
+      (5L, "siteB", "NAV BAR\nsolo doc in its own group keeps everything")
+    ).toDF("doc_id", "source", "text")
+    val out = Boilerplate.removeBoilerplate(in, "doc_id", "text", "source",
+      fracPct = 50, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "unique body one\nRare Promo") // 1/4 docs < 50% → kept
+    assert(out(2L) == "unique body two")
+    assert(out(4L) == "", "all-boilerplate doc must survive as empty")
+    // siteB has one doc: minDocs=2 protects it entirely
+    assert(out(5L) == "NAV BAR\nsolo doc in its own group keeps everything")
+    // trimmed-form matching: a padded variant of a template line is removed
+    val pad = Seq((1L, "s", "  tpl  \nbody"), (2L, "s", "tpl\nother"))
+      .toDF("doc_id", "source", "text")
+    val o2 = Boilerplate.removeBoilerplate(pad, "doc_id", "text", "source", 50, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(o2(1L) == "body" && o2(2L) == "other")
+  }
+
   test("kmvDistinct: exact below k, estimator lands within KMV error above") {
     import graft.operators.Sketch
     // group "small": 10 distinct values (< k=64) → exact; group "big":
