@@ -1019,6 +1019,21 @@ object QueriesLLM {
         .orderBy("node")
     }),
 
+    // ---------------- UT1-style domain-suffix blocklist AS DATA: each
+    // host's bounded suffix chain explodes against a broadcast blocklist
+    // table ("src0.example.com" blocks every subdomain; an exact-host entry
+    // blocks just that host); survivors ride an AQE-sized anti-join.
+    "url_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val d = rd(s, dir, "documents")
+      val withHost = d.select(col("doc_id"), col("source"),
+        graft.operators.Url.host(syntheticUrl).as("host"))
+      val bl = Seq("src0.example.com", "src3.example.com", "www.src1.example.com")
+        .toDF("suffix")
+      graft.operators.Url.blocklistFilter(withHost, "doc_id", "host", bl)
+        .orderBy("doc_id")
+    }),
+
     // ---------------- CCNet-style boilerplate removal: lines repeating in
     // ≥50% of a source's docs (header/footer templates, synthesized with
     // the SAME expression as the oracle) are dropped; the 20%-frequency
@@ -2500,6 +2515,23 @@ object QueriesLLM {
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM u GROUP BY 1 ORDER BY 1""",
     "domain_pagerank" -> pageRankSql(5),
+    "url_blocklist" ->
+      // suffix chain via list slicing; label-wise matching (no substring
+      // confusion: src0.example.com never matches www.src10.example.com)
+      s"""WITH u AS (SELECT doc_id, source,
+           lower(regexp_extract($syntheticUrlSql, '^[^:/?#]+://([^:/?#]*)', 1)) AS host
+         FROM documents),
+         bl AS (SELECT * FROM (VALUES ('src0.example.com'), ('src3.example.com'),
+                ('www.src1.example.com')) AS t(suffix)),
+         sfx AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(ls) + 1),
+                    i -> array_to_string(ls[i:], '.'))) AS sfx
+                 FROM (SELECT doc_id, string_split(host, '.') AS ls FROM u)),
+         blocked AS (SELECT DISTINCT s.doc_id
+                     FROM sfx s JOIN bl ON s.sfx = lower(trim(bl.suffix)))
+         SELECT u.doc_id, u.source, u.host FROM u
+         WHERE NOT EXISTS (SELECT 1 FROM blocked b WHERE b.doc_id = u.doc_id)
+         ORDER BY u.doc_id""",
     "boilerplate_removal" ->
       // same synthesized template; boilerplate = trimmed lines in ≥50% of a
       // source's docs (and ≥2), removal by anti-join, ordered reassembly

@@ -64,6 +64,37 @@ object Url {
   }
 
   /** Top-level domain (last label). */
+  /** Domain-suffix blocklist filter with the blocklist AS DATA — the UT1 /
+    * SafeSearch-list shape: `blocklist` is a one-column table of domain
+    * suffixes ("ads.example.com" blocks itself and every subdomain), the
+    * corpus row is dropped when ANY suffix of its host matches. The host's
+    * suffix chain is exploded with a bounded lambda (hosts have ≤ ~6
+    * labels; no UDF) and anti-joined against the blocklist — broadcast-able
+    * at any corpus size because blocklists are thousands of rows, and the
+    * corpus is touched once with no shuffle on the corpus side.
+    *
+    * @param df        corpus with a host column (use [[host]] to derive it)
+    * @param idCol     unique row key (doc id) — the anti-join key
+    * @param hostCol   canonical lowercase hostname column name
+    * @param blocklist one column `suffixCol` of lowercase domain suffixes
+    * @return df rows whose host matches no blocklist suffix */
+  def blocklistFilter(df: org.apache.spark.sql.DataFrame, idCol: String, hostCol: String,
+                      blocklist: org.apache.spark.sql.DataFrame,
+                      suffixCol: String = "suffix"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val labels = split(col(hostCol), "\\.")
+    // suffix i = labels[i..n-1] joined by '.', for i in 0..n-1
+    val suffixes = transform(sequence(lit(0), size(labels) - 1),
+      i => array_join(slice(labels, i + 1, size(labels)), "."))
+    val bl = broadcast(blocklist.select(lower(trim(col(suffixCol))).as("__sfx")).distinct())
+    val blockedIds = df.select(col(idCol), explode(suffixes).as("__sfx"))
+      .join(bl, "__sfx").select(col(idCol)).distinct()
+    // blocked ids are usually ≪ corpus (a hit is the exception) — leave the
+    // anti-join unhinted so AQE broadcasts when that holds and falls back
+    // to a keyed shuffle when a whale domain is blocked
+    df.join(blockedIds, Seq(idCol), "left_anti")
+  }
+
   def tld(url: Column): Column =
     regexp_extract(host(url), "[^.]+$", 0)
 }

@@ -36,6 +36,26 @@ class UrlSpec extends SparkSpec {
     assert(norm("https://a.com/x/") == "https://a.com/x/")
   }
 
+  test("blocklistFilter: suffix blocks subdomains, exact host blocks one, labels don't substring-match") {
+    val docs = Seq(
+      (1L, "ads.tracker.net"),      // blocked by suffix tracker.net
+      (2L, "sub.ads.tracker.net"),  // deeper subdomain, also blocked
+      (3L, "nottracker.net"),       // label-wise: NOT blocked by tracker.net
+      (4L, "exact.host.org"),       // blocked by exact-host entry
+      (5L, "keep.host.org"),        // sibling of the exact host survives
+      (6L, "clean.example.com")
+    ).toDF("doc_id", "host")
+    val bl = Seq("tracker.net", "exact.host.org").toDF("suffix")
+    val kept = Url.blocklistFilter(docs, "doc_id", "host", bl)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 5L, 6L), s"kept=$kept")
+    // blocklist hygiene: mixed case + padding in the list still matches
+    val messy = Seq("  Tracker.NET  ").toDF("suffix")
+    val kept2 = Url.blocklistFilter(docs, "doc_id", "host", messy)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 == Set(3L, 4L, 5L, 6L))
+  }
+
   test("host / registrableDomain / tld") {
     val df = Seq("https://WWW.News.Example.co:8443/x?a=1",
       "http://localhost/x").toDF("u")
