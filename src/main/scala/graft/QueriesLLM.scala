@@ -235,6 +235,16 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- int8 scalar-quantized brute-force top-k: codes are
+    // exact integers (floor(x·127/scale + 0.5) — identical IEEE ops in
+    // both engines, unlike round()'s divergent half-way rules), the inner
+    // product an order-free integer fold, de-scaling one fixed-order float
+    // expression — the 4-bytes-per-dim → 1 memory-traffic scale path.
+    "ann_sq8_topk" -> ((s, dir) => {
+      Similarity.sq8TopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0, k = 10)
+    }),
+
     // ---------------- IVF ANN with a deterministic coarse quantizer: the 8
     // lowest-id vectors seed the centroids, so assign → probe → re-rank is
     // fully oracle-replicable (the k-means variant shares this exact
@@ -1620,6 +1630,26 @@ object QueriesLLM {
              AS cos
            FROM e, q WHERE e.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "ann_sq8_topk" ->
+      // int8 codes via floor(x·127/scale + 0.5); integer dot; one float
+      // de-scale expression in the same parenthesization as the Spark side
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         enc AS (SELECT vec_id, sc,
+                  CASE WHEN sc = 0 THEN list_transform(v, x -> 0::BIGINT)
+                       ELSE list_transform(v, x -> CAST(floor(x * 127.0 / sc + 0.5) AS BIGINT))
+                  END AS c
+                 FROM (SELECT vec_id, v,
+                         list_max(list_transform(v, x -> abs(x))) AS sc FROM e)),
+         q AS (SELECT c AS qc, sc AS qsc FROM enc WHERE vec_id = 0),
+         sc2 AS (SELECT enc.vec_id,
+                  list_reduce(list_prepend(0::BIGINT,
+                    list_transform(list_zip(enc.c, q.qc), p -> p[1] * p[2])),
+                    (a, b) -> a + b) AS dot_q,
+                  enc.sc AS sc, q.qsc AS qsc
+                 FROM enc, q WHERE enc.vec_id != 0)
+         SELECT vec_id, dot_q,
+           (CAST(dot_q AS DOUBLE) * (sc * qsc)) / 16129.0 AS score
+         FROM sc2 ORDER BY score DESC, vec_id ASC LIMIT 10""",
     "ann_ivf_topk" ->
       // same sequential-fold arithmetic as ann_cosine_topk; assignment is
       // argmin squared-L2 with ties to the lowest centroid index

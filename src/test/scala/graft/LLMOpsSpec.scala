@@ -365,6 +365,27 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
   }
 
+  test("sq8TopK: codes bounded, zero vector guarded, high recall vs exact dot") {
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until 16).map(j => (math.sin(i * 16 + j) * 0.9).toFloat).toArray)
+    } :+ (200L, Array.fill(16)(0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val enc = df.select(Similarity.sq8Encode(col("embedding")).as("e"))
+      .select(col("e.codes")).as[Seq[Long]].collect()
+    assert(enc.flatten.forall(c => c >= -127L && c <= 127L), "codes out of int8 range")
+    val sq = Similarity.sq8TopK(df, "vec_id", "embedding", queryId = 0, k = 10).collect()
+    assert(sq.length == 10)
+    val q = vecs.head._2
+    val exactTop = vecs.drop(1).dropRight(1).map { case (id, a) =>
+      id -> a.zip(q).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    }.sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val sqTop = sq.map(_.getLong(0)).toSet
+    assert((exactTop intersect sqTop).size >= 8,
+      s"8-bit quantization recall too low: exact=$exactTop sq8=$sqTop")
+    // the zero vector neither crashes the encode nor outranks real matches
+    assert(!sqTop.contains(200L))
+  }
+
   test("hllDistinct: estimate within HLL error; small range flagged via n_zero") {
     import graft.operators.Sketch
     val rows = (1 to 10).map(i => ("small", s"v$i")) ++
