@@ -599,6 +599,17 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- weight-proportional Poisson sampling (expected size
+    // 50, inclusion ∝ n_chars): ONE scalar total broadcasts, then the
+    // corpus is a pure filter — no sort/top-k/shuffle, the cheapest PPS
+    // sampler at 100 TB. Decimal-widened integer compare ⇒ bit-identical.
+    "poisson_sample" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.poissonWeightedSample(d, "doc_id", col("n_chars"), k = 50)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- temperature-weighted corpus mixture sampling over the
     // source column (alpha=0.5: post-sample sizes ∝ sqrt of raw sizes)
     "corpus_mix" -> ((s, dir) => {
@@ -2400,6 +2411,13 @@ object QueriesLLM {
                 FROM w)
          SELECT doc_id, logw_q4, g_q4, logw_q4 + g_q4 AS key_q4 FROM gq
          ORDER BY key_q4 DESC, doc_id ASC LIMIT 100""",
+    "poisson_sample" ->
+      // keep iff hash(id)·W < k·w·2^60 in exact HUGEINT arithmetic
+      """WITH t AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS W FROM documents)
+         SELECT doc_id, source, n_chars FROM documents, t
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS HUGEINT) * W
+             < 50::HUGEINT * CAST(n_chars AS HUGEINT) * 1152921504606846976::HUGEINT
+         ORDER BY doc_id""",
     "corpus_mix" ->
       // sqrt is IEEE-correctly-rounded in both engines; the keep threshold is
       // integer-compared so the sample is bit-identical

@@ -20,6 +20,30 @@ object Corpus {
   private def mixHash(id: Column): Column =
     Dedup.hash60(concat(lit("mix:"), id.cast(StringType)))
 
+  /** Weight-proportional Poisson sampling: keep a row iff
+    * hash(id)·W < k·w·2⁶⁰, i.e. with probability k·w/W — expected sample
+    * size k, inclusion probability proportional to weight (token budget,
+    * char count). The cheapest sampler that exists at 100 TB: ONE scalar
+    * total W rides along broadcast, then the corpus is a pure filter — no
+    * sort, no top-k, no shuffle, no state. Independent Bernoulli draws ⇒
+    * size concentrates at k ± O(√k) (Poisson sampling, Särndal et al.
+    * 1992 §3.2; the PPS primitive under DSIR-style budget resampling).
+    * All-integer (decimal-widened) arithmetic: reruns and the DuckDB
+    * oracle select the identical row set. Rows with weight ≥ W/k are
+    * certain picks; weight-0 rows never qualify. */
+  def poissonWeightedSample(df: DataFrame, idCol: String, weight: Column,
+                            k: Int): DataFrame = {
+    require(k >= 1, "sample size k >= 1")
+    val dec = DecimalType(38, 0)
+    val tot = df.agg(sum(weight.cast(LongType)).as("__W"))
+    df.crossJoin(broadcast(tot))
+      .filter(TextAnalysis.tokenHash(col(idCol).cast(StringType)).cast(dec) *
+        col("__W").cast(dec) <
+        lit(k).cast(dec) * weight.cast(LongType).cast(dec) *
+          lit(1152921504606846976L).cast(dec))
+      .drop("__W")
+  }
+
   /** Temperature-weighted mixture sampling over a domain column (the
     * multilingual/multi-source balancing step: raw web corpora are dominated
     * by a few giant domains; training mixtures want flatter shares).

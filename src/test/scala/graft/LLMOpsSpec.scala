@@ -365,6 +365,26 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
   }
 
+  test("poissonWeightedSample: expected size, certain whales, zero-weight excluded, deterministic") {
+    import graft.operators.Corpus
+    val df = (1 to 2000).map(i => (i.toLong, 100L)).toDF("doc_id", "w")
+    val s1 = Corpus.poissonWeightedSample(df, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    // Binomial(2000, 0.05): σ ≈ 9.7; ±50 is >5σ — no flake odds
+    assert(math.abs(s1.size - 100) < 50, s"n=${s1.size}")
+    val s2 = Corpus.poissonWeightedSample(df, "doc_id", col("w"), k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same input must select the identical row set")
+    // a row with weight ≥ W/k has inclusion probability 1 (never missed);
+    // a zero-weight row has probability 0 (never picked)
+    val skew = ((1 to 99).map(i => (i.toLong, 1L)) ++ Seq((1000L, 1000L), (2000L, 0L)))
+      .toDF("doc_id", "w")
+    val picked = Corpus.poissonWeightedSample(skew, "doc_id", col("w"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked.contains(1000L), "whale with k·w ≥ W must always be kept")
+    assert(!picked.contains(2000L), "zero-weight row must never be kept")
+  }
+
   test("sq8TopK: codes bounded, zero vector guarded, high recall vs exact dot") {
     val vecs = (0 until 200).map { i =>
       (i.toLong, (0 until 16).map(j => (math.sin(i * 16 + j) * 0.9).toFloat).toArray)
