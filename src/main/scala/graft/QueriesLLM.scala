@@ -437,6 +437,20 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- Luhn-validated card scrubbing: candidates planted
+    // with the SAME expression as the oracle — two Luhn-valid numbers (one
+    // space-separated) are redacted and counted, the checksum-invalid
+    // digit run is provably left alone. Pure HOF fold, no UDF.
+    "card_scrub" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val synth = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" card 4111111111111111 ok")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" pay 5500 0000 0000 0004 now")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" order 4111111111111112 ref")).otherwise(lit("")))
+      TextAnalysis.cardScrub(d.select(col("doc_id"), synth.as("text")), "text", "clean")
+        .select("doc_id", "n_cards", "clean").orderBy("doc_id")
+    }),
+
     // ---------------- Gopher-style repetition filter signals
     "repetition_stats" -> ((s, dir) => {
       TextAnalysis.repetitionStats(
@@ -1537,6 +1551,31 @@ object QueriesLLM {
             regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
               '$p', '<PHONE>', 'g') AS clean
           FROM documents ORDER BY doc_id"""
+    },
+    "card_scrub" -> {
+      val cr = TextAnalysis.cardRe
+      // same candidate regex; Luhn as a nested lambda with the identical
+      // right-to-left double/-9 arithmetic; only valid matches replaced
+      s"""WITH syn AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 3 = 0 THEN ' card 4111111111111111 ok' ELSE '' END ||
+           CASE WHEN doc_id % 4 = 0 THEN ' pay 5500 0000 0000 0004 now' ELSE '' END ||
+           CASE WHEN doc_id % 5 = 0 THEN ' order 4111111111111112 ref' ELSE '' END AS text
+         FROM documents),
+         v AS (SELECT doc_id, text,
+           list_filter(regexp_extract_all(text, '$cr'), cd ->
+             list_sum(list_transform(
+               range(1, len(regexp_replace(cd, '[ -]', '', 'g')) + 1),
+               i -> CASE WHEN i % 2 = 0 THEN
+                      CASE WHEN CAST(regexp_replace(cd, '[ -]', '', 'g')[-i] AS INT) * 2 > 9
+                           THEN CAST(regexp_replace(cd, '[ -]', '', 'g')[-i] AS INT) * 2 - 9
+                           ELSE CAST(regexp_replace(cd, '[ -]', '', 'g')[-i] AS INT) * 2 END
+                    ELSE CAST(regexp_replace(cd, '[ -]', '', 'g')[-i] AS INT) END)) % 10 = 0)
+           AS valid
+         FROM syn)
+         SELECT doc_id, CAST(len(valid) AS BIGINT) AS n_cards,
+           list_reduce(list_prepend(text, valid),
+             (acc, vv) -> replace(acc, vv, '<CARD>')) AS clean
+         FROM v ORDER BY doc_id"""
     },
     "repetition_stats" ->
       """WITH t AS (

@@ -56,7 +56,7 @@ object Graph {
     var rank = nodes.crossJoin(nDf)
       .select(col("node"), expr(s"$scale div __n").as("pr"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = rank.join(e, col("node") === col("__s"))
         .join(outW, "__s")
         .select(col("__d").as("node"),
@@ -67,7 +67,9 @@ object Graph {
         .select(col("node"),
           expr(s"(($scale * ${100 - dampPct}) div 100) div __n" +
             s" + ($dampPct * coalesce(__c, 0L)) div 100").as("pr"))
-        .localCheckpoint()
+      // every-2nd-iteration cadence: plan depth stays O(1) while the
+      // materialization jobs halve (the BPE-vocab cadence lesson)
+      if (i % 2 == 0 || i == iters) rank = rank.localCheckpoint()
     }
     rank
   }

@@ -533,6 +533,43 @@ object TextAnalysis {
         regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"),
           phoneRe, "<PHONE>"))
 
+  /** Credit-card-shaped digit runs (13–19 digits, optional single space or
+    * dash separators) — RE2-compatible, so DuckDB applies the identical
+    * pattern. Candidates are then Luhn-validated; only valid numbers are
+    * treated as PII. */
+  val cardRe = "(?:[0-9][ -]?){12,18}[0-9]"
+
+  /** Luhn checksum (ISO/IEC 7812) of a digit string, as a pure HOF fold:
+    * from the rightmost digit, double every second one (−9 when >9), sum.
+    * Valid numbers sum to ≡ 0 (mod 10). Identical integer arithmetic to
+    * the DuckDB oracle's lambda. */
+  def luhnSum(ds: Column): Column = {
+    val n = length(ds)
+    aggregate(sequence(lit(1), n), lit(0), (acc, i) => {
+      val d = ds.substr(n - i + lit(1), lit(1)).cast(IntegerType)
+      acc + when(i % 2 === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+  }
+
+  /** Scrub Luhn-VALID card numbers (counting them), leaving Luhn-invalid
+    * digit runs untouched — the checksum is what separates a card from an
+    * order id, so a regex-only scrubber both over-redacts and under-counts.
+    * Pure expressions: extract candidates, validate each with [[luhnSum]],
+    * string-replace only the valid ones. No shuffle, codegen throughout. */
+  def cardScrub(df: org.apache.spark.sql.DataFrame, textCol: String,
+                out: String): org.apache.spark.sql.DataFrame = {
+    val cands = regexp_extract_all(col(textCol), lit(cardRe), lit(0))
+    val valid = filter(cands, c =>
+      luhnSum(regexp_replace(c, "[ -]", "")) % 10 === 0)
+    df.withColumn("__valid", valid)
+      .withColumn("n_cards", size(col("__valid")).cast(LongType))
+      .withColumn(out,
+        aggregate(col("__valid"), col(textCol),
+          (acc, v) => replace(acc, v, lit("<CARD>"))))
+      .drop("__valid")
+  }
+
   // ---------------------------------------------------------------- C4 filters
   /** C4-style heuristic page cleaning (Raffel et al. 2020 §2.2, public):
     * keep only lines that end in terminal punctuation, have at least

@@ -365,6 +365,27 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
   }
 
+  test("cardScrub: Luhn-valid numbers redacted, invalid digit runs untouched") {
+    val in = Seq(
+      (1L, "pay 4111111111111111 today"),            // valid Visa test number
+      (2L, "ref 4111111111111112 is an order id"),   // fails Luhn → kept
+      (3L, "card 5500 0000 0000 0004 and 4111111111111111 both"), // two valid
+      (4L, "call 555-123-4567 maybe"),               // 10 digits: not a candidate
+      (5L, "no digits at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cardScrub(in, "text", "clean")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, "pay <CARD> today")))
+    assert(out(2L) == ((0L, "ref 4111111111111112 is an order id")))
+    assert(out(3L) == ((2L, "card <CARD> and <CARD> both")))
+    assert(out(4L) == ((0L, "call 555-123-4567 maybe")))
+    assert(out(5L) == ((0L, "no digits at all")))
+    // luhnSum ground truth: 79927398713 is the canonical Luhn example
+    val s = Seq("79927398713").toDF("d")
+      .select(TextAnalysis.luhnSum(col("d")).as("s")).as[Int].collect()(0)
+    assert(s % 10 == 0, s"canonical Luhn example must validate: sum=$s")
+  }
+
   test("poissonWeightedSample: expected size, certain whales, zero-weight excluded, deterministic") {
     import graft.operators.Corpus
     val df = (1 to 2000).map(i => (i.toLong, 100L)).toDF("doc_id", "w")
