@@ -969,6 +969,44 @@ object QueriesLLM {
       est.crossJoin(exact)
     }),
 
+    // ---------------- streaming HLL under the oracle via a TWO-BATCH
+    // MemoryStream replay: docs 0-249 arrive, the batch commits its
+    // registers, docs 250+ fold into the RETAINED state — the final
+    // estimates (min/min/max over the monotone update stream) must equal
+    // the batch fold over the whole corpus, which is what the oracle
+    // computes. Cross-batch register merge itself is hash-gated.
+    "streaming_hll_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      val (b1, b2) = docs.partition(_._1 < 250)
+      val in = MemoryStream[(Long, String, String)]
+      val stream = in.toDF.toDF("doc_id", "source", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val toks = graft.operators.TextAnalysis.tokens(col("text"))
+      val bg = stream.withColumn("__toks", toks)
+        .filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val out = graft.streaming.Streams.streamingHllDistinct(bg, "source", "bg", p = 8)
+      val name = "shll_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("source"))
+        .agg(min("n_zero").as("n_zero"), min("sum_scaled").as("sum_scaled"),
+          max("hll_est").as("hll_est"))
+        .orderBy("source")
+    }),
+
     // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap
     // (union / Jaccard / intersection estimates) — the cheap pre-check
     // before a full cross-corpus dedup, bit-replayed by the oracle
@@ -2412,6 +2450,26 @@ object QueriesLLM {
              CAST(s_obs + (256 - n_obs) * 9007199254740992 AS DOUBLE)) AS hll_est,
            ex.n_exact
          FROM ag, ex""",
+    "streaming_hll_2batch" ->
+      // the replayed stream's final registers == the batch fold over the
+      // whole corpus (max() merge is order- and batch-boundary-free)
+      s"""WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rg AS (SELECT source, h >> 52 AS bucket,
+                  max(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+                           ELSE 53 - length(bin(h & 4503599627370495)) END) AS r
+                FROM hh GROUP BY 1, 2),
+         ag AS (SELECT source, count(*) AS n_obs,
+                  sum(1::BIGINT << CAST(53 - r AS INT)) AS s_obs FROM rg GROUP BY 1)
+         SELECT source, CAST(256 - n_obs AS BIGINT) AS n_zero,
+           CAST(s_obs + (256 - n_obs) * 9007199254740992 AS BIGINT) AS sum_scaled,
+           floor(${graft.operators.Sketch.hllConstant(8)} /
+             CAST(s_obs + (256 - n_obs) * 9007199254740992 AS DOUBLE)) AS hll_est
+         FROM ag ORDER BY source""",
     "kmv_overlap" ->
       // bottom-64 of each corpus, bottom-64 of their union, coincidence
       // fraction — identical CASE/arithmetic order to the Spark side

@@ -226,6 +226,61 @@ object Streams {
     * `suspect`. Route suspect=true docs to the exact batch verify
     * (`Dedup.decontaminate`) downstream; suspect=false is definitive
     * (Bloom filters have no false negatives). */
+  /** Streaming HLL distinct-count estimation — the ingestion-time form of
+    * `Sketch.hllDistinct`: per group the state is the m = 2^p register
+    * array (m BYTES, constant forever — even smaller than KMV's k longs),
+    * each batch folds its (bucket, rank) pairs in with max() and emits the
+    * group's current (n_zero, sum_scaled, hll_est) using the batch
+    * estimator's exact integer-sum + single-floor-division arithmetic, so
+    * a converged stream reports the bit-identical estimate to the batch
+    * fold over the same rows — the register merge is max(), order-free
+    * across batches by construction. Update output mode; all three output
+    * columns are monotone (n_zero and sum_scaled never increase, hll_est
+    * never decreases), so the final state of a replay is
+    * min/min/max per group over the emitted updates. */
+  def streamingHllDistinct(stream: DataFrame, groupCol: String,
+                           valueCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val width = 60 - p
+    val mask = (1L << width) - 1
+    val m = 1 << p
+    val p1 = 61 - p
+    val c = graft.operators.Sketch.hllConstant(p)
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"))
+      .filter(col("h").isNotNull) // null value ⇒ null hash ⇒ encoder throw
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Long)], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, h) =>
+            val b = (h >>> width).toInt
+            val low = h & mask
+            // rank = leading zeros within the low `width` bits + 1 — the
+            // same integer as the batch path's width+1 − length(bin(low))
+            val rho =
+              if (low == 0L) width + 1
+              else java.lang.Long.numberOfLeadingZeros(low) + width - 63
+            if (rho > regs(b)) regs(b) = rho.toByte
+          }
+          state.update(regs)
+          var nz = 0L; var sum = 0L; var i = 0
+          while (i < m) {
+            val r = regs(i)
+            if (r == 0) nz += 1
+            sum += 1L << (p1 - r)
+            i += 1
+          }
+          (g, nz, sum, math.floor(c / sum.toDouble))
+      }
+      .toDF(groupCol, "n_zero", "sum_scaled", "hll_est")
+  }
+
   /** Streaming KMV distinct-count estimation — the ingestion-time form of
     * `Sketch.kmvDistinct`: per group the state is the bottom-k 60-bit hash
     * set (k longs, CONSTANT regardless of stream cardinality — an exact

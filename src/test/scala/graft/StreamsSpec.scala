@@ -151,6 +151,39 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingHllDistinct: cross-batch register merge equals the batch fold") {
+    import graft.operators.Sketch
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val out = Streams.streamingHllDistinct(in.toDF.toDF("grp", "v"), "grp", "v", p = 8)
+    val q = out.writeStream.format("memory").queryName("shlltest")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 300).map(i => ("big", s"val-$i")) :+ (("small", "x")): _*)
+      q.processAllAvailable()
+      in.addData((200 to 500).map(i => ("big", s"val-$i")) :+ (("small", "x")): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM shlltest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val byGrp = rows.zipWithIndex.groupBy(_._1._1)
+        .map { case (g, rs) => g -> rs.maxBy(_._2)._1 }
+      val union = ((1 to 500).map(i => ("big", s"val-$i")) ++ Seq(("small", "x"), ("small", "x")))
+        .toDF("grp", "v")
+      val batch = Sketch.hllDistinct(union, Seq("grp"), col("v"), p = 8)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert((byGrp("big")._2, byGrp("big")._3, byGrp("big")._4) == batch("big"),
+        s"stream=${byGrp("big")} batch=${batch("big")}")
+      assert((byGrp("small")._2, byGrp("small")._3, byGrp("small")._4) == batch("small"))
+      // monotonicity (what the replay query's min/min/max aggregation relies
+      // on): re-emissions never increase n_zero/sum_scaled or decrease est
+      val bigEmits = rows.filter(_._1 == "big")
+      assert(bigEmits.sliding(2).forall {
+        case Array(a, b) => b._2 <= a._2 && b._3 <= a._3 && b._4 >= a._4
+        case _ => true
+      })
+    } finally q.stop()
+  }
+
   test("session window groups by inactivity gap") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
