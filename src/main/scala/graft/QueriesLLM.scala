@@ -235,6 +235,25 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- document embeddings by mean-pooling a word-vector
+    // table (vectors AS DATA, broadcast-joined; components here are a
+    // deterministic hash embedding so the oracle rebuilds the identical
+    // table): integer component sums are exact, the mean is one IEEE
+    // division per dimension, the array reassembles ordered.
+    "doc_embedding_pool" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val vecs = toks.select(col("w")).distinct()
+        .select(col("w"), array((0 until 16).map(j =>
+          (graft.operators.TextAnalysis.tokenHash(concat(col("w"), lit(":" + j)))
+            % 2001 - 1000)): _*).as("v"))
+      Similarity.meanPoolEmbedding(toks, "doc_id", "w", vecs, "w", "v")
+        // the hash gate compares scalar cells: flatten (doc, dim, value)
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
+        .orderBy("doc_id", "dim")
+    }),
+
     // ---------------- int8 scalar-quantized brute-force top-k: codes are
     // exact integers (floor(x·127/scale + 0.5) — identical IEEE ops in
     // both engines, unlike round()'s divergent half-way rules), the inner
@@ -1718,6 +1737,22 @@ object QueriesLLM {
              AS cos
            FROM e, q WHERE e.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    "doc_embedding_pool" ->
+      // same hash-embedding table, exact integer sums, one division per
+      // dimension, list() ordered by dimension index
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         comp AS (SELECT doc_id, w, unnest(range(0, 16)) AS j FROM tok),
+         v AS (SELECT doc_id, j,
+                 ('0x' || substr(md5(w || ':' || j), 1, 15))::BIGINT % 2001 - 1000 AS c
+               FROM comp),
+         agg AS (SELECT doc_id, j, CAST(sum(c) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM v GROUP BY 1, 2)
+         SELECT doc_id, CAST(j AS INT) AS dim,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS val
+         FROM agg ORDER BY doc_id, dim""",
     "ann_sq8_topk" ->
       // int8 codes via floor(x·127/scale + 0.5); integer dot; one float
       // de-scale expression in the same parenthesization as the Spark side

@@ -52,6 +52,34 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  // ------------------------------------------- document embedding pooling
+  /** Mean-pool word vectors into document embeddings — the classic
+    * word2vec/GloVe document representation, and the plumbing every
+    * embed-then-search pipeline needs: tokens broadcast-join the
+    * vocabulary-sized vector table (as DATA — a pretrained table from
+    * `Sources.word2vecText/Binary` drops straight in), components
+    * posexplode so the pooling sums are (id, dim)-keyed with map-side
+    * combine — per-group state is one number, never a vector list — and
+    * the ordered embedding reassembles from (dim, mean) structs. With
+    * integer vector components the sums are exact and the per-component
+    * mean is one IEEE division: bit-replayable. Two keyed shuffles total,
+    * both on corpus-sized but fixed-width rows. */
+  def meanPoolEmbedding(tokens: DataFrame, idCol: String, wordCol: String,
+                        vectors: DataFrame, vecWordCol: String,
+                        vecCol: String): DataFrame = {
+    val joined = tokens.join(
+      broadcast(vectors.select(col(vecWordCol).as("__w"), col(vecCol).as("__v"))),
+      tokens(wordCol) === col("__w"))
+    joined.select(col(idCol), posexplode(col("__v")).as(Seq("__j", "__c")))
+      .groupBy(col(idCol), col("__j"))
+      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"),
+          (col("__s").cast(DoubleType) / col("__n").cast(DoubleType)).as("__m")))),
+        s => s.getField("__m")).as("embedding"))
+  }
+
   // ------------------------------------------------------------- SQ8 ANN
   /** Symmetric int8 scalar quantization of a vector column: per-vector
     * scale = max |v_i|, codes c_i = ⌊v_i·127/scale + 0.5⌋ ∈ [−127, 127].

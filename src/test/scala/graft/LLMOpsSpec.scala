@@ -365,6 +365,19 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "heap path must not plan a sort")
   }
 
+  test("meanPoolEmbedding: exact per-dimension means, ordered dims, OOV dropped") {
+    val toks = Seq((1L, "a"), (1L, "b"), (1L, "zz"), (2L, "b"))
+      .toDF("doc_id", "w")
+    val vecs = Seq(("a", Seq(2L, 4L, -6L)), ("b", Seq(0L, 10L, 2L)))
+      .toDF("w", "v")
+    val out = Similarity.meanPoolEmbedding(toks, "doc_id", "w", vecs, "w", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // doc 1: mean of a and b ("zz" has no vector → dropped from the pool)
+    assert(out(1L) == Seq(1.0, 7.0, -2.0))
+    // doc 2: a single token's embedding is the token's vector
+    assert(out(2L) == Seq(0.0, 10.0, 2.0))
+  }
+
   test("cardScrub: Luhn-valid numbers redacted, invalid digit runs untouched") {
     val in = Seq(
       (1L, "pay 4111111111111111 today"),            // valid Visa test number
