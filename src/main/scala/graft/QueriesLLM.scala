@@ -1026,6 +1026,61 @@ object QueriesLLM {
         .orderBy("source")
     }),
 
+    // ---------------- streaming KMV under the oracle via the same
+    // two-batch replay: bottom-k state folds across the batch boundary,
+    // final values (max/max — n_kept and est are both monotone
+    // non-decreasing) must equal the batch sketch over the whole corpus.
+    "streaming_kmv_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      val (b1, b2) = docs.partition(_._1 < 250)
+      val in = MemoryStream[(Long, String, String)]
+      val stream = in.toDF.toDF("doc_id", "source", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val bg = stream.withColumn("__toks", graft.operators.TextAnalysis.tokens(col("text")))
+        .filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      val out = graft.streaming.Streams.streamingKmvDistinct(bg, "source", "bg", k = 64)
+      val name = "skmv2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("source"))
+        .agg(max("n_kept").as("n_kept"), max("kmv_est").as("kmv_est"))
+        .orderBy("source")
+    }),
+
+    // ---------------- tokenizer-vocabulary OOV audit with the vocabulary
+    // AS DATA: the top-100-by-frequency token table (deterministic count
+    // tie-break) broadcast-left-joins the token stream; per-doc OOV rate
+    // is one integer-count division.
+    "vocab_oov" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+        .orderBy(col("__n").desc, col("w").asc).limit(100)
+        .select(col("w"), lit(1).as("__in"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_rate",
+          col("n_oov").cast(org.apache.spark.sql.types.DoubleType) /
+            col("n_tokens").cast(org.apache.spark.sql.types.DoubleType))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- KMV sketch set-ops: even/odd-corpus bigram overlap
     // (union / Jaccard / intersection estimates) — the cheap pre-check
     // before a full cross-corpus dedup, bit-replayed by the oracle
@@ -2505,6 +2560,39 @@ object QueriesLLM {
            floor(${graft.operators.Sketch.hllConstant(8)} /
              CAST(s_obs + (256 - n_obs) * 9007199254740992 AS DOUBLE)) AS hll_est
          FROM ag ORDER BY source""",
+    "streaming_kmv_2batch" ->
+      // the replayed stream's final bottom-64 == the batch sketch over the
+      // whole corpus (the retained set is order- and batch-boundary-free)
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT DISTINCT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rn AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM hh),
+         bk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+                FROM rn WHERE rn <= 64 GROUP BY 1)
+         SELECT source, n_kept,
+           CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                ELSE floor(63.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE)) END
+             AS kmv_est
+         FROM bk ORDER BY source""",
+    "vocab_oov" ->
+      // top-100 vocabulary by count (ties: token asc) rebuilt identically;
+      // OOV = token with no vocabulary row
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+         vc AS (SELECT w FROM (SELECT w, count(*) AS n FROM tok GROUP BY 1
+                ORDER BY n DESC, w ASC LIMIT 100)),
+         j AS (SELECT tok.doc_id, tok.w, vc.w AS vw
+               FROM tok LEFT JOIN vc ON vc.w = tok.w)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(sum(CASE WHEN vw IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM j GROUP BY 1 ORDER BY 1""",
     "kmv_overlap" ->
       // bottom-64 of each corpus, bottom-64 of their union, coincidence
       // fraction — identical CASE/arithmetic order to the Spark side

@@ -67,12 +67,18 @@ object Similarity {
   def meanPoolEmbedding(tokens: DataFrame, idCol: String, wordCol: String,
                         vectors: DataFrame, vecWordCol: String,
                         vecCol: String): DataFrame = {
-    val joined = tokens.join(
+    // (id, word) → count first: the dim-explode then rides the DISTINCT
+    // word stream (vocabulary compression — repeated tokens cost one row),
+    // with sums weighted by the count. Integer math identical to the
+    // unweighted form, so oracles don't move.
+    val wc = tokens.groupBy(col(idCol), col(wordCol).as("__w0"))
+      .agg(count(lit(1)).as("__cnt"))
+    val joined = wc.join(
       broadcast(vectors.select(col(vecWordCol).as("__w"), col(vecCol).as("__v"))),
-      tokens(wordCol) === col("__w"))
-    joined.select(col(idCol), posexplode(col("__v")).as(Seq("__j", "__c")))
+      col("__w0") === col("__w"))
+    joined.select(col(idCol), col("__cnt"), posexplode(col("__v")).as(Seq("__j", "__c")))
       .groupBy(col(idCol), col("__j"))
-      .agg(sum(col("__c")).as("__s"), count(lit(1)).as("__n"))
+      .agg(sum(col("__c") * col("__cnt")).as("__s"), sum(col("__cnt")).as("__n"))
       .groupBy(col(idCol))
       .agg(transform(
         array_sort(collect_list(struct(col("__j"),
