@@ -1386,6 +1386,30 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- perceptual-hash image dedup: REAL PNG decode →
+    // 8×8 aHash (integer threshold, bit-string form) → ONE phash groupBy
+    // labels every image with its duplicate cluster (48 distinct gradient
+    // parameter combos over 500 docs ⇒ real collision groups). The
+    // payloads never enter a shuffle; the oracle rebuilds the sampled
+    // grid in closed form.
+    "multimodal_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 3 + 4).toInt
+          val h = (id % 2 + 4).toInt
+          (id, graft.operators.Multimodal.encodeGradientPng(w, h, (id % 8).toInt))
+        }
+      }.toDF("doc_id", "payload")
+      val ph = graft.operators.Multimodal.perceptualHashes(bin, "doc_id", "payload")(s)
+      val grp = ph.groupBy(col("phash"))
+        .agg(min(col("id")).as("dup_of"), count(lit(1)).as("n_same"))
+      ph.join(grp, "phash")
+        .select(col("id").as("doc_id"), col("phash"), col("dup_of"), col("n_same"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- multimodal frame sampling with REAL container
     // decode: animated GIFs (the JDK's one multi-frame codec, solid-colour
     // frames so palette round-trip is exact) are frame-sampled at stride 2
@@ -3108,6 +3132,28 @@ object QueriesLLM {
            CAST(sum(g) AS DOUBLE) / 12 AS mean_g,
            CAST(sum(b) AS DOUBLE) / 12 AS mean_b
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+    "multimodal_phash_dedup" ->
+      // the 8×8 floor-grid sample of the gradient in closed form; gray =
+      // r+g+b; bit i = gray_i·64 ≥ Σgray, assembled as an ordered bit
+      // string; dedup labels by phash equality
+      """WITH d AS (SELECT doc_id, (doc_id % 3) + 4 AS sw, (doc_id % 2) + 4 AS sh,
+                      doc_id % 8 AS base FROM documents),
+         px AS (SELECT doc_id, ty * 8 + tx AS i,
+                  ((base + 3 * ((tx * sw) // 8) + 5 * ((ty * sh) // 8)) % 256)
+                + ((base * 3 + 3 * ((tx * sw) // 8) + 5 * ((ty * sh) // 8)) % 256)
+                + ((base * 5 + 3 * ((tx * sw) // 8) + 5 * ((ty * sh) // 8)) % 256) AS g
+                FROM d,
+                  (SELECT unnest(range(8)) AS tx),
+                  (SELECT unnest(range(8)) AS ty)),
+         tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM px GROUP BY 1),
+         ph AS (SELECT px.doc_id,
+                  string_agg(CASE WHEN px.g * 64 >= tot.total THEN '1' ELSE '0' END,
+                    '' ORDER BY px.i) AS phash
+                FROM px JOIN tot ON tot.doc_id = px.doc_id GROUP BY 1),
+         grp AS (SELECT phash, min(doc_id) AS dup_of, CAST(count(*) AS BIGINT) AS n_same
+                 FROM ph GROUP BY 1)
+         SELECT ph.doc_id, ph.phash, grp.dup_of, grp.n_same
+         FROM ph JOIN grp ON grp.phash = ph.phash ORDER BY ph.doc_id""",
     "multimodal_frames" ->
       // solid-colour frames: the sampled frame's channel means ARE the
       // palette colour; stride 2 keeps frames 0 and 2 of the 1..4 present

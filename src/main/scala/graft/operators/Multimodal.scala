@@ -140,6 +140,65 @@ object Multimodal {
       }.toDF()
   }
 
+  /** 64-cell average hash (aHash) of an image — the standard perceptual
+    * fingerprint for image dedup: nearest-neighbor-sample the picture to
+    * an 8×8 grid (the same floor mapping as [[resizeImage]]), take the
+    * integer gray value r+g+b per cell, and set bit i when
+    * gray_i·64 ≥ Σgray (an EXACT integer threshold — no division, no
+    * float mean). The hash rides as a 64-char '0'/'1' string: bit 63 of a
+    * signed long overflows engines differently, a string never does, and
+    * equality-grouping (the dedup key) is identical either way. Returns
+    * None for undecodable payloads. */
+  def perceptualHash(payload: Array[Byte], hw: Int = 8, hh: Int = 8): Option[String] = {
+    if (payload == null || payload.length == 0) return None
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) return None
+      val n = hw * hh
+      val gray = new Array[Long](n)
+      val srcRow = new Array[Int](img.getWidth)
+      var total = 0L
+      var ty = 0
+      while (ty < hh) {
+        val sy = ty * img.getHeight / hh
+        img.getRGB(0, sy, img.getWidth, 1, srcRow, 0, img.getWidth)
+        var tx = 0
+        while (tx < hw) {
+          val p = srcRow(tx * img.getWidth / hw)
+          val g = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          gray(ty * hw + tx) = g
+          total += g
+          tx += 1
+        }
+        ty += 1
+      }
+      val sb = new java.lang.StringBuilder(n)
+      var i = 0
+      while (i < n) {
+        sb.append(if (gray(i) * n >= total) '1' else '0')
+        i += 1
+      }
+      Some(sb.toString)
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-partition batch perceptual hashing: (id, phash), null for
+    * undecodable payloads. Same mapPartitions batch shape as
+    * [[decodeImages]] — the corpus-scale image dedup pass is then ONE
+    * phash groupBy (exact-duplicate clusters) or a banded Hamming join on
+    * hash substrings (near-duplicate clusters), with the binary payloads
+    * never entering a shuffle. */
+  def perceptualHashes(df: DataFrame, idCol: String, payloadCol: String,
+                       hw: Int = 8, hh: Int = 8)
+                      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) => (id, perceptualHash(payload, hw, hh)) }
+      }.toDF("id", "phash")
+  }
+
   /** Per-partition batch audio probe: (id, sample_rate, channels, frames,
     * duration_ms), nulls for undecodable payloads. */
   def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String)

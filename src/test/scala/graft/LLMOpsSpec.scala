@@ -1176,6 +1176,25 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1)) // undecodable propagates as null payload → nulls
   }
 
+  test("multimodal: perceptual aHash — uniform all-ones, duplicates collide, distinct differ") {
+    implicit val s = spark
+    val d = Seq(
+      (1L, Multimodal.encodeGradientPng(16, 12, 40)),
+      (2L, Multimodal.encodeGradientPng(16, 12, 40)),   // byte-identical dup
+      (3L, Multimodal.encodeGradientPng(16, 12, 200)),  // different gradient
+      (4L, Multimodal.encodeGradientPng(5, 5, 77, mx = 0, my = 0)), // uniform
+      (5L, "not an image".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.perceptualHashes(d, "doc_id", "payload")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).get.length == 64 && out(1L).get.forall(c => c == '0' || c == '1'))
+    assert(out(1L) == out(2L), "identical images must share the hash")
+    assert(out(1L) != out(3L), "different gradients must differ")
+    // uniform image: every cell equals the mean → every threshold bit set
+    assert(out(4L).get == "1" * 64)
+    assert(out(5L).isEmpty, "undecodable payload → null hash")
+  }
+
   test("multimodal: animated-GIF frame sampling decodes every stride-th frame") {
     implicit val s = spark
     val gif = Multimodal.encodeGif(3, 2, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030))
