@@ -1410,6 +1410,35 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- banded Hamming near-dup over the perceptual hashes:
+    // 4×16-bit bands, pigeonhole guarantees distance ≤ 3 pairs share a
+    // band, ONE equality join builds candidates (never all pairs), exact
+    // Hamming filters. Runs on the same real-decode phash column.
+    // Fixture capped at 1 000 images with a 192-combo parameter space: the
+    // synthetic corpus reuses parameters cyclically, so uncapped growth
+    // inflates collision GROUP SIZE (quadratic pairs) rather than adding
+    // new images — the same blow-up streaming_neardup's replay caps. Real
+    // corpora grow the image population, not the per-hash multiplicity.
+    "multimodal_phash_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 1000).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val w = (id % 3 + 4).toInt
+          val h = (id % 2 + 4).toInt
+          // vary the gradient SLOPES, not just the base: aHash thresholds
+          // relative structure, so base alone (a uniform shift) leaves the
+          // bit pattern identical — slopes are what differentiate images
+          (id, graft.operators.Multimodal.encodeGradientPng(w, h, (id % 32).toInt,
+            mx = (id % 5 + 1).toInt, my = (id % 7 + 1).toInt))
+        }
+      }.toDF("doc_id", "payload")
+      val ph = graft.operators.Multimodal.perceptualHashes(bin, "doc_id", "payload")(s)
+      graft.operators.Multimodal.phashNearDups(ph, "id", "phash", bands = 4, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // ---------------- multimodal frame sampling with REAL container
     // decode: animated GIFs (the JDK's one multi-frame codec, solid-colour
     // frames so palette round-trip is exact) are frame-sampled at stride 2
@@ -3154,6 +3183,39 @@ object QueriesLLM {
                  FROM ph GROUP BY 1)
          SELECT ph.doc_id, ph.phash, grp.dup_of, grp.n_same
          FROM ph JOIN grp ON grp.phash = ph.phash ORDER BY ph.doc_id""",
+    "multimodal_phash_neardup" ->
+      // same closed-form hashes; banded candidates then exact
+      // character-wise Hamming distance
+      """WITH d AS (SELECT doc_id, (doc_id % 3) + 4 AS sw, (doc_id % 2) + 4 AS sh,
+                      doc_id % 32 AS base, (doc_id % 5) + 1 AS mx, (doc_id % 7) + 1 AS my
+                    FROM documents WHERE doc_id < 1000),
+         px AS (SELECT doc_id, ty * 8 + tx AS i,
+                  ((base + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256)
+                + ((base * 3 + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256)
+                + ((base * 5 + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256) AS g
+                FROM d,
+                  (SELECT unnest(range(8)) AS tx),
+                  (SELECT unnest(range(8)) AS ty)),
+         tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM px GROUP BY 1),
+         ph AS (SELECT px.doc_id,
+                  string_agg(CASE WHEN px.g * 64 >= tot.total THEN '1' ELSE '0' END,
+                    '' ORDER BY px.i) AS phash
+                FROM px JOIN tot ON tot.doc_id = px.doc_id GROUP BY 1),
+         bd AS (SELECT doc_id, phash, unnest(range(4)) AS b FROM ph),
+         bd2 AS (SELECT doc_id, phash, b,
+                   substr(phash, CAST(b * 16 + 1 AS INT), 16) AS bits FROM bd),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                    a.phash AS pha, c.phash AS phb
+                  FROM bd2 a JOIN bd2 c
+                    ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id),
+         hm AS (SELECT id_a, id_b,
+                  CAST(list_sum(list_transform(range(1, 65),
+                    i -> CASE WHEN substr(pha, CAST(i AS INT), 1)
+                              != substr(phb, CAST(i AS INT), 1)
+                         THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                FROM cand)
+         SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
+         ORDER BY id_a, id_b""",
     "multimodal_frames" ->
       // solid-colour frames: the sampled frame's channel means ARE the
       // palette colour; stride 2 keeps frames 0 and 2 of the 1..4 present

@@ -199,6 +199,51 @@ object Multimodal {
       }.toDF("id", "phash")
   }
 
+  /** Banded Hamming near-duplicate pairs over a perceptual-hash column —
+    * the LSH trick transplanted to bit space: split the 64-bit hash into
+    * `bands` equal substrings; two images within Hamming distance d must
+    * share at least one band verbatim whenever d < bands (pigeonhole), so
+    * candidates are ONE equality join on (band index, band bits) — never
+    * all pairs — and the exact Hamming distance then filters candidates.
+    * Returns (id_a, id_b, hamming) with id_a < id_b, distance ≤ maxDist.
+    * At corpus scale the band join's collision volume is the near-dup
+    * rate, not N²; the 64-char hashes are the only payload shuffled. */
+  def phashNearDups(ph: DataFrame, idCol: String, phashCol: String,
+                    bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+    require(maxDist < bands, "pigeonhole guarantee needs maxDist < bands")
+    val bandLen = 64 / bands
+    // band bit-substrings parse to ints ONCE PER IMAGE, so the per-pair
+    // Hamming is bands × (xor + popcount) — codegen'd primitives, not an
+    // interpreted 64-char comparison fold per candidate
+    val ints = array((0 until bands).map(b =>
+      conv(substring(col("__ph"), b * bandLen + 1, bandLen), 2, 10)
+        .cast(LongType)): _*)
+    val base = ph.select(col(idCol).cast(LongType).as("__id"),
+        col(phashCol).as("__ph"))
+      .filter(col("__ph").isNotNull)
+      .select(col("__id"), col("__ph"), ints.as("__ints"))
+    val banded = base.select(col("__id"), col("__ints"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("b"), element_at(col("__ints"), b + 1).as("bi"))): _*)).as("__bd"))
+      .select(col("__id"), col("__ints"),
+        col("__bd.b").as("__b"), col("__bd.bi").as("__bandint"))
+    val a = banded.select(col("__b"), col("__bandint"),
+      col("__id").as("id_a"), col("__ints").as("__ia"))
+    val b = banded.select(col("__b"), col("__bandint"),
+      col("__id").as("id_b"), col("__ints").as("__ib"))
+    val ham = aggregate(
+      zip_with(col("__ia"), col("__ib"), (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, x) => acc + x)
+    a.join(b, Seq("__b", "__bandint"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ia"), col("__ib"))
+      .distinct() // a pair sharing k bands collides k times
+      .withColumn("hamming", ham.cast(LongType))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Per-partition batch audio probe: (id, sample_rate, channels, frames,
     * duration_ms), nulls for undecodable payloads. */
   def decodeAudioMeta(df: DataFrame, idCol: String, payloadCol: String)

@@ -1195,6 +1195,21 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(5L).isEmpty, "undecodable payload → null hash")
   }
 
+  test("phashNearDups: pigeonhole-banded Hamming pairs, exact distances, nulls skipped") {
+    val h0 = "0" * 64
+    val h1 = "1" + "0" * 63                    // dist 1 from h0
+    val h3 = "111" + "0" * 61                  // dist 3 from h0 (= maxDist), 2 from h1
+    val far = ("1" * 4 + "0" * 12) * 4         // 16 ones spread over ALL bands
+    val ph = Seq((1L, h0), (2L, h1), (3L, h3), (4L, far), (5L, null: String))
+      .toDF("id", "phash")
+    val out = Multimodal.phashNearDups(ph, "id", "phash", bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 1L), (1L, 3L, 3L), (2L, 3L, 2L)), s"got $out")
+    // `far` differs in every band from the others (≥4 per pair) and its
+    // distance exceeds maxDist — correctly absent; the null hash row never
+    // enters the join
+  }
+
   test("multimodal: animated-GIF frame sampling decodes every stride-th frame") {
     implicit val s = spark
     val gif = Multimodal.encodeGif(3, 2, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030))
