@@ -1439,6 +1439,28 @@ object QueriesLLM {
         .orderBy("id_a", "id_b")
     }),
 
+    // ---------------- real audio PCM statistics: deterministic 16-bit
+    // mono WAVs are JDK-encoded per doc, then REALLY decoded back through
+    // javax.sound.sampled — n/sum-of-squares/peak/zero-crossings are exact
+    // integers, rms is two correctly-rounded IEEE ops; the oracle replays
+    // the sample formula in closed form. The silence/clipping/tone-vs-
+    // noise thresholds an audio curation pass uses come straight off
+    // these columns.
+    "multimodal_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id")).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          (id, graft.operators.Multimodal.encodePcmWav(
+            (id % 50 + 20).toInt, (id % 97).toInt))
+        }
+      }.toDF("doc_id", "payload")
+      graft.operators.Multimodal.decodeAudioStatsBatch(bin, "doc_id", "payload")(s)
+        .select(col("id").as("doc_id"), col("n_samples"), col("sum_sq"),
+          col("peak"), col("zero_crossings"), col("rms"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- multimodal frame sampling with REAL container
     // decode: animated GIFs (the JDK's one multi-frame codec, solid-colour
     // frames so palette round-trip is exact) are frame-sampled at stride 2
@@ -3216,6 +3238,24 @@ object QueriesLLM {
                 FROM cand)
          SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
          ORDER BY id_a, id_b""",
+    "multimodal_audio_stats" ->
+      // sample t = ((seed + 37t) mod 2001 − 1000)·16; a zero crossing is a
+      // sign flip between consecutive samples (lag window)
+      """WITH d AS (SELECT doc_id, (doc_id % 50) + 20 AS n, doc_id % 97 AS seed
+                    FROM documents),
+         sm AS (SELECT doc_id, t, (((seed + 37 * t) % 2001) - 1000) * 16 AS s
+                FROM d, (SELECT unnest(range(70)) AS t) WHERE t < n),
+         zc AS (SELECT doc_id, t, s,
+                  lag(s) OVER (PARTITION BY doc_id ORDER BY t) AS ps FROM sm),
+         ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+                  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+                  CAST(max(abs(s)) AS BIGINT) AS peak,
+                  CAST(sum(CASE WHEN ps IS NOT NULL AND ((s < 0) != (ps < 0))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+                FROM zc GROUP BY 1)
+         SELECT doc_id, n_samples, sum_sq, peak, zero_crossings,
+           sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+         FROM ag ORDER BY doc_id""",
     "multimodal_frames" ->
       // solid-colour frames: the sampled frame's channel means ARE the
       // palette colour; stride 2 keeps frames 0 and 2 of the 1..4 present

@@ -65,6 +65,11 @@ object Multimodal {
                                 channels: Option[Int], frames: Option[Long],
                                 duration_ms: Option[Double])
 
+  /** Sample-level PCM statistics for one clip. */
+  final case class AudioStats(id: Long, n_samples: Option[Long],
+                              sum_sq: Option[Long], peak: Option[Long],
+                              zero_crossings: Option[Long], rms: Option[Double])
+
   /** Encode a solid-colour PNG with the JDK encoder — used by tests and the
     * oracle round-trip query (PNG is lossless, so channel means are exact). */
   def encodePng(width: Int, height: Int, rgb: Int): Array[Byte] = {
@@ -242,6 +247,84 @@ object Multimodal {
       .withColumn("hamming", ham.cast(LongType))
       .filter(col("hamming") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Encode deterministic 16-bit mono PCM as a WAV container via the JDK
+    * encoder — the audio analog of [[encodeGradientPng]]: sample t is the
+    * exact integer `((seed + 37·t) mod 2001 − 1000) · 16`, so decoded
+    * statistics have closed forms an oracle can replay. */
+  def encodePcmWav(nFrames: Int, seed: Int, sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.AudioFileFormat
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    var t = 0
+    while (t < nFrames) {
+      val s = ((seed + 37 * t) % 2001 - 1000) * 16
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real PCM sample statistics from a WAV/AU/AIFF payload (16-bit mono):
+    * (n_samples, sum_sq, peak, zero_crossings, rms). All but rms are EXACT
+    * integers — sum of squares is order-free, peak is max |s|, a zero
+    * crossing is a sign-bit flip between consecutive samples — and
+    * rms = sqrt(sum_sq/n) is two correctly-rounded IEEE ops. None when
+    * the payload doesn't decode to 16-bit mono PCM. */
+  def decodeAudioStats(payload: Array[Byte]): Option[(Long, Long, Long, Long, Double)] = {
+    if (payload == null || payload.length == 0) return None
+    var in: AudioInputStream = null
+    try {
+      in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+      val fmt = in.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) return None
+      val bytes = in.readAllBytes()
+      val bigEndian = fmt.isBigEndian
+      val n = bytes.length / 2
+      if (n == 0) return None
+      var sumSq = 0L; var peak = 0L; var zc = 0L
+      var prevNeg = false
+      var t = 0
+      while (t < n) {
+        val lo = bytes(2 * t) & 0xff
+        val hi = bytes(2 * t + 1) & 0xff
+        val s = (if (bigEndian) (lo << 8) | hi else (hi << 8) | lo).toShort.toLong
+        sumSq += s * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        val neg = s < 0
+        if (t > 0 && neg != prevNeg) zc += 1
+        prevNeg = neg
+        t += 1
+      }
+      Some((n.toLong, sumSq, peak, zc, math.sqrt(sumSq.toDouble / n)))
+    } catch { case _: Exception => None }
+    finally { if (in != null) in.close() }
+  }
+
+  /** Per-partition batch PCM stats: (id, n_samples, sum_sq, peak,
+    * zero_crossings, rms), nulls when undecodable — the feature-extract
+    * stage an audio curation pipeline thresholds on (silence ⇒ rms ~ 0,
+    * clipping ⇒ peak at full scale, tone vs noise ⇒ crossing rate). */
+  def decodeAudioStatsBatch(df: DataFrame, idCol: String, payloadCol: String)
+                           (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        iter.map { case (id, payload) =>
+          decodeAudioStats(payload) match {
+            case Some((n, ss, pk, zc, rms)) =>
+              AudioStats(id, Some(n), Some(ss), Some(pk), Some(zc), Some(rms))
+            case None => AudioStats(id, None, None, None, None, None)
+          }
+        }
+      }.toDF()
   }
 
   /** Per-partition batch audio probe: (id, sample_rate, channels, frames,

@@ -1249,6 +1249,22 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(1))
   }
 
+  test("multimodal: real PCM sample stats — exact integers, sign-flip crossings, nulls") {
+    implicit val s = spark
+    // seed 999 ⇒ samples -16, 576, 1168, 1760: one sign flip, hand-exact sums
+    val d = Seq(
+      (1L, Multimodal.encodePcmWav(4, 999)),
+      (2L, "nope".getBytes("UTF-8"))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.decodeAudioStatsBatch(d, "doc_id", "payload").orderBy("id").collect()
+    assert(out(0).getLong(1) == 4L)
+    assert(out(0).getLong(2) == (16L * 16 + 576L * 576 + 1168L * 1168 + 1760L * 1760))
+    assert(out(0).getLong(3) == 1760L)
+    assert(out(0).getLong(4) == 1L)
+    assert(out(0).getDouble(5) == math.sqrt((256.0 + 331776 + 1364224 + 3097600) / 4))
+    assert(out(1).isNullAt(1), "undecodable payload → nulls")
+  }
+
   test("BPE differential: distributed trainer == naive reference on random corpora") {
     import graft.operators.Bpe
     implicit val s = spark
