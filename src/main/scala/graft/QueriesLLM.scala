@@ -713,6 +713,18 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- document-boundary-preserving packing (next-fit per
+    // shard): whole docs into ≤128-token bins, oversize docs get their own
+    // bin — the SFT/long-context sibling of pack_sequences' chunking. The
+    // oracle replays the sequential walk as a recursive CTE.
+    "pack_docs_nosplit" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Corpus.packDocsNoSplit(d, "doc_id",
+        size(TextAnalysis.tokens(col("text"))), nShards = 8, budget = 128)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- bigram-LM self-scoring (CCNet-style perplexity
     // filtering): per-doc add-one-smoothed log-prob, integerized per term
     "lm_perplexity" -> ((s, dir) => {
@@ -2789,6 +2801,28 @@ object QueriesLLM {
          SELECT doc_id, shard, pos, n_tok, tok_offset,
            CAST(tok_offset // 512 AS BIGINT) AS seq_id
          FROM w ORDER BY doc_id""",
+    "pack_docs_nosplit" ->
+      // the same shard/order derivation as pack_sequences, then the
+      // next-fit walk unrolled as a recursive CTE (one step per shard pos)
+      """WITH RECURSIVE t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tok,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 2147483647 AS h
+           FROM documents),
+         s AS (SELECT doc_id, n_tok, h, h % 8 AS shard FROM t),
+         b AS (SELECT doc_id, shard, n_tok,
+                 CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+               FROM s),
+         walk AS (
+           SELECT shard, pos, doc_id, n_tok, 1::BIGINT AS bin, n_tok AS fill
+           FROM b WHERE pos = 1
+           UNION ALL
+           SELECT nb.shard, nb.pos, nb.doc_id, nb.n_tok,
+             CASE WHEN w.fill + nb.n_tok <= 128 THEN w.bin ELSE w.bin + 1 END,
+             CASE WHEN w.fill + nb.n_tok <= 128 THEN w.fill + nb.n_tok ELSE nb.n_tok END
+           FROM walk w JOIN b nb ON nb.shard = w.shard AND nb.pos = w.pos + 1)
+         SELECT doc_id, shard, pos, n_tok, bin FROM walk ORDER BY doc_id""",
     "ann_lsh_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          planes AS (

@@ -181,6 +181,48 @@ object Corpus {
       .select("id", "shard", "pos", "n_tok", "tok_offset", "seq_id")
   }
 
+  /** Document-boundary-preserving packing (next-fit): unlike
+    * [[packSequences]]' concat-and-chunk (which splits documents at budget
+    * boundaries — right for pretraining token streams), this variant keeps
+    * every document whole and walks each shard's deterministic (hash, id)
+    * order, opening a new bin whenever the next document would overflow —
+    * the shape SFT/long-context pipelines need. A document larger than the
+    * budget gets a bin of its own (callers filter oversize upstream if
+    * that's policy).
+    *
+    * Packing with per-bin remainders is inherently sequential, so the
+    * shard is the parallelism unit (exactly as in [[packSequences]]): one
+    * repartition + in-partition sort, then a single forward walk per
+    * shard — O(n/shards) per task, no window, no driver involvement. The
+    * walk is the documented mapPartitions last-resort: next-fit's
+    * remainder reset is not a prefix-sum, so no window expresses it.
+    * Returns (id, shard, pos, n_tok, bin), bins 1-based per shard. */
+  def packDocsNoSplit(df: DataFrame, idCol: String, tokenCount: Column,
+                      nShards: Int, budget: Long): DataFrame = {
+    require(nShards > 0 && budget > 0, "nShards and budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"), tokenCount.cast(LongType).as("n_tok"))
+      .withColumn("h", Dedup.hash60(concat(lit("shard:"), col("id").cast(StringType))))
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("h"), col("id"))
+      .select(col("id"), col("n_tok"), col("shard")).as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = 0L; var fill = 0L; var pos = 0L
+        it.map { case (id, nTok, shard) =>
+          if (shard != curShard) {
+            curShard = shard; bin = 1L; fill = nTok; pos = 1L
+          } else {
+            pos += 1
+            if (fill + nTok <= budget) fill += nTok else { bin += 1; fill = nTok }
+          }
+          (id, shard, pos, nTok, bin)
+        }
+      }.toDF("id", "shard", "pos", "n_tok", "bin")
+  }
+
   /** Integer hash thresholds for [[splitAssign]]'s cumulative fractions —
     * exposed so an external replayer (the DuckDB oracle, an audit job) can
     * embed the EXACT same boundaries instead of re-deriving them through

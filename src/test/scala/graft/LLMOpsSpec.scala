@@ -399,6 +399,37 @@ class LLMOpsSpec extends SparkSpec {
     assert(s % 10 == 0, s"canonical Luhn example must validate: sum=$s")
   }
 
+  test("packDocsNoSplit: next-fit invariants — no bin overflows except oversize, bins dense") {
+    import graft.operators.Corpus
+    val docs = (1L to 300L).map(i => (i, s"doc-$i", (i % 90 + 10))).toDF("doc_id", "txt", "n")
+    val out = Corpus.packDocsNoSplit(docs, "doc_id", col("n"), nShards = 4, budget = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length == 300)
+    // replay each shard's walk: bins must match next-fit exactly
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._3)
+      var bin = 1L; var fill = 0L
+      ordered.zipWithIndex.foreach { case ((id, _, pos, n, b), idx) =>
+        if (idx == 0) { bin = 1L; fill = n }
+        else if (fill + n <= 128) fill += n
+        else { bin += 1; fill = n }
+        assert(b == bin, s"doc $id pos $pos: bin $b != expected $bin")
+      }
+    }
+    // per-bin totals never exceed budget unless the bin is one oversize doc
+    out.groupBy(r => (r._2, r._5)).foreach { case ((sh, b), rows) =>
+      val tot = rows.map(_._4).sum
+      assert(tot <= 128 || rows.length == 1, s"shard $sh bin $b total $tot over budget")
+    }
+    // an oversize doc gets a bin alone and doesn't corrupt its successors
+    val over = Seq((1L, 50L), (2L, 500L), (3L, 60L), (4L, 60L))
+      .toDF("doc_id", "n")
+    val o = Corpus.packDocsNoSplit(over, "doc_id", col("n"), nShards = 1, budget = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    val oversizeBin = o(2L)
+    assert(o.count(_._2 == oversizeBin) == 1, "oversize doc must sit alone")
+  }
+
   test("poissonWeightedSample: expected size, certain whales, zero-weight excluded, deterministic") {
     import graft.operators.Corpus
     val df = (1 to 2000).map(i => (i.toLong, 100L)).toDF("doc_id", "w")
