@@ -1473,6 +1473,49 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- the multimodal FLAGSHIP composition — the image
+    // sibling of corpus_build_warc: synthesize a mixed corpus (gradients +
+    // corrupt payloads + thumbnails), REAL-decode metadata, filter
+    // undecodable/too-small, perceptual-hash dedup keeping each cluster's
+    // minimum, resize survivors to 4×3 thumbs, REAL-decode those, and
+    // shard-assign for the training writer. Every stage is a component
+    // with its own green oracle row; this row proves they compose.
+    "corpus_build_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      val ids = rd(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 1000).as[Long]
+      val bin = ids.mapPartitions { it =>
+        it.map { id =>
+          val payload =
+            if (id % 97 == 0) "corrupt-not-an-image".getBytes("UTF-8")
+            else {
+              val w = if (id % 11 == 0) 2 else (id % 3 + 4).toInt
+              val h = if (id % 11 == 0) 2 else (id % 2 + 4).toInt
+              graft.operators.Multimodal.encodeGradientPng(w, h, (id % 32).toInt,
+                mx = (id % 5 + 1).toInt, my = (id % 7 + 1).toInt)
+            }
+          (id, payload)
+        }
+      }.toDF("doc_id", "payload")
+      val meta = graft.operators.Multimodal.decodeImages(bin, "doc_id", "payload")(s)
+      val okIds = meta.filter(col("width").isNotNull &&
+        col("width") >= 3 && col("height") >= 3).select(col("id"))
+      val good = bin.join(okIds, bin("doc_id") === okIds("id")).select(bin.columns.map(bin(_)): _*)
+      val ph = graft.operators.Multimodal.perceptualHashes(good, "doc_id", "payload")(s)
+      val keep = ph.groupBy(col("phash")).agg(min(col("id")).as("keep_id"))
+        .select(col("keep_id").as("id"))
+      val kept = good.join(keep, good("doc_id") === keep("id"))
+        .select(good.columns.map(good(_)): _*)
+      val thumbs = graft.operators.Multimodal.resizeImages(kept, "doc_id", "payload", 4, 3)(s)
+      graft.operators.Multimodal.decodeImages(thumbs, "doc_id", "payload")(s)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .withColumn("shard",
+          pmod(graft.operators.Dedup.hash60(concat(lit("mshard:"),
+            col("doc_id").cast(org.apache.spark.sql.types.StringType))), lit(4L)))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- multimodal frame sampling with REAL container
     // decode: animated GIFs (the JDK's one multi-frame codec, solid-colour
     // frames so palette round-trip is exact) are frame-sampled at stride 2
@@ -3272,6 +3315,41 @@ object QueriesLLM {
                 FROM cand)
          SELECT id_a, id_b, hamming FROM hm WHERE hamming <= 3
          ORDER BY id_a, id_b""",
+    "corpus_build_multimodal" ->
+      // survivors = decodable ∧ ≥3×3 ∧ phash-cluster minimum; then the 4×3
+      // resize means in closed form + the shard hash
+      """WITH d AS (SELECT doc_id, (doc_id % 3) + 4 AS sw, (doc_id % 2) + 4 AS sh,
+                      doc_id % 32 AS base, (doc_id % 5) + 1 AS mx, (doc_id % 7) + 1 AS my
+                    FROM documents
+                    WHERE doc_id < 1000 AND doc_id % 97 != 0 AND doc_id % 11 != 0),
+         px AS (SELECT doc_id, ty * 8 + tx AS i,
+                  ((base + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256)
+                + ((base * 3 + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256)
+                + ((base * 5 + mx * ((tx * sw) // 8) + my * ((ty * sh) // 8)) % 256) AS g
+                FROM d,
+                  (SELECT unnest(range(8)) AS tx),
+                  (SELECT unnest(range(8)) AS ty)),
+         tot AS (SELECT doc_id, CAST(sum(g) AS BIGINT) AS total FROM px GROUP BY 1),
+         ph AS (SELECT px.doc_id,
+                  string_agg(CASE WHEN px.g * 64 >= tot.total THEN '1' ELSE '0' END,
+                    '' ORDER BY px.i) AS phash
+                FROM px JOIN tot ON tot.doc_id = px.doc_id GROUP BY 1),
+         keep AS (SELECT min(doc_id) AS doc_id FROM ph GROUP BY phash),
+         rs AS (SELECT d.* FROM d JOIN keep ON keep.doc_id = d.doc_id),
+         tpx AS (SELECT doc_id,
+                   (base + mx * ((tx * sw) // 4) + my * ((ty * sh) // 3)) % 256 AS r,
+                   (base * 3 + mx * ((tx * sw) // 4) + my * ((ty * sh) // 3)) % 256 AS g,
+                   (base * 5 + mx * ((tx * sw) // 4) + my * ((ty * sh) // 3)) % 256 AS b
+                 FROM rs,
+                   (SELECT unnest(range(4)) AS tx),
+                   (SELECT unnest(range(3)) AS ty))
+         SELECT doc_id, CAST(4 AS INTEGER) AS width, CAST(3 AS INTEGER) AS height,
+           CAST(sum(r) AS DOUBLE) / 12 AS mean_r,
+           CAST(sum(g) AS DOUBLE) / 12 AS mean_g,
+           CAST(sum(b) AS DOUBLE) / 12 AS mean_b,
+           (('0x' || substr(md5('mshard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 2147483647) % 4 AS shard
+         FROM tpx GROUP BY doc_id ORDER BY doc_id""",
     "multimodal_audio_stats" ->
       // sample t = ((seed + 37t) mod 2001 − 1000)·16; a zero crossing is a
       // sign flip between consecutive samples (lag window)
