@@ -1614,6 +1614,70 @@ object QueriesLLM {
         q.processAllAvailable() // batch 2 pairs against retained state
       } finally q.stop()
       s.table(name).orderBy("id", "dup_of", "band")
+    }),
+
+    // ---------------- SFT / preference-data assembly (r8): the
+    // post-training half of the pipeline. Pair mining is ONE
+    // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
+    // rendering is one conversation-keyed groupBy + pure HOF folds.
+    // Scores and char offsets are exact integers, so both replay
+    // bit-for-bit.
+    "preference_pairs" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .select((col("doc_id") % 97).as("prompt_id"), col("doc_id").as("rid"),
+          col("text").as("resp"),
+          (col("n_chars") % 997).cast(LongType).as("score"))
+      graft.operators.Sft.preferencePairs(d, "prompt_id", "rid", "resp",
+        col("score"), minMargin = 10L).orderBy("prompt_id")
+    }),
+    "chat_render" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .select(expr("doc_id div 4").as("conv_id"),
+          (col("doc_id") % 4).as("ord"),
+          when(col("doc_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          col("text").as("content"))
+      graft.operators.Sft.chatRender(d, "conv_id", "ord", "role", "content")
+        .orderBy("conv_id", "span_idx")
+    }),
+
+    // ---------------- encoding repair (r8): ftfy-core mojibake fix as a
+    // pure codegen replace chain; the corruption is synthesized with the
+    // IDENTICAL expression in the oracle, so the repair chain and the
+    // occurrence counter are the only things under test. n_after proves
+    // convergence (one pass repairs one round of mis-decoding).
+    "mojibake_fix" -> ((s, dir) => {
+      val corrupt = concat(
+        call_function("replace",
+          call_function("replace",
+            call_function("replace", col("text"), lit("a"), lit("Ã¡")),
+            lit("o"), lit("Ã³")),
+          lit("e"), lit("Ã©")),
+        lit(" â€œquoteâ€¦â€“"))
+      rd(s, dir, "documents")
+        .select(col("doc_id"), corrupt.as("bad"))
+        .select(col("doc_id"),
+          graft.operators.Cleanup.mojibakeCount(col("bad")).as("n_bad"),
+          graft.operators.Cleanup.mojibakeFix(col("bad")).as("fixed"))
+        .withColumn("n_after",
+          graft.operators.Cleanup.mojibakeCount(col("fixed")))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- margin-based bitext mining (r8): embeddings split
+    // into two "languages" by id parity; Artetxe-Schwenk ratio margin over
+    // 1e-12-quantized cosines (exact integer neighborhood sums, one IEEE
+    // division). Exact all-pairs candidates at oracle scale — the 100 TB
+    // path feeds the same margin algebra from knnJoinIvf's cell join.
+    "bitext_margin" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 200)
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      graft.operators.Similarity.marginMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "vec_id", "q", k = 4)
+        .orderBy("src_id")
     }))
 
   /** IVF-PQ oracle: ann_ivf_topk's assignment/probe CTEs restricted to the
@@ -3457,7 +3521,118 @@ object QueriesLLM {
                 AND CAST(b.doc_id AS VARCHAR) < CAST(a.doc_id AS VARCHAR))))
           SELECT id, dup_of, band, est_jaccard FROM pairs
           WHERE est_jaccard >= 0.3 ORDER BY id, dup_of, band"""
+    },
+
+    // ---------------- SFT / preference-data assembly (r8)
+    "preference_pairs" ->
+      """WITH r AS (SELECT doc_id % 97 AS prompt_id, doc_id AS rid,
+               text AS resp, CAST(n_chars % 997 AS BIGINT) AS score
+             FROM documents),
+         k AS (SELECT *,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY score DESC, rid) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY score ASC, rid) AS rw,
+                 count(*) OVER (PARTITION BY prompt_id) AS n FROM r)
+         SELECT b.prompt_id, b.rid AS chosen_id, b.resp AS chosen,
+                w.rid AS rejected_id, w.resp AS rejected,
+                CAST(b.score - w.score AS BIGINT) AS margin,
+                CAST(b.n AS BIGINT) AS n_responses
+         FROM k b JOIN k w ON b.prompt_id = w.prompt_id
+         WHERE b.rb = 1 AND w.rw = 1 AND b.n >= 2
+           AND b.score - w.score >= 10
+         ORDER BY b.prompt_id""",
+    "chat_render" ->
+      """WITH t AS (SELECT doc_id // 4 AS conv_id, doc_id % 4 AS ord,
+               CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+               text AS content FROM documents),
+         p AS (SELECT conv_id, ord, role, content,
+                 '<|' || role || '|>' || content || '<|end|>' AS piece FROM t),
+         q AS (SELECT *, CAST(length(piece) AS BIGINT) AS plen,
+                 CAST(length(content) AS BIGINT) AS clen FROM p),
+         o AS (SELECT *, CAST(coalesce(sum(plen) OVER (PARTITION BY conv_id
+                 ORDER BY ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS off
+               FROM q),
+         agg AS (SELECT conv_id, string_agg(piece, '' ORDER BY ord) AS text,
+                   CAST(sum(plen) AS BIGINT) AS text_len,
+                   CAST(count(*) AS BIGINT) AS n_turns
+                 FROM q GROUP BY conv_id),
+         sp AS (SELECT conv_id,
+                  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY ord)
+                    AS BIGINT) AS span_idx,
+                  CAST(off + plen - clen - 7 AS BIGINT) AS span_start,
+                  CAST(off + plen - 7 AS BIGINT) AS span_end
+                FROM o WHERE role = 'assistant')
+         SELECT a.conv_id, a.text, a.text_len, a.n_turns,
+                s.span_idx, s.span_start, s.span_end
+         FROM agg a JOIN sp s ON a.conv_id = s.conv_id
+         ORDER BY a.conv_id, s.span_idx""",
+
+    // ---------------- encoding repair (r8): the corrupt expression is
+    // IDENTICAL to the Spark side's; the fix/count chains are unrolled
+    // from Cleanup.mojibakeTable so both engines run the same sequence
+    "mojibake_fix" ->
+      s"""WITH c AS (SELECT doc_id,
+               replace(replace(replace(text, 'a', 'Ã¡'), 'o', 'Ã³'),
+                 'e', 'Ã©') || ' â€œquoteâ€¦â€“' AS bad
+             FROM documents),
+         f AS (SELECT doc_id, bad, ${mojibakeFixSql("bad")} AS fixed FROM c)
+         SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
+                fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
+         FROM f ORDER BY doc_id""",
+
+    // ---------------- margin-based bitext mining (r8)
+    "bitext_margin" -> {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      s"""WITH e AS (SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
+             FROM embeddings WHERE vec_id < 200),
+         s AS (SELECT vec_id AS src_id, q AS sq FROM e WHERE vec_id % 2 = 0),
+         t AS (SELECT vec_id AS tgt_id, q AS tq FROM e WHERE vec_id % 2 = 1),
+         p AS (SELECT src_id, tgt_id,
+                 CAST(floor((${dot("sq", "tq")} /
+                   (sqrt(${dot("sq", "sq")}) * sqrt(${dot("tq", "tq")})))
+                   * 1000000000000 + 0.5) AS BIGINT) AS cos_q
+               FROM s, t),
+         r AS (SELECT *,
+                 row_number() OVER (PARTITION BY src_id
+                   ORDER BY cos_q DESC, tgt_id) AS rs,
+                 row_number() OVER (PARTITION BY tgt_id
+                   ORDER BY cos_q DESC, src_id) AS rt FROM p),
+         ns AS (SELECT src_id, CAST(sum(cos_q) AS BIGINT) AS nsum_src
+                FROM r WHERE rs <= 4 GROUP BY 1),
+         nt AS (SELECT tgt_id, CAST(sum(cos_q) AS BIGINT) AS nsum_tgt
+                FROM r WHERE rt <= 4 GROUP BY 1),
+         c AS (SELECT r.src_id, r.tgt_id, r.cos_q, ns.nsum_src, nt.nsum_tgt,
+                 (r.cos_q * 8) / (ns.nsum_src + nt.nsum_tgt) AS margin
+               FROM r JOIN ns ON ns.src_id = r.src_id
+                 JOIN nt ON nt.tgt_id = r.tgt_id
+               WHERE r.rs <= 4),
+         b AS (SELECT *, row_number() OVER (PARTITION BY src_id
+                 ORDER BY margin DESC, tgt_id) AS rb FROM c)
+         SELECT src_id, tgt_id, cos_q, nsum_src, nsum_tgt, margin
+         FROM b WHERE rb = 1 ORDER BY src_id"""
     })
+
+  /** Unrolled [[graft.operators.Cleanup.mojibakeTable]] repair chain over a
+    * SQL column reference — the oracle side of `mojibakeFix`. */
+  private def mojibakeFixSql(ref: String): String =
+    graft.operators.Cleanup.mojibakeTable.foldLeft(ref) {
+      case (acc, (bad, good)) =>
+        s"replace($acc, ${sqlStr(bad)}, ${sqlStr(good)})"
+    }
+
+  /** Σ occurrence counts of each mojibake sequence in `ref` — exact
+    * integer arithmetic (`//` on exact multiples). */
+  private def mojibakeCountSql(ref: String): String =
+    graft.operators.Cleanup.mojibakeTable.map { case (bad, _) =>
+      s"((length($ref) - length(replace($ref, ${sqlStr(bad)}, ''))) // ${bad.length})"
+    }.mkString("(", " + ", ")")
+
+  private def sqlStr(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Shared oracle scaffold for the clustering queries: the same minhash+LSH
     * pair pipeline as `dedup_minhash_lsh` (verified ≥ 0.5 Jaccard), then a

@@ -98,6 +98,63 @@ object Cleanup {
     }
   def oddCharacterRemover(tokens: Column): Column = flattenAsciiUdf(tokens)
 
+  /** The standard UTF-8-read-as-CP1252 mojibake table (the ftfy core
+    * cases): each left-hand sequence is what a common Latin-1-supplement /
+    * general-punctuation character's UTF-8 bytes render as when a crawler
+    * mis-decodes them as CP1252 — the single most common encoding defect
+    * in web corpora. Every left-hand side is a full distinct sequence
+    * (U+201D's third byte \x9D maps to the C1 control U+009D and is kept,
+    * so no entry is a prefix of another and chain order is inert — but the
+    * chain IS ordered punctuation-first by convention, matching ftfy).
+    * Exposed so the oracle/audit side can unroll the identical chain. */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // U+2019/2018 apostrophes, U+201C/201D quotes, U+2013/2014 dashes,
+    // U+2026 ellipsis (3-byte UTF-8 → 3-char mojibake). U+201D's third
+    // byte \x9D is unmapped in CP1252: decoders either substitute U+FFFD
+    // (the JDK) or pass the C1 control U+009D through (iconv //TRANSLIT,
+    // many web stacks) — repair BOTH spellings.
+    "â€�" -> "”",
+    "â€™" -> "’",
+    "â€˜" -> "‘",
+    "â€œ" -> "“",
+    "â€" -> "”",
+    "â€“" -> "–",
+    "â€”" -> "—",
+    "â€¦" -> "…",
+    // Latin-1 supplement letters (2-byte UTF-8 → 2-char mojibake)
+    "Ã©" -> "é", // é
+    "Ã¨" -> "è", // è
+    "Ã¡" -> "á", // á
+    "Ã³" -> "ó", // ó
+    "Ã¼" -> "ü", // ü
+    "Ã¶" -> "ö", // ö
+    "Ã¤" -> "ä", // ä
+    "Ã±" -> "ñ", // ñ
+    "Ã§" -> "ç") // ç
+
+  /** Mojibake repair (ftfy-lite): undo one round of
+    * UTF-8-bytes-decoded-as-CP1252 for the [[mojibakeTable]] sequences — a
+    * deterministic chain of plain (non-regex) replaces in table order,
+    * entirely codegen'd, zero shuffle. One chain application repairs one
+    * round of mis-decoding (doubly-corrupted text needs two passes —
+    * callers gate on [[mojibakeCount]] reaching zero). */
+  def mojibakeFix(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      call_function("replace", c, lit(bad), lit(good))
+    }
+
+  /** Count of mojibake sequence occurrences — the corruption signal a
+    * quality-filter thresholds on (and the convergence gate for repeated
+    * [[mojibakeFix]] passes). Counts each table sequence in the RAW text:
+    * Σ (len(text) − len(replace(text, seq, ''))) / len(seq), all exact
+    * integer arithmetic. */
+  def mojibakeCount(text: Column): Column =
+    mojibakeTable.map { case (bad, _) =>
+      ((length(text) -
+        length(call_function("replace", text, lit(bad), lit("")))) /
+        lit(bad.length)).cast(LongType)
+    }.reduce(_ + _)
+
   /** SentenceSplitterProcessor (ref SentenceSplitter.scala:18): text →
     * sentences via the locale-aware JDK BreakIterator (same automaton the
     * reference uses). UDF — justified: library algorithm, no expression

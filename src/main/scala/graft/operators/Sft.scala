@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Post-training (SFT / preference) data assembly: preference-pair mining
+ * for DPO-style training and chat-template rendering with loss-mask span
+ * computation — the two steps between a scored response pool and actual
+ * fine-tuning batches.
+ *
+ * Both are deterministic (integer scores, integer char offsets, explicit
+ * tie-breaks), so reruns emit identical rows and a SQL replayer reproduces
+ * them bit-for-bit.
+ */
+object Sft {
+
+  /** Preference-pair mining: per prompt, pick the best-scored response as
+    * `chosen` and the worst-scored as `rejected` (the best-vs-worst pairing
+    * that maximizes the preference margin — the standard DPO/RLHF pair
+    * construction from a scored best-of-n pool), keeping only prompts with
+    * at least two responses and a margin of at least `minMargin`.
+    *
+    * Ties break on the smaller response id for BOTH sides, so the pair is
+    * a pure function of the input set. Scores are integer by contract
+    * (quantize upstream — reward-model logits at 1e-6 grain keep 15
+    * significant digits in a long); integer margins make the threshold
+    * exact and order-free.
+    *
+    * Scale shape: ONE groupBy on the prompt key with struct-min/max
+    * argmin/argmax — partial aggregation reduces every partition to one
+    * candidate pair per prompt before the shuffle, so the shuffle carries
+    * |prompts| rows, never |responses|. No window, no sort, no self-join:
+    * at 100 TB of responses this is a single map-side-combined pass. */
+  def preferencePairs(df: DataFrame, promptCol: String, idCol: String,
+                      responseCol: String, score: Column,
+                      minMargin: Long = 1L): DataFrame = {
+    val base = df.select(col(promptCol).as("prompt_id"),
+      col(idCol).cast(LongType).as("rid"),
+      col(responseCol).as("resp"), score.cast(LongType).as("score"))
+    base.groupBy("prompt_id")
+      .agg(
+        // max on (score, -rid): ties in score resolve to the SMALLEST rid;
+        // rid/resp ride along and never decide (rid is unique per prompt)
+        max(struct(col("score"), (-col("rid")).as("nrid"),
+          col("rid"), col("resp"))).as("b"),
+        min(struct(col("score"), col("rid"), col("resp"))).as("w"),
+        count(lit(1)).as("n_responses"))
+      .select(col("prompt_id"),
+        col("b.rid").as("chosen_id"), col("b.resp").as("chosen"),
+        col("w.rid").as("rejected_id"), col("w.resp").as("rejected"),
+        (col("b.score") - col("w.score")).as("margin"),
+        col("n_responses"))
+      .filter(col("n_responses") >= 2 && col("margin") >= minMargin)
+  }
+
+  /** Chat-template rendering: turns of (conversation, order, role, content)
+    * become one rendered training string per conversation —
+    * `<|role|>content<|end|>` per turn, concatenated in turn order — plus
+    * the character-offset spans of each `lossRole` turn's content (the
+    * loss mask: SFT trains only on assistant spans). Offsets are exact
+    * integer cumulative lengths, so a tokenizer-side masker can slice the
+    * rendered string directly.
+    *
+    * Returns one row per loss span: (conv_id, text, text_len, n_turns,
+    * span_idx, span_start, span_end) — `span_start` inclusive,
+    * `span_end` exclusive, `span_idx` 1-based in turn order.
+    * Conversations whose every turn is non-loss (no assistant turn) emit
+    * no rows, exactly like their training contribution.
+    *
+    * Scale shape: ONE groupBy on the conversation key collecting the
+    * turn list (conversations are bounded-length by contract — the same
+    * per-key-bounded-state judgement as the session windows), then pure
+    * HOF expressions: sort_array for turn order, array_join for the
+    * render, an aggregate() running-offset fold for the spans. No window
+    * over the corpus, no second shuffle — the explode of spans is
+    * in-partition. */
+  def chatRender(df: DataFrame, convCol: String, ordCol: String,
+                 roleCol: String, contentCol: String,
+                 lossRole: String = "assistant"): DataFrame = {
+    val endTag = "<|end|>"
+    val piece = concat(lit("<|"), col("role"), lit("|>"),
+      col("content"), lit(endTag))
+    val turns = df.select(col(convCol).as("conv_id"),
+      col(ordCol).cast(LongType).as("ord"),
+      col(roleCol).as("role"), col(contentCol).as("content"))
+      .select(col("conv_id"), struct(col("ord"), col("role"),
+        piece.as("piece"), length(col("content")).cast(LongType).as("clen"),
+        length(piece).cast(LongType).as("plen")).as("t"))
+    val spanSchema = "array<struct<s:bigint,e:bigint>>"
+    val g = turns.groupBy("conv_id")
+      .agg(sort_array(collect_list(col("t"))).as("ts"))
+      .select(col("conv_id"),
+        array_join(transform(col("ts"), t => t("piece")), "").as("text"),
+        aggregate(col("ts"), lit(0L), (acc, t) => acc + t("plen"))
+          .as("text_len"),
+        size(col("ts")).cast(LongType).as("n_turns"),
+        // running-offset fold: span = the content slice of each loss-role
+        // turn ((plen - clen - |end|) header chars after the turn start)
+        aggregate(col("ts"),
+          struct(lit(0L).as("off"),
+            array().cast(spanSchema).as("spans")),
+          (acc, t) => struct(
+            (acc("off") + t("plen")).as("off"),
+            when(t("role") === lit(lossRole),
+              concat(acc("spans"), array(struct(
+                (acc("off") + t("plen") - t("clen") - lit(endTag.length))
+                  .as("s"),
+                (acc("off") + t("plen") - lit(endTag.length)).as("e")))))
+              .otherwise(acc("spans")).as("spans")),
+          acc => acc("spans")).as("spans"))
+    g.select(col("conv_id"), col("text"), col("text_len"), col("n_turns"),
+        posexplode(col("spans")))
+      .select(col("conv_id"), col("text"), col("text_len"), col("n_turns"),
+        (col("pos") + 1).cast(LongType).as("span_idx"),
+        col("col.s").as("span_start"), col("col.e").as("span_end"))
+  }
+}

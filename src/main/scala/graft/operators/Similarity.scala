@@ -555,6 +555,58 @@ object Similarity {
     topKPerId(pairs, k)
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "ratio" margin):
+    * for every source vector, its best target match scored as
+    * `2k·cos(x,y) / (Σ topk-cos(x,·) + Σ topk-cos(·,y))` — the
+    * neighborhood-normalized margin that suppresses hub vectors plain
+    * cosine thresholds mis-mine. The shape behind parallel-corpus mining
+    * (CCMatrix/WikiMatrix) and cross-lingual hard-pair construction.
+    *
+    * Determinism: cosines quantize to 1e-12 grain integers (the
+    * floor(x+0.5) convention — round()'s half-way rule diverges
+    * cross-engine), so both neighborhood sums are EXACT integer sums
+    * (order-free) and the margin is one IEEE long/long division; ties
+    * break on target id. Neighborhoods are fixed-k by definition; sides
+    * with fewer than k counterparts sum what exists.
+    *
+    * Scale shape: this is the exact all-pairs baseline (oracle slices,
+    * bounded corpora) — the candidate generator goes quadratic by
+    * construction. At 100 TB feed candidates from [[knnJoinIvf]]'s
+    * cell-scoped join instead: the margin algebra downstream of the pair
+    * stream (two keyed top-k sums + one broadcast-joined division) is
+    * identical and never all-pairs. */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String,
+                 vecCol: String, k: Int = 4): DataFrame = {
+    val s = src.select(col(idCol).cast(LongType).as("src_id"), col(vecCol).as("__sv"))
+    val t = tgt.select(col(idCol).cast(LongType).as("tgt_id"), col(vecCol).as("__tv"))
+    val pairs = s.crossJoin(t)
+      .select(col("src_id"), col("tgt_id"),
+        floor(cosine(col("__sv"), col("__tv")) * 1e12 + 0.5)
+          .cast(LongType).as("cos_q"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cos_q").desc, col("tgt_id").asc)
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("cos_q").desc, col("src_id").asc)
+    val ranked = pairs
+      .withColumn("rs", row_number().over(wS))
+      .withColumn("rt", row_number().over(wT))
+    val nbrS = ranked.filter(col("rs") <= k).groupBy("src_id")
+      .agg(sum("cos_q").as("nsum_src"))
+    val nbrT = ranked.filter(col("rt") <= k).groupBy("tgt_id")
+      .agg(sum("cos_q").as("nsum_tgt"))
+    val cands = ranked.filter(col("rs") <= k)
+      .select("src_id", "tgt_id", "cos_q")
+      .join(nbrS, "src_id").join(nbrT, "tgt_id")
+      .withColumn("margin",
+        (col("cos_q") * lit(2L * k)) / (col("nsum_src") + col("nsum_tgt")))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("margin").desc, col("tgt_id").asc)
+    cands.withColumn("__r", row_number().over(wBest))
+      .filter(col("__r") === 1)
+      .select(col("src_id"), col("tgt_id"), col("cos_q"),
+        col("nsum_src"), col("nsum_tgt"), col("margin"))
+  }
+
   /** IVF-cell-scoped k-NN join: every vector's home cell is its argmin-L2
     * centroid; each vector probes its `nProbe` nearest cells and re-ranks
     * exactly against the vectors HOMED there. One cell-keyed shuffle whose
