@@ -123,6 +123,50 @@ object QueriesLLM {
     base + "," + iterCtes + s"\n SELECT node, pr FROM r$iters ORDER BY node"
   }
 
+  /** DuckDB replay of `Graph.hits` over the same stride link graph:
+    * iterations unrolled as half-step CTE pairs with the IDENTICAL
+    * exact-integer L1 normalization (`//` floor-div ≡ Spark `div` on the
+    * all-positive scores). */
+  private def hitsSql(iters: Int): String = {
+    val sc = "1000000"
+    val base =
+      s"""WITH d AS (SELECT doc_id, source FROM documents),
+         le AS (SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                UNION ALL
+                SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 7),
+         ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM le GROUP BY 1, 2),
+         nodes AS (SELECT src AS node FROM ew UNION SELECT dst FROM ew),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         h0 AS (SELECT node, CAST($sc // nn.n AS BIGINT) AS hub
+                FROM nodes CROSS JOIN nn)"""
+    val iterCtes = (1 to iters).map { i =>
+      s"""
+         ar$i AS (SELECT ew.dst AS node,
+                   CAST(sum(h${i - 1}.hub * ew.w) AS BIGINT) AS raw
+                 FROM h${i - 1} JOIN ew ON ew.src = h${i - 1}.node GROUP BY 1),
+         at$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM ar$i),
+         a$i AS (SELECT nodes.node,
+                  CAST((coalesce(ar$i.raw, 0) * $sc) // at$i.tot AS BIGINT) AS auth
+                FROM nodes LEFT JOIN ar$i ON ar$i.node = nodes.node
+                  CROSS JOIN at$i),
+         hr$i AS (SELECT ew.src AS node,
+                   CAST(sum(a$i.auth * ew.w) AS BIGINT) AS raw
+                 FROM a$i JOIN ew ON ew.dst = a$i.node GROUP BY 1),
+         ht$i AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM hr$i),
+         h$i AS (SELECT nodes.node,
+                  CAST((coalesce(hr$i.raw, 0) * $sc) // ht$i.tot AS BIGINT) AS hub
+                FROM nodes LEFT JOIN hr$i ON hr$i.node = nodes.node
+                  CROSS JOIN ht$i)"""
+    }.mkString(",")
+    base + "," + iterCtes +
+      s"""
+      SELECT h$iters.node, h$iters.hub, a$iters.auth
+      FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node
+      ORDER BY h$iters.node"""
+  }
+
   /** DuckDB replay of `Bpe.train`: K merge iterations unrolled as CTE
     * stages (pair counts → argmax with the same tie-break → delimiter
     * replace), sharing the U+0001 double-delimiter encoding with the
@@ -1175,6 +1219,20 @@ object QueriesLLM {
       val edges = stride(1).unionAll(stride(7))
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
       graft.operators.Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .orderBy("node")
+    }),
+
+    // ---------------- HITS over the same stride link graph (r8): the
+    // complementary hub/authority prior, same exact-integer fixed point —
+    // 3 unrolled iterations are bit-identical cross-engine
+    "domain_hits" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("source"))
+      val b = d.select(col("doc_id").as("__did2"), col("source").as("__src2"))
+      def stride(n: Int) = d.join(b, col("__did2") === col("doc_id") + n)
+        .select(col("source").as("src"), col("__src2").as("dst"))
+      val edges = stride(1).unionAll(stride(7))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      graft.operators.Graph.hits(edges, "src", "dst", "w", iters = 3)
         .orderBy("node")
     }),
 
@@ -2999,6 +3057,7 @@ object QueriesLLM {
            count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          FROM u GROUP BY 1 ORDER BY 1""",
     "domain_pagerank" -> pageRankSql(5),
+    "domain_hits" -> hitsSql(3),
     "url_blocklist" ->
       // suffix chain via list slicing; label-wise matching (no substring
       // confusion: src0.example.com never matches www.src10.example.com)

@@ -46,4 +46,34 @@ class GraphSpec extends SparkSpec {
     val expC = (S * 15 / 100) / 3 + 85L * ((r0 * 1) / 4) / 100
     assert(pr("b") == expB && pr("c") == expC, s"$pr")
   }
+
+  test("hits: pure hub and pure authority separate") {
+    // h1, h2 both point at authority x; x points nowhere else; a stray
+    // edge y -> h1 keeps every node in both score vectors
+    val edges = Seq(("h1", "x", 1L), ("h2", "x", 1L), ("y", "h1", 1L))
+      .toDF("src", "dst", "w")
+    val out = Graph.hits(edges, "src", "dst", "w", iters = 3, scale = 1000000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (hubs, auths) = (out.map { case (k, v) => k -> v._1 },
+      out.map { case (k, v) => k -> v._2 })
+    // x is the dominant authority and a zero hub (no out-edges)
+    assert(auths("x") > auths("h1") && auths("x") > auths("h2"), s"$auths")
+    assert(hubs("x") == 0L)
+    // h1 and h2 are the dominant hubs; both point only at x with equal
+    // weight, but y's endorsement of h1 does not change h1's HUB score
+    // (hub depends on out-edges), so they stay exactly equal
+    assert(hubs("h1") == hubs("h2") && hubs("h1") > hubs("y"), s"$hubs")
+  }
+
+  test("hits: L1 normalization conserves scaled mass up to truncation") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 2L), ("c", "a", 3L),
+      ("a", "c", 1L)).toDF("src", "dst", "w")
+    val out = Graph.hits(edges, "src", "dst", "w", iters = 4).collect()
+    val hubSum = out.map(_.getLong(1)).sum
+    val authSum = out.map(_.getLong(2)).sum
+    assert(1000000L - hubSum >= 0 && 1000000L - hubSum < out.length,
+      s"hub mass $hubSum")
+    assert(1000000L - authSum >= 0 && 1000000L - authSum < out.length,
+      s"auth mass $authSum")
+  }
 }
