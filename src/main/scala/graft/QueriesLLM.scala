@@ -1722,6 +1722,22 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- training-objective prep (r8): deterministic FIM
+    // rearrangement and T5 span corruption — hash-selected cuts/masks, so
+    // the oracle replays every byte
+    "fim_transform" -> ((s, dir) =>
+      graft.operators.Corpus.fimTransform(
+        rd(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", ratePct = 50)
+        .select(col("id").as("doc_id"), col("fim"), col("out"))
+        .orderBy("doc_id")),
+    "span_corrupt" -> ((s, dir) =>
+      graft.operators.Corpus.spanCorrupt(
+        rd(s, dir, "documents"), "doc_id", "text", maskPct = 15)
+        .select(col("id").as("doc_id"), col("input"), col("target"),
+          col("n_masked"), col("n_groups"))
+        .orderBy("doc_id")),
+
     // ---------------- margin-based bitext mining (r8): embeddings split
     // into two "languages" by id parity; Artetxe-Schwenk ratio margin over
     // 1e-12-quantized cosines (exact integer neighborhood sums, one IEEE
@@ -3640,6 +3656,61 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- training-objective prep (r8)
+    "fim_transform" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+             FROM documents),
+         h AS (SELECT doc_id, text, L,
+                 ('0x' || substr(md5('fim:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2147483647 % 100 < 50 AS fim,
+                 ('0x' || substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2147483647 % (L + 1) AS c1
+               FROM d),
+         g AS (SELECT *, c1 +
+                 ('0x' || substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 2147483647 % (L - c1 + 1) AS c2
+               FROM h)
+         SELECT doc_id, fim,
+           CASE WHEN fim THEN
+             '<|fim_pre|>' || substr(text, 1, CAST(c1 AS INTEGER)) ||
+             '<|fim_suf|>' || substr(text, CAST(c2 + 1 AS INTEGER), CAST(L AS INTEGER)) ||
+             '<|fim_mid|>' || substr(text, CAST(c1 + 1 AS INTEGER), CAST(c2 - c1 AS INTEGER))
+           ELSE text END AS out
+         FROM g ORDER BY doc_id""",
+    "span_corrupt" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             FROM documents),
+         x AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(pos := i - 1, tok := toks[i]))) AS u FROM t),
+         p AS (SELECT doc_id, CAST((u).pos AS BIGINT) AS pos, (u).tok AS tok FROM x),
+         m AS (SELECT *,
+                 ('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR)), 1, 15))::BIGINT
+                   % 2147483647 % 100 < 15 AS mk
+               FROM p),
+         g AS (SELECT *, (mk AND NOT coalesce(lag(mk) OVER
+                 (PARTITION BY doc_id ORDER BY pos), false)) AS strt
+               FROM m),
+         i AS (SELECT *, sum(CASE WHEN strt THEN 1 ELSE 0 END) OVER
+                 (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS gid
+               FROM g),
+         pieces AS (SELECT doc_id, pos, mk, gid,
+             CASE WHEN NOT mk THEN tok
+                  WHEN strt THEN '<X' || CAST(gid - 1 AS VARCHAR) || '>'
+                  ELSE '' END AS in_piece,
+             CASE WHEN mk AND strt THEN '<X' || CAST(gid - 1 AS VARCHAR) || '> ' || tok
+                  WHEN mk THEN tok
+                  ELSE '' END AS tgt_piece
+           FROM i)
+         SELECT doc_id,
+           coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+             FILTER (WHERE in_piece != ''), '') AS input,
+           coalesce(string_agg(tgt_piece, ' ' ORDER BY pos)
+             FILTER (WHERE tgt_piece != ''), '') AS target,
+           CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           CAST(max(gid) AS BIGINT) AS n_groups
+         FROM pieces GROUP BY doc_id ORDER BY doc_id""",
 
     // ---------------- margin-based bitext mining (r8)
     "bitext_margin" -> {

@@ -299,4 +299,79 @@ object Corpus {
      else w)
       .partitionBy("shard").parquet(path)
   }
+
+  // ------------------------------------------- training-objective prep
+  // Deterministic objective transforms: the document rewriting between a
+  // packed corpus and the actual loss — fill-in-the-middle for code/infill
+  // models, span corruption for T5-family denoisers. Cut points and mask
+  // decisions are salted-hash functions of (id[, position]), so reruns
+  // rewrite identically and a SQL replayer reproduces every byte.
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): for a
+    * hash-selected `ratePct`% of documents, split the text at two
+    * hash-chosen character cuts c1 ≤ c2 and emit the PSM rearrangement
+    * `<|fim_pre|>prefix<|fim_suf|>suffix<|fim_mid|>middle`; the rest pass
+    * through untouched (the paper's joint FIM+AR recipe). Pure per-row
+    * codegen expressions — zero shuffle, linear scan at any scale.
+    * Returns (id, fim, out). */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   ratePct: Int = 50): DataFrame = {
+    require(ratePct >= 0 && ratePct <= 100, "ratePct in [0,100]")
+    def h(salt: String) =
+      Dedup.hash60(concat(lit(salt), col(idCol).cast(StringType)))
+    val L = length(col(textCol)).cast(LongType)
+    val c1 = h("fim1:") % (L + 1)
+    val c2 = c1 + h("fim2:") % (L - c1 + 1)
+    val prefix = col(textCol).substr(lit(1), c1.cast(IntegerType))
+    val middle = col(textCol).substr((c1 + 1).cast(IntegerType),
+      (c2 - c1).cast(IntegerType))
+    val suffix = col(textCol).substr((c2 + 1).cast(IntegerType),
+      L.cast(IntegerType))
+    val doFim = h("fim:") % 100 < ratePct
+    df.select(col(idCol).as("id"), doFim.as("fim"),
+      when(doFim, concat(lit("<|fim_pre|>"), prefix, lit("<|fim_suf|>"),
+        suffix, lit("<|fim_mid|>"), middle))
+        .otherwise(col(textCol)).as("out"))
+  }
+
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): each
+    * whitespace token is masked with hash probability `maskPct`%;
+    * CONSECUTIVE masked tokens collapse into one `<Xk>` sentinel in the
+    * corrupted input, and the target lists each sentinel followed by the
+    * tokens it swallowed. Returns (id, input, target, n_masked,
+    * n_groups).
+    *
+    * Scale shape: one posexplode, one per-DOCUMENT window chain
+    * (lag + running sum — partitions are doc-keyed, state is one bool),
+    * one groupBy reassembly with in-partition HOF folds. The token stream
+    * is the only corpus-sized shuffle, carrying (id, pos, tok) rows. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  maskPct: Int = 15): DataFrame = {
+    require(maskPct >= 0 && maskPct <= 100, "maskPct in [0,100]")
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val g = toks
+      .withColumn("m", Dedup.hash60(concat(lit("span:"),
+        col("id").cast(StringType), lit(":"),
+        col("pos").cast(StringType))) % 100 < maskPct)
+      .withColumn("strt", col("m") && !lag(col("m"), 1, false).over(w))
+      .withColumn("gid",
+        sum(when(col("strt"), 1L).otherwise(0L)).over(w))
+    val sentinel = concat(lit("<X"), (col("gid") - 1).cast(StringType), lit(">"))
+    val pieces = g.select(col("id"), col("pos"), col("m"),
+      when(!col("m"), col("tok")).when(col("strt"), sentinel)
+        .otherwise(lit("")).as("in_piece"),
+      when(col("m") && col("strt"), concat(sentinel, lit(" "), col("tok")))
+        .when(col("m"), col("tok")).otherwise(lit("")).as("tgt_piece"),
+      col("gid"))
+    def joined(piece: String) = array_join(
+      filter(transform(sort_array(collect_list(struct(col("pos"),
+        col(piece).as("p")))), x => x("p")), p => p =!= ""), " ")
+    pieces.groupBy("id").agg(
+      joined("in_piece").as("input"),
+      joined("tgt_piece").as("target"),
+      sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"),
+      max(col("gid")).as("n_groups"))
+  }
 }

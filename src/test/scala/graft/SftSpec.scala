@@ -107,6 +107,82 @@ class SftSpec extends SparkSpec {
     assert(row.getAs[Long]("n") == 0L)
   }
 
+  // ---------------------------------------------- training-objective prep
+
+  private lazy val objDocs = Seq(
+    (0L, "alpha bravo charlie delta echo foxtrot golf hotel"),
+    (1L, "one two three"),
+    (2L, "solo")
+  ).toDF("doc_id", "text")
+
+  test("fimTransform: prefix+middle+suffix reassemble the original text") {
+    val out = graft.operators.Corpus
+      .fimTransform(objDocs, "doc_id", "text", ratePct = 100)
+      .collect()
+    assert(out.forall(_.getAs[Boolean]("fim")))
+    val orig = objDocs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val s = r.getAs[String]("out")
+      val pre = s.stripPrefix("<|fim_pre|>")
+      val Array(p, rest) = pre.split("\\Q<|fim_suf|>\\E", 2)
+      val Array(suf, mid) = rest.split("\\Q<|fim_mid|>\\E", 2)
+      assert(p + mid + suf == orig(r.getAs[Long]("id")), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("fimTransform: rate 0 passes every document through untouched") {
+    val out = graft.operators.Corpus
+      .fimTransform(objDocs, "doc_id", "text", ratePct = 0)
+      .orderBy("id").collect()
+    assert(out.forall(r => !r.getAs[Boolean]("fim")))
+    assert(out.map(_.getAs[String]("out")).toSeq ==
+      objDocs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
+  test("spanCorrupt: mask-all collapses each doc to one sentinel group") {
+    val out = graft.operators.Corpus
+      .spanCorrupt(objDocs, "doc_id", "text", maskPct = 100)
+      .orderBy("id").collect()
+    out.zip(objDocs.orderBy("doc_id").collect()).foreach { case (r, d) =>
+      assert(r.getAs[String]("input") == "<X0>")
+      assert(r.getAs[String]("target") == "<X0> " + d.getString(1))
+      assert(r.getAs[Long]("n_groups") == 1L)
+      assert(r.getAs[Long]("n_masked") == d.getString(1).split("\\s+").length.toLong)
+    }
+  }
+
+  test("spanCorrupt: mask-none is the identity with empty targets") {
+    val out = graft.operators.Corpus
+      .spanCorrupt(objDocs, "doc_id", "text", maskPct = 0)
+      .orderBy("id").collect()
+    out.zip(objDocs.orderBy("doc_id").collect()).foreach { case (r, d) =>
+      assert(r.getAs[String]("input") == d.getString(1))
+      assert(r.getAs[String]("target") == "")
+      assert(r.getAs[Long]("n_masked") == 0L && r.getAs[Long]("n_groups") == 0L)
+    }
+  }
+
+  test("spanCorrupt: substituting target groups back reconstructs the doc") {
+    val out = graft.operators.Corpus
+      .spanCorrupt(objDocs, "doc_id", "text", maskPct = 40)
+      .orderBy("id").collect()
+    val orig = objDocs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_groups").toInt
+      // target = "<X0> toks... <X1> toks..." — split into per-sentinel fills
+      val fills = (0 until n).map { k =>
+        val t = r.getAs[String]("target")
+        val from = t.indexOf(s"<X$k>") + s"<X$k>".length
+        val to = if (k + 1 < n) t.indexOf(s"<X${k + 1}>") else t.length
+        t.substring(from, to).trim
+      }
+      val rebuilt = (0 until n).foldLeft(r.getAs[String]("input")) {
+        (acc, k) => acc.replace(s"<X$k>", fills(k))
+      }
+      assert(rebuilt == orig(r.getAs[Long]("id")), s"doc ${r.get(0)}")
+    }
+  }
+
   // ------------------------------------------------- bitext margin mining
 
   test("marginMine matches orthogonal pairs with margin 1.0 at k=1") {
