@@ -1722,6 +1722,42 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- SFT flagship composition (r8): the post-training
+    // counterpart of corpus_build_warc — mojibake repair, scoring, DPO
+    // pair mining, chat-template rendering with loss spans, shard assign,
+    // all stages composed end-to-end under one oracle. Every stage also
+    // has its own green row; this row proves the composition.
+    "sft_build" -> ((s, dir) => {
+      val corrupt = concat(
+        call_function("replace",
+          call_function("replace", col("text"), lit("a"), lit("Ã¡")),
+          lit("e"), lit("Ã©")),
+        lit(" â€“fin"))
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          graft.operators.Cleanup.mojibakeFix(corrupt).as("fixed"))
+      val responses = d.select((col("doc_id") % 97).as("prompt_id"),
+        col("doc_id").as("rid"), col("fixed").as("resp"),
+        (col("n_chars") % 997).cast(LongType).as("score"))
+      val pairs = graft.operators.Sft.preferencePairs(
+        responses, "prompt_id", "rid", "resp", col("score"), minMargin = 10L)
+      val turns = pairs.select(col("prompt_id").as("conv_id"), lit(0L).as("ord"),
+          lit("user").as("role"),
+          concat(lit("Q:"), col("prompt_id").cast(StringType)).as("content"))
+        .unionAll(pairs.select(col("prompt_id").as("conv_id"), lit(1L).as("ord"),
+          lit("assistant").as("role"), col("chosen").as("content")))
+      val rendered = graft.operators.Sft.chatRender(
+        turns, "conv_id", "ord", "role", "content")
+      rendered.join(pairs.select(col("prompt_id").as("conv_id"), col("margin")),
+          "conv_id")
+        .select(col("conv_id"),
+          pmod(graft.operators.Dedup.hash60(concat(lit("shard:"),
+            col("conv_id").cast(StringType))), lit(8L)).as("shard"),
+          col("text"), col("text_len"),
+          col("span_start"), col("span_end"), col("margin"))
+        .orderBy("conv_id")
+    }),
+
     // ---------------- training-objective prep (r8): deterministic FIM
     // rearrangement and T5 span corruption — hash-selected cuts/masks, so
     // the oracle replays every byte
@@ -3656,6 +3692,42 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- SFT flagship composition (r8): the render stage is
+    // closed-form here (exactly two turns per conversation), which keeps
+    // the oracle independent of the Spark-side HOF fold it checks
+    "sft_build" ->
+      s"""WITH c AS (SELECT doc_id, n_chars,
+             ${mojibakeFixSql(
+               "(replace(replace(text, 'a', 'Ã¡'), 'e', 'Ã©') || ' â€“fin')")} AS fixed
+           FROM documents),
+         r AS (SELECT doc_id % 97 AS prompt_id, doc_id AS rid, fixed AS resp,
+                 CAST(n_chars % 997 AS BIGINT) AS score FROM c),
+         k AS (SELECT *,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY score DESC, rid) AS rb,
+                 row_number() OVER (PARTITION BY prompt_id
+                   ORDER BY score ASC, rid) AS rw,
+                 count(*) OVER (PARTITION BY prompt_id) AS n FROM r),
+         pairs AS (SELECT b.prompt_id AS conv_id, b.resp AS chosen,
+                     CAST(b.score - w.score AS BIGINT) AS margin
+                   FROM k b JOIN k w ON b.prompt_id = w.prompt_id
+                   WHERE b.rb = 1 AND w.rw = 1 AND b.n >= 2
+                     AND b.score - w.score >= 10),
+         o AS (SELECT conv_id,
+                 '<|user|>Q:' || CAST(conv_id AS VARCHAR) ||
+                   '<|end|><|assistant|>' || chosen || '<|end|>' AS text,
+                 chosen, margin,
+                 CAST(15 + length('Q:' || CAST(conv_id AS VARCHAR)) + 13
+                   AS BIGINT) AS span_start
+               FROM pairs)
+         SELECT conv_id,
+           CAST(('0x' || substr(md5('shard:' || CAST(conv_id AS VARCHAR)), 1, 15))::BIGINT
+             % 2147483647 % 8 AS BIGINT) AS shard,
+           text, CAST(length(text) AS BIGINT) AS text_len,
+           span_start,
+           CAST(span_start + length(chosen) AS BIGINT) AS span_end, margin
+         FROM o ORDER BY conv_id""",
 
     // ---------------- training-objective prep (r8)
     "fim_transform" ->
