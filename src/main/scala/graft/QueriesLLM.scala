@@ -1774,6 +1774,23 @@ object QueriesLLM {
           col("n_masked"), col("n_groups"))
         .orderBy("doc_id")),
 
+    // ---------------- high-entropy secret scan (r8): planted md5 digests
+    // (high entropy) and repeated filler (near-zero) ride the corpus; the
+    // entropy score is all-integer so the threshold replays exactly
+    "secret_scan" -> ((s, dir) => {
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" "), md5(col("doc_id").cast(StringType))))
+          .when(col("doc_id") % 5 === 1, lit(" aaaaaaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(lit("")))
+      graft.operators.TextAnalysis.secretScan(
+        rd(s, dir, "documents").select(col("doc_id"), t2.as("t2")),
+        "doc_id", "t2")
+        .select(col("id").as("doc_id"), col("n_candidates"),
+          col("n_secrets"), col("max_ent_q4"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- margin-based bitext mining (r8): embeddings split
     // into two "languages" by id parity; Artetxe-Schwenk ratio margin over
     // 1e-12-quantized cosines (exact integer neighborhood sums, one IEEE
@@ -3783,6 +3800,41 @@ object QueriesLLM {
            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
            CAST(max(gid) AS BIGINT) AS n_groups
          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
+
+    // ---------------- high-entropy secret scan (r8): the per-candidate
+    // score replays row-exploded (unnest chars, count, integer-floor
+    // terms) — the Spark side's HOF fold computes the identical integers
+    "secret_scan" ->
+      """WITH s AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 5 = 0 THEN ' ' || md5(CAST(doc_id AS VARCHAR))
+                  WHEN doc_id % 5 = 1 THEN ' aaaaaaaaaaaaaaaaaaaaaaaa'
+                  ELSE '' END AS t2 FROM documents),
+         c AS (SELECT doc_id, regexp_extract_all(t2, '[A-Za-z0-9+/=_-]{20,}') AS cands
+               FROM s),
+         e AS (SELECT doc_id, unnest(list_transform(range(1, len(cands) + 1),
+                 i -> struct_pack(ci := i, t := cands[i]))) AS u FROM c),
+         tok AS (SELECT doc_id, (u).ci AS ci, (u).t AS t FROM e),
+         ch AS (SELECT doc_id, ci, t,
+                  unnest(list_transform(range(1, length(t) + 1), i -> t[i:i])) AS d
+                FROM tok),
+         cnt AS (SELECT doc_id, ci, t, d, CAST(count(*) AS BIGINT) AS n
+                 FROM ch GROUP BY 1, 2, 3, 4),
+         sq AS (SELECT doc_id, ci, CAST(length(t) AS BIGINT) AS L,
+                  CAST(floor(1e4 * length(t) * ln(length(t))) AS BIGINT)
+                    - CAST(sum(CAST(floor(1e4 * n * ln(n)) AS BIGINT)) AS BIGINT) AS q
+                FROM cnt GROUP BY doc_id, ci, t),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(sum(CASE WHEN q >= 25000 * L THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_secrets,
+                   max(CAST(floor(CAST(q AS DOUBLE) / CAST(L AS DOUBLE)) AS BIGINT))
+                     AS max_ent_q4
+                 FROM sq GROUP BY doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(a.n_candidates, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(a.n_secrets, 0) AS BIGINT) AS n_secrets,
+           CAST(coalesce(a.max_ent_q4, -1) AS BIGINT) AS max_ent_q4
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     // ---------------- margin-based bitext mining (r8)
     "bitext_margin" -> {

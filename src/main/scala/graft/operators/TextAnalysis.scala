@@ -630,6 +630,52 @@ object TextAnalysis {
     if (excludeOnNone) tagged.filter(size(col(result)) > 0) else tagged
   }
 
+  // ---------------------------------------------------------------- secrets
+  /** High-entropy secret/token scan (the detect-secrets shape): candidate
+    * runs of `minLen`+ base64-ish characters are scored by per-character
+    * Shannon entropy; a candidate is a "secret" when its entropy reaches
+    * `minEntropyQ4`/1e4 nats (API keys / tokens sit near ln 62 ≈ 4.13;
+    * hex digests near ln 16 ≈ 2.77; repeated filler near 0). The leak
+    * scan every corpus release needs, and one regex-only scrubbers can't
+    * do — entropy separates keys from long identifiers.
+    *
+    * Determinism: the score is the all-integer
+    * `q = ⌊1e4·L·ln L⌋ − Σ_d ⌊1e4·n_d·ln n_d⌋ = ~1e4·L·entropy` — each
+    * term floors ONE double product (the ppl-query ln convention), the
+    * sum is order-free integer, and the threshold test `q ≥ thr·L` is an
+    * exact integer comparison. Returns (id, n_candidates, n_secrets,
+    * max_ent_q4) with max_ent_q4 = ⌊max q/L⌋, −1 when no candidates.
+    *
+    * Scale shape: pure per-row codegen expressions — zero shuffle, zero
+    * state; per-candidate work is O(len·distinct-chars) on ≤ ~100-char
+    * tokens. */
+  def secretScan(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, minLen: Int = 20,
+                 minEntropyQ4: Long = 25000L): DataFrame = {
+    val cands = regexp_extract_all(col(textCol),
+      lit(s"[A-Za-z0-9+/=_-]{$minLen,}"), lit(0))
+    def scoreQ(t: Column): Column = {
+      val chars = split(t, "")
+      val L = length(t).cast(DoubleType)
+      val sumTerms = aggregate(array_distinct(chars), lit(0L), (acc, d) => {
+        val n = size(filter(chars, c => c === d)).cast(DoubleType)
+        acc + floor(lit(1e4) * n * log(n)).cast(LongType)
+      })
+      floor(lit(1e4) * L * log(L)).cast(LongType) - sumTerms
+    }
+    val scored = transform(cands,
+      t => struct(scoreQ(t).as("q"), length(t).cast(LongType).as("L")))
+    df.select(col(idCol).as("id"), scored.as("__sc"))
+      .select(col("id"),
+        size(col("__sc")).cast(LongType).as("n_candidates"),
+        size(filter(col("__sc"),
+          x => x("q") >= lit(minEntropyQ4) * x("L"))).cast(LongType)
+          .as("n_secrets"),
+        coalesce(array_max(transform(col("__sc"),
+          x => floor(x("q").cast(DoubleType) / x("L").cast(DoubleType))
+            .cast(LongType))), lit(-1L)).as("max_ent_q4"))
+  }
+
   // ---------------------------------------------------------------- fingerprint
   /** Polynomial rolling-hash document fingerprint over codepoints,
     * mod 2^31-1 — identical fold in the DuckDB oracle (list_reduce). */

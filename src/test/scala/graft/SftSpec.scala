@@ -183,6 +183,37 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------- secret scan
+
+  test("secretScan separates high-entropy keys from repeated filler") {
+    val docs = Seq(
+      (0L, "deploy with key Qw7Rt9Yu2IoPaSdFgHjKlZxCvBn done"), // 26 distinct
+      (1L, "padding aaaaaaaaaaaaaaaaaaaaaaaa end"), // zero entropy
+      (2L, "short tokens only here")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis
+      .secretScan(docs, "doc_id", "text").orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_candidates") == 1L)
+    assert(out(0).getAs[Long]("n_secrets") == 1L)
+    assert(out(1).getAs[Long]("n_candidates") == 1L)
+    assert(out(1).getAs[Long]("n_secrets") == 0L)
+    assert(out(1).getAs[Long]("max_ent_q4") == 0L) // single repeated char
+    assert(out(2).getAs[Long]("n_candidates") == 0L)
+    assert(out(2).getAs[Long]("max_ent_q4") == -1L)
+  }
+
+  test("secretScan entropy score is the exact integer formula") {
+    // "ab"×12: q = ⌊1e4·24·ln 24⌋ − 2·⌊1e4·12·ln 12⌋, per-char ⌊q/24⌋ =
+    // 6931 = ⌊1e4·ln 2⌋
+    val docs = Seq((0L, "x " + ("ab" * 12) + " y")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis
+      .secretScan(docs, "doc_id", "text").head()
+    val q = math.floor(1e4 * 24 * math.log(24)).toLong -
+      2L * math.floor(1e4 * 12 * math.log(12)).toLong
+    assert(r.getAs[Long]("max_ent_q4") == math.floor(q / 24.0).toLong)
+    assert(r.getAs[Long]("max_ent_q4") == 6931L)
+  }
+
   // ------------------------------------------------- bitext margin mining
 
   test("marginMine matches orthogonal pairs with margin 1.0 at k=1") {
