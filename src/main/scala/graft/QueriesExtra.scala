@@ -161,6 +161,23 @@ object QueriesExtra {
         .orderBy("event_id")
     }),
 
+    // ---------------- binned interval join (r8): the range θ-join as an
+    // equality join on time bins — Catalyst's native plan for the range
+    // predicate is BroadcastNestedLoopJoin (quadratic compare work + a
+    // broadcast cap on the interval side); binning shuffles both sides
+    // once on the bin key instead
+    "interval_join" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+      val iv = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"), col("tsu").as("start_us"),
+          (col("tsu") + lit(3600000000L)).as("end_us"))
+      Ops.intervalJoin(ev, "tsu", iv, "start_us", "end_us",
+        binWidth = 600000000L)
+        .select(col("interval_id"), col("event_id"), col("tsu"))
+        .orderBy("interval_id", "event_id")
+    }),
+
     // ---------------- §2.4 ContainsAllFilterProcessor — array-of-structs coverage
     "contains_all_filter" -> ((s, dir) => {
       val perUser = rd(s, dir, "events")
@@ -401,6 +418,14 @@ object QueriesExtra {
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
          FROM events ORDER BY event_id""",
+    "interval_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+         iv AS (SELECT event_id AS interval_id, tsu AS start_us,
+                  tsu + 3600000000 AS end_us
+                FROM ev WHERE event_id % 50 = 0)
+         SELECT iv.interval_id, ev.event_id, ev.tsu
+         FROM ev JOIN iv ON ev.tsu >= iv.start_us AND ev.tsu <= iv.end_us
+         ORDER BY iv.interval_id, ev.event_id""",
     "contains_all_filter" ->
       """SELECT user_id FROM events GROUP BY 1
          HAVING list_has_all(list(DISTINCT event_type), ['click', 'purchase'])

@@ -482,6 +482,36 @@ object Ops {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Binned interval join: pair each point row (`tsCol`, nonnegative
+    * numeric — µs epoch by convention) with every interval row whose
+    * [startCol, endCol] contains it. Spark's native plan for the range
+    * θ-join is BroadcastNestedLoopJoin — O(points·intervals) compare work
+    * AND a broadcast requirement that caps the interval side. Binning
+    * makes it an EQUALITY join: each interval explodes into the bins it
+    * overlaps, each point falls in exactly ONE bin, the shuffle keys on
+    * bin id, and the range predicate refines within-bin candidates. No
+    * dedup pass is needed — a point's single bin meets each interval at
+    * most once (the Flink/kdb interval-join shape).
+    *
+    * Pick `binWidth` near the typical interval length: wider bins raise
+    * within-bin false candidates, narrower raise the interval explode
+    * factor (⌈len/width⌉+1 rows per interval). At 100 TB both sides
+    * shuffle once on the bin key — no broadcast, no quadratic stage; skew
+    * from a hot bin is ordinary join skew (AQE split / saltedJoin). */
+  def intervalJoin(points: DataFrame, tsCol: String, intervals: DataFrame,
+                   startCol: String, endCol: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val binned = intervals.withColumn("__bin",
+      explode(sequence(expr(s"`$startCol` div ${binWidth}L"),
+        expr(s"`$endCol` div ${binWidth}L"))))
+    points.withColumn("__bin", expr(s"`$tsCol` div ${binWidth}L"))
+      .join(binned,
+        Seq("__bin")) // equality shuffle key…
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bin") // …range predicate refines in-bin
+  }
+
   /** SerialMerger (app/tuktu/processors/merge/BaseMergers.scala:90): concatenate
     * branch outputs (schema union, missing → null). */
   def serialMerge(dfs: Seq[DataFrame]): DataFrame =

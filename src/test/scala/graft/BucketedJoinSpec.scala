@@ -28,4 +28,34 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_right")
     }
   }
+
+  test("intervalJoin equals the native range theta-join") {
+    import graft.engine.Ops
+    val points = (0L until 500L).map(i => (i, i * 37L % 10000L))
+      .toDF("pid", "ts")
+    val intervals = (0L until 40L).map(i => (i, i * 251L % 9000L))
+      .map { case (i, s0) => (i, s0, s0 + 800L) }
+      .toDF("iid", "lo", "hi")
+    val binned = Ops.intervalJoin(points, "ts", intervals, "lo", "hi",
+        binWidth = 500L)
+      .select("iid", "pid").orderBy("iid", "pid").collect()
+    val naive = points.join(intervals,
+        col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select("iid", "pid").orderBy("iid", "pid").collect()
+    assert(binned.nonEmpty && binned.toSeq == naive.toSeq)
+  }
+
+  test("intervalJoin plans as an equality join, not BroadcastNestedLoop") {
+    import graft.engine.Ops
+    val points = (0L until 100L).map(i => (i, i * 13L)).toDF("pid", "ts")
+    val intervals = (0L until 10L).map(i => (i, i * 100L, i * 100L + 90L))
+      .toDF("iid", "lo", "hi")
+    val plan = Ops.intervalJoin(points, "ts", intervals, "lo", "hi", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$plan")
+    // the bin key must be the equality join key
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected a hash/SMJ equality join:\n$plan")
+  }
 }
