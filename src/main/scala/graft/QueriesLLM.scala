@@ -1236,6 +1236,18 @@ object QueriesLLM {
         .orderBy("node")
     }),
 
+    // ---------------- per-node triangle counts (r8): degree-oriented
+    // wedge join — each triangle counted once from its (deg, id)-smallest
+    // vertex, hub fanout bounded by the orientation
+    "domain_triangles" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("source"))
+      val b = d.select(col("doc_id").as("__did2"), col("source").as("__src2"))
+      def stride(n: Int) = d.join(b, col("__did2") === col("doc_id") + n)
+        .select(col("source").as("src"), col("__src2").as("dst"))
+      graft.operators.Graph.triangles(stride(1).unionAll(stride(7)),
+        "src", "dst").orderBy("node")
+    }),
+
     // ---------------- UT1-style domain-suffix blocklist AS DATA: each
     // host's bounded suffix chain explodes against a broadcast blocklist
     // table ("src0.example.com" blocks every subdomain; an exact-host entry
@@ -3127,6 +3139,39 @@ object QueriesLLM {
          FROM u GROUP BY 1 ORDER BY 1""",
     "domain_pagerank" -> pageRankSql(5),
     "domain_hits" -> hitsSql(3),
+    "domain_triangles" ->
+      """WITH d AS (SELECT doc_id, source FROM documents),
+         le AS (SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+                UNION ALL
+                SELECT a.source AS src, b.source AS dst
+                FROM d a JOIN d b ON b.doc_id = a.doc_id + 7),
+         und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                 FROM le WHERE src != dst),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+                   SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+                 GROUP BY 1),
+         o AS (SELECT
+                 CASE WHEN (du.dg, und.u) < (dv.dg, und.v)
+                      THEN und.u ELSE und.v END AS a,
+                 CASE WHEN (du.dg, und.u) < (dv.dg, und.v)
+                      THEN und.v ELSE und.u END AS b,
+                 CASE WHEN (du.dg, und.u) < (dv.dg, und.v)
+                      THEN dv.dg ELSE du.dg END AS db
+               FROM und JOIN deg du ON du.n = und.u
+                 JOIN deg dv ON dv.n = und.v),
+         w AS (SELECT o1.a, o1.b AS x, o2.b AS y
+               FROM o o1 JOIN o o2 ON o1.a = o2.a
+                 AND (o1.db, o1.b) < (o2.db, o2.b)),
+         t AS (SELECT w.a, w.x, w.y
+               FROM w JOIN o e3 ON e3.a = w.x AND e3.b = w.y),
+         pern AS (SELECT n, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                    SELECT a AS n FROM t UNION ALL SELECT x FROM t
+                    UNION ALL SELECT y FROM t)
+                  GROUP BY 1)
+         SELECT deg.n AS node,
+           CAST(coalesce(pern.n_triangles, 0) AS BIGINT) AS n_triangles
+         FROM deg LEFT JOIN pern ON pern.n = deg.n ORDER BY node""",
     "url_blocklist" ->
       // suffix chain via list slicing; label-wise matching (no substring
       // confusion: src0.example.com never matches www.src10.example.com)

@@ -132,4 +132,45 @@ object Graph {
     }
     hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
   }
+
+  /** Per-node triangle counts over an undirected view of the edge list —
+    * the local clustering signal (link-farm rings and template networks
+    * show up as dense triangle neighborhoods; organic link graphs are
+    * sparse in them).
+    *
+    * Degree-ordered orientation (each undirected edge points from the
+    * (degree, node)-smaller endpoint to the larger) makes every triangle
+    * countable exactly once from its unique smallest vertex AND bounds
+    * the wedge-join fanout by √|E| per node instead of the max degree —
+    * the standard trick that keeps hub vertices from going quadratic at
+    * web scale (Suri & Vassilvitskii 2011). Three edge-keyed equality
+    * joins, no windows, all counts exact integers. Returns
+    * (node, n_triangles) for every endpoint, zeros included. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val du = deg.select(col("n").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("dg").as("dv"))
+    val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = und.join(du, "u").join(dv, "v")
+      .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
+        when(uLower, col("v")).otherwise(col("u")).as("b"),
+        when(uLower, col("dv")).otherwise(col("du")).as("db"))
+    val o1 = o.select(col("a"), col("b").as("x"), col("db").as("dx"))
+    val o2 = o.select(col("a"), col("b").as("y"), col("db").as("dy"))
+    val wedges = o1.join(o2, Seq("a"))
+      .filter(struct(col("dx"), col("x")) < struct(col("dy"), col("y")))
+    val tri = wedges.join(
+      o.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perNode = tri.select(explode(array(col("a"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_triangles"))
+    deg.select(col("n").as("node"))
+      .join(perNode.select(col("n").as("node"), col("n_triangles")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -76,4 +76,23 @@ class GraphSpec extends SparkSpec {
     assert(1000000L - authSum >= 0 && 1000000L - authSum < out.length,
       s"auth mass $authSum")
   }
+
+  test("triangles: counts K4 exactly and zeros the pendant") {
+    // complete graph on {a,b,c,d} has C(4,3)=4 triangles, 3 per node;
+    // pendant p-a sits in none. Direction/duplicates must not matter.
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d", "b" -> "c",
+      "b" -> "d", "c" -> "d", "p" -> "a", "b" -> "a" /* dup, reversed */)
+    val edges = k4.map { case (s0, d0) => (s0, d0) }.toDF("src", "dst")
+    val out = Graph.triangles(edges, "src", "dst")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(Seq("a", "b", "c", "d").forall(out(_) == 3L), s"$out")
+    assert(out("p") == 0L)
+  }
+
+  test("triangles: triangle-free bipartite graph counts zero everywhere") {
+    val edges = (for { l <- Seq("l1", "l2"); r <- Seq("r1", "r2", "r3") }
+      yield (l, r)).toDF("src", "dst")
+    val out = Graph.triangles(edges, "src", "dst").collect()
+    assert(out.length == 5 && out.forall(_.getLong(1) == 0L))
+  }
 }
