@@ -1786,6 +1786,21 @@ object QueriesLLM {
           col("n_masked"), col("n_groups"))
         .orderBy("doc_id")),
 
+    // ---------------- k-NN label propagation (r8): seeds = every 5th
+    // vector with its label; majority vote over 1e-12-quantized cosines,
+    // ties to the smaller label — auto-labeling's deterministic core
+    "knn_classify" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"),
+          col("label"))
+      graft.operators.Similarity.knnClassify(
+        e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "q", "label", k = 5)
+        .orderBy("id")
+    }),
+
     // ---------------- high-entropy secret scan (r8): planted md5 digests
     // (high entropy) and repeated filler (near-zero) ride the corpus; the
     // entropy score is all-integer so the threshold replays exactly
@@ -3845,6 +3860,34 @@ object QueriesLLM {
            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
            CAST(max(gid) AS BIGINT) AS n_groups
          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
+
+    // ---------------- k-NN label propagation (r8)
+    "knn_classify" -> {
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      s"""WITH e AS (SELECT vec_id,
+               list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q,
+               label
+             FROM embeddings WHERE vec_id < 300),
+         qs AS (SELECT vec_id AS id, q FROM e WHERE vec_id % 5 != 0),
+         sd AS (SELECT vec_id AS seed_id, q AS sq, CAST(label AS BIGINT) AS label
+                FROM e WHERE vec_id % 5 = 0),
+         p AS (SELECT qs.id, sd.seed_id, sd.label,
+                 CAST(floor((${dot("qs.q", "sd.sq")} /
+                   (sqrt(${dot("qs.q", "qs.q")}) * sqrt(${dot("sd.sq", "sd.sq")})))
+                   * 1000000000000 + 0.5) AS BIGINT) AS cos_q
+               FROM qs, sd),
+         r AS (SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY cos_q DESC, seed_id) AS rk FROM p),
+         v AS (SELECT id, label, CAST(count(*) AS BIGINT) AS votes,
+                 CAST(max(cos_q) AS BIGINT) AS best_cos_q
+               FROM r WHERE rk <= 5 GROUP BY 1, 2),
+         b AS (SELECT *, row_number() OVER (PARTITION BY id
+                 ORDER BY votes DESC, label ASC) AS rb FROM v)
+         SELECT id, label AS pred_label, votes, best_cos_q
+         FROM b WHERE rb = 1 ORDER BY id"""
+    },
 
     // ---------------- high-entropy secret scan (r8): the per-candidate
     // score replays row-exploded (unnest chars, count, integer-floor

@@ -555,6 +555,44 @@ object Similarity {
     topKPerId(pairs, k)
   }
 
+  /** k-NN label propagation: each query vector takes the majority label
+    * of its k nearest LABELED seeds by cosine — the auto-labeling /
+    * weak-supervision primitive behind classifier bootstrapping and
+    * cluster naming in corpus curation (label a few thousand docs, spread
+    * to billions).
+    *
+    * Deterministic end to end: cosines quantize to 1e-12-grain integers,
+    * neighbors rank by (cos_q desc, seed_id asc), majority breaks ties by
+    * the smaller label — a pure function of the input sets. Returns
+    * (id, pred_label, votes, best_cos_q).
+    *
+    * Scale shape: the cross join here is the exact baseline (oracle
+    * slices); at 100 TB the seed side is ≪ corpus by contract (broadcast)
+    * or candidates feed from [[knnJoinIvf]]'s cell join — the vote
+    * algebra downstream (per-id top-k, one (id, label) count, one
+    * struct-argmax groupBy) is identical and never all-pairs. */
+  def knnClassify(queries: DataFrame, seeds: DataFrame, idCol: String,
+                  vecCol: String, labelCol: String, k: Int = 5): DataFrame = {
+    val q = queries.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("__qv"))
+    val sd = seeds.select(col(idCol).cast(LongType).as("seed_id"),
+      col(vecCol).as("__sv"), col(labelCol).cast(LongType).as("label"))
+    val pairs = q.crossJoin(sd).select(col("id"), col("seed_id"), col("label"),
+      floor(cosine(col("__qv"), col("__sv")) * 1e12 + 0.5)
+        .cast(LongType).as("cos_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("cos_q").desc, col("seed_id").asc)
+    val top = pairs.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+    top.groupBy("id", "label")
+      .agg(count(lit(1)).as("votes"), max("cos_q").as("best_cos_q"))
+      .groupBy("id")
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"), col("label"),
+        col("best_cos_q"))).as("b"))
+      .select(col("id"), col("b.label").as("pred_label"),
+        col("b.votes").as("votes"), col("b.best_cos_q").as("best_cos_q"))
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "ratio" margin):
     * for every source vector, its best target match scored as
     * `2k·cos(x,y) / (Σ topk-cos(x,·) + Σ topk-cos(·,y))` — the

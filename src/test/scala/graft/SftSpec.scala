@@ -230,6 +230,31 @@ class SftSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("cos_q") == 1000000000000L))
   }
 
+  test("knnClassify majority-votes with smaller-label tie-break") {
+    // seeds: two label-0 near the x-axis, two label-1 near the y-axis, one
+    // label-2 outlier; k=3 → clear majorities
+    val seeds = Seq(
+      (100L, Seq(1.0, 0.0), 0L), (101L, Seq(0.9, 0.1), 0L),
+      (102L, Seq(0.0, 1.0), 1L), (103L, Seq(0.1, 0.9), 1L),
+      (104L, Seq(-1.0, -1.0), 2L)
+    ).toDF("id", "v", "lab")
+    val queries = Seq(
+      (0L, Seq(1.0, 0.05)), // x-ish → label 0
+      (1L, Seq(0.05, 1.0))  // y-ish → label 1
+    ).toDF("id", "v")
+    val out = Similarity.knnClassify(queries, seeds, "id", "v", "lab", k = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("pred_label")).toSeq == Seq(0L, 1L))
+    assert(out.forall(_.getAs[Long]("votes") == 2L)) // 2-of-3 majorities
+    // tie case: k=2 → one vote each; the SMALLER label must win
+    val tied = Similarity.knnClassify(
+      Seq((0L, Seq(1.0, 1.0))).toDF("id", "v"),
+      Seq((10L, Seq(1.0, 0.0), 7L), (11L, Seq(0.0, 1.0), 3L)).toDF("id", "v", "lab"),
+      "id", "v", "lab", k = 2).head()
+    assert(tied.getAs[Long]("pred_label") == 3L)
+    assert(tied.getAs[Long]("votes") == 1L)
+  }
+
   test("marginMine prefers the non-hub target under the ratio margin") {
     // hub target t1 is moderately close to BOTH sources, so its
     // neighborhood sum is large and its margin deflates; specific target
