@@ -1786,6 +1786,22 @@ object QueriesLLM {
           col("n_masked"), col("n_groups"))
         .orderBy("doc_id")),
 
+    // ---------------- corpus snapshot diff (r8): the new snapshot drops
+    // every 17th doc, rewrites every 13th, adds a doc per 19th — the diff
+    // classifies all of it from fingerprints alone
+    "snapshot_diff" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(d.filter(col("doc_id") % 19 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast(StringType)).as("text")))
+      graft.operators.Corpus.snapshotDiff(d, newSnap, "doc_id", "text")
+        .orderBy("id")
+    }),
+
     // ---------------- k-NN label propagation (r8): seeds = every 5th
     // vector with its label; majority vote over 1e-12-quantized cosines,
     // ties to the smaller label — auto-labeling's deterministic core
@@ -3860,6 +3876,32 @@ object QueriesLLM {
            CAST(sum(CASE WHEN mk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
            CAST(max(gid) AS BIGINT) AS n_groups
          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
+
+    // ---------------- corpus snapshot diff (r8)
+    "snapshot_diff" -> {
+      def fp(expr: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length($expr) + 1),
+               i -> CAST(unicode(($expr)[i:i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 2147483647)"""
+      s"""WITH oldd AS (SELECT doc_id AS id, ${fp("text")} AS ofp FROM documents),
+         newdocs AS (
+           SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+                               ELSE text END AS text
+           FROM documents WHERE doc_id % 17 != 0
+           UNION ALL
+           SELECT doc_id + 100000, 'new doc ' || CAST(doc_id AS VARCHAR)
+           FROM documents WHERE doc_id % 19 = 0),
+         newd AS (SELECT doc_id AS id, ${fp("text")} AS nfp FROM newdocs)
+         SELECT coalesce(o.id, n.id) AS id,
+           CASE WHEN o.id IS NULL THEN 'added'
+                WHEN n.id IS NULL THEN 'removed'
+                WHEN o.ofp IS NOT DISTINCT FROM n.nfp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           o.ofp AS old_fp, n.nfp AS new_fp
+         FROM oldd o FULL OUTER JOIN newd n ON o.id = n.id
+         ORDER BY id"""
+    },
 
     // ---------------- k-NN label propagation (r8)
     "knn_classify" -> {

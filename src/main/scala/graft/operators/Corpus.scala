@@ -300,6 +300,35 @@ object Corpus {
       .partitionBy("shard").parquet(path)
   }
 
+  /** Corpus snapshot diff: classify every document id across two corpus
+    * versions as added / removed / changed / unchanged by content
+    * fingerprint — the version-control primitive behind incremental
+    * releases (recrawl deltas, takedown audits, feeding ONLY changed docs
+    * to downstream dedup/embedding stages instead of recomputing 100 TB).
+    *
+    * ONE full-outer join on the id with fingerprints compared in-join;
+    * fingerprints are [[TextAnalysis.fingerprint]]'s rolling hash
+    * (SQL-replayable), computed scan-side so the shuffle carries
+    * (id, fp) rows, never text. Both sides shuffle once on id — or zero
+    * times when snapshots are bucketed on id, the natural layout for a
+    * versioned corpus store. Returns (id, status, old_fp, new_fp). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                   textCol: String): DataFrame = {
+    // presence markers, not fp-nullness: a null-text doc still EXISTS in
+    // its snapshot (its fp is null), and null fps compare null-safely
+    val o = oldDf.select(col(idCol).cast(LongType).as("id"),
+      lit(true).as("__inOld"), TextAnalysis.fingerprint(col(textCol)).as("old_fp"))
+    val n = newDf.select(col(idCol).cast(LongType).as("id"),
+      lit(true).as("__inNew"), TextAnalysis.fingerprint(col(textCol)).as("new_fp"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__inOld").isNull, lit("added"))
+          .when(col("__inNew").isNull, lit("removed"))
+          .when(col("old_fp") <=> col("new_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_fp"), col("new_fp"))
+  }
+
   // ------------------------------------------- training-objective prep
   // Deterministic objective transforms: the document rewriting between a
   // packed corpus and the actual loss — fill-in-the-middle for code/infill

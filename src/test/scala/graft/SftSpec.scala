@@ -183,6 +183,19 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- snapshot diff
+
+  test("snapshotDiff classifies all four states, null text included") {
+    val old = Seq((1L, "same"), (2L, "will change"), (3L, "will drop"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "changed!"), (4L, "fresh"),
+      (5L, null: String)).toDF("doc_id", "text")
+    val out = graft.operators.Corpus.snapshotDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged"), s"$out")
+  }
+
   // --------------------------------------------------------- secret scan
 
   test("secretScan separates high-entropy keys from repeated filler") {
