@@ -126,9 +126,10 @@ object Graph {
       hub = nodes.join(hRaw, Seq("node"), "left").crossJoin(hTot)
         .select(col("node"),
           expr(s"(coalesce(__raw, 0L) * $scale) div __tot").as("hub"))
-      if (i % 2 == 0 || i == iters) {
-        hub = hub.localCheckpoint(); auth = auth.localCheckpoint()
-      }
+      // checkpoint HUB only: auth's chain is bounded by one half-step on
+      // top of the last hub checkpoint, so plan depth stays O(1) with
+      // half the materialization jobs (the BPE-vocab cadence lesson)
+      if (i % 2 == 0 || i == iters) hub = hub.localCheckpoint()
     }
     hub.join(auth, "node").select(col("node"), col("hub"), col("auth"))
   }
