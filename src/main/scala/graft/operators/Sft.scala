@@ -39,6 +39,9 @@ object Sft {
     val base = df.select(col(promptCol).as("prompt_id"),
       col(idCol).cast(LongType).as("rid"),
       col(responseCol).as("resp"), score.cast(LongType).as("score"))
+      // a null-scored response can't rank: struct-min/max null ordering
+      // differs from SQL NULLS LAST and would skew the pair — drop it
+      .filter(col("score").isNotNull)
     base.groupBy("prompt_id")
       .agg(
         // max on (score, -rid): ties in score resolve to the SMALLEST rid;
@@ -68,6 +71,10 @@ object Sft {
     * `span_end` exclusive, `span_idx` 1-based in turn order.
     * Conversations whose every turn is non-loss (no assistant turn) emit
     * no rows, exactly like their training contribution.
+    *
+    * A null turn content nulls the whole conversation's render (concat's
+    * null propagation, loudly visible) rather than silently dropping the
+    * turn and shifting every downstream offset — clean upstream first.
     *
     * Scale shape: ONE groupBy on the conversation key collecting the
     * turn list (conversations are bounded-length by contract — the same

@@ -652,8 +652,12 @@ object TextAnalysis {
   def secretScan(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, minLen: Int = 20,
                  minEntropyQ4: Long = 25000L): DataFrame = {
-    val cands = regexp_extract_all(col(textCol),
-      lit(s"[A-Za-z0-9+/=_-]{$minLen,}"), lit(0))
+    // null text scans as "no candidates" (0 counts, −1 max), not as a
+    // null row — the shape a downstream keep/drop filter expects
+    val cands = coalesce(
+      regexp_extract_all(col(textCol), lit(s"[A-Za-z0-9+/=_-]{$minLen,}"),
+        lit(0)),
+      array().cast("array<string>"))
     def scoreQ(t: Column): Column = {
       val chars = split(t, "")
       val L = length(t).cast(DoubleType)

@@ -33,6 +33,15 @@ class SftSpec extends SparkSpec {
     assert(r.getAs[Long]("n_responses") == 4L)
   }
 
+  test("preferencePairs drops null-scored responses before ranking") {
+    val withNull = responses.unionByName(
+      Seq((10L, 9L, "rx", null.asInstanceOf[java.lang.Long]))
+        .toDF("prompt_id", "rid", "resp", "score"))
+    val out = Sft.preferencePairs(withNull, "prompt_id", "rid", "resp",
+      col("score"), minMargin = 1L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_responses") == 4L)
+  }
+
   test("preferencePairs margin threshold is inclusive") {
     val out = Sft.preferencePairs(responses, "prompt_id", "rid", "resp",
       col("score"), minMargin = 8L)
@@ -213,6 +222,14 @@ class SftSpec extends SparkSpec {
     assert(out(1).getAs[Long]("max_ent_q4") == 0L) // single repeated char
     assert(out(2).getAs[Long]("n_candidates") == 0L)
     assert(out(2).getAs[Long]("max_ent_q4") == -1L)
+  }
+
+  test("secretScan treats null text as zero candidates, not a null row") {
+    val r = graft.operators.TextAnalysis.secretScan(
+      Seq((0L, null: String)).toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(r.getAs[Long]("n_candidates") == 0L)
+    assert(r.getAs[Long]("n_secrets") == 0L)
+    assert(r.getAs[Long]("max_ent_q4") == -1L)
   }
 
   test("secretScan entropy score is the exact integer formula") {
