@@ -148,12 +148,17 @@ object Graph {
     * joins, no windows, all counts exact integers. Returns
     * (node, n_triangles) for every endpoint, zeros included. */
   def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // und/deg/o are each referenced by 2-3 downstream joins: materialize
+    // once (graph-sized tables, the pageRank/hits localCheckpoint
+    // discipline) instead of re-deriving the edge build per reference
     val und = edges.select(
         least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val deg = und.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
+      .localCheckpoint()
     val du = deg.select(col("n").as("u"), col("dg").as("du"))
     val dv = deg.select(col("n").as("v"), col("dg").as("dv"))
     val uLower = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
@@ -161,6 +166,7 @@ object Graph {
       .select(when(uLower, col("u")).otherwise(col("v")).as("a"),
         when(uLower, col("v")).otherwise(col("u")).as("b"),
         when(uLower, col("dv")).otherwise(col("du")).as("db"))
+      .localCheckpoint()
     val o1 = o.select(col("a"), col("b").as("x"), col("db").as("dx"))
     val o2 = o.select(col("a"), col("b").as("y"), col("db").as("dy"))
     val wedges = o1.join(o2, Seq("a"))

@@ -625,9 +625,14 @@ object Similarity {
       .partitionBy(col("src_id")).orderBy(col("cos_q").desc, col("tgt_id").asc)
     val wT = org.apache.spark.sql.expressions.Window
       .partitionBy(col("tgt_id")).orderBy(col("cos_q").desc, col("src_id").asc)
+    // ranked is referenced three times (both neighborhood sums + the
+    // candidate slice): materialize the scored candidate table ONCE —
+    // otherwise the pair generation and both rank windows re-run per
+    // reference (audited: 3× the cross join, 12 window ops)
     val ranked = pairs
       .withColumn("rs", row_number().over(wS))
       .withColumn("rt", row_number().over(wT))
+      .localCheckpoint()
     val nbrS = ranked.filter(col("rs") <= k).groupBy("src_id")
       .agg(sum("cos_q").as("nsum_src"))
     val nbrT = ranked.filter(col("rt") <= k).groupBy("tgt_id")
