@@ -1686,6 +1686,48 @@ object QueriesLLM {
       s.table(name).orderBy("id", "dup_of", "band")
     }),
 
+    // ---------------- streaming session windows under the hash gate
+    // (r8): a two-batch MemoryStream replay split at the median event
+    // time, so in-flight sessions SPAN the batch boundary and the
+    // cross-batch session-merge state is what the oracle checks; a
+    // far-future flush event advances the watermark so append mode emits
+    // every real session exactly once. Oracle = batch gaps-and-islands
+    // with session_window's exact boundary rule (a gap of EXACTLY the
+    // duration starts a new session — windows are [start, end)).
+    "streaming_sessions_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ev = rd(s, dir, "events")
+        .select(col("event_id").cast(LongType), unix_micros(col("ts")).as("us"),
+          col("user_id").cast(LongType))
+        .orderBy("us", "event_id").as[(Long, Long, Long)].collect().toSeq
+      val cut = ev(ev.length / 2)._2
+      val (b1, b2) = ev.partition(_._2 < cut)
+      val flush = Seq((-1L, ev.map(_._2).max + 86400L * 1000000L, -1L))
+      val in = MemoryStream[(Long, Long, Long)]
+      val stream = in.toDF.toDF("event_id", "us", "user_id")
+        .withColumn("ts", timestamp_micros(col("us")))
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      val out = graft.streaming.Streams.sessionAgg(stream, "ts",
+        gap = "30 minutes", watermark = "1 second", keys = Seq("user_id"),
+        aggs = Seq(count(lit(1)).as("n_events")))
+      val name = "ssess2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable() // open sessions persist
+        in.addData(b2: _*); q.processAllAvailable() // merge across batches
+        in.addData(flush: _*); q.processAllAvailable() // watermark flush
+      } finally q.stop()
+      s.table(name).filter(col("user_id") =!= -1L)
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")
+    }),
+
     // ---------------- SFT / preference-data assembly (r8): the
     // post-training half of the pipeline. Pair mining is ONE
     // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
@@ -3785,6 +3827,28 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- streaming session windows (r8): batch
+    // gaps-and-islands replay; >= gap starts a new session (Spark's
+    // session_window is [start, end)), end = last event + gap
+    "streaming_sessions_2batch" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+               lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_us
+             FROM events),
+         f AS (SELECT user_id, us, event_id,
+                 CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM g),
+         s AS (SELECT user_id, us,
+                 CAST(sum(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS sid
+               FROM f)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS end_us,
+           count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     // ---------------- SFT flagship composition (r8): the render stage is
     // closed-form here (exactly two turns per conversation), which keeps
