@@ -1828,6 +1828,25 @@ object QueriesLLM {
           col("n_masked"), col("n_groups"))
         .orderBy("doc_id")),
 
+    // ---------------- unigram-LM Viterbi segmentation (r8): the
+    // SentencePiece inference shape — frequency-seeded piece vocabulary
+    // AS DATA, per-word max-likelihood split; all stages after the corpus
+    // scan run on the distinct-word table
+    "unigram_segment" -> ((s, dir) => {
+      // enrich the small synthetic vocabulary with md5-derived pseudo-words
+      // (variable-length [a-f] runs) so the DP sees hundreds of distinct
+      // words at many lengths; the oracle appends the identical expression
+      val wf = graft.operators.Unigram.wordFreqs(
+        rd(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            md5(col("doc_id").cast(StringType))).as("text")),
+        "text")
+      val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
+        maxPieceLen = 6)
+      graft.operators.Unigram.segmentWords(wf, vocab, maxPieceLen = 6,
+        maxWordLen = 16).orderBy("w")
+    }),
+
     // ---------------- corpus snapshot diff (r8): the new snapshot drops
     // every 17th doc, rewrites every 13th, adds a doc per 19th — the diff
     // classifies all of it from fingerprints alone
@@ -3941,6 +3960,12 @@ object QueriesLLM {
            CAST(max(gid) AS BIGINT) AS n_groups
          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
 
+    // ---------------- unigram-LM Viterbi segmentation (r8): the DP
+    // unrolls as one CTE stage per word position (≤ maxWordLen), each an
+    // argmax over edges from earlier positions with the IDENTICAL
+    // (score desc, pieces asc, split asc) tie order
+    "unigram_segment" -> unigramSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
+
     // ---------------- corpus snapshot diff (r8)
     "snapshot_diff" -> {
       def fp(expr: String) =
@@ -4064,6 +4089,67 @@ object QueriesLLM {
          SELECT src_id, tgt_id, cos_q, nsum_src, nsum_tgt, margin
          FROM b WHERE rb = 1 ORDER BY src_id"""
     })
+
+  /** DuckDB replay of `Unigram.pieceVocab` + `segmentWords`: the Viterbi
+    * DP unrolled as one argmax CTE stage per word position; `allI`
+    * accumulates best states for positions 0..I so stage I+1 joins every
+    * reachable predecessor. Same vocabulary selection order, same
+    * quantized-ln scores, same tie rule. */
+  private def unigramSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    val base =
+      s"""WITH wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(regexp_extract_all(
+               lower(text || ' ' || md5(CAST(doc_id AS VARCHAR))), '[a-z]+')) AS w
+             FROM documents) GROUP BY 1),
+         pieces AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS freq FROM (
+             SELECT unnest(flatten(list_transform(range(1, length(w) + 1), j ->
+               list_transform(range(1, least($maxPieceLen, length(w) - j + 1) + 1),
+                 len -> substr(w, j, len))))) AS piece, freq
+             FROM wf) GROUP BY 1),
+         topk AS (SELECT piece, freq FROM (
+             SELECT piece, freq,
+               row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+             FROM pieces) WHERE rn <= $k),
+         chars AS (SELECT piece, freq FROM pieces WHERE length(piece) = 1),
+         vocab AS (SELECT piece, CAST(max(freq) AS BIGINT) AS freq FROM (
+             SELECT * FROM topk UNION ALL SELECT * FROM chars) GROUP BY 1),
+         vt AS (SELECT CAST(sum(freq) AS BIGINT) AS F FROM vocab),
+         scored AS MATERIALIZED (SELECT piece,
+             CAST(floor(1e4 * (ln(freq) - ln(vt.F))) AS BIGINT) AS sq
+           FROM vocab, vt),
+         dw AS (SELECT w, CAST(length(w) AS BIGINT) AS L FROM wf
+                WHERE length(w) BETWEEN 1 AND $maxWordLen),
+         cand AS (SELECT w, L,
+             unnest(flatten(list_transform(range(1, CAST(L AS INTEGER) + 1), j ->
+               list_transform(range(1, least($maxPieceLen,
+                   CAST(L AS INTEGER) - j + 1) + 1),
+                 len -> struct_pack(j := j - 1, i := j - 1 + len,
+                   piece := substr(w, j, len)))))) AS e
+           FROM dw),
+         edges AS MATERIALIZED (SELECT c.w, CAST((c.e).j AS BIGINT) AS j,
+             CAST((c.e).i AS BIGINT) AS i, s.sq
+           FROM cand c JOIN scored s ON s.piece = (c.e).piece),
+         all0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS bq,
+             CAST(0 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS bj FROM dw)"""
+    val stages = (1 to maxWordLen).map { i =>
+      s"""
+         a$i AS MATERIALIZED (SELECT w, pos, bq, n, bj FROM (
+             SELECT e.w, CAST($i AS BIGINT) AS pos, p.bq + e.sq AS bq,
+               p.n + 1 AS n, e.j AS bj,
+               row_number() OVER (PARTITION BY e.w
+                 ORDER BY p.bq + e.sq DESC, p.n + 1 ASC, e.j ASC) AS rn
+             FROM edges e JOIN all${i - 1} p ON p.w = e.w AND p.pos = e.j
+             WHERE e.i = $i) WHERE rn = 1),
+         all$i AS MATERIALIZED (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM a$i)"""
+    }.mkString(",")
+    base + "," + stages +
+      s"""
+      SELECT dw.w, f.n AS n_pieces, f.bq AS score_q,
+        substr(dw.w, CAST(f.bj + 1 AS INTEGER),
+          CAST(dw.L - f.bj AS INTEGER)) AS last_piece
+      FROM dw JOIN all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
+      ORDER BY dw.w"""
+  }
 
   /** Unrolled [[graft.operators.Cleanup.mojibakeTable]] repair chain over a
     * SQL column reference — the oracle side of `mojibakeFix`. */
