@@ -1847,6 +1847,29 @@ object QueriesLLM {
         maxWordLen = 16).orderBy("w")
     }),
 
+    // ---------------- the same DP applied corpus-wide: per-document
+    // subword counts — the tokenizer-budget signal packing needs
+    "unigram_doc_tokens" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          md5(col("doc_id").cast(StringType))).as("text"))
+      val wf = graft.operators.Unigram.wordFreqs(docs, "text")
+      val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
+        maxPieceLen = 6)
+      val segs = graft.operators.Unigram.segmentWords(wf, vocab,
+        maxPieceLen = 6, maxWordLen = 16)
+        .select(col("w"), col("n_pieces"))
+      val dwords = docs.select(col("doc_id"), explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+        .filter(length(col("w")) <= 16)
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      dwords.join(segs, "w")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("n_pieces")).as("n_subwords"),
+          sum("c").as("n_words"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- corpus snapshot diff (r8): the new snapshot drops
     // every 17th doc, rewrites every 13th, adds a doc per 19th — the diff
     // classifies all of it from fingerprints alone
@@ -3965,6 +3988,7 @@ object QueriesLLM {
     // argmax over edges from earlier positions with the IDENTICAL
     // (score desc, pieces asc, split asc) tie order
     "unigram_segment" -> unigramSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
+    "unigram_doc_tokens" -> unigramDocSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
 
     // ---------------- corpus snapshot diff (r8)
     "snapshot_diff" -> {
@@ -4142,13 +4166,51 @@ object QueriesLLM {
              WHERE e.i = $i) WHERE rn = 1),
          all$i AS MATERIALIZED (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM a$i)"""
     }.mkString(",")
-    base + "," + stages +
+    // backtrack replay: walk bj chains down (positions strictly decrease,
+    // ≤ maxWordLen steps); a word lands at pos 0 exactly once
+    val bt0 = s"""
+         bt0 AS MATERIALIZED (SELECT w, L AS pos, '' AS seg FROM dw)"""
+    val btStages = (1 to maxWordLen).map { st =>
       s"""
+         bt$st AS MATERIALIZED (SELECT b.w, f.bj AS pos,
+             substr(b.w, CAST(f.bj + 1 AS INTEGER),
+               CAST(b.pos - f.bj AS INTEGER)) ||
+               CASE WHEN b.seg = '' THEN '' ELSE ' ' || b.seg END AS seg
+           FROM bt${st - 1} b JOIN all$maxWordLen f
+             ON f.w = b.w AND f.pos = b.pos
+           WHERE b.pos > 0)"""
+    }.mkString(",")
+    val btUnion = (1 to maxWordLen)
+      .map(st => s"SELECT w, pos, seg FROM bt$st").mkString(" UNION ALL ")
+    base + "," + stages + "," + bt0 + "," + btStages +
+      s""",
+         btfin AS (SELECT w, seg FROM ($btUnion) WHERE pos = 0)
       SELECT dw.w, f.n AS n_pieces, f.bq AS score_q,
         substr(dw.w, CAST(f.bj + 1 AS INTEGER),
-          CAST(dw.L - f.bj AS INTEGER)) AS last_piece
+          CAST(dw.L - f.bj AS INTEGER)) AS last_piece,
+        btfin.seg AS seg
       FROM dw JOIN all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
+      JOIN btfin ON btfin.w = dw.w
       ORDER BY dw.w"""
+  }
+
+  /** Doc-level application of the same DP: subword counts per document —
+    * shares `unigramSql`'s CTE chain up to the final-position states. */
+  private def unigramDocSql(k: Int, maxPieceLen: Int,
+                            maxWordLen: Int): String = {
+    val full = unigramSql(k, maxPieceLen, maxWordLen)
+    val cut = full.lastIndexOf("SELECT dw.w")
+    full.substring(0, cut) +
+      s""", dwords AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, unnest(regexp_extract_all(
+               lower(text || ' ' || md5(CAST(doc_id AS VARCHAR))), '[a-z]+')) AS w
+             FROM documents) t
+           WHERE length(w) <= $maxWordLen GROUP BY 1, 2)
+         SELECT d.doc_id, CAST(sum(d.c * f.n) AS BIGINT) AS n_subwords,
+           CAST(sum(d.c) AS BIGINT) AS n_words
+         FROM dwords d JOIN all$maxWordLen f
+           ON f.w = d.w AND f.pos = length(d.w)
+         GROUP BY 1 ORDER BY 1"""
   }
 
   /** Unrolled [[graft.operators.Cleanup.mojibakeTable]] repair chain over a

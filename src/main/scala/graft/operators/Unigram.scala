@@ -104,10 +104,28 @@ object Unigram {
         concat(acc, array(struct(best("bq").as("bq"), best("n").as("n"),
           best("bj").as("bj"))))
       })
-    edges.withColumn("__f", element_at(dp, col("L") + 1))
+    // backtrack: walk the bj chain from L to 0 (≤ L steps, strictly
+    // decreasing), prepending each piece — same fold discipline as the DP
+    val withDp = edges.withColumn("__dp", dp)
+    val seg = aggregate(
+      sequence(lit(1), col("L")),
+      struct(col("L").as("pos"), lit("").as("seg")),
+      (acc: Column, _: Column) => {
+        val f = element_at(col("__dp"), acc("pos") + 1)
+        val piece = col("w").substr(f("bj") + 1, acc("pos") - f("bj"))
+        when(acc("pos") > 0,
+          struct(f("bj").as("pos"),
+            concat(piece,
+              when(acc("seg") === "", lit("")).otherwise(concat(lit(" "),
+                acc("seg")))).as("seg")))
+          .otherwise(acc)
+      },
+      acc => acc("seg"))
+    withDp.withColumn("__f", element_at(col("__dp"), col("L") + 1))
       .select(col("w"), col("__f.n").as("n_pieces"),
         col("__f.bq").as("score_q"),
         col("w").substr(col("__f.bj") + 1, col("L") - col("__f.bj"))
-          .as("last_piece"))
+          .as("last_piece"),
+        seg.as("seg"))
   }
 }

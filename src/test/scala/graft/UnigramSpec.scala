@@ -21,6 +21,7 @@ class UnigramSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pieces") == 1L)
     assert(out.getAs[Long]("score_q") == -15L)
     assert(out.getAs[String]("last_piece") == "abab")
+    assert(out.getAs[String]("seg") == "abab")
   }
 
   test("segmentWords splits when pieces beat the whole") {
@@ -32,6 +33,7 @@ class UnigramSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pieces") == 2L)
     assert(out.getAs[Long]("score_q") == -20L)
     assert(out.getAs[String]("last_piece") == "ab")
+    assert(out.getAs[String]("seg") == "ab ab")
   }
 
   test("segmentWords breaks score ties toward fewer pieces") {
@@ -50,6 +52,7 @@ class UnigramSpec extends SparkSpec {
     assert(out.getAs[Long]("n_pieces") == 3L)
     assert(out.getAs[Long]("score_q") == -24L)
     assert(out.getAs[String]("last_piece") == "z")
+    assert(out.getAs[String]("seg") == "x y z")
   }
 
   test("pieceVocab keeps top-k plus every single character") {
