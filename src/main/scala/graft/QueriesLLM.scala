@@ -1847,6 +1847,22 @@ object QueriesLLM {
         maxWordLen = 16).orderBy("w")
     }),
 
+    // ---------------- one hard-EM refinement round over the same
+    // machinery: counts from round-1 segmentations, chars floored at 1,
+    // re-segment — both DP rounds under one oracle
+    "unigram_em" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          md5(col("doc_id").cast(StringType))).as("text"))
+      val wf = graft.operators.Unigram.wordFreqs(docs, "text")
+      val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
+        maxPieceLen = 6)
+      val vocab2 = graft.operators.Unigram.emRefine(wf, vocab,
+        maxPieceLen = 6, maxWordLen = 16)
+      graft.operators.Unigram.segmentWords(wf, vocab2, maxPieceLen = 6,
+        maxWordLen = 16).orderBy("w")
+    }),
+
     // ---------------- the same DP applied corpus-wide: per-document
     // subword counts — the tokenizer-budget signal packing needs
     "unigram_doc_tokens" -> ((s, dir) => {
@@ -3989,6 +4005,7 @@ object QueriesLLM {
     // (score desc, pieces asc, split asc) tie order
     "unigram_segment" -> unigramSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
     "unigram_doc_tokens" -> unigramDocSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
+    "unigram_em" -> unigramEmSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
 
     // ---------------- corpus snapshot diff (r8)
     "snapshot_diff" -> {
@@ -4118,10 +4135,11 @@ object QueriesLLM {
     * DP unrolled as one argmax CTE stage per word position; `allI`
     * accumulates best states for positions 0..I so stage I+1 joins every
     * reachable predecessor. Same vocabulary selection order, same
-    * quantized-ln scores, same tie rule. */
-  private def unigramSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String = {
-    val base =
-      s"""WITH wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    * quantized-ln scores, same tie rule. MATERIALIZED hints stop DuckDB
+    * from inlining the chain exponentially. */
+  private def unigramBaseCtes(k: Int, maxPieceLen: Int,
+                              maxWordLen: Int): String =
+    s"""wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
              SELECT unnest(regexp_extract_all(
                lower(text || ' ' || md5(CAST(doc_id AS VARCHAR))), '[a-z]+')) AS w
              FROM documents) GROUP BY 1),
@@ -4149,50 +4167,89 @@ object QueriesLLM {
                    CAST(L AS INTEGER) - j + 1) + 1),
                  len -> struct_pack(j := j - 1, i := j - 1 + len,
                    piece := substr(w, j, len)))))) AS e
-           FROM dw),
-         edges AS MATERIALIZED (SELECT c.w, CAST((c.e).j AS BIGINT) AS j,
+           FROM dw)"""
+
+  /** One full DP + backtrack chain against the scores CTE `sc`, all CTE
+    * names prefixed `pfx` so two rounds (EM) can coexist in one WITH. */
+  private def unigramDpCtes(pfx: String, sc: String, maxWordLen: Int): String = {
+    val head =
+      s"""${pfx}edges AS MATERIALIZED (SELECT c.w, CAST((c.e).j AS BIGINT) AS j,
              CAST((c.e).i AS BIGINT) AS i, s.sq
-           FROM cand c JOIN scored s ON s.piece = (c.e).piece),
-         all0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS bq,
+           FROM cand c JOIN $sc s ON s.piece = (c.e).piece),
+         ${pfx}all0 AS MATERIALIZED (SELECT w, CAST(0 AS BIGINT) AS pos,
+             CAST(0 AS BIGINT) AS bq,
              CAST(0 AS BIGINT) AS n, CAST(-1 AS BIGINT) AS bj FROM dw)"""
     val stages = (1 to maxWordLen).map { i =>
       s"""
-         a$i AS MATERIALIZED (SELECT w, pos, bq, n, bj FROM (
+         ${pfx}a$i AS MATERIALIZED (SELECT w, pos, bq, n, bj FROM (
              SELECT e.w, CAST($i AS BIGINT) AS pos, p.bq + e.sq AS bq,
                p.n + 1 AS n, e.j AS bj,
                row_number() OVER (PARTITION BY e.w
                  ORDER BY p.bq + e.sq DESC, p.n + 1 ASC, e.j ASC) AS rn
-             FROM edges e JOIN all${i - 1} p ON p.w = e.w AND p.pos = e.j
+             FROM ${pfx}edges e JOIN ${pfx}all${i - 1} p
+               ON p.w = e.w AND p.pos = e.j
              WHERE e.i = $i) WHERE rn = 1),
-         all$i AS MATERIALIZED (SELECT * FROM all${i - 1} UNION ALL SELECT * FROM a$i)"""
+         ${pfx}all$i AS MATERIALIZED (
+           SELECT * FROM ${pfx}all${i - 1} UNION ALL SELECT * FROM ${pfx}a$i)"""
     }.mkString(",")
-    // backtrack replay: walk bj chains down (positions strictly decrease,
-    // ≤ maxWordLen steps); a word lands at pos 0 exactly once
     val bt0 = s"""
-         bt0 AS MATERIALIZED (SELECT w, L AS pos, '' AS seg FROM dw)"""
+         ${pfx}bt0 AS MATERIALIZED (SELECT w, L AS pos, '' AS seg FROM dw)"""
     val btStages = (1 to maxWordLen).map { st =>
       s"""
-         bt$st AS MATERIALIZED (SELECT b.w, f.bj AS pos,
+         ${pfx}bt$st AS MATERIALIZED (SELECT b.w, f.bj AS pos,
              substr(b.w, CAST(f.bj + 1 AS INTEGER),
                CAST(b.pos - f.bj AS INTEGER)) ||
                CASE WHEN b.seg = '' THEN '' ELSE ' ' || b.seg END AS seg
-           FROM bt${st - 1} b JOIN all$maxWordLen f
+           FROM ${pfx}bt${st - 1} b JOIN ${pfx}all$maxWordLen f
              ON f.w = b.w AND f.pos = b.pos
            WHERE b.pos > 0)"""
     }.mkString(",")
     val btUnion = (1 to maxWordLen)
-      .map(st => s"SELECT w, pos, seg FROM bt$st").mkString(" UNION ALL ")
-    base + "," + stages + "," + bt0 + "," + btStages +
+      .map(st => s"SELECT w, pos, seg FROM ${pfx}bt$st").mkString(" UNION ALL ")
+    head + "," + stages + "," + bt0 + "," + btStages +
       s""",
-         btfin AS (SELECT w, seg FROM ($btUnion) WHERE pos = 0)
+         ${pfx}btfin AS (SELECT w, seg FROM ($btUnion) WHERE pos = 0)"""
+  }
+
+  /** Final per-word projection from a DP chain's terminal states. */
+  private def unigramFinalSelect(pfx: String, maxWordLen: Int): String =
+    s"""
       SELECT dw.w, f.n AS n_pieces, f.bq AS score_q,
         substr(dw.w, CAST(f.bj + 1 AS INTEGER),
           CAST(dw.L - f.bj AS INTEGER)) AS last_piece,
-        btfin.seg AS seg
-      FROM dw JOIN all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
-      JOIN btfin ON btfin.w = dw.w
+        ${pfx}btfin.seg AS seg
+      FROM dw JOIN ${pfx}all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
+      JOIN ${pfx}btfin ON ${pfx}btfin.w = dw.w
       ORDER BY dw.w"""
-  }
+
+  private def unigramSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    "WITH " + unigramBaseCtes(k, maxPieceLen, maxWordLen) + "," +
+      unigramDpCtes("", "scored", maxWordLen) +
+      unigramFinalSelect("", maxWordLen)
+
+  /** One EM round: piece counts from the round-1 Viterbi segmentations
+    * (weighted by word frequency), single characters floored at count 1
+    * so coverage never dies, re-scored, re-segmented — the SentencePiece
+    * refinement loop made explicit. */
+  private def unigramEmSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String =
+    "WITH " + unigramBaseCtes(k, maxPieceLen, maxWordLen) + "," +
+      unigramDpCtes("", "scored", maxWordLen) +
+      s""",
+         emc AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS c FROM (
+             SELECT unnest(string_split(btfin.seg, ' ')) AS piece, wf.freq
+             FROM btfin JOIN wf ON wf.w = btfin.w) t GROUP BY 1),
+         chars2 AS (SELECT p.piece,
+             CAST(greatest(coalesce(emc.c, 0), 1) AS BIGINT) AS c
+           FROM (SELECT DISTINCT piece FROM pieces WHERE length(piece) = 1) p
+           LEFT JOIN emc ON emc.piece = p.piece),
+         vocab2 AS (SELECT piece, CAST(max(c) AS BIGINT) AS c FROM (
+             SELECT * FROM emc UNION ALL SELECT * FROM chars2) GROUP BY 1),
+         vt2 AS (SELECT CAST(sum(c) AS BIGINT) AS F FROM vocab2),
+         scored2 AS MATERIALIZED (SELECT piece,
+             CAST(floor(1e4 * (ln(c) - ln(vt2.F))) AS BIGINT) AS sq
+           FROM vocab2, vt2),""" +
+      unigramDpCtes("em", "scored2", maxWordLen) +
+      unigramFinalSelect("em", maxWordLen)
 
   /** Doc-level application of the same DP: subword counts per document —
     * shares `unigramSql`'s CTE chain up to the final-position states. */

@@ -60,6 +60,34 @@ object Unigram {
           log(col("__F").cast(DoubleType)))).cast(LongType).as("sq"))
   }
 
+  /** One EM refinement round (the SentencePiece loop made explicit):
+    * piece counts re-estimated from the CURRENT vocabulary's Viterbi
+    * segmentations (hard-EM — the max-likelihood split stands in for the
+    * expectation, weighted by word frequency), single characters floored
+    * at count 1 so coverage never dies, then re-scored against the new
+    * total. Feed the result back to [[segmentWords]]; iterate to taste.
+    * Same scale shape as one segmentation pass — everything rides the
+    * distinct-word table. */
+  def emRefine(wf: DataFrame, vocab: DataFrame, maxPieceLen: Int = 6,
+               maxWordLen: Int = 16): DataFrame = {
+    val segs = segmentWords(wf, vocab, maxPieceLen, maxWordLen)
+      .select(col("w"), col("seg"))
+    val counts = segs.join(wf, "w")
+      .select(explode(split(col("seg"), " ")).as("piece"), col("freq"))
+      .groupBy("piece").agg(sum("freq").as("c"))
+    val chars = wf.select(explode(split(col("w"), "")).as("piece")).distinct()
+    val charsFloor = chars.join(counts, Seq("piece"), "left")
+      .select(col("piece"),
+        greatest(coalesce(col("c"), lit(0L)), lit(1L)).as("c"))
+    val vocab2 = counts.unionAll(charsFloor)
+      .groupBy("piece").agg(max("c").as("c"))
+    val tot = vocab2.agg(sum("c").as("__F"))
+    vocab2.crossJoin(broadcast(tot))
+      .select(col("piece"),
+        floor(lit(1e4) * (log(col("c").cast(DoubleType)) -
+          log(col("__F").cast(DoubleType)))).cast(LongType).as("sq"))
+  }
+
   /** Viterbi-segment every distinct word of `wf` (length ≤ `maxWordLen`)
     * against `vocab` (piece, sq): returns (w, n_pieces, score_q,
     * last_piece) — the max-likelihood piece count, its total quantized

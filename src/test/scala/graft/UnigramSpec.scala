@@ -79,4 +79,21 @@ class UnigramSpec extends SparkSpec {
     assert(out("nation") >= 1L && out("nation") <= 2L)
     assert(out.contains("international"))
   }
+
+  test("emRefine prunes unused pieces, keeps chars, sharpens used pieces") {
+    val wf = wfDf("abab" -> 10L, "ab" -> 5L, "cd" -> 1L)
+    val v0 = Unigram.pieceVocab(wf, k = 20, maxPieceLen = 4)
+    val v1 = Unigram.emRefine(wf, v0).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every corpus character survives the refinement
+    for (c <- Seq("a", "b", "c", "d")) assert(v1.contains(c), s"missing $c")
+    // "ab" is the dominant used piece: it must outscore any unused floor-1
+    // char ("c"/"d" are only ever used as singles with freq 1)
+    assert(v1.contains("ab") && v1("ab") > v1("c"))
+    // scores are log-probs: all negative
+    assert(v1.values.forall(_ < 0L))
+    // re-segmentation under the refined vocab still succeeds everywhere
+    val out = Unigram.segmentWords(wf, Unigram.emRefine(wf, v0))
+    assert(out.count() == 3)
+  }
 }
