@@ -1854,7 +1854,10 @@ object QueriesLLM {
       val docs = rd(s, dir, "documents").select(col("doc_id"),
         concat(col("text"), lit(" "),
           md5(col("doc_id").cast(StringType))).as("text"))
+      // wf feeds four consumers across two DP rounds — materialize the
+      // distinct-word table once (it is vocabulary-sized)
       val wf = graft.operators.Unigram.wordFreqs(docs, "text")
+        .localCheckpoint()
       val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
         maxPieceLen = 6)
       val vocab2 = graft.operators.Unigram.emRefine(wf, vocab,

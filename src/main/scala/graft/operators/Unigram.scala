@@ -86,6 +86,10 @@ object Unigram {
       .select(col("piece"),
         floor(lit(1e4) * (log(col("c").cast(DoubleType)) -
           log(col("__F").cast(DoubleType)))).cast(LongType).as("sq"))
+      // the refined vocabulary is vocabulary-sized but its PLAN embeds the
+      // entire round-1 DP — materialize so the next segmentation round
+      // optimizes against a flat scan, not a doubled expression tree
+      .localCheckpoint()
   }
 
   /** Viterbi-segment every distinct word of `wf` (length ≤ `maxWordLen`)
