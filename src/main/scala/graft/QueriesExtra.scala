@@ -178,6 +178,31 @@ object QueriesExtra {
         .orderBy("interval_id", "event_id")
     }),
 
+    // ---------------- the RangeBinJoinRule path (r8): the IDENTICAL range
+    // θ-join written naively — the optimizer rule (gated on the conf)
+    // rewrites it to the binned equality join; the oracle is the same SQL
+    // as interval_join, so the rule's semantics-preservation is under the
+    // hash gate. The plan is forced inside the lambda so the conf can be
+    // unset before returning (QueryExecution caches the executed plan).
+    "interval_join_rule" -> ((s, dir) => {
+      val ev = rd(s, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("tsu"))
+      val iv = ev.filter(col("event_id") % 50 === 0)
+        .select(col("event_id").as("interval_id"), col("tsu").as("start_us"),
+          (col("tsu") + lit(3600000000L)).as("end_us"))
+      s.conf.set("spark.graft.rangeJoin.binWidth", "600000000")
+      try {
+        val df = ev.join(iv,
+            col("tsu") >= col("start_us") && col("tsu") <= col("end_us"))
+          .select(col("interval_id"), col("event_id"), col("tsu"))
+          .orderBy("interval_id", "event_id")
+        val plan = df.queryExecution.executedPlan.toString // pin the plan now
+        require(!plan.contains("BroadcastNestedLoopJoin"),
+          "RangeBinJoinRule did not fire")
+        df
+      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+    }),
+
     // ---------------- §2.4 ContainsAllFilterProcessor — array-of-structs coverage
     "contains_all_filter" -> ((s, dir) => {
       val perUser = rd(s, dir, "events")
@@ -418,6 +443,14 @@ object QueriesExtra {
            OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
          FROM events ORDER BY event_id""",
+    "interval_join_rule" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
+         iv AS (SELECT event_id AS interval_id, tsu AS start_us,
+                  tsu + 3600000000 AS end_us
+                FROM ev WHERE event_id % 50 = 0)
+         SELECT iv.interval_id, ev.event_id, ev.tsu
+         FROM ev JOIN iv ON ev.tsu >= iv.start_us AND ev.tsu <= iv.end_us
+         ORDER BY iv.interval_id, ev.event_id""",
     "interval_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS tsu FROM events),
          iv AS (SELECT event_id AS interval_id, tsu AS start_us,

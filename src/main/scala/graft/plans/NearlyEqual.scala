@@ -82,5 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvBottomK(Cast(children.head, org.apache.spark.sql.types.LongType), k)
       }))
+    // plan-quality rule: range θ-joins → binned equality joins (gated on
+    // spark.graft.rangeJoin.binWidth; see RangeBinJoinRule)
+    ext.injectOptimizerRule(_ => RangeBinJoinRule)
   }
 }
