@@ -819,6 +819,18 @@ object QueriesLLM {
         .orderBy("id", "rank")
     }),
 
+    // ---------------- the same k-NN join through the bounded-heap
+    // topk_by aggregate (r8): no window, no sort — the map side reduces
+    // to k pairs per id before the shuffle; output bit-identical
+    "ann_knn_join_heap" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      graft.operators.Similarity.knnJoinHeap(e, "vec_id", "q", k = 5)
+        .orderBy("id", "rank")
+    }),
+
     // ---------------- IVF-cell-scoped k-NN join (the scale path of
     // ann_knn_join): explicit integerized centroids, 2-probe candidate
     // join, exact re-rank — the whole pipeline under the hash gate
@@ -2004,6 +2016,27 @@ object QueriesLLM {
          WHERE vec_id != 0
          GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10"""
 
+  /** Shared by ann_knn_join (window path) and ann_knn_join_heap (bounded-
+    * heap aggregate) — the same left-to-right 0.0-seeded fold as
+    * Similarity.cosine, the same (cosine desc, neighbor asc) rank. */
+  private val annKnnJoinSql: String = {
+    def dot(a: String, b: String) =
+      s"""list_reduce(list_prepend(0.0::DOUBLE,
+           list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+    s"""WITH e AS (
+          SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
+          FROM embeddings WHERE vec_id < 300),
+        p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+                ${dot("a.q", "b.q")} / (sqrt(${dot("a.q", "a.q")}) * sqrt(${dot("b.q", "b.q")})) AS cosine
+              FROM e a, e b WHERE a.vec_id != b.vec_id),
+        r AS (SELECT id, neighbor_id, cosine,
+                CAST(row_number() OVER (PARTITION BY id
+                  ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+              FROM p)
+        SELECT id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
+        ORDER BY id, rank"""
+  }
+
   /** Shared by decontaminate and decontaminate_bloom — the bloom semi-join
     * is a plan-level optimization with identical output. */
   private val decontaminateSql: String = {
@@ -2623,24 +2656,9 @@ object QueriesLLM {
            CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
            CAST(sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup_docs
          FROM t JOIN hc USING (h) GROUP BY lang ORDER BY lang""",
-    "ann_knn_join" -> {
-      // the same left-to-right 0.0-seeded fold as Similarity.cosine
-      def dot(a: String, b: String) =
-        s"""list_reduce(list_prepend(0.0::DOUBLE,
-             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
-      s"""WITH e AS (
-            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x*1000000)) AS q
-            FROM embeddings WHERE vec_id < 300),
-          p AS (SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
-                  ${dot("a.q", "b.q")} / (sqrt(${dot("a.q", "a.q")}) * sqrt(${dot("b.q", "b.q")})) AS cosine
-                FROM e a, e b WHERE a.vec_id != b.vec_id),
-          r AS (SELECT id, neighbor_id, cosine,
-                  CAST(row_number() OVER (PARTITION BY id
-                    ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-                FROM p)
-          SELECT id, neighbor_id, rank, cosine FROM r WHERE rank <= 5
-          ORDER BY id, rank"""
-    },
+    "ann_knn_join" -> annKnnJoinSql,
+    // the heap-aggregate path is a plan-level change with identical output
+    "ann_knn_join_heap" -> annKnnJoinSql,
     "ann_knn_join_ivf" -> {
       def dot(a: String, b: String) =
         s"""list_reduce(list_prepend(0.0::DOUBLE,

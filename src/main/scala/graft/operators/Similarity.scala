@@ -650,6 +650,31 @@ object Similarity {
         col("nsum_src"), col("nsum_tgt"), col("margin"))
   }
 
+  /** [[knnJoinExact]]'s output through the bounded-heap
+    * [[graft.plans.TopKByScore]] aggregate instead of a row_number
+    * window: bit-identical rows (same (cosine desc, neighbor asc) total
+    * order), but the plan is ObjectHashAggregate — the map side reduces
+    * every partition to k pairs per id BEFORE the shuffle and nothing
+    * sorts the candidate stream. The same swap applies to any
+    * top-k-per-key stage (feed [[knnJoinIvf]]'s cell candidates through
+    * it at scale). */
+  def knnJoinHeap(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    val pairs = base.select(col("__kid").as("id"), col("__kv").as("v1"))
+      .crossJoin(base.select(col("__kid").as("neighbor_id"), col("__kv").as("v2")))
+      .filter(col("id") =!= col("neighbor_id"))
+      .select(col("id"), col("neighbor_id"),
+        cosine(col("v1"), col("v2")).as("cosine"))
+    pairs.groupBy("id")
+      .agg(call_function("topk_by", col("cosine"), col("neighbor_id"),
+        lit(k)).as("__tk"))
+      .select(col("id"), posexplode(col("__tk")))
+      .select(col("id"), col("col.id").as("neighbor_id"),
+        (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.score").as("cosine"))
+  }
+
   /** IVF-cell-scoped k-NN join: every vector's home cell is its argmin-L2
     * centroid; each vector probes its `nProbe` nearest cells and re-ranks
     * exactly against the vectors HOMED there. One cell-keyed shuffle whose

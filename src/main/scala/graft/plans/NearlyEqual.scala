@@ -82,6 +82,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         KmvBottomK(Cast(children.head, org.apache.spark.sql.types.LongType), k)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "topk_by"),
+      (children: Seq[Expression]) => {
+        val k = children(2).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+          case s: java.lang.Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_by(score, id, k): k must be a foldable integer literal, got $other")
+        }
+        TopKByScore(Cast(children.head, DoubleType),
+          Cast(children(1), org.apache.spark.sql.types.LongType), k)
+      }))
     // plan-quality rule: range θ-joins → binned equality joins (gated on
     // spark.graft.rangeJoin.binWidth; see RangeBinJoinRule)
     ext.injectOptimizerRule(_ => RangeBinJoinRule)
