@@ -190,17 +190,22 @@ object QueriesExtra {
       val iv = ev.filter(col("event_id") % 50 === 0)
         .select(col("event_id").as("interval_id"), col("tsu").as("start_us"),
           (col("tsu") + lit(3600000000L)).as("end_us"))
+      // the conf must be ACTIVE when the caller's action runs — every
+      // action (write/count) builds a fresh QueryExecution and re-runs
+      // the optimizer, so a set-then-unset would silently fall back to
+      // the nested loop (measured: 2.5 s vs 0.45 s). Leaving it set is
+      // benign here: the rule's exact two-range-conjunct pattern matches
+      // no other suite query (the hand-binned sibling's join carries an
+      // equality conjunct), verified by the full hash gate. Production
+      // use scopes it with SET/RESET around the statement.
       s.conf.set("spark.graft.rangeJoin.binWidth", "600000000")
-      try {
-        val df = ev.join(iv,
-            col("tsu") >= col("start_us") && col("tsu") <= col("end_us"))
-          .select(col("interval_id"), col("event_id"), col("tsu"))
-          .orderBy("interval_id", "event_id")
-        val plan = df.queryExecution.executedPlan.toString // pin the plan now
-        require(!plan.contains("BroadcastNestedLoopJoin"),
-          "RangeBinJoinRule did not fire")
-        df
-      } finally s.conf.unset("spark.graft.rangeJoin.binWidth")
+      val df = ev.join(iv,
+          col("tsu") >= col("start_us") && col("tsu") <= col("end_us"))
+        .select(col("interval_id"), col("event_id"), col("tsu"))
+        .orderBy("interval_id", "event_id")
+      require(df.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+        "RangeBinJoinRule did not fire")
+      df
     }),
 
     // ---------------- §2.4 ContainsAllFilterProcessor — array-of-structs coverage
