@@ -1740,6 +1740,43 @@ object QueriesLLM {
         .orderBy("user_id", "start_us")
     }),
 
+    // ---------------- streaming signal buffer under the hash gate (r8):
+    // every doc buffers under its source key in batch 1; batch 2 carries
+    // the remaining docs plus ONE signal row for each hash-even source —
+    // the release must include the batch-1 payloads held in state, so
+    // the cross-batch buffer path itself is what the oracle checks.
+    // Hash-odd sources never signal and must emit nothing.
+    "streaming_signal_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .select(col("source"), col("doc_id").cast(LongType))
+        .orderBy("doc_id").as[(String, Long)].collect().toSeq
+      val dataRows = docs.map { case (src, id) =>
+        (src, false, id.toString, id) }
+      val signals = docs.map(_._1).distinct
+        .filter(src => java.lang.Long.parseLong(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(src)
+            .substring(0, 15), 16) % 2 == 0)
+        .map(src => (src, true, null: String, 0L))
+      val (b1, b2data) = dataRows.partition(_._4 < 250)
+      val in = MemoryStream[(String, Boolean, String, Long)]
+      val out = graft.streaming.Streams.signalBuffer(
+        in.toDF.toDF("k", "sig", "payload", "seq")
+          .repartition(s.sparkContext.defaultParallelism, col("k")),
+        "k", "sig", "payload", "seq")
+      val name = "ssig2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable() // buffer only
+        in.addData(b2data ++ signals: _*); q.processAllAvailable() // release
+      } finally q.stop()
+      s.table(name).orderBy("key", "payload")
+    }),
+
     // ---------------- SFT / preference-data assembly (r8): the
     // post-training half of the pipeline. Pair mining is ONE
     // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
@@ -3906,6 +3943,16 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- streaming signal buffer (r8): released = every doc
+    // of every hash-even source (batch-1 buffers included); hash-odd
+    // sources stay held forever and emit nothing
+    "streaming_signal_2batch" ->
+      """SELECT d.source AS key, CAST(d.doc_id AS VARCHAR) AS payload
+         FROM documents d
+         WHERE d.source IS NOT NULL
+           AND ('0x' || substr(md5(d.source), 1, 15))::BIGINT % 2 = 0
+         ORDER BY key, payload""",
 
     // ---------------- streaming session windows (r8): batch
     // gaps-and-islands replay; >= gap starts a new session (Spark's
