@@ -1969,6 +1969,19 @@ object QueriesLLM {
         .orderBy("id")
     }),
 
+    // ---------------- code-vs-prose routing (r8): every 4th doc gains a
+    // code snippet; the structural-density vote must flag exactly those
+    "code_prose" -> ((s, dir) => {
+      val t2 = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(codeSnippet)).otherwise(lit("")))
+      graft.operators.TextAnalysis.codeProse(
+        rd(s, dir, "documents").select(col("doc_id"), t2.as("t2")),
+        "doc_id", "t2")
+        .select(col("id").as("doc_id"), col("n_chars"), col("n_sym"),
+          col("n_semi"), col("n_lines"), col("n_indent"), col("is_code"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- high-entropy secret scan (r8): planted md5 digests
     // (high entropy) and repeated filler (near-zero) ride the corpus; the
     // entropy score is all-integer so the threshold replays exactly
@@ -2052,6 +2065,12 @@ object QueriesLLM {
          JOIN tbl ON codes.s = tbl.s AND codes.code = tbl.j
          WHERE vec_id != 0
          GROUP BY vec_id ORDER BY adc ASC, vec_id ASC LIMIT 10"""
+
+  /** Synthetic code snippet appended to every 4th document by the
+    * `code_prose` fixture — newlines embedded, no single quotes, so the
+    * IDENTICAL literal drops into both the Spark lit() and the SQL. */
+  private val codeSnippet: String =
+    "\nfor (int i = 0; i < n; i++) {\n    x[i] = y[i] + z;\n    s += x[i];\n}\n"
 
   /** Shared by ann_knn_join (window path) and ann_knn_join_heap (bounded-
     * heap aggregate) — the same left-to-right 0.0-seeded fold as
@@ -4128,6 +4147,32 @@ object QueriesLLM {
          SELECT id, label AS pred_label, votes, best_cos_q
          FROM b WHERE rb = 1 ORDER BY id"""
     },
+
+    // ---------------- code-vs-prose routing (r8): identical synthetic
+    // snippet, counts via global regexp_replace ('g' — DuckDB defaults to
+    // first-match-only), the same integer density vote
+    "code_prose" ->
+      s"""WITH s AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN '$codeSnippet' ELSE '' END AS t2
+           FROM documents),
+         c AS (SELECT doc_id,
+             CAST(length(t2) AS BIGINT) AS n_chars,
+             CAST(length(t2) - length(regexp_replace(t2,
+               '[{}()\\[\\];=<>]', '', 'g')) AS BIGINT) AS n_sym,
+             CAST(length(t2) - length(regexp_replace(t2, ';', '', 'g'))
+               AS BIGINT) AS n_semi,
+             CAST(length(t2) - length(regexp_replace(t2, '\\n', '', 'g')) + 1
+               AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(t2, chr(10)),
+               l -> l LIKE '    %' OR l LIKE chr(9) || '%')) AS BIGINT)
+               AS n_indent
+           FROM s)
+         SELECT doc_id, n_chars, n_sym, n_semi, n_lines, n_indent,
+           (CASE WHEN n_sym * 100 >= n_chars * 3 THEN 1 ELSE 0 END +
+            CASE WHEN n_indent * 5 >= n_lines THEN 1 ELSE 0 END +
+            CASE WHEN n_semi * 100 >= n_chars THEN 1 ELSE 0 END) >= 2
+             AS is_code
+         FROM c ORDER BY doc_id""",
 
     // ---------------- high-entropy secret scan (r8): the per-candidate
     // score replays row-exploded (unnest chars, count, integer-floor

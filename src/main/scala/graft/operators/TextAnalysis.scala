@@ -630,6 +630,35 @@ object TextAnalysis {
     if (excludeOnNone) tagged.filter(size(col(result)) > 0) else tagged
   }
 
+  // ------------------------------------------------------------- code/prose
+  /** Code-vs-prose signals: the structural counts that separate source
+    * code from natural language in a mixed crawl (brace/semicolon/operator
+    * density, indented-line fraction) — the router in front of every
+    * code-corpus pipeline. All exact integer counts over ONE codegen pass;
+    * `is_code` = the standard density vote (≥ 2 of: symbol density ≥ 3%,
+    * ≥ 20% indented lines, semicolon density ≥ 1%), an integer-only
+    * threshold test that replays exactly. Returns (id, n_chars, n_sym,
+    * n_semi, n_lines, n_indent, is_code). */
+  def codeProse(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(re: String): Column =
+      (length(t) - length(regexp_replace(t, re, ""))).cast(LongType)
+    val nChars = length(t).cast(LongType)
+    val nSym = cnt("[{}()\\[\\];=<>]")
+    val nSemi = cnt(";")
+    // lines + indented lines: count via newline removal / regex multiline
+    val nLines = (cnt("\n") + 1).cast(LongType)
+    val nIndent = size(filter(split(t, "\n"),
+      l => l.startsWith("    ") || l.startsWith("\t"))).cast(LongType)
+    val votes =
+      when(nSym * 100 >= nChars * 3, 1).otherwise(0) +
+        when(nIndent * 5 >= nLines, 1).otherwise(0) +
+        when(nSemi * 100 >= nChars, 1).otherwise(0)
+    df.select(col(idCol).as("id"), nChars.as("n_chars"), nSym.as("n_sym"),
+      nSemi.as("n_semi"), nLines.as("n_lines"), nIndent.as("n_indent"),
+      (votes >= 2).as("is_code"))
+  }
+
   // ---------------------------------------------------------------- secrets
   /** High-entropy secret/token scan (the detect-secrets shape): candidate
     * runs of `minLen`+ base64-ish characters are scored by per-character

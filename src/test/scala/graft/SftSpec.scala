@@ -192,6 +192,22 @@ class SftSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------- code/prose
+
+  test("codeProse flags code-shaped text and passes prose") {
+    val code =
+      "def f(n):\n    total = 0;\n    for i in range(n):\n        total += i;\n    return total;"
+    val prose = "The quick brown fox jumps over the lazy dog near the bank " +
+      "of the river and keeps running without any punctuation of note"
+    val out = graft.operators.TextAnalysis.codeProse(
+      Seq((0L, code), (1L, prose)).toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("is_code"))
+    assert(!out(1).getAs[Boolean]("is_code"))
+    assert(out(0).getAs[Long]("n_indent") == 4L) // four indented lines
+    assert(out(0).getAs[Long]("n_lines") == 5L)
+  }
+
   // ------------------------------------------------------- snapshot diff
 
   test("snapshotDiff classifies all four states, null text included") {
