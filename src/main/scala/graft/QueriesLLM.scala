@@ -1740,6 +1740,34 @@ object QueriesLLM {
         .orderBy("user_id", "start_us")
     }),
 
+    // ---------------- streaming dedup under the hash gate (r8): batch 2
+    // repeats every batch-1 key (doc_id % 137 wraps) — the cross-batch
+    // dropDuplicates state must suppress the repeats, so each key appears
+    // EXACTLY once in the sink; keys-only output keeps the row
+    // independent of which duplicate won inside a batch
+    "streaming_dedup_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .orderBy("doc_id").as[Long].collect().toSeq
+      val (b1, b2) = ids.partition(_ < 250)
+      val in = MemoryStream[Long]
+      val out = graft.streaming.Streams.streamingDedup(
+        in.toDF.toDF("id")
+          .select((col("id") % 137L).as("key"))
+          .repartition(s.sparkContext.defaultParallelism, col("key")),
+        Seq("key"), None, None)
+      val name = "sdedup2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("key")
+    }),
+
     // ---------------- streaming signal buffer under the hash gate (r8):
     // every doc buffers under its source key in batch 1; batch 2 carries
     // the remaining docs plus ONE signal row for each hash-even source —
@@ -3962,6 +3990,10 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- streaming dedup (r8): distinct keys exactly once
+    "streaming_dedup_2batch" ->
+      """SELECT DISTINCT doc_id % 137 AS key FROM documents ORDER BY key""",
 
     // ---------------- streaming signal buffer (r8): released = every doc
     // of every hash-even source (batch-1 buffers included); hash-odd
