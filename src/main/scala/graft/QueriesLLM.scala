@@ -1768,6 +1768,36 @@ object QueriesLLM {
       s.table(name).orderBy("key")
     }),
 
+    // ---------------- streaming running count under the hash gate (r8):
+    // mapGroupsWithState accumulates per-key counts across batches; the
+    // final max(running_count) per key must equal the key's total corpus
+    // occurrences — only correct if batch-2 increments land on the
+    // batch-1 state
+    "streaming_runcount_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val rows = rd(s, dir, "documents")
+        .filter(col("source").isNotNull)
+        .select(col("source"), col("doc_id").cast(LongType))
+        .orderBy("doc_id").as[(String, Long)].collect().toSeq
+      val (b1, b2) = rows.partition(_._2 < 250)
+      val in = MemoryStream[(String, Long)]
+      val out = graft.streaming.Streams.runningCountPerKey(
+        in.toDF.toDF("source", "doc_id")
+          .repartition(s.sparkContext.defaultParallelism, col("source")),
+        "source")
+      val name = "srun2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("key"))
+        .agg(max("running_count").as("n")).orderBy("key")
+    }),
+
     // ---------------- streaming signal buffer under the hash gate (r8):
     // every doc buffers under its source key in batch 1; batch 2 carries
     // the remaining docs plus ONE signal row for each hash-even source —
@@ -3990,6 +4020,12 @@ object QueriesLLM {
          SELECT doc_id, CAST(${mojibakeCountSql("bad")} AS BIGINT) AS n_bad,
                 fixed, CAST(${mojibakeCountSql("fixed")} AS BIGINT) AS n_after
          FROM f ORDER BY doc_id""",
+
+    // ---------------- streaming running count (r8): final state = totals
+    "streaming_runcount_2batch" ->
+      """SELECT source AS key, CAST(count(*) AS BIGINT) AS n
+         FROM documents WHERE source IS NOT NULL
+         GROUP BY source ORDER BY key""",
 
     // ---------------- streaming dedup (r8): distinct keys exactly once
     "streaming_dedup_2batch" ->
