@@ -1798,6 +1798,47 @@ object QueriesLLM {
         .agg(max("running_count").as("n")).orderBy("key")
     }),
 
+    // ---------------- watermark-BOUNDED streaming dedup under the hash
+    // gate (r8): the production path — dropDuplicatesWithinWatermark's
+    // state is evicted once the watermark passes entry time + delay, so
+    // state is bounded at 100 TB where the plain seen-set grows forever.
+    // The replay exercises BOTH behaviors: batch-2 keys 0..29 duplicate
+    // long-expired batch-1 entries (ts 0..29, watermark 269 s) and MUST
+    // re-emit; keys 270..279 duplicate still-alive entries (ts 270..279,
+    // +10 s delay > watermark) and MUST stay suppressed. Every stream key
+    // appears once per batch, so no in-batch dedup winner ambiguity.
+    "streaming_dedup_wm_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .filter(col("doc_id") < 280 || col("doc_id") >= 300)
+        .orderBy("doc_id").as[Long].collect().toSeq
+      def keyOf(id: Long): Long =
+        if (id < 280) id
+        else if (id >= 300 && id <= 329) id - 300
+        else if (id >= 330 && id <= 339) 270 + (id - 330) % 10
+        else id
+      val rows = ids.map(id => (keyOf(id), id))
+      val (b1, b2) = rows.partition(_._2 < 280)
+      val in = MemoryStream[(Long, Long)]
+      val out = graft.streaming.Streams.streamingDedup(
+        in.toDF.toDF("key", "ts_s")
+          // +1000 s base: Spark's initial watermark is epoch 0, and a row
+          // AT the watermark is late — ts 0 would silently drop
+          .withColumn("ts", timestamp_micros((col("ts_s") + 1000L) * 1000000L))
+          .repartition(s.sparkContext.defaultParallelism, col("key")),
+        Seq("key"), Some("ts"), Some("10 seconds"))
+      val name = "sdwm2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable() // wm -> 269 s
+        in.addData(b2: _*); q.processAllAvailable() // expiry vs alive
+      } finally q.stop()
+      s.table(name).select(col("key"), col("ts_s")).orderBy("key", "ts_s")
+    }),
+
     // ---------------- streaming signal buffer under the hash gate (r8):
     // every doc buffers under its source key in batch 1; batch 2 carries
     // the remaining docs plus ONE signal row for each hash-even source —
@@ -4026,6 +4067,22 @@ object QueriesLLM {
       """SELECT source AS key, CAST(count(*) AS BIGINT) AS n
          FROM documents WHERE source IS NOT NULL
          GROUP BY source ORDER BY key""",
+
+    // ---------------- watermark-bounded streaming dedup (r8): emitted =
+    // batch 1 + expired re-emits + new keys; alive-key dups (docs
+    // 330..339) suppressed
+    "streaming_dedup_wm_2batch" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CASE WHEN doc_id < 280 THEN doc_id
+                  WHEN doc_id BETWEEN 300 AND 329 THEN doc_id - 300
+                  WHEN doc_id BETWEEN 330 AND 339 THEN 270 + (doc_id - 330) % 10
+                  ELSE doc_id END AS key
+           FROM documents
+           WHERE doc_id < 280 OR doc_id >= 300)
+         SELECT key, doc_id AS ts_s FROM m
+         WHERE NOT (doc_id BETWEEN 330 AND 339)
+         ORDER BY key, ts_s""",
 
     // ---------------- streaming dedup (r8): distinct keys exactly once
     "streaming_dedup_2batch" ->
