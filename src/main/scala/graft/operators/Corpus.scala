@@ -128,9 +128,14 @@ object Corpus {
                    sizeCol: Option[String] = None): DataFrame = {
     val weight = sizeCol.map(c => sum(col(c).cast(LongType)))
       .getOrElse(count(lit(1)))
-    val counts = df.groupBy(col(domainCol).as("_um_domain"))
-      .agg(weight.as("_um_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // cast the domain to string on BOTH sides (groupBy here, join below) so
+    // a non-string domain column groups/joins consistently instead of
+    // throwing ClassCastException at getString; coalesce the weight so a
+    // domain whose sizeCol values are all null sums to 0 (then drops —
+    // zero mass earns zero epochs) rather than NPE-ing getLong
+    val counts = df.groupBy(col(domainCol).cast(StringType).as("_um_domain"))
+      .agg(coalesce(weight, lit(0L)).as("_um_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).filter(_._2 > 0).toSeq
     val allocs = unimaxAllocate(counts, budget, maxEpochs)
     val spark = df.sparkSession
     import spark.implicits._
@@ -141,7 +146,7 @@ object Corpus {
     // distinct salt so the fractional-epoch draw is independent of the
     // mixtureSample keep draw when both stages run in one pipeline
     val draw = Dedup.hash60(concat(lit("unimax:"), df(idCol).cast(StringType)))
-    df.join(broadcast(rates), df(domainCol) <=> col("_um_domain"))
+    df.join(broadcast(rates), df(domainCol).cast(StringType) <=> col("_um_domain"))
       .withColumn("n_epochs", col("_um_full") +
         when(draw < col("_um_thr"), lit(1L)).otherwise(lit(0L)))
       .filter(col("n_epochs") > 0)

@@ -104,9 +104,18 @@ object Graph {
     val nodes = e.select(col("__s").as("node"))
       .union(e.select(col("__d").as("node"))).distinct()
       .localCheckpoint()
-    val nDf = nodes.agg(count(lit(1)).as("__n"))
-    var hub = nodes.crossJoin(nDf)
-      .select(col("node"), expr(s"$scale div __n").as("hub"))
+    // the integer fixed point needs scale >= |nodes|: below that the
+    // uniform init `scale div n` (and, later, per-node quotients against a
+    // large L1 total) truncate to 0, the normalizing total hits 0, and the
+    // div is undefined — null scores under non-ANSI, an exception under
+    // ANSI. `nodes` is domain-sized and already checkpointed, so the count
+    // is one cheap driver-side aggregate
+    val n = nodes.count()
+    require(scale >= n,
+      s"hits: scale ($scale) must be >= node count ($n) for the integer " +
+        "fixed point to stay exact — raise scale (e.g. 1e12)")
+    var hub = nodes
+      .select(col("node"), lit(scale / n).as("hub"))
       .localCheckpoint()
     var auth = hub.select(col("node"), col("hub").as("auth"))
     for (i <- 1 to iters) {

@@ -214,10 +214,12 @@ object Multimodal {
     * At corpus scale the band join's collision volume is the near-dup
     * rate, not N²; the 64-char hashes are the only payload shuffled. */
   def phashNearDups(ph: DataFrame, idCol: String, phashCol: String,
-                    bands: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(bands >= 1 && 64 % bands == 0, "bands must divide 64")
+                    bands: Int = 4, maxDist: Int = 3,
+                    hashBits: Int = 64): DataFrame = {
+    require(bands >= 1 && hashBits % bands == 0, s"bands must divide $hashBits")
     require(maxDist < bands, "pigeonhole guarantee needs maxDist < bands")
-    val bandLen = 64 / bands
+    val bandLen = hashBits / bands
+    require(bandLen <= 62, "band substrings must parse into a signed long")
     // band bit-substrings parse to ints ONCE PER IMAGE, so the per-pair
     // Hamming is bands × (xor + popcount) — codegen'd primitives, not an
     // interpreted 64-char comparison fold per candidate
@@ -227,6 +229,15 @@ object Multimodal {
     val base = ph.select(col(idCol).cast(LongType).as("__id"),
         col(phashCol).as("__ph"))
       .filter(col("__ph").isNotNull)
+      // fail loudly on a hash whose width disagrees with hashBits (e.g. a
+      // non-8x8 perceptualHashes output fed to the default): the band
+      // substring offsets would otherwise silently truncate and produce
+      // wrong candidate sets
+      .select(col("__id"),
+        when(length(col("__ph")) === hashBits, col("__ph"))
+          .otherwise(raise_error(concat(
+            lit(s"phashNearDups: expected $hashBits-bit hash, got length "),
+            length(col("__ph")).cast(StringType)))).as("__ph"))
       .select(col("__id"), col("__ph"), ints.as("__ints"))
     val banded = base.select(col("__id"), col("__ints"),
       explode(array((0 until bands).map(b =>

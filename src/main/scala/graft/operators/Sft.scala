@@ -55,7 +55,12 @@ object Sft {
         col("w.rid").as("rejected_id"), col("w.resp").as("rejected"),
         (col("b.score") - col("w.score")).as("margin"),
         col("n_responses"))
-      .filter(col("n_responses") >= 2 && col("margin") >= minMargin)
+      // the id inequality guards the caller-supplied minMargin = 0 edge:
+      // when every score in a prompt ties, both argmin and argmax resolve
+      // to the same smallest rid and the margin-0 "pair" would train on
+      // chosen == rejected — drop it (margin >= 1 already implies this)
+      .filter(col("n_responses") >= 2 && col("margin") >= minMargin &&
+        col("chosen_id") =!= col("rejected_id"))
   }
 
   /** Chat-template rendering: turns of (conversation, order, role, content)

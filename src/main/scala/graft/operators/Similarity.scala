@@ -50,7 +50,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity, null for zero-norm inputs. The naive `dot/(‖a‖‖b‖)`
+    * yields 0/0 = NaN there, and Spark's total ordering places NaN ABOVE
+    * every double — a zero embedding would rank FIRST in every
+    * `orderBy(cosine.desc)` top-k. NULL instead sorts last under the
+    * default NULLS LAST, so degenerate rows fall out of top-k results
+    * rather than fabricating neighbors. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === lit(0.0), lit(null).cast(DoubleType)).otherwise(dot(a, b) / d)
+  }
 
   // ------------------------------------------- document embedding pooling
   /** Mean-pool word vectors into document embeddings — the classic
@@ -135,7 +144,9 @@ object Similarity {
     val q = df.filter(col(idCol) === queryId).select(col(vecCol).as("__qv"))
     df.crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cosine"))
-      .filter(col(idCol) =!= queryId)
+      // zero-norm rows cosine to null — drop them so they can't back-fill
+      // a top-k when candidates < k (same guard on every ranking path)
+      .filter(col(idCol) =!= queryId && col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -175,6 +186,7 @@ object Similarity {
     withBuckets.crossJoin(broadcast(q))
       .filter(arrays_overlap(col("__buckets"), col("__qb")) && col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(k)
   }
@@ -209,6 +221,7 @@ object Similarity {
     val qvec = array(q.map(v => lit(v)): _*)
     assigned.filter(col("__centroid").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), qvec).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(kResults)
   }
@@ -353,6 +366,7 @@ object Similarity {
     val qvec = array(q.map(lit): _*)
     assigned.filter(col("__centroid").isin(probes: _*) && col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), qvec).as("cosine"))
+      .filter(col("cosine").isNotNull)
       .orderBy(col("cosine").desc, col(idCol).asc)
       .limit(kResults)
   }
@@ -666,7 +680,8 @@ object Similarity {
       .filter(col("id") =!= col("neighbor_id"))
       .select(col("id"), col("neighbor_id"),
         cosine(col("v1"), col("v2")).as("cosine"))
-    pairs.groupBy("id")
+    pairs.filter(col("cosine").isNotNull)
+      .groupBy("id")
       .agg(call_function("topk_by", col("cosine"), col("neighbor_id"),
         lit(k)).as("__tk"))
       .select(col("id"), posexplode(col("__tk")))
@@ -731,7 +746,8 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    pairs.filter(col("cosine").isNotNull)
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id"), col("neighbor_id"), col("rank").cast(IntegerType),
         col("cosine"))

@@ -77,6 +77,22 @@ class GraphSpec extends SparkSpec {
       s"auth mass $authSum")
   }
 
+  test("hits: rejects scale below the node count instead of nulling scores") {
+    // 4 nodes with scale=2: the uniform init `scale div n` is 0 for every
+    // node, which zeroed the first L1 total and nulled every score under
+    // the normalizing div; the guard now fails fast with guidance
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L),
+      ("d", "a", 1L)).toDF("src", "dst", "w")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.hits(edges, "src", "dst", "w", iters = 3, scale = 2L).collect()
+    }
+    assert(ex.getMessage.contains("node count"))
+    // scale == n is the boundary the guard admits, and it stays non-null
+    val out = Graph.hits(edges, "src", "dst", "w", iters = 3, scale = 4L)
+      .collect()
+    assert(out.length == 4 && out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("triangles: counts K4 exactly and zeros the pendant") {
     // complete graph on {a,b,c,d} has C(4,3)=4 triangles, 3 per node;
     // pendant p-a sits in none. Direction/duplicates must not matter.

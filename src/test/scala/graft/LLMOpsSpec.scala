@@ -760,6 +760,23 @@ class LLMOpsSpec extends SparkSpec {
     assert(top(1).getLong(0) == 2L)
   }
 
+  test("cosine is null (not NaN) for zero-norm vectors, so top-k drops them") {
+    // Spark's total order places NaN above every double — a 0/0 NaN from a
+    // zero embedding would rank FIRST under orderBy(desc); NULL sorts last
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 0f, 0f)),
+      (2L, Array(0.5f, 0.5f, 0f))
+    ).toDF("vec_id", "embedding")
+    val sims = vecs.select(col("vec_id"),
+      Similarity.cosine(col("embedding"), array(lit(1f), lit(0f), lit(0f))).as("c"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(sims(1L).isEmpty, "zero-norm row must be null")
+    assert(sims(0L).exists(v => math.abs(v.asInstanceOf[Double] - 1.0) < 1e-12))
+    val top = Similarity.cosineTopK(vecs, "vec_id", "embedding", 0L, k = 2)
+      .collect().map(_.getLong(0))
+    assert(!top.contains(1L), s"zero vector must not fabricate a neighbor: ${top.toSeq}")
+  }
+
   test("ANN via LSH reaches decent recall vs brute force") {
     // 100 clustered vectors: 4 clusters around orthogonal axes + noise
     val rnd = new scala.util.Random(7)
@@ -1241,6 +1258,24 @@ class LLMOpsSpec extends SparkSpec {
     // enters the join
   }
 
+  test("phashNearDups: wrong-width hash fails loudly; hashBits parameterizes band math") {
+    // a 16-bit hash against the 64-bit default must raise, not silently
+    // truncate the band substrings into wrong candidate sets
+    val bad = Seq((1L, "0" * 16), (2L, "1" * 16)).toDF("id", "phash")
+    val ex = intercept[Exception] {
+      Multimodal.phashNearDups(bad, "id", "phash", bands = 4, maxDist = 3).collect()
+    }
+    assert(ex.getMessage.contains("expected 64-bit hash") ||
+      Option(ex.getCause).exists(_.getMessage.contains("expected 64-bit hash")))
+    // the same data under hashBits=16 computes exact Hamming distances
+    val ph16 = Seq((1L, "0" * 16), (2L, "1" + "0" * 15), (3L, "1" * 16))
+      .toDF("id", "phash")
+    val out = Multimodal.phashNearDups(ph16, "id", "phash", bands = 4,
+        maxDist = 3, hashBits = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 2L, 1L)), s"got $out")
+  }
+
   test("multimodal: animated-GIF frame sampling decodes every stride-th frame") {
     implicit val s = spark
     val gif = Multimodal.encodeGif(3, 2, Seq(0xFF0000, 0x00FF00, 0x0000FF, 0x102030))
@@ -1543,6 +1578,20 @@ class LLMOpsSpec extends SparkSpec {
     val again = Corpus.unimaxSample(df, "dom", "doc_id", 120, 2.0)
       .select("doc_id", "n_epochs").as[(Long, Long)].collect().toSet
     assert(again == out.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("unimaxSample: non-string domain column and all-null-size domains") {
+    import graft.operators.Corpus
+    // integer domain column must group/join via the string cast, not
+    // ClassCastException on the driver collect; a domain whose sizeCol is
+    // entirely null carries zero mass and simply drops out
+    val df = (Seq.tabulate(20)(i => (i.toLong, 1, java.lang.Long.valueOf(10L))) ++
+      Seq.tabulate(20)(i => (100L + i, 2, null.asInstanceOf[java.lang.Long])))
+      .toDF("doc_id", "dom", "sz")
+    val out = Corpus.unimaxSample(df, "dom", "doc_id", 400.0, 2.0, Some("sz"))
+      .select("doc_id").as[Long].collect()
+    assert(out.nonEmpty && out.forall(_ < 100L),
+      s"only the weighted domain survives: ${out.toSeq.sorted}")
   }
 
   test("perplexityBuckets: per-language terciles, deterministic, none-bucket") {

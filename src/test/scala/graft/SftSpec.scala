@@ -42,6 +42,17 @@ class SftSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("n_responses") == 4L)
   }
 
+  test("preferencePairs at minMargin 0 never emits a chosen==rejected pair") {
+    // prompt 30's two responses tie: argmax-on-(score,-rid) and
+    // argmin-on-(score,rid) both resolve to rid 6, which margin>=0 alone
+    // would pass through as a degenerate self-pair
+    val out = Sft.preferencePairs(responses, "prompt_id", "rid", "resp",
+      col("score"), minMargin = 0L).collect()
+    assert(out.forall(r => r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id")))
+    assert(out.map(_.getAs[Long]("prompt_id")).toSet == Set(10L),
+      "all-tie prompt 30 and singleton prompt 20 emit nothing")
+  }
+
   test("preferencePairs margin threshold is inclusive") {
     val out = Sft.preferencePairs(responses, "prompt_id", "rid", "resp",
       col("score"), minMargin = 8L)
