@@ -1876,6 +1876,40 @@ object QueriesLLM {
       s.table(name).orderBy("key", "payload")
     }),
 
+    // ---------------- streaming decontamination gate under the hash gate
+    // (r9): the online eval-overlap tag in front of a training ingest.
+    // The gate is a stateless Bloom-prefilter + exact-verify projection,
+    // so the 2-batch replay checks the one thing that can drift: the
+    // broadcast probes (bitset + sorted gram array) score batch-2 rows
+    // identically to batch-1 rows, and the per-row tags equal the batch
+    // decontaminate's exact n-gram overlap counts — same oracle modulo
+    // column names.
+    "streaming_decontaminate_2batch" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val d = rd(s, dir, "documents")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val rows = d.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").cast(LongType), col("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val (b1, b2) = rows.partition(_._1 < 250)
+      val in = MemoryStream[(Long, String)]
+      val out = graft.streaming.Streams.streamingDecontaminationGate(
+        in.toDF.toDF("doc_id", "text"), bench, "doc_id", "text", n = 8)
+        .select(col("doc_id"), col("n_suspect").cast(LongType).as("n_suspect"),
+          col("suspect"))
+      val name = "sdecon2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("doc_id")
+    }),
+
     // ---------------- SFT / preference-data assembly (r8): the
     // post-training half of the pipeline. Pair mining is ONE
     // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
@@ -2739,6 +2773,13 @@ object QueriesLLM {
     "decontaminate" -> decontaminateSql,
     // bloom pre-filter changes the plan, not the result set
     "decontaminate_bloom" -> decontaminateSql,
+    // the streaming gate's Bloom-prefilter + exact-verify tag equals the
+    // batch decontaminate per row (Bloom has no false negatives; false
+    // positives die on the exact probe), so the oracle is the same query
+    // under the gate's column names
+    "streaming_decontaminate_2batch" ->
+      decontaminateSql.replace("n_hits", "n_suspect")
+        .replace("contaminated", "suspect"),
     "lm_perplexity" ->
       // each log term quantized as floor(1e4·term): ln is not correctly
       // rounded cross-engine, so the coarse quantization shrinks the floor

@@ -349,6 +349,24 @@ object Dedup {
     }
   }
 
+  /** Exact broadcast membership probe over a gram table — the verify stage
+    * the streaming gate stacks BEHIND [[gramBloomProbe]]'s prefilter so its
+    * per-row tag matches [[decontaminate]] exactly (no Bloom false
+    * positives in the output). The grams broadcast as one sorted long
+    * array (8 bytes/gram — an eval-suite union is millions of grams, tens
+    * of MB, comfortably broadcastable; the Bloom at ~10 bits/gram stays in
+    * front because it is the cache-resident reject path for the ~100% of
+    * grams that are clean). None when the table is empty. */
+  def gramExactProbe(bg: DataFrame): Option[Column => Column] = {
+    val grams = bg.collect().map(_.getLong(0)).sorted
+    if (grams.isEmpty) None
+    else {
+      val b = bg.sparkSession.sparkContext.broadcast(grams)
+      val contains = udf((g: Long) => java.util.Arrays.binarySearch(b.value, g) >= 0)
+      Some(c => contains(c))
+    }
+  }
+
   /** Shared exact-verify tail: count distinct corpus grams present in the
     * benchmark set, re-attach every corpus doc (zero hits included). */
   private def decontaminateTail(corpus: DataFrame, idCol: String,

@@ -320,20 +320,34 @@ object Streams {
       .toDF(groupCol, "n_kept", "kmv_est")
   }
 
+  /** Per-row benchmark-contamination tag on a stream — the online gate in
+    * front of a training-data ingest: each arriving document is scored for
+    * distinct n-gram overlap with a STATIC eval-benchmark set without any
+    * stream-side state or shuffle (a stateless projection, so it composes
+    * under any output mode and scales linearly with ingest rate).
+    *
+    * Two-stage probe, both broadcast: the Bloom bitset (~10 bits/gram,
+    * cache-resident) rejects the ~100% of grams that are clean, and Bloom
+    * PASSERS are re-checked against the exact sorted gram array
+    * (binary search) — so `n_suspect`/`suspect` match the batch
+    * [[graft.operators.Dedup.decontaminate]] exactly: no false positives
+    * in the output, and no false negatives by Bloom construction. */
   def streamingDecontaminationGate(stream: DataFrame, bench: DataFrame,
                                    idCol: String, textCol: String,
                                    n: Int = 8, fpp: Double = 0.01): DataFrame = {
     import graft.operators.Dedup
-    Dedup.gramBloomProbe(Dedup.benchGrams(bench, idCol, textCol, n), fpp) match {
-      case None =>
-        stream.withColumn("n_suspect", lit(0)).withColumn("suspect", lit(false))
-      case Some(mightContain) =>
+    val bg = Dedup.benchGrams(bench, idCol, textCol, n)
+    (Dedup.gramBloomProbe(bg, fpp), Dedup.gramExactProbe(bg)) match {
+      case (Some(mightContain), Some(exact)) =>
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val sh = s"__sh_$tag"
         Dedup.withShingleHashes(stream, textCol, sh, n)
-          .withColumn("n_suspect", size(filter(col(sh), g => mightContain(g))))
+          .withColumn("n_suspect", coalesce(
+            size(filter(col(sh), g => mightContain(g) && exact(g))), lit(0)))
           .drop(sh)
           .withColumn("suspect", col("n_suspect") > 0)
+      case _ => // empty benchmark: nothing can leak
+        stream.withColumn("n_suspect", lit(0)).withColumn("suspect", lit(false))
     }
   }
 
