@@ -86,7 +86,10 @@ object Bench {
       .mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"retimes":$retimesJson,"contended":$contendedJson,"sf":"$sfDir"}"""
-    println(fullLine)
+    // The verbose line goes ONLY to the sidecar: printing it to stdout ate
+    // most of the harness's bounded 2000-char output tail and left the
+    // machine-readable compact line truncated mid-JSON (r8's artifact had
+    // parsed:null for exactly this reason). Humans read the sidecar.
     // Sidecar file with the same full-precision JSON: round-over-round
     // comparison reads this instead of scraping a bounded stdout tail.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_PARSED.json")
@@ -109,7 +112,10 @@ object Bench {
       (if (contended.size > 5) Seq("\"+" + (contended.size - 5) + " more\"") else Nil))
       .mkString("[", ",", "]")
     val byTime = results.sortBy { case (_, v) => -v }
-    val budget = 1700 - errCompact.length - contCompact0.length
+    // keep the whole compact line well under half the 2000-char tail so it
+    // survives even with an sbt [success] trailer and a partial prior line
+    // in the same window
+    val budget = 700 - errCompact.length - contCompact0.length
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keepN = {
       var acc = 0; var n = 0

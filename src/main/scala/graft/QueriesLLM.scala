@@ -19,6 +19,21 @@ object QueriesLLM {
     Tables.read(s, dir, name)
   private val D = DecimalType(30, 10)
 
+  /** Scope `spark.sql.shuffle.partitions` down for the `*_2batch` streaming
+    * replay harnesses: every micro-batch materializes one state-store
+    * instance PER shuffle partition, so a 500-row replay under the
+    * session's 32 partitions pays 32 store open/commit cycles per batch
+    * for ~16 rows each. Four partitions keeps the multi-partition
+    * state-merge semantics under test at a fraction of the fixed cost.
+    * The session value is restored even on failure — batch queries are
+    * unaffected. */
+  private def withStreamShuffle[T](s: SparkSession, n: Int = 4)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   /** Deterministic WARC fixture for `corpus_build_warc`: every document
     * becomes one `200 text/html` WARC response (body =
     * `<html><body><p>{text}</p></body></html>` in UTF-8, target URI
@@ -283,15 +298,19 @@ object QueriesLLM {
     // table (vectors AS DATA, broadcast-joined; components here are a
     // deterministic hash embedding so the oracle rebuilds the identical
     // table): integer component sums are exact, the mean is one IEEE
-    // division per dimension, the array reassembles ordered.
+    // division per dimension, the array reassembles ordered. The 16
+    // components split ONE md5 digest per distinct word (byte j, signed)
+    // — the earlier per-component digests made vocab synthesis 16 md5
+    // calls per word and the slowest non-streaming query in the suite.
     "doc_embedding_pool" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
       val toks = d.select(col("doc_id"),
         explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
       val vecs = toks.select(col("w")).distinct()
+        .withColumn("__h", md5(col("w"))) // materialized: digest once
         .select(col("w"), array((0 until 16).map(j =>
-          (graft.operators.TextAnalysis.tokenHash(concat(col("w"), lit(":" + j)))
-            % 2001 - 1000)): _*).as("v"))
+          (conv(substring(col("__h"), 2 * j + 1, 2), 16, 10).cast(LongType)
+            - 128)): _*).as("v"))
       Similarity.meanPoolEmbedding(toks, "doc_id", "w", vecs, "w", "v")
         // the hash gate compares scalar cells: flatten (doc, dim, value)
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "val")))
@@ -1062,7 +1081,7 @@ object QueriesLLM {
     // estimates (min/min/max over the monotone update stream) must equal
     // the batch fold over the whole corpus, which is what the oracle
     // computes. Cross-batch register merge itself is hash-gated.
-    "streaming_hll_2batch" -> ((s, dir) => {
+    "streaming_hll_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1072,7 +1091,7 @@ object QueriesLLM {
       val (b1, b2) = docs.partition(_._1 < 250)
       val in = MemoryStream[(Long, String, String)]
       val stream = in.toDF.toDF("doc_id", "source", "text")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(4, col("doc_id"))
       val toks = graft.operators.TextAnalysis.tokens(col("text"))
       val bg = stream.withColumn("__toks", toks)
         .filter(size(col("__toks")) >= 2)
@@ -1098,7 +1117,7 @@ object QueriesLLM {
     // two-batch replay: bottom-k state folds across the batch boundary,
     // final values (max/max — n_kept and est are both monotone
     // non-decreasing) must equal the batch sketch over the whole corpus.
-    "streaming_kmv_2batch" -> ((s, dir) => {
+    "streaming_kmv_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1108,7 +1127,7 @@ object QueriesLLM {
       val (b1, b2) = docs.partition(_._1 < 250)
       val in = MemoryStream[(Long, String, String)]
       val stream = in.toDF.toDF("doc_id", "source", "text")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .repartition(4, col("doc_id"))
       val bg = stream.withColumn("__toks", graft.operators.TextAnalysis.tokens(col("text")))
         .filter(size(col("__toks")) >= 2)
         .select(col("source"),
@@ -1671,7 +1690,7 @@ object QueriesLLM {
     // STATE plus their own batch. "Seen before" therefore has a closed
     // form the oracle reproduces: earlier batch, or same batch with
     // lexicographically smaller string id.
-    "streaming_neardup_2batch" -> ((s, dir) => {
+    "streaming_neardup_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1683,7 +1702,7 @@ object QueriesLLM {
       val in = MemoryStream[(Long, String)]
       val out = graft.streaming.Streams.streamingNearDupCandidates(
         in.toDF.toDF("doc_id", "text")
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id")),
+          .repartition(4, col("doc_id")),
         "doc_id", "text",
         n = 3, k = 16, bands = 8, threshold = 0.3, maxPerBucket = 1 << 20)
       val name = "sneardup2_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -1706,7 +1725,7 @@ object QueriesLLM {
     // every real session exactly once. Oracle = batch gaps-and-islands
     // with session_window's exact boundary rule (a gap of EXACTLY the
     // duration starts a new session — windows are [start, end)).
-    "streaming_sessions_2batch" -> ((s, dir) => {
+    "streaming_sessions_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1720,7 +1739,7 @@ object QueriesLLM {
       val in = MemoryStream[(Long, Long, Long)]
       val stream = in.toDF.toDF("event_id", "us", "user_id")
         .withColumn("ts", timestamp_micros(col("us")))
-        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+        .repartition(4, col("user_id"))
       val out = graft.streaming.Streams.sessionAgg(stream, "ts",
         gap = "30 minutes", watermark = "1 second", keys = Seq("user_id"),
         aggs = Seq(count(lit(1)).as("n_events")))
@@ -1745,7 +1764,7 @@ object QueriesLLM {
     // dropDuplicates state must suppress the repeats, so each key appears
     // EXACTLY once in the sink; keys-only output keeps the row
     // independent of which duplicate won inside a batch
-    "streaming_dedup_2batch" -> ((s, dir) => {
+    "streaming_dedup_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1756,7 +1775,7 @@ object QueriesLLM {
       val out = graft.streaming.Streams.streamingDedup(
         in.toDF.toDF("id")
           .select((col("id") % 137L).as("key"))
-          .repartition(s.sparkContext.defaultParallelism, col("key")),
+          .repartition(4, col("key")),
         Seq("key"), None, None)
       val name = "sdedup2_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(name)
@@ -1773,7 +1792,7 @@ object QueriesLLM {
     // final max(running_count) per key must equal the key's total corpus
     // occurrences — only correct if batch-2 increments land on the
     // batch-1 state
-    "streaming_runcount_2batch" -> ((s, dir) => {
+    "streaming_runcount_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1785,7 +1804,7 @@ object QueriesLLM {
       val in = MemoryStream[(String, Long)]
       val out = graft.streaming.Streams.runningCountPerKey(
         in.toDF.toDF("source", "doc_id")
-          .repartition(s.sparkContext.defaultParallelism, col("source")),
+          .repartition(4, col("source")),
         "source")
       val name = "srun2_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(name)
@@ -1807,7 +1826,7 @@ object QueriesLLM {
     // re-emit; keys 270..279 duplicate still-alive entries (ts 270..279,
     // +10 s delay > watermark) and MUST stay suppressed. Every stream key
     // appears once per batch, so no in-batch dedup winner ambiguity.
-    "streaming_dedup_wm_2batch" -> ((s, dir) => {
+    "streaming_dedup_wm_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1827,7 +1846,7 @@ object QueriesLLM {
           // +1000 s base: Spark's initial watermark is epoch 0, and a row
           // AT the watermark is late — ts 0 would silently drop
           .withColumn("ts", timestamp_micros((col("ts_s") + 1000L) * 1000000L))
-          .repartition(s.sparkContext.defaultParallelism, col("key")),
+          .repartition(4, col("key")),
         Seq("key"), Some("ts"), Some("10 seconds"))
       val name = "sdwm2_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(name)
@@ -1845,7 +1864,7 @@ object QueriesLLM {
     // the release must include the batch-1 payloads held in state, so
     // the cross-batch buffer path itself is what the oracle checks.
     // Hash-odd sources never signal and must emit nothing.
-    "streaming_signal_2batch" -> ((s, dir) => {
+    "streaming_signal_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1864,7 +1883,7 @@ object QueriesLLM {
       val in = MemoryStream[(String, Boolean, String, Long)]
       val out = graft.streaming.Streams.signalBuffer(
         in.toDF.toDF("k", "sig", "payload", "seq")
-          .repartition(s.sparkContext.defaultParallelism, col("k")),
+          .repartition(4, col("k")),
         "k", "sig", "payload", "seq")
       val name = "ssig2_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = out.writeStream.format("memory").queryName(name)
@@ -1884,7 +1903,7 @@ object QueriesLLM {
     // identically to batch-1 rows, and the per-row tags equal the batch
     // decontaminate's exact n-gram overlap counts — same oracle modulo
     // column names.
-    "streaming_decontaminate_2batch" -> ((s, dir) => {
+    "streaming_decontaminate_2batch" -> ((s, dir) => withStreamShuffle(s) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -2482,14 +2501,14 @@ object QueriesLLM {
            FROM e, q WHERE e.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
     "doc_embedding_pool" ->
-      // same hash-embedding table, exact integer sums, one division per
-      // dimension, list() ordered by dimension index
+      // same hash-embedding table (byte j of one md5 per word, signed),
+      // exact integer sums, one division per dimension, ordered by dim
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
          tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
          comp AS (SELECT doc_id, w, unnest(range(0, 16)) AS j FROM tok),
          v AS (SELECT doc_id, j,
-                 ('0x' || substr(md5(w || ':' || j), 1, 15))::BIGINT % 2001 - 1000 AS c
+                 ('0x' || substr(md5(w), CAST(2*j+1 AS INT), 2))::BIGINT - 128 AS c
                FROM comp),
          agg AS (SELECT doc_id, j, CAST(sum(c) AS BIGINT) AS s,
                    CAST(count(*) AS BIGINT) AS n
