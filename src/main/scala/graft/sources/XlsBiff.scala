@@ -18,13 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * records with per-segment encoding re-declaration), LABEL, NUMBER, RK,
  * MULRK, BOOLERR (bool and error-code cells); BIFF5/7 workbooks ("Book"
  * stream, CODEPAGE-encoded inline byte strings in BOUNDSHEET/LABEL/RSTRING).
- * Encrypted workbooks (FILEPASS, [MS-XLS] 2.4.117): the common RC4
- * "standard" (binary RC4) variant is decrypted from the published
- * algorithms ([MS-OFFCRYPTO] 2.3.6 — MD5 key derivation, per-1024-byte
- * block rekeying, password verifier check; the spreadsheet default password
- * "VelvetSweatshop" is tried when none is given, matching Excel's silent
- * auto-open). XOR obfuscation and RC4 CryptoAPI still fail with an error
- * naming the variant. BIFF4 and earlier are not supported. Unknown records
+ * Encrypted workbooks (FILEPASS, [MS-XLS] 2.4.117): all three published
+ * variants decrypt — binary RC4 "standard" ([MS-OFFCRYPTO] 2.3.6: MD5 key
+ * derivation, per-1024-byte block rekeying), RC4 CryptoAPI (2.3.5: SHA-1
+ * derivation, 40/128-bit keys, same block rekeying), and XOR obfuscation
+ * method 1 (2.3.7: InitialCode/XorMatrix key array, per-record end-seeded
+ * index) — each behind its password-verifier check; the spreadsheet
+ * default password "VelvetSweatshop" is tried when none is given, matching
+ * Excel's silent auto-open. BIFF4 and earlier are not supported. Unknown records
  * are skipped by length, so real-world files with formatting records parse
  * fine; corrupt chains fail loudly with context.
  *
@@ -287,17 +288,24 @@ object XlsBiff {
     * position-exact regardless of record layout. XOR makes this symmetric:
     * applied to a plaintext stream it encrypts (the spec uses it that way). */
   private[graft] def rc4Crypt(stream: Array[Byte], password: String,
-                              salt: Array[Byte]): Array[Byte] = {
-    val keyBase = rc4KeyBase(password, salt)
+                              salt: Array[Byte]): Array[Byte] =
+    rc4CryptWith(stream, rc4Block(rc4KeyBase(password, salt), _))
+
+  /** The [MS-XLS] 2.2.10 record walk, parameterized by the per-1024-byte
+    * block cipher factory — shared by the binary-RC4 ([MS-OFFCRYPTO] 2.3.6)
+    * and RC4-CryptoAPI (2.3.5) variants, whose only difference upstream of
+    * the keystream is the key-derivation hash. */
+  private[graft] def rc4CryptWith(stream: Array[Byte],
+                                  blockCipher: Int => Rc4): Array[Byte] = {
     val out = stream.clone()
-    var cipher = rc4Block(keyBase, 0)
+    var cipher = blockCipher(0)
     var block = 0
     var pos = 0
     def advance(n: Int, apply: Boolean): Unit = {
       var k = 0
       while (k < n) {
         val bl = pos >> 10
-        if (bl != block) { block = bl; cipher = rc4Block(keyBase, bl) }
+        if (bl != block) { block = bl; cipher = blockCipher(bl) }
         val ks = cipher.next()
         if (apply) out(pos) = (out(pos) ^ ks).toByte
         pos += 1
@@ -318,13 +326,220 @@ object XlsBiff {
     out
   }
 
+  // --------------------------------------- FILEPASS / RC4 CryptoAPI (SHA-1)
+
+  private def sha1(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def le32(n: Int): Array[Byte] = Array[Byte](
+    (n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+    ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte)
+
+  /** [MS-OFFCRYPTO] 2.3.5.2 CryptoAPI key material: H0 = SHA1(salt ++
+    * UTF-16LE password); the block-n key is the first keyBits/8 bytes of
+    * SHA1(H0 ++ LE32(n)) — except 40-bit keys, which are zero-extended to
+    * 16 bytes ("CryptDeriveKey with a 40-bit effective length"). */
+  private[graft] def cryptoApiKey(password: String, salt: Array[Byte],
+                                  keyBits: Int, block: Int): Array[Byte] = {
+    val h0 = sha1(salt, password.getBytes("UTF-16LE"))
+    val hb = sha1(h0, le32(block))
+    if (keyBits == 40) hb.take(5) ++ Array.fill[Byte](11)(0)
+    else hb.take(keyBits / 8)
+  }
+
+  /** [MS-OFFCRYPTO] 2.3.5.6: one block-0 RC4 stream decrypts the 16-byte
+    * verifier then the hash field; the password is right iff
+    * SHA1(verifier) == the first 20 decrypted hash bytes. */
+  private def cryptoApiPasswordOk(password: String, salt: Array[Byte], keyBits: Int,
+                                  encVerifier: Array[Byte],
+                                  encVerifierHash: Array[Byte]): Boolean = {
+    val c = new Rc4(cryptoApiKey(password, salt, keyBits, 0))
+    val verifier = encVerifier.map(b => (b ^ c.next()).toByte)
+    val verifierHash = encVerifierHash.map(b => (b ^ c.next()).toByte)
+    java.util.Arrays.equals(sha1(verifier), verifierHash.take(20))
+  }
+
+  /** Parse the RC4-CryptoAPI FILEPASS body ([MS-XLS] 2.4.117 with
+    * EncryptionInfo per [MS-OFFCRYPTO] 2.3.5.1) into
+    * (keyBits, salt, encryptedVerifier, encryptedVerifierHash). */
+  private def parseCryptoApiFilepass(stream: Array[Byte], body: Int,
+                                     len: Int): (Int, Array[Byte], Array[Byte], Array[Byte]) = {
+    val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    // body: wEncryptionType(2) vMajor(2) vMinor(2) Flags(4) HeaderSize(4)
+    //       EncryptionHeader(HeaderSize) EncryptionVerifier
+    val headerSize = u32(b, body + 10).toInt
+    val hdr = body + 14
+    require(len >= 14 + headerSize + 40, "BIFF: truncated CryptoAPI FILEPASS")
+    val algId = u32(b, hdr + 8)
+    require(algId == 0x6801L || algId == 0L,
+      s"BIFF: CryptoAPI AlgID 0x${algId.toHexString} is not RC4")
+    // KeySize = 0 means the 40-bit default ([MS-OFFCRYPTO] 2.3.5.1)
+    val keyBits = { val k = u32(b, hdr + 16).toInt; if (k == 0) 40 else k }
+    val ver = hdr + headerSize
+    val saltSize = u32(b, ver).toInt
+    require(saltSize == 16, s"BIFF: CryptoAPI salt size $saltSize != 16")
+    def bytes(off: Int, n: Int) =
+      java.util.Arrays.copyOfRange(stream, off, off + n)
+    val salt = bytes(ver + 4, 16)
+    val encVerifier = bytes(ver + 20, 16)
+    val verifierHashSize = u32(b, ver + 36).toInt
+    require(verifierHashSize == 20, s"BIFF: CryptoAPI verifier hash size $verifierHashSize != 20 (SHA-1)")
+    val encVerifierHash = bytes(ver + 40, 20)
+    (keyBits, salt, encVerifier, encVerifierHash)
+  }
+
+  // ------------------------------------------------ FILEPASS / XOR method 1
+  // [MS-OFFCRYPTO] 2.3.7 "XOR Obfuscation": a 16-byte key array derived
+  // from the ANSI password via the published InitialCode/XorMatrix tables,
+  // applied per record with the array index seeded from the record's END
+  // offset. The XorMatrix is the published 105-entry table; every row
+  // satisfies the generator recurrence x(i+1) = (x(i)·2) mod 0x11021
+  // (CRC-CCITT polynomial), which the spec's values encode and which makes
+  // transcription errors detectable.
+
+  private val XorPad = Array(0xBB, 0xFF, 0xFF, 0xBA, 0xFF, 0xFF, 0xB9, 0x80,
+    0x00, 0xBE, 0x0F, 0x00, 0xBF, 0x0F, 0x00).map(_.toByte)
+
+  private val XorInitialCode = Array(0xE1F0, 0x1D0F, 0xCC9C, 0x84C0, 0x110C,
+    0x0E10, 0xF1CE, 0x313E, 0x1872, 0xE139, 0xD40F, 0x84F9, 0x280C, 0xA96A,
+    0x4EC3)
+
+  /** 15 generator seeds × 7 doublings mod 0x11021 = the 105-entry XorMatrix
+    * ([MS-OFFCRYPTO] 2.3.7.2), generated rather than transcribed. */
+  private val XorMatrix: Array[Int] = {
+    val seeds = Array(0xAEFC, 0x7B61, 0x4563, 0x0375, 0xD849, 0x6F45, 0xEB23,
+      0x47D3, 0xB861, 0x45A0, 0xAA51, 0x76B4, 0x3730, 0x3331, 0x1021)
+    seeds.flatMap { s =>
+      Iterator.iterate(s) { v =>
+        val d = v << 1
+        if ((d & 0x10000) != 0) d ^ 0x11021 else d
+      }.take(7).toArray
+    }
+  }
+
+  /** ANSI (cp1252) password bytes, truncated to the format's 15-char max. */
+  private def ansiPassword(password: String): Array[Byte] =
+    password.take(15).getBytes("windows-1252")
+
+  /** [MS-OFFCRYPTO] 2.3.7.1 CreatePasswordVerifier_Method1 — the classic
+    * 16-bit Excel password hash (15-bit rotate-xor over the bytes in
+    * reverse, then length and 0xCE4B folded in). */
+  private[graft] def xorPasswordVerifier(password: String): Int = {
+    val pw = ansiPassword(password)
+    def rotl15(v: Int): Int = ((v << 1) & 0x7FFF) | (if ((v & 0x4000) != 0) 1 else 0)
+    var verifier = 0
+    for (i <- pw.length - 1 to 0 by -1)
+      verifier = rotl15(verifier) ^ (pw(i) & 0xFF)
+    rotl15(verifier) ^ pw.length ^ 0xCE4B
+  }
+
+  /** [MS-OFFCRYPTO] 2.3.7.2 CreateXorKey_Method1: fold the XorMatrix rows
+    * selected by the set bits (6..0) of each password byte, in reverse
+    * byte order, into the length-selected initial code. */
+  private[graft] def xorKey(password: String): Int = {
+    val pw = ansiPassword(password)
+    var key = XorInitialCode(pw.length - 1)
+    var element = 0x68 // 104: last XorMatrix entry, decremented per bit
+    for (i <- pw.length - 1 to 0 by -1) {
+      var c = pw(i) & 0xFF
+      var j = 0
+      while (j < 7) {
+        if ((c & 0x40) != 0) key ^= XorMatrix(element)
+        c <<= 1
+        element -= 1
+        j += 1
+      }
+    }
+    key
+  }
+
+  /** [MS-OFFCRYPTO] 2.3.7.2 CreateXorArray_Method1: the 16-byte key array —
+    * password bytes then pad bytes, each XorRor'd (xor then rotate right 1)
+    * with the alternating low/high key bytes, filled from both ends per the
+    * spec's index walk. */
+  private[graft] def xorArray(password: String): Array[Byte] = {
+    val pw = ansiPassword(password)
+    val key = xorKey(password)
+    val keyHi = ((key >> 8) & 0xFF).toByte
+    val keyLo = (key & 0xFF).toByte
+    def ror1(b: Int): Byte = (((b & 0xFF) >>> 1) | ((b & 1) << 7)).toByte
+    def xorRor(a: Byte, k: Byte): Byte = ror1((a ^ k) & 0xFF)
+    val out = new Array[Byte](16)
+    var index = pw.length
+    if (index % 2 == 1) {
+      out(index) = xorRor(XorPad(0), keyHi)
+      index -= 1
+      out(index) = xorRor(pw(pw.length - 1), keyLo)
+    }
+    while (index > 0) {
+      index -= 1
+      out(index) = xorRor(pw(index), keyHi)
+      index -= 1
+      out(index) = xorRor(pw(index), keyLo)
+    }
+    index = 15
+    var padIndex = 15 - pw.length
+    while (padIndex > 0) {
+      out(index) = xorRor(XorPad(padIndex), keyHi)
+      index -= 1; padIndex -= 1
+      out(index) = xorRor(XorPad(padIndex), keyLo)
+      index -= 1; padIndex -= 1
+    }
+    out
+  }
+
+  /** Apply XOR method-1 obfuscation over a Workbook stream ([MS-XLS]
+    * 2.2.10 + [MS-OFFCRYPTO] 2.3.7.3). Per record the array index seeds
+    * from the record's END offset — (bodyStart + length) mod 16 — and
+    * advances per body byte (clear spans advance without applying, like
+    * the RC4 keystream discipline). Byte transform per the
+    * LibreOffice-concordant direction (the OFFCRYPTO pseudocode swaps the
+    * encode/decode labels): encode = rotl(plain, 3) ^ key; decode =
+    * rotl(cipher ^ key, 5). Record headers and the [MS-XLS] 2.2.10 exempt
+    * records stay clear. */
+  private[graft] def xorCrypt(stream: Array[Byte], password: String,
+                              encrypt: Boolean): Array[Byte] = {
+    val arr = xorArray(password)
+    def rotl(b: Int, n: Int): Byte =
+      ((((b & 0xFF) << n) | ((b & 0xFF) >>> (8 - n))) & 0xFF).toByte
+    val out = stream.clone()
+    val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
+    var pos = 0
+    while (pos + 4 <= stream.length) {
+      val recT = u16(b, pos)
+      val len = math.min(u16(b, pos + 2), stream.length - pos - 4)
+      val body = pos + 4
+      val clearPrefix =
+        if (PlainBodies(recT)) len
+        else if (recT == 0x0085) math.min(4, len)
+        else 0
+      var idx = (body + len) & 0xF
+      var i = 0
+      while (i < len) {
+        if (i >= clearPrefix) {
+          out(body + i) =
+            if (encrypt) (rotl(out(body + i), 3) ^ arr(idx)).toByte
+            else rotl(out(body + i) ^ arr(idx), 5)
+        }
+        idx = (idx + 1) & 0xF
+        i += 1
+      }
+      pos = body + len
+    }
+    out
+  }
+
   /** Excel's well-known default password: files "encrypted" without a user
     * password (workbook protection) use it and open silently. */
   private val DefaultPassword = "VelvetSweatshop"
 
-  /** Find a FILEPASS record; on the RC4-standard variant decrypt the stream
-    * (tried passwords: the caller's, else the spreadsheet default). XOR
-    * obfuscation / RC4 CryptoAPI keep the explicit unsupported error. */
+  /** Find a FILEPASS record and decrypt the stream for any of the three
+    * published variants — XOR obfuscation, binary RC4 ("standard"), RC4
+    * CryptoAPI. Tried passwords: the caller's, else the spreadsheet
+    * default; a failed verifier raises with the variant named. */
   private[graft] def decryptIfNeeded(stream: Array[Byte], password: Option[String]): Array[Byte] = {
     val b = ByteBuffer.wrap(stream).order(ByteOrder.LITTLE_ENDIAN)
     var pos = 0
@@ -333,6 +548,11 @@ object XlsBiff {
       val len = u16(b, pos + 2)
       val body = pos + 4
       if (recT == 0x002F) {
+        def tryPasswords(kind: String, ok: String => Boolean): String =
+          (password.toSeq :+ DefaultPassword).find(ok).getOrElse(
+            throw new IllegalArgumentException(
+              s"BIFF: $kind-encrypted workbook — wrong or missing password " +
+                "(default password also failed)"))
         filepassKind(b, body) match {
           case "RC4 standard" =>
             require(len >= 54, "BIFF: truncated FILEPASS record")
@@ -341,12 +561,24 @@ object XlsBiff {
             val salt = bytes(6, 16)
             val encVerifier = bytes(22, 16)
             val encVerifierHash = bytes(38, 16)
-            val pw = (password.toSeq :+ DefaultPassword)
-              .find(p => rc4PasswordOk(p, salt, encVerifier, encVerifierHash))
-              .getOrElse(throw new IllegalArgumentException(
-                "BIFF: RC4-encrypted workbook — wrong or missing password " +
-                  "(default password also failed)"))
+            val pw = tryPasswords("RC4",
+              p => rc4PasswordOk(p, salt, encVerifier, encVerifierHash))
             return rc4Crypt(stream, pw, salt)
+          case "RC4 CryptoAPI" =>
+            val (keyBits, salt, encVerifier, encVerifierHash) =
+              parseCryptoApiFilepass(stream, body, len)
+            val pw = tryPasswords("RC4-CryptoAPI", p =>
+              cryptoApiPasswordOk(p, salt, keyBits, encVerifier, encVerifierHash))
+            return rc4CryptWith(stream,
+              n => new Rc4(cryptoApiKey(pw, salt, keyBits, n)))
+          case "XOR obfuscation" =>
+            // body: wEncryptionType(2) key(2) verificationBytes(2)
+            require(len >= 6, "BIFF: truncated XOR FILEPASS record")
+            val storedKey = u16(b, body + 2)
+            val storedVerifier = u16(b, body + 4)
+            val pw = tryPasswords("XOR", p =>
+              xorPasswordVerifier(p) == storedVerifier && xorKey(p) == storedKey)
+            return xorCrypt(stream, pw, encrypt = false)
           case kind => throw new IllegalArgumentException(
             s"BIFF: encrypted workbook (FILEPASS, $kind) is not supported")
         }

@@ -219,24 +219,32 @@ class XlsBiffSpec extends SparkSpec {
     assert(rows == Seq(IndexedSeq("café", "nörd", "7")))
   }
 
-  test("FILEPASS (encrypted) workbooks fail with an explicit, variant-naming error") {
+  test("FILEPASS: every variant decrypts or fails with a clear password error") {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
     val eof = rec(0x000A, Array.emptyByteArray)
-    def failWith(body: Array[Byte], want: String): Unit = {
+    def passwordError(body: Array[Byte]): Unit = {
       val ex = intercept[IllegalArgumentException] {
         XlsBiff.xlsRows(cfbMini(le(bofG, rec(0x002F, body), eof)), None)
       }
-      assert(ex.getMessage.contains("FILEPASS") && ex.getMessage.contains(want),
-        ex.getMessage)
+      assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
     }
-    failWith(le(u16(1), u16(4), u16(2), Array.fill[Byte](46)(0)), "RC4 CryptoAPI")
-    failWith(le(u16(0), u16(0xABCD), u16(0x1234)), "XOR obfuscation")
-    // RC4 standard is now DECRYPTED — a garbage verifier is a password error
+    // garbage verifiers on all three variants are PASSWORD errors now, not
+    // unsupported-variant errors
+    passwordError(le(u16(1), u16(1), u16(1), Array.fill[Byte](48)(0)))
+    passwordError(le(u16(0), u16(0xABCD), u16(0x1234)))
+    // CryptoAPI: vMajor=2 vMinor=2, flags, headerSize=32, header with
+    // AlgID RC4 + 40-bit key, verifier block with garbage
+    passwordError(le(u16(1), u16(2), u16(2), u32(0), u32(32),
+      u32(0), u32(0), u32(0x6801), u32(0x8004), u32(40), u32(1), u32(0), u32(0),
+      u32(16), Array.fill[Byte](16)(1), Array.fill[Byte](16)(2),
+      u32(20), Array.fill[Byte](20)(3)))
+    // an unknown wEncryptionType still names itself
     val ex = intercept[IllegalArgumentException] {
       XlsBiff.xlsRows(cfbMini(le(bofG,
-        rec(0x002F, le(u16(1), u16(1), u16(1), Array.fill[Byte](48)(0))), eof)), None)
+        rec(0x002F, le(u16(9), u16(0), u16(0))), eof)), None)
     }
-    assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
+    assert(ex.getMessage.contains("FILEPASS") && ex.getMessage.contains("unknown type"),
+      ex.getMessage)
   }
 
   test("RC4-standard encrypted workbooks decrypt: explicit, default, and wrong password") {
@@ -356,6 +364,125 @@ class XlsBiffSpec extends SparkSpec {
     val encrypted = cfbMini(encrypt(plain, password))
     assert(XlsBiff.xlsRows(encrypted, Some("data"), Some(password)) ==
       Seq(IndexedSeq("external", "7.25")))
+  }
+
+  test("XOR-obfuscated workbooks decrypt: round-trip, default password, wrong password") {
+    // the encryptor is XlsBiff's own xorCrypt(encrypt = true) — there is no
+    // second XOR implementation in this container — but the key-derivation
+    // tables self-validate (every XorMatrix row is generated by the
+    // CRC-CCITT doubling recurrence the published values satisfy) and the
+    // verifier is the classic 16-bit Excel password hash with its widely
+    // published test value
+    assert(XlsBiff.xorPasswordVerifier("password") == 0x83AF)
+    def encryptedXls(password: String): Array[Byte] = {
+      val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+      val filepass = rec(0x002F, le(u16(0),
+        u16(XlsBiff.xorKey(password)), u16(XlsBiff.xorPasswordVerifier(password))))
+      val sst = rec(0x00FC, le(u32(1), u32(1),
+        le(u16(6), Array(0.toByte), ascii("hidden"))))
+      // odd-length record bodies shift the end-seeded array index around
+      val pad = rec(0x0866, Array.fill[Byte](333)(0x5A.toByte))
+      val eof = rec(0x000A, Array.emptyByteArray)
+      val bofS = rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
+      val sheet = le(bofS, labelSst(0, 0, 0), number(0, 1, 12.5), eof)
+      def globals(lbPlyPos: Int): Array[Byte] = {
+        val bs = rec(0x0085, le(u32(lbPlyPos), u16(0),
+          Array(4.toByte, 0.toByte), ascii("data")))
+        le(bofG, filepass, sst, pad, bs, eof)
+      }
+      val plain = le(globals(globals(0).length), sheet)
+      cfbMini(XlsBiff.xorCrypt(plain, password, encrypt = true))
+    }
+    val want = Seq(IndexedSeq("hidden", "12.5"))
+    assert(XlsBiff.xlsRows(encryptedXls("hunter2"), Some("data"), Some("hunter2")) == want)
+    assert(XlsBiff.xlsRows(encryptedXls("VelvetSweatshop"), Some("data"), None) == want)
+    val ex = intercept[IllegalArgumentException](
+      XlsBiff.xlsRows(encryptedXls("hunter2"), Some("data"), Some("wrong")))
+    assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
+    // encrypt/decrypt are true inverses byte-for-byte on an aligned stream
+    val probe = le(rec(0x0203, Array.tabulate[Byte](14)(i => (i * 17).toByte)),
+      rec(0x0042, Array.tabulate[Byte](31)(i => (i * 29 + 1).toByte)))
+    assert(XlsBiff.xorCrypt(XlsBiff.xorCrypt(probe, "k3y", encrypt = true),
+      "k3y", encrypt = false).toSeq == probe.toSeq)
+    // different passwords produce different key arrays (tables engaged)
+    assert(XlsBiff.xorArray("aaaa").toSeq != XlsBiff.xorArray("aaab").toSeq)
+    assert(XlsBiff.xorKey("abc") != XlsBiff.xorKey("abd"))
+  }
+
+  test("RC4-CryptoAPI decrypts fixtures from an INDEPENDENT encryptor (JCE ARCFOUR), 40- and 128-bit") {
+    // like the RC4-standard fixture: the keystream is the JDK's ARCFOUR,
+    // the [MS-OFFCRYPTO] 2.3.5.2 SHA-1 derivation is restated with bare
+    // MessageDigest calls, and the [MS-XLS] 2.2.10 walk is re-written
+    def sha1(bs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-1").digest(bs)
+    def ksBlock(password: String, salt: Array[Byte], keyBits: Int, n: Int): Array[Byte] = {
+      val h0 = sha1(salt ++ password.getBytes("UTF-16LE"))
+      val hb = sha1(h0 ++ Array[Byte]((n & 0xFF).toByte, ((n >> 8) & 0xFF).toByte,
+        ((n >> 16) & 0xFF).toByte, ((n >> 24) & 0xFF).toByte))
+      val key = if (keyBits == 40) hb.take(5) ++ Array.fill[Byte](11)(0)
+                else hb.take(keyBits / 8)
+      val c = javax.crypto.Cipher.getInstance("ARCFOUR")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "ARCFOUR"))
+      c.doFinal(new Array[Byte](1024))
+    }
+    def encrypt(plain: Array[Byte], password: String, salt: Array[Byte],
+                keyBits: Int): Array[Byte] = {
+      val blocks = collection.mutable.Map.empty[Int, Array[Byte]]
+      def ks(pos: Int): Byte = blocks.getOrElseUpdate(pos >> 10,
+        ksBlock(password, salt, keyBits, pos >> 10))(pos & 1023)
+      val out = plain.clone()
+      val clearBodies = Set(0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138)
+      var pos = 0
+      while (pos + 4 <= plain.length) {
+        val t = (plain(pos) & 0xFF) | ((plain(pos + 1) & 0xFF) << 8)
+        val len = math.min((plain(pos + 2) & 0xFF) | ((plain(pos + 3) & 0xFF) << 8),
+          plain.length - pos - 4)
+        val body = pos + 4
+        val clearPrefix =
+          if (clearBodies(t)) len
+          else if (t == 0x0085) math.min(4, len)
+          else 0
+        var q = body + clearPrefix
+        while (q < body + len) { out(q) = (out(q) ^ ks(q)).toByte; q += 1 }
+        pos = body + len
+      }
+      out
+    }
+    for (keyBits <- Seq(40, 128)) {
+      val password = s"cryptoapi$keyBits"
+      val salt = Array.tabulate[Byte](16)(i => (i * 19 + keyBits).toByte)
+      // 2.3.5.5: verifier ++ SHA1(verifier) under one block-0 stream
+      val verifier = Array.tabulate[Byte](16)(i => (i * 31 + 11).toByte)
+      val ks0 = ksBlock(password, salt, keyBits, 0)
+      val encVerifier = verifier.zipWithIndex.map { case (v, i) => (v ^ ks0(i)).toByte }
+      val encVerifierHash = sha1(verifier).zipWithIndex.map { case (v, i) =>
+        (v ^ ks0(16 + i)).toByte }
+      val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+      val filepass = rec(0x002F, le(u16(1), u16(2), u16(2), u32(0), u32(32),
+        u32(0), u32(0), u32(0x6801), u32(0x8004), u32(keyBits), u32(1), u32(0), u32(0),
+        u32(16), salt, encVerifier, u32(20), encVerifierHash))
+      val sstText = "capi" + keyBits
+      val sst = rec(0x00FC, le(u32(1), u32(1),
+        le(u16(sstText.length), Array(0.toByte), ascii(sstText))))
+      // several 1024-byte blocks so the SHA-1 rekeying must agree
+      val pad = rec(0x0866, Array.fill[Byte](3000)(0x77.toByte))
+      val eof = rec(0x000A, Array.emptyByteArray)
+      val bofS = rec(0x0809, le(u16(0x0600), u16(0x0010), u16(0), u16(0), u32(0), u32(0)))
+      val sheet = le(bofS, labelSst(0, 0, 0), number(0, 1, 3.75), eof)
+      def globals(lbPlyPos: Int): Array[Byte] = {
+        val bs = rec(0x0085, le(u32(lbPlyPos), u16(0),
+          Array(4.toByte, 0.toByte), ascii("data")))
+        le(bofG, filepass, sst, pad, bs, eof)
+      }
+      val plain = le(globals(globals(0).length), sheet)
+      val encrypted = cfbMini(encrypt(plain, password, salt, keyBits))
+      assert(XlsBiff.xlsRows(encrypted, Some("data"), Some(password)) ==
+        Seq(IndexedSeq("capi" + keyBits, "3.75")), s"keyBits=$keyBits")
+      val ex = intercept[IllegalArgumentException](
+        XlsBiff.xlsRows(encrypted, Some("data"), Some("wrong")))
+      assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
+    }
   }
 
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
