@@ -206,6 +206,31 @@ object QueriesLLM {
 
   private val bpeMerges = 8
 
+  /** Byte-level variant of [[bpeTrainCtes]]: the identical merge chain
+    * over GPT-2-style byte pretokens. The oracle's byte encoding is ONE
+    * replace(' ', chr(288)) because the fixture corpus is pure printable
+    * ASCII (space + lowercase letters — every other byte maps to itself in
+    * bytes_to_unicode); the Spark side runs the full 256-entry bijection. */
+  private def bpeBytesTrainCtes(k: Int): String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(1)||chr(1)"
+    // SQL single-quoted literal: backslashes verbatim to RE2, '' = quote
+    val pat = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+    val sb = new StringBuilder
+    sb ++= s"""wf AS (SELECT w, count(*) AS freq FROM (
+         SELECT replace(unnest(regexp_extract_all(text, '$pat')), ' ', chr(288)) AS w FROM documents) GROUP BY 1),
+       r0 AS (SELECT w, $d1 || array_to_string(string_split(w, ''), $d2) || $d1 AS rep, freq FROM wf)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+       p$i AS (SELECT u.lft AS lft, u.rgt AS rgt, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+           SELECT freq, unnest(list_transform(range(1, len(syms)), j -> {'lft': syms[j], 'rgt': syms[j+1]})) AS u
+           FROM (SELECT freq, string_split(trim(rep, $d1), $d2) AS syms FROM r${i - 1})) GROUP BY 1, 2),
+       m$i AS (SELECT $i AS step, lft, rgt, lft||rgt AS merged, cnt FROM p$i ORDER BY cnt DESC, lft, rgt LIMIT 1),
+       r$i AS (SELECT w, replace(rep, $d1||lft||$d2||rgt||$d1, $d1||lft||rgt||$d1) AS rep, freq FROM r${i - 1}, m$i)"""
+    }
+    sb.toString
+  }
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---------------- exact dedup: hash-groupBy
@@ -507,6 +532,28 @@ object QueriesLLM {
       val (merges, vocab) = graft.operators.Bpe.train(
         docs.select("text"), "text", bpeMerges)(s)
       graft.operators.Bpe.encodeCountsFromVocab(docs, "doc_id", "text",
+        vocab, merges)
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- byte-level BPE (r9): GPT-2-style pretokenization —
+    // the regex keeps each pretoken's leading space and every byte maps
+    // through the 256-symbol bytes_to_unicode bijection (space -> Ġ), so
+    // any UTF-8 input is representable with no end-of-word marker. Same
+    // vocab-table training loop and broadcast-encode scale shape as the
+    // word-level rows above.
+    "bpe_bytes_train" -> ((s, dir) => {
+      import s.implicits._
+      val (merges, _) = graft.operators.Bpe.trainBytes(
+        rd(s, dir, "documents").select("text"), "text", bpeMerges)
+      merges.toDF().select("step", "lft", "rgt", "merged", "cnt")
+        .orderBy("step")
+    }),
+    "bpe_bytes_encode" -> ((s, dir) => {
+      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      val (merges, vocab) = graft.operators.Bpe.trainBytes(
+        docs.select("text"), "text", bpeMerges)
+      graft.operators.Bpe.encodeCountsFromVocabBytes(docs, "doc_id", "text",
         vocab, merges)
         .orderBy("doc_id")
     }),
@@ -2331,6 +2378,18 @@ object QueriesLLM {
       val union = (1 to bpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
       s"WITH ${bpeTrainCtes(bpeMerges)} SELECT step, lft, rgt, merged, cnt FROM ($union) ORDER BY step"
     },
+    "bpe_bytes_train" -> {
+      val union = (1 to bpeMerges).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      s"WITH ${bpeBytesTrainCtes(bpeMerges)} SELECT step, lft, rgt, merged, cnt FROM ($union) ORDER BY step"
+    },
+    "bpe_bytes_encode" ->
+      s"""WITH ${bpeBytesTrainCtes(bpeMerges)},
+         enc AS (SELECT w, CAST(len(string_split(trim(rep, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_syms FROM r$bpeMerges),
+         dw AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c FROM (
+             SELECT doc_id, replace(unnest(regexp_extract_all(text, '${"""''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""}')), ' ', chr(288)) AS w FROM documents) GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c * n_syms) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(c) AS BIGINT) AS n_pretokens
+         FROM dw JOIN enc USING (w) GROUP BY 1 ORDER BY doc_id""",
     "bpe_encode" ->
       s"""WITH ${bpeTrainCtes(bpeMerges)},
          enc AS (SELECT w, CAST(len(string_split(trim(rep, chr(1)), chr(1)||chr(1))) AS BIGINT) AS n_syms FROM r$bpeMerges),

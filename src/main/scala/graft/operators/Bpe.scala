@@ -109,10 +109,17 @@ object Bpe {
     * the merge list, not Catalyst. */
   def train(df: DataFrame, textCol: String, numMerges: Int,
             checkpointEvery: Int = 32)
-           (implicit spark: SparkSession): (Seq[Merge], DataFrame) = {
-    val base = wordFreqs(df, textCol)
-      .select(col("w"), initRep(col("w")).as("rep"), col("freq"))
-      .cache()
+           (implicit spark: SparkSession): (Seq[Merge], DataFrame) =
+    trainFromBase(wordFreqs(df, textCol)
+      .select(col("w"), initRep(col("w")).as("rep"), col("freq")),
+      numMerges, checkpointEvery)
+
+  /** Shared training loop over a prepared (w, rep, freq) vocabulary base —
+    * the word-level and byte-level pretokenizations differ only in how
+    * that base is built. */
+  private def trainFromBase(vocabBase: DataFrame, numMerges: Int,
+                            checkpointEvery: Int): (Seq[Merge], DataFrame) = {
+    val base = vocabBase.cache()
     var vocab = base
     val merges = Seq.newBuilder[Merge]
     var step = 1
@@ -209,5 +216,97 @@ object Bpe {
           lit(D + m.lft + D + D + m.rgt + D), lit(D + m.lft + m.rgt + D))
       }))
     flatten(toks)
+  }
+
+  // ------------------------------------------------------ byte-level BPE
+  // GPT-2-style byte-level pretokenization (Radford et al. 2019, public
+  // gpt-2 reference code): the regex splits text into pretokens that KEEP
+  // their leading space, and every pretoken is mapped byte-for-byte
+  // through a 256-entry bijection onto printable unicode (space ->
+  // U+0120 'Ġ' is the famous one), so the BPE alphabet is exactly 256
+  // symbols, any UTF-8 input is representable, and there is no
+  // end-of-word marker — word boundaries live IN the tokens.
+
+  /** GPT-2 bytes_to_unicode bijection: bytes in [33,126] ∪ [161,172] ∪
+    * [174,255] map to their own code point; the 68 remaining bytes map to
+    * 256+n in byte order (so byte 32, space, lands on 256+32 = U+0120). */
+  val byteToUnicode: Array[Char] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val m = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (direct(b)) m(b) = b.toChar
+      else { m(b) = (256 + n).toChar; n += 1 }
+    }
+    m
+  }
+
+  /** Byte-encode arbitrary UTF-8 text, expression-only: reinterpret the
+    * UTF-8 bytes as Latin-1 (one char per byte, bijective) and translate
+    * each byte-char through [[byteToUnicode]] — a single codegen'd
+    * `translate`, no UDF, no per-byte explode. */
+  def byteEncode(text: Column): Column =
+    translate(decode(encode(text, "UTF-8"), "ISO-8859-1"),
+      (0 until 256).map(_.toChar).mkString,
+      new String(byteToUnicode))
+
+  /** GPT-2-style pretokenization pattern, restricted to RE2-compatible
+    * syntax so the DuckDB oracle runs the identical regex: the reference
+    * pattern's `\s+(?!\S)` branch needs lookahead (RE2 has none), so
+    * whitespace runs stay whole here instead of donating their last space
+    * to the next token — a documented, deterministic divergence. */
+  val bytePretokenPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Byte-encoded pretoken stream of a text column. */
+  def bytePretokens(text: Column): Column =
+    transform(regexp_extract_all(text, lit(bytePretokenPattern), lit(0)),
+      t => byteEncode(t))
+
+  /** Initial delimiter encoding of a byte-encoded pretoken: its chars,
+    * doubled-D joined, single-D edges — no `</w>` marker (byte-level BPE
+    * carries boundaries inside the tokens). */
+  def initRepBytes(tok: Column): Column =
+    concat(lit(D),
+      array_join(filter(split(tok, ""), s => s =!= ""), D + D),
+      lit(D))
+
+  /** Byte-level pretoken frequency table: one shuffle, map-side combined. */
+  def bytePretokenFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(bytePretokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+
+  /** Learn `numMerges` byte-level merge rules — same loop, same scale
+    * shape as [[train]]: all iterations run over the cached pretoken
+    * vocabulary, one argmax row per step reaches the driver. */
+  def trainBytes(df: DataFrame, textCol: String, numMerges: Int,
+                 checkpointEvery: Int = 32): (Seq[Merge], DataFrame) =
+    trainFromBase(bytePretokenFreqs(df, textCol)
+      .select(col("w"), initRepBytes(col("w")).as("rep"), col("freq")),
+      numMerges, checkpointEvery)
+
+  /** Byte-level encode against a trained vocab table: distinct pretokens
+    * ride the broadcast vocab (fresh ones fold the merges), per-document
+    * counts stay one doc-keyed shuffle — [[encodeCountsFromVocab]] with
+    * the byte pretokenization. */
+  def encodeCountsFromVocabBytes(df: DataFrame, idCol: String, textCol: String,
+                                 vocab: DataFrame,
+                                 merges: Seq[Merge]): DataFrame = {
+    val docToks = df.select(col(idCol).as("id"),
+      explode(bytePretokens(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
+    val known = vocab.select(col("w"),
+      size(symbols(col("rep"))).cast(LongType).as("n_syms"))
+    val fresh = docToks.select(col("w")).distinct()
+      .join(known.select(col("w")), Seq("w"), "left_anti")
+      .withColumn("rep", merges.foldLeft(initRepBytes(col("w"))) {
+        (r, m) => applyMerge(r, m.lft, m.rgt)
+      })
+      .select(col("w"), size(symbols(col("rep"))).cast(LongType).as("n_syms"))
+    docToks.join(broadcast(known.unionByName(fresh)), Seq("w"))
+      .groupBy(col("id"))
+      .agg(sum(col("c") * col("n_syms")).as("n_bpe_tokens"),
+        sum(col("c")).as("n_pretokens"))
+      .select(col("id").as(idCol), col("n_bpe_tokens"), col("n_pretokens"))
   }
 }
