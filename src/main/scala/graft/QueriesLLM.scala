@@ -1976,6 +1976,46 @@ object QueriesLLM {
       s.table(name).orderBy("doc_id")
     }),
 
+    // ---------------- watermarked stream-stream join under the hash gate
+    // (r9): the two-sided buffered-state operator. The replay is built so
+    // EVERY matched pair is cross-batch — batch 1 feeds the left side
+    // doc_id < 250 and the right side >= 250, batch 2 swaps — so a match
+    // can only come from one side's state buffer meeting the other side's
+    // later arrivals. The 10-minute watermark exceeds the event-time span,
+    // so no state is evicted and the appended output must equal the full
+    // batch join with the ±5 s range condition (the oracle).
+    "streaming_join_2batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .filter(col("doc_id") < 500).orderBy("doc_id").as[Long].collect().toSeq
+      val (lo, hi) = ids.partition(_ < 250)
+      val inL = MemoryStream[Long]
+      val inR = MemoryStream[Long]
+      // +10 s offset keeps every event time positive: Spark's watermark
+      // initializes to epoch 0 and rows below it drop as late (doc_id 0-2
+      // would land at -3..-1 s); the join condition only sees time
+      // DIFFERENCES, so the offset cancels and the oracle needs none
+      val left = inL.toDF.toDF("id").repartition(4, col("id"))
+        .select((col("id") % 50).as("k"), col("id").as("lid"),
+          timestamp_seconds(col("id") + 10).as("lts"))
+      val right = inR.toDF.toDF("id").repartition(4, col("id"))
+        .select((col("id") % 50).as("k"), col("id").as("rid"),
+          timestamp_seconds(col("id") + col("id") % 7 - 3 + 10).as("rts"))
+      val out = graft.streaming.Streams.streamJoin(left, right, Seq("k"),
+        "lts", "rts", watermark = "10 minutes", within = "5 seconds")
+        .select(col("k"), col("lid"), col("rid"))
+      val name = "sjoin2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        inL.addData(lo: _*); inR.addData(hi: _*); q.processAllAvailable()
+        inL.addData(hi: _*); inR.addData(lo: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("k", "lid", "rid")
+    }),
+
     // ---------------- SFT / preference-data assembly (r8): the
     // post-training half of the pipeline. Pair mining is ONE
     // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
@@ -2851,6 +2891,16 @@ object QueriesLLM {
     "decontaminate" -> decontaminateSql,
     // bloom pre-filter changes the plan, not the result set
     "decontaminate_bloom" -> decontaminateSql,
+    // full-join equivalence: nothing evicts under the oversized watermark,
+    // so the appended stream-stream join output is the batch θ-join
+    "streaming_join_2batch" ->
+      """WITH l AS (SELECT doc_id % 50 AS k, doc_id AS lid, doc_id AS lt
+           FROM documents WHERE doc_id < 500),
+         r AS (SELECT doc_id % 50 AS k, doc_id AS rid, doc_id + doc_id % 7 - 3 AS rt
+           FROM documents WHERE doc_id < 500)
+         SELECT l.k AS k, lid, rid FROM l JOIN r
+           ON l.k = r.k AND r.rt BETWEEN l.lt - 5 AND l.lt + 5
+         ORDER BY l.k, lid, rid""",
     // the streaming gate's Bloom-prefilter + exact-verify tag equals the
     // batch decontaminate per row (Bloom has no false negatives; false
     // positives die on the exact probe), so the oracle is the same query
