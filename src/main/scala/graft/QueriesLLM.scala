@@ -2135,6 +2135,22 @@ object QueriesLLM {
         maxWordLen = 16).orderBy("w")
     }),
 
+    // ---------------- WordPiece greedy longest-match-first (r9): the
+    // third tokenizer family (BERT inference shape) — ##-prefixed
+    // continuation pieces as DATA, greedy walk as one per-word HOF fold
+    // over a piece-keyed edge join; same distinct-word-table scale shape
+    // as BPE/unigram, same enriched corpus as unigram_segment
+    "wordpiece_segment" -> ((s, dir) => {
+      val wf = graft.operators.Unigram.wordFreqs(
+        rd(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            md5(col("doc_id").cast(StringType))).as("text")),
+        "text")
+      val vocab = graft.operators.WordPiece.vocab(wf, k = 500, maxPieceLen = 6)
+      graft.operators.WordPiece.encodeWords(wf, vocab, maxPieceLen = 6,
+        maxWordLen = 16).orderBy("w")
+    }),
+
     // ---------------- one hard-EM refinement round over the same
     // machinery: counts from round-1 segmentations, chars floored at 1,
     // re-segment — both DP rounds under one oracle
@@ -4385,6 +4401,7 @@ object QueriesLLM {
     // argmax over edges from earlier positions with the IDENTICAL
     // (score desc, pieces asc, split asc) tie order
     "unigram_segment" -> unigramSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
+    "wordpiece_segment" -> wordpieceSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
     "unigram_doc_tokens" -> unigramDocSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
     "unigram_em" -> unigramEmSql(k = 500, maxPieceLen = 6, maxWordLen = 16),
 
@@ -4628,6 +4645,69 @@ object QueriesLLM {
       FROM dw JOIN ${pfx}all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
       JOIN ${pfx}btfin ON ${pfx}btfin.w = dw.w
       ORDER BY dw.w"""
+
+  /** WordPiece greedy longest-match-first oracle: ##-prefixed candidate
+    * pieces, top-k + single-char vocab, per-position longest-edge table,
+    * then the greedy walk unrolled as one CTE stage per step (each step
+    * consumes ≥ 1 char, so maxWordLen stages always terminate); a position
+    * with no matching piece collapses the word to [UNK] (BERT rule). */
+  private def wordpieceSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String = {
+    val base =
+      s"""wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(regexp_extract_all(
+               lower(text || ' ' || md5(CAST(doc_id AS VARCHAR))), '[a-z]+')) AS w
+             FROM documents) GROUP BY 1),
+         pieces AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS freq FROM (
+             SELECT unnest(flatten(list_transform(range(1, length(w) + 1), j ->
+               list_transform(range(1, least($maxPieceLen, length(w) - j + 1) + 1),
+                 len -> CASE WHEN j = 1 THEN substr(w, j, len)
+                             ELSE '##' || substr(w, j, len) END)))) AS piece, freq
+             FROM wf) GROUP BY 1),
+         topk AS (SELECT piece FROM (
+             SELECT piece, row_number() OVER (ORDER BY freq DESC, piece ASC) AS rn
+             FROM pieces) WHERE rn <= $k),
+         chars AS (SELECT piece FROM pieces WHERE length(piece) = 1
+                   OR (length(piece) = 3 AND piece LIKE '##%')),
+         vocab AS (SELECT DISTINCT piece FROM
+             (SELECT * FROM topk UNION ALL SELECT * FROM chars)),
+         dw AS (SELECT w, CAST(length(w) AS BIGINT) AS L FROM wf
+                WHERE length(w) BETWEEN 1 AND $maxWordLen),
+         cand AS (SELECT w, L,
+             unnest(flatten(list_transform(range(1, CAST(L AS INTEGER) + 1), j ->
+               list_transform(range(1, least($maxPieceLen,
+                   CAST(L AS INTEGER) - j + 1) + 1),
+                 len -> struct_pack(j := j - 1, i := j - 1 + len,
+                   piece := CASE WHEN j = 1 THEN substr(w, j, len)
+                                 ELSE '##' || substr(w, j, len) END))))) AS e
+           FROM dw),
+         medges AS MATERIALIZED (SELECT c.w, CAST((c.e).j AS BIGINT) AS j,
+             CAST(max((c.e).i) AS BIGINT) AS mi
+           FROM cand c JOIN vocab v ON v.piece = (c.e).piece
+           GROUP BY 1, 2),
+         g0 AS (SELECT w, L, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n,
+             '' AS seg, false AS unk FROM dw)"""
+    val stages = (1 to maxWordLen).map { st =>
+      s"""
+         g$st AS MATERIALIZED (SELECT s.w, s.L,
+             CASE WHEN m.mi IS NULL THEN s.L ELSE m.mi END AS pos,
+             CASE WHEN m.mi IS NULL THEN CAST(1 AS BIGINT) ELSE s.n + 1 END AS n,
+             CASE WHEN m.mi IS NULL THEN '[UNK]'
+                  ELSE s.seg || CASE WHEN s.seg = '' THEN '' ELSE ' ' END ||
+                    CASE WHEN s.pos = 0 THEN substr(s.w, 1, CAST(m.mi AS INTEGER))
+                         ELSE '##' || substr(s.w, CAST(s.pos + 1 AS INTEGER),
+                           CAST(m.mi - s.pos AS INTEGER)) END
+             END AS seg,
+             m.mi IS NULL AS unk
+           FROM g${st - 1} s LEFT JOIN medges m ON m.w = s.w AND m.j = s.pos
+           WHERE s.pos < s.L)"""
+    }.mkString(",")
+    val fin = (1 to maxWordLen)
+      .map(st => s"SELECT w, pos, L, n, seg, unk FROM g$st")
+      .mkString(" UNION ALL ")
+    s"""WITH $base,$stages
+       SELECT w, n AS n_pieces, seg, unk AS is_unk
+       FROM ($fin) WHERE pos = L ORDER BY w"""
+  }
 
   private def unigramSql(k: Int, maxPieceLen: Int, maxWordLen: Int): String =
     "WITH " + unigramBaseCtes(k, maxPieceLen, maxWordLen) + "," +
