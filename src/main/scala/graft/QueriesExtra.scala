@@ -113,6 +113,26 @@ object QueriesExtra {
         .orderBy("flag", "status")
     }),
 
+    // ---------------- Z-order layout key (r9): Morton-interleave
+    // (o_custkey, order epoch-day) ranks — the data-layout clustering key
+    // behind multi-dimension file skipping at 100 TB (OPTIMIZE ZORDER BY
+    // shape). Exact integer rank + shift/or fold, fully codegen'd; the
+    // write path is Layout.clusterByZorder (range partition + local sort
+    // on this key), whose range boundaries are sampled and therefore not
+    // oracle-able — the KEY is the deterministic core.
+    "zorder_key" -> ((s, dir) => {
+      val o = rd(s, dir, "orders")
+      // o_orderdate arrives as TIMESTAMP_NTZ; the NTZ→TIMESTAMP cast
+      // re-reads the wall clock in the UTC-pinned session, so the epoch
+      // day is exact and engine-agnostic
+      val day = expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+      o.select(col("o_orderkey"),
+        graft.operators.Layout.zorderKey(Seq(
+          (col("o_custkey"), 0L, 200000L),
+          (day, 9000L, 11600L)), bits = 20).as("zkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // ---------------- window analytics: lag + delta per user
     "window_lead_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -413,6 +433,19 @@ object QueriesExtra {
       """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
          count(*) AS n, sum(l_quantity) AS sum_qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY 1, 2""",
+    "zorder_key" ->
+      // identical integer math: clamp, scale to 20-bit rank, interleave —
+      // dimension i owns absolute bit positions 2b+i
+      """WITH r AS (SELECT o_orderkey,
+           ((least(200000, greatest(0, o_custkey)) - 0) * 1048575) // 200000 AS r1,
+           ((least(11600, greatest(9000, CAST(epoch_ms(o_orderdate) // 1000 AS BIGINT) // 86400)) - 9000) * 1048575) // 2600 AS r2
+         FROM orders)
+         SELECT o_orderkey,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, 20), b ->
+               (((r1 >> b) & 1) << (2 * b)) | (((r2 >> b) & 1) << (2 * b + 1)))),
+             (a, t) -> a | t) AS zkey
+         FROM r ORDER BY o_orderkey""",
     "window_lead_lag" ->
       """SELECT event_id, user_id,
          epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/**
+ * Data-layout clustering for scan locality (SURVEY §3 scale posture; the
+ * technique behind Databricks OPTIMIZE ZORDER BY and Iceberg's sort-order
+ * rewrite, both public): interleave the bits of several normalized column
+ * ranks into one Morton (Z-order) key, then range-partition + sort the
+ * write by that key. Rows close in EVERY clustered dimension land in the
+ * same parquet files, so per-file min/max statistics prune
+ * multi-predicate scans — at 100 TB the difference between touching a few
+ * files and touching all of them for a `custkey BETWEEN … AND date
+ * BETWEEN …` query.
+ *
+ * Everything is exact integer expression work (no UDF, codegen-friendly):
+ * the rank is one integer scale `((v − min)·(2^bits − 1)) div (max −
+ * min)` with clamping, the interleave a fixed fold of shifts/ors —
+ * bits·dims codegen'd ops per row, fully replayable by the SQL oracle.
+ */
+object Layout {
+
+  /** Clamped `bits`-bit rank of a numeric column over a caller-supplied
+    * [min, max] range (ranges are data statistics the caller owns — at
+    * scale they come from one cheap agg or the catalog, never recomputed
+    * per row). Exact integer math; null in → null out. */
+  def zorderRank(c: Column, min: Long, max: Long, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "rank bits must be in [1, 31]")
+    require(max > min, "zorderRank needs max > min")
+    // the scale product must stay double-exact for the floor-division to
+    // be the integer quotient (Column has no integral-divide operator):
+    // span·(2^bits − 1) < 2^53 covers any real stats range at ≤ 21 bits
+    require((max - min) <= (1L << 53) / ((1L << bits) - 1),
+      s"span ${max - min} × 2^$bits-1 exceeds the exact-double envelope")
+    val span = lit(max - min)
+    val top = lit((1L << bits) - 1)
+    val clamped = greatest(lit(min), least(lit(max), c.cast(LongType)))
+    floor(((clamped - lit(min)) * top) / span).cast(LongType)
+  }
+
+  /** Morton key: interleave the bits of `ranks` (each already a `bits`-bit
+    * non-negative long; dimension i owns absolute bit positions
+    * b·dims + i). dims·bits must fit a signed long (≤ 62). */
+  def mortonKey(ranks: Seq[Column], bits: Int): Column = {
+    val dims = ranks.size
+    require(dims >= 1, "mortonKey needs at least one dimension")
+    require(dims * bits <= 62, s"$dims dims × $bits bits exceeds a signed long")
+    val terms = for {
+      b <- 0 until bits
+      (r, i) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * dims + i)
+    terms.reduce((a, c) => a.bitwiseOR(c))
+  }
+
+  /** Z-order key over numeric columns with caller-supplied ranges. */
+  def zorderKey(cols: Seq[(Column, Long, Long)], bits: Int): Column =
+    mortonKey(cols.map { case (c, lo, hi) => zorderRank(c, lo, hi, bits) }, bits)
+
+  /** Cluster a DataFrame for writing: range-partition into `numFiles`
+    * buckets of the Z-key and sort within each, so the downstream
+    * `.write.parquet` emits files whose per-column min/max spans are tight
+    * in every clustered dimension. One shuffle (the range exchange), one
+    * local sort — the standard rewrite cost, paid once per layout pass. */
+  def clusterByZorder(df: DataFrame, cols: Seq[(Column, Long, Long)],
+                      numFiles: Int, bits: Int = 21,
+                      keyCol: String = "__zkey"): DataFrame = {
+    val keyed = df.withColumn(keyCol, zorderKey(cols, bits))
+    keyed.repartitionByRange(numFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+  }
+}
