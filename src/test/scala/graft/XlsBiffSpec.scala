@@ -485,6 +485,39 @@ class XlsBiffSpec extends SparkSpec {
     }
   }
 
+  test("property: XOR and RC4 variants round-trip random record streams under random passwords") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(971L + i)))
+    // random BIFF-shaped streams: a mix of encrypted-body, exempt-body and
+    // BOUNDSHEET records with random lengths (incl. 0) and contents
+    val recGen: Gen[Array[Byte]] = for {
+      t <- Gen.oneOf(0x0203, 0x0042, 0x00FC, 0x0809, 0x0085, 0x002F)
+      n <- Gen.chooseNum(0, 60)
+      body <- Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte))
+    } yield rec(t, body.toArray)
+    val streamGen: Gen[Array[Byte]] =
+      Gen.chooseNum(1, 8).flatMap(k => Gen.listOfN(k, recGen).map(rs => le(rs: _*)))
+    val pwGen: Gen[String] = for {
+      n <- Gen.chooseNum(1, 15)
+      cs <- Gen.listOfN(n, Gen.alphaNumChar)
+    } yield cs.mkString
+    val salt = Array.tabulate[Byte](16)(i => (i * 3 + 1).toByte)
+    for ((stream, pw) <- samples(streamGen, 25).zip(samples(pwGen, 25))) {
+      assert(XlsBiff.xorCrypt(XlsBiff.xorCrypt(stream, pw, encrypt = true),
+        pw, encrypt = false).toSeq == stream.toSeq, s"XOR pw=$pw")
+      assert(XlsBiff.rc4Crypt(XlsBiff.rc4Crypt(stream, pw, salt),
+        pw, salt).toSeq == stream.toSeq, s"RC4-std pw=$pw")
+      def capi = XlsBiff.rc4CryptWith(_: Array[Byte],
+        n => new XlsBiff.Rc4(XlsBiff.cryptoApiKey(pw, salt, 128, n)))
+      assert(capi(capi(stream)).toSeq == stream.toSeq, s"CryptoAPI pw=$pw")
+      // exempt spans really stay clear: header bytes of the first record
+      val encd = XlsBiff.xorCrypt(stream, pw, encrypt = true)
+      assert(encd.take(4).toSeq == stream.take(4).toSeq)
+    }
+  }
+
   test("SST strings spanning CONTINUE records parse, incl. re-declared encoding") {
     val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
     val eof = rec(0x000A, Array.emptyByteArray)
