@@ -367,6 +367,29 @@ object Dedup {
     }
   }
 
+  /** Both gate probes from ONE benchmark scan: the gram table collects
+    * once (it is eval-suite-sized by contract), the sorted array backs the
+    * exact probe, and the Bloom prefilter is built driver-side from the
+    * same array — where the separate [[gramBloomProbe]] (count job +
+    * bloomFilter job) plus [[gramExactProbe]] (collect job) would scan the
+    * tokenize→shingle→distinct pipeline three times. None when empty. */
+  def gramProbes(bg: DataFrame, fpp: Double): Option[(Column => Column, Column => Column)] = {
+    val grams = bg.collect().map(_.getLong(0)).sorted
+    if (grams.isEmpty) None
+    else {
+      val sc = bg.sparkSession.sparkContext
+      val bloom = org.apache.spark.util.sketch.BloomFilter
+        .create(grams.length.toLong, fpp)
+      grams.foreach(bloom.putLong)
+      val bBloom = sc.broadcast(bloom)
+      val bArr = sc.broadcast(grams)
+      val mightContain = udf((g: Long) => bBloom.value.mightContainLong(g))
+      val contains = udf((g: Long) =>
+        java.util.Arrays.binarySearch(bArr.value, g) >= 0)
+      Some((c => mightContain(c), c => contains(c)))
+    }
+  }
+
   /** Shared exact-verify tail: count distinct corpus grams present in the
     * benchmark set, re-attach every corpus doc (zero hits included). */
   private def decontaminateTail(corpus: DataFrame, idCol: String,

@@ -111,6 +111,8 @@ object Graph {
     // ANSI. `nodes` is domain-sized and already checkpointed, so the count
     // is one cheap driver-side aggregate
     val n = nodes.count()
+    if (n == 0) // empty edge set: nothing to rank, and scale / n is undefined
+      return nodes.select(col("node"), lit(0L).as("hub"), lit(0L).as("auth"))
     require(scale >= n,
       s"hits: scale ($scale) must be >= node count ($n) for the integer " +
         "fixed point to stay exact — raise scale (e.g. 1e12)")

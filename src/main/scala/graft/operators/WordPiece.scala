@@ -124,13 +124,14 @@ object WordPiece {
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("c"))
     val wf = docWords.select(col("w")).distinct()
       .withColumn("freq", lit(1L))
+    // words over maxWordLen never enter encodeWords (length filter) —
+    // the left join + coalesce below is what applies the one-[UNK] rule
     val enc = encodeWords(wf, vocab, maxPieceLen, maxWordLen)
       .select(col("w"), col("n_pieces"), col("is_unk"))
-    docWords.join(broadcast(
-        docWords.select("w").distinct().join(enc, Seq("w"), "left")
-          .select(col("w"),
-            coalesce(col("n_pieces"), lit(1L)).as("n_pieces"),
-            coalesce(col("is_unk"), lit(true)).as("is_unk"))), Seq("w"))
+    docWords.join(broadcast(enc), Seq("w"), "left")
+      .select(col("id"), col("c"),
+        coalesce(col("n_pieces"), lit(1L)).as("n_pieces"),
+        coalesce(col("is_unk"), lit(true)).as("is_unk"))
       .groupBy(col("id"))
       .agg(sum(col("c") * col("n_pieces")).as("n_wp_tokens"),
         sum(col("c")).as("n_words"),

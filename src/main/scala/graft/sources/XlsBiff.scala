@@ -372,7 +372,9 @@ object XlsBiff {
     //       EncryptionHeader(HeaderSize) EncryptionVerifier
     val headerSize = u32(b, body + 10).toInt
     val hdr = body + 14
-    require(len >= 14 + headerSize + 40, "BIFF: truncated CryptoAPI FILEPASS")
+    // EncryptionVerifier needs 60 bytes: saltSize(4) + salt(16) +
+    // verifier(16) + hashSize(4) + SHA-1 hash(20)
+    require(len >= 14 + headerSize + 60, "BIFF: truncated CryptoAPI FILEPASS")
     val algId = u32(b, hdr + 8)
     require(algId == 0x6801L || algId == 0L,
       s"BIFF: CryptoAPI AlgID 0x${algId.toHexString} is not RC4")
@@ -441,6 +443,7 @@ object XlsBiff {
     * byte order, into the length-selected initial code. */
   private[graft] def xorKey(password: String): Int = {
     val pw = ansiPassword(password)
+    require(pw.nonEmpty, "XOR key derivation needs a non-empty password")
     var key = XorInitialCode(pw.length - 1)
     var element = 0x68 // 104: last XorMatrix entry, decremented per bit
     for (i <- pw.length - 1 to 0 by -1) {
@@ -576,7 +579,9 @@ object XlsBiff {
             require(len >= 6, "BIFF: truncated XOR FILEPASS record")
             val storedKey = u16(b, body + 2)
             val storedVerifier = u16(b, body + 4)
-            val pw = tryPasswords("XOR", p =>
+            // empty candidate passwords can never open a real workbook
+            // (Excel requires 1-15 chars) and would crash the key tables
+            val pw = tryPasswords("XOR", p => p.nonEmpty &&
               xorPasswordVerifier(p) == storedVerifier && xorKey(p) == storedKey)
             return xorCrypt(stream, pw, encrypt = false)
           case kind => throw new IllegalArgumentException(

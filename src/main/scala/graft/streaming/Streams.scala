@@ -337,8 +337,8 @@ object Streams {
                                    n: Int = 8, fpp: Double = 0.01): DataFrame = {
     import graft.operators.Dedup
     val bg = Dedup.benchGrams(bench, idCol, textCol, n)
-    (Dedup.gramBloomProbe(bg, fpp), Dedup.gramExactProbe(bg)) match {
-      case (Some(mightContain), Some(exact)) =>
+    Dedup.gramProbes(bg, fpp) match {
+      case Some((mightContain, exact)) =>
         val tag = java.util.UUID.randomUUID.toString.take(8)
         val sh = s"__sh_$tag"
         Dedup.withShingleHashes(stream, textCol, sh, n)

@@ -93,6 +93,11 @@ class GraphSpec extends SparkSpec {
     assert(out.length == 4 && out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("hits: empty edge set yields an empty result, not a driver crash") {
+    val empty = Seq.empty[(String, String, Long)].toDF("src", "dst", "w")
+    assert(Graph.hits(empty, "src", "dst", "w", iters = 3).collect().isEmpty)
+  }
+
   test("triangles: counts K4 exactly and zeros the pendant") {
     // complete graph on {a,b,c,d} has C(4,3)=4 triangles, 3 per node;
     // pendant p-a sits in none. Direction/duplicates must not matter.

@@ -245,6 +245,24 @@ class XlsBiffSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("FILEPASS") && ex.getMessage.contains("unknown type"),
       ex.getMessage)
+    // an EMPTY caller password on a XOR workbook is a clean password error,
+    // not an ArrayIndexOutOfBounds in the key tables
+    val exEmpty = intercept[IllegalArgumentException] {
+      XlsBiff.xlsRows(cfbMini(le(bofG,
+        rec(0x002F, le(u16(0), u16(0xABCD), u16(0x1234))), eof)), None,
+        Some(""))
+    }
+    assert(exEmpty.getMessage.contains("wrong or missing password"),
+      exEmpty.getMessage)
+    // a CryptoAPI FILEPASS truncated inside the verifier is a loud
+    // truncation error, not a garbage-verifier password error
+    val exTrunc = intercept[IllegalArgumentException] {
+      XlsBiff.xlsRows(cfbMini(le(bofG,
+        rec(0x002F, le(u16(1), u16(2), u16(2), u32(0), u32(32),
+          u32(0), u32(0), u32(0x6801), u32(0x8004), u32(40), u32(1), u32(0), u32(0),
+          u32(16), Array.fill[Byte](16)(1), Array.fill[Byte](10)(2))), eof)), None)
+    }
+    assert(exTrunc.getMessage.contains("truncated CryptoAPI"), exTrunc.getMessage)
   }
 
   test("RC4-standard encrypted workbooks decrypt: explicit, default, and wrong password") {
