@@ -16,6 +16,14 @@ object CompatCoverage {
     * every processor family; see COVERAGE.md for the operator mapping. */
   val executes: Set[String] = Set(
     "tuktu.csv.generators.CSVGenerator",
+    "tuktu.csv.generators.flattening.CsvGenerator",
+    "tuktu.csv.generators.flattening.XlsGenerator",
+    "tuktu.csv.generators.flattening.XlsxGenerator",
+    // locator classes sub-dispatched inside the flattening generators'
+    // hierarchy parser (ref locators/SimpleLocators.scala)
+    "tuktu.csv.locators.Column",
+    "tuktu.csv.locators.Row",
+    "tuktu.csv.locators.CellRangeSplitter",
     "tuktu.csv.processors.CSVReaderProcessor",
     "tuktu.csv.processors.FixedWidthProcessor",
     "tuktu.dlib.processors.MapMergerProcessor",

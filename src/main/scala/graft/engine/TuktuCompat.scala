@@ -122,6 +122,69 @@ object TuktuCompat {
         val predef = strs(c, "predef_headers")
         if (predef.nonEmpty) base.toDF(predef: _*) else base
 
+      // ref: modules/csv/app/tuktu/csv/generators/flattening/{Csv,Xls,Xlsx}
+      // Generator.scala + Common.parseHierarchy + locators/SimpleLocators
+      // .scala — {filename, value_name, locators:[{name,type,params}],
+      // flattened?, data_start_col, data_end_col?, end_field:{column,value},
+      // sheet_name (xls/xlsx), separator? (csv), password? (xls extension)}.
+      // Locator state is per-file by contract, so the hierarchy is a fresh
+      // closure per invocation (the () => shape the readers require).
+      case "tuktu.csv.generators.flattening.CsvGenerator"
+         | "tuktu.csv.generators.flattening.XlsGenerator"
+         | "tuktu.csv.generators.flattening.XlsxGenerator" =>
+        import graft.sources.Spreadsheet
+        // parse the locator specs EAGERLY into plain serializable values —
+        // the hierarchy closure ships to executors and must not capture
+        // the Jackson config tree
+        val locSpecs: List[(String, String, Map[String, Int], Option[String])] =
+          arr(c, "locators").toList.map { loc =>
+            val p = loc.get("params")
+            def pi(k: String): Option[Int] = Option(p.get(k)).map(_.asInt)
+            val ints = Seq("offset", "row_start", "row_end", "row", "col", "step")
+              .flatMap(k => pi(k).map(k -> _)).toMap
+            (str(loc, "name").get, str(loc, "type").get, ints,
+              Option(p.get("split")).map(_.asText))
+          }
+        def hierarchy(): List[Spreadsheet.ParseNode] =
+          locSpecs.map { case (name, tpe, ints, split) =>
+            tpe match {
+              case "tuktu.csv.locators.Column" =>
+                Spreadsheet.columnLocator(name, ints("offset"),
+                  ints.getOrElse("row_start", 0), ints.get("row_end"))
+              case "tuktu.csv.locators.Row" =>
+                Spreadsheet.rowLocator(name, ints("offset"))
+              case "tuktu.csv.locators.CellRangeSplitter" =>
+                Spreadsheet.cellRangeSplitter(name, ints("row"), ints("col"),
+                  split.get, ints.getOrElse("step", 1))
+              case other => throw new IllegalArgumentException(
+                s"unknown locator type: $other")
+            }
+          }
+        val fileName = str(c, "filename").get
+        val valueName = str(c, "value_name").get
+        val dataColStart = c.get("data_start_col").asInt
+        val dataColEnd = Option(c.get("data_end_col")).map(_.asInt)
+        val endFieldCol = Option(c.get("end_field"))
+          .map(_.get("column").asInt).getOrElse(-1)
+        val endField = Option(c.get("end_field"))
+          .map(_.get("value").asText).orNull
+        node.name match {
+          case "tuktu.csv.generators.flattening.CsvGenerator" =>
+            Spreadsheet.csvFlattened(spark, fileName, valueName,
+              dataColStart, dataColEnd, () => hierarchy(),
+              sep = str(c, "separator").getOrElse(";").head,
+              endFieldCol = endFieldCol, endField = endField)
+          case "tuktu.csv.generators.flattening.XlsxGenerator" =>
+            Spreadsheet.xlsxFlattened(spark, fileName, str(c, "sheet_name"),
+              valueName, dataColStart, dataColEnd, () => hierarchy(),
+              endFieldCol = endFieldCol, endField = endField)
+          case _ =>
+            graft.sources.XlsBiff.xlsFlattened(spark, fileName,
+              str(c, "sheet_name"), valueName, dataColStart, dataColEnd,
+              () => hierarchy(), endFieldCol = endFieldCol,
+              endField = endField, password = str(c, "password"))
+        }
+
       // ref: modules/nosql/app/tuktu/nosql/generators/sql.scala:11 —
       // {url, user, password, driver, query, flatten?}: one result row per
       // DB row. An explicit driver class is passed through (the reference's

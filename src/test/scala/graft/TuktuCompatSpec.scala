@@ -94,6 +94,37 @@ class TuktuCompatSpec extends SparkSpec {
     assert(rows == Seq(("1", "x"), ("2", "y"))) // ';' default separator
   }
 
+  test("flattening CsvGenerator FQCN config drives the locator hierarchy verbatim") {
+    val dir = Files.createTempDirectory("graft_flat").toFile
+    val f = new java.io.File(dir, "book.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println(",Q1,Q1,Q2"); w.println("North,10,20,30")
+    w.println("South,40,5.5,6"); w.println("END"); w.close()
+    // the reference schema exactly: locators carry the reference locator
+    // FQCNs with their params objects ([MS] Common.parseHierarchy shape)
+    val flow = s"""
+    { "generators": [ {"id": "g",
+        "name": "tuktu.csv.generators.flattening.CsvGenerator",
+        "config": {
+          "filename": "${f.getAbsolutePath}",
+          "value_name": "sales", "flattened": true,
+          "separator": ",",
+          "data_start_col": 1,
+          "end_field": {"column": 0, "value": "END"},
+          "locators": [
+            {"name": "quarter", "type": "tuktu.csv.locators.Row",
+             "params": {"offset": 0}},
+            {"name": "region", "type": "tuktu.csv.locators.Column",
+             "params": {"offset": 0, "row_start": 1}} ]},
+        "next": []} ] }"""
+    val got = Flow.run(spark, flow).values.head
+      .select("quarter", "region", "sales")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("Q1", "North", "10"), ("Q1", "North", "20"), ("Q2", "North", "30"),
+      ("Q1", "South", "40"), ("Q1", "South", "5.5"), ("Q2", "South", "6")))
+  }
+
   // --- round-3 breadth: the rest of the reference BaseProcessorTestSuite ---
 
   private def listFlow(rowsJson: String, procs: String): String =
