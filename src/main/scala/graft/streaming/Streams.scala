@@ -408,6 +408,68 @@ object Streams {
   def rateSource(spark: org.apache.spark.sql.SparkSession, rowsPerSecond: Int): DataFrame =
     spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond).load()
 
+  // --------------------------------------------------------------- kafka
+  // KafkaGenerator (ref: modules/nosql/app/tuktu/nosql/generators/
+  // kafka.scala:18 — old-consumer thread pool over {kafka_properties,
+  // topic, to_string?, charset?}). The Spark-native shape is the
+  // structured-streaming kafka source; the kafka connector jars do NOT
+  // ship in this container (no egress — documented environmental
+  // blocker), so the option mapping below is pure and spec-checked while
+  // `load()` raises Spark's missing-data-source error until the jars
+  // appear, at which point these wrappers are live without code changes.
+
+  /** Reference `kafka_properties` → structured-streaming source options:
+    * bootstrap servers from `bootstrap.servers` (or the legacy
+    * `metadata.broker.list`), the topic as `subscribe`, and every other
+    * property passed through under Spark's `kafka.` prefix. */
+  def kafkaSourceOptions(kafkaProperties: Map[String, String],
+                         topic: String,
+                         startingOffsets: String = "earliest"): Map[String, String] = {
+    val brokers = kafkaProperties.get("bootstrap.servers")
+      .orElse(kafkaProperties.get("metadata.broker.list"))
+      .getOrElse(throw new IllegalArgumentException(
+        "kafka_properties needs bootstrap.servers (or metadata.broker.list)"))
+    val passthrough = (kafkaProperties -
+      ("bootstrap.servers") - ("metadata.broker.list"))
+      .map { case (k, v) => s"kafka.$k" -> v }
+    Map("kafka.bootstrap.servers" -> brokers, "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets) ++ passthrough
+  }
+
+  /** The reference's `to_string`/`charset` step on the kafka value column:
+    * UTF-8 is one codegen'd cast; other charsets go through `decode`. */
+  def kafkaValueText(value: Column, charset: String = "utf-8"): Column =
+    if (charset.equalsIgnoreCase("utf-8") || charset.equalsIgnoreCase("utf8"))
+      value.cast(org.apache.spark.sql.types.StringType)
+    else decode(value, charset)
+
+  /** Streaming kafka source (requires the spark-sql-kafka connector on the
+    * classpath). `stop_message` has no streaming-native analog — a
+    * declarative plan cannot kill its own query mid-stream; callers
+    * wanting the reference's sentinel-stop semantics should filter the
+    * sentinel and stop the `StreamingQuery` from the foreachBatch side. */
+  def kafkaSource(spark: org.apache.spark.sql.SparkSession,
+                  kafkaProperties: Map[String, String], topic: String,
+                  toString: Boolean = true, charset: String = "utf-8",
+                  startingOffsets: String = "earliest"): DataFrame = {
+    val base = spark.readStream.format("kafka")
+      .options(kafkaSourceOptions(kafkaProperties, topic, startingOffsets))
+      .load()
+    if (toString)
+      base.withColumn("value", kafkaValueText(col("value"), charset))
+    else base
+  }
+
+  /** Streaming kafka sink: exactly-once via the checkpoint, the write-side
+    * counterpart (same classpath requirement). */
+  def kafkaSink(df: DataFrame, brokers: String, topic: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** File-stream source ⇄ LineGenerator streaming mode
     * (ref: FileGenerators.scala:79). */
   def fileSource(spark: org.apache.spark.sql.SparkSession, path: String,

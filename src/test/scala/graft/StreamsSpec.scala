@@ -58,6 +58,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kafka option mapping and value decode are live; load() names the missing connector") {
+    import graft.streaming.Streams
+    val props = Map("metadata.broker.list" -> "b1:9092,b2:9092",
+      "group.id" -> "graft", "auto.offset.reset" -> "smallest")
+    val opts = Streams.kafkaSourceOptions(props, "events")
+    assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    assert(opts("subscribe") == "events" && opts("startingOffsets") == "earliest")
+    assert(opts("kafka.group.id") == "graft")
+    assert(opts("kafka.auto.offset.reset") == "smallest")
+    assert(!opts.contains("kafka.metadata.broker.list"))
+    intercept[IllegalArgumentException](Streams.kafkaSourceOptions(Map(), "t"))
+    // value decode: the reference's to_string/charset step over the kafka
+    // value schema (binary), checked on a stand-in frame
+    val v = Seq("héllo".getBytes("UTF-8")).toDF("value")
+      .select(Streams.kafkaValueText(col("value")).as("s")).as[String].head()
+    assert(v == "héllo")
+    val v2 = Seq("abc".getBytes("ISO-8859-1")).toDF("value")
+      .select(Streams.kafkaValueText(col("value"), "ISO-8859-1").as("s"))
+      .as[String].head()
+    assert(v2 == "abc")
+    // without the connector jars (this container: no egress, none shipped)
+    // the source fails by NAMING the missing data source, not mis-reading
+    val ex = intercept[Exception](
+      Streams.kafkaSource(spark, props, "events").printSchema())
+    assert(ex.getMessage.toLowerCase.contains("kafka"), ex.getMessage)
+  }
+
   test("tumbling window aggregation with watermark") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String, Double)]
