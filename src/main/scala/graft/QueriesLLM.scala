@@ -329,6 +329,11 @@ object QueriesLLM {
     // calls per word and the slowest non-streaming query in the suite.
     "doc_embedding_pool" -> ((s, dir) => {
       val d = rd(s, dir, "documents")
+      // the token stream feeds two consumers (vocab distinct + pooling),
+      // but pinning it is a measured LOSS (2.9 s → 3.8 s at sf0.1): the
+      // corpus×tokens materialization costs more than re-running the
+      // cheap tokenize+explode — unlike corpus_build_warc's kept set,
+      // which is doc-sized with an expensive upstream chain
       val toks = d.select(col("doc_id"),
         explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
       val vecs = toks.select(col("w")).distinct()
@@ -1405,10 +1410,14 @@ object QueriesLLM {
       // battery's required-stopword rule (hash-checked by gopher_filter)
       // would annihilate the corpus and void the composition — this
       // subset splits it 277/500 at sf0.01
+      // `kept` feeds TWO consumers (the cluster pass and the survivors
+      // join) — pin it so the WARC-parse → HTML-extract → gopher chain
+      // runs once, not once per consumer
       val kept = graft.operators.TextAnalysis.gopherFilter(docs, "text")
         .filter(col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) && col("alpha_frac") >= 0.8)
         .select(col("doc_id"), col("text"))
+        .localCheckpoint()
       val reps = Dedup.nearDupClusters(kept, "text", "doc_id",
           n = 3, k = 8, bands = 4, threshold = 0.5)
         .filter(col("cluster") === col("doc_id")).select("doc_id")
