@@ -138,41 +138,59 @@ object TuktuCompat {
         // the Jackson config tree
         val locSpecs: List[(String, String, Map[String, Int], Option[String])] =
           arr(c, "locators").toList.map { loc =>
-            val p = loc.get("params")
+            val name = str(loc, "name").getOrElse(throw new IllegalArgumentException(
+              "flattening locator needs a name"))
+            val p = Option(loc.get("params")).getOrElse(
+              throw new IllegalArgumentException(
+                s"locator '$name' needs a params object"))
             def pi(k: String): Option[Int] = Option(p.get(k)).map(_.asInt)
             val ints = Seq("offset", "row_start", "row_end", "row", "col", "step")
               .flatMap(k => pi(k).map(k -> _)).toMap
-            (str(loc, "name").get, str(loc, "type").get, ints,
+            (name, str(loc, "type").getOrElse(throw new IllegalArgumentException(
+              s"locator '$name' needs a type")), ints,
               Option(p.get("split")).map(_.asText))
           }
+        def need(ints: Map[String, Int], name: String, k: String): Int =
+          ints.getOrElse(k, throw new IllegalArgumentException(
+            s"locator '$name' params needs '$k'"))
         def hierarchy(): List[Spreadsheet.ParseNode] =
           locSpecs.map { case (name, tpe, ints, split) =>
             tpe match {
               case "tuktu.csv.locators.Column" =>
-                Spreadsheet.columnLocator(name, ints("offset"),
+                Spreadsheet.columnLocator(name, need(ints, name, "offset"),
                   ints.getOrElse("row_start", 0), ints.get("row_end"))
               case "tuktu.csv.locators.Row" =>
-                Spreadsheet.rowLocator(name, ints("offset"))
+                Spreadsheet.rowLocator(name, need(ints, name, "offset"))
               case "tuktu.csv.locators.CellRangeSplitter" =>
-                Spreadsheet.cellRangeSplitter(name, ints("row"), ints("col"),
-                  split.get, ints.getOrElse("step", 1))
+                Spreadsheet.cellRangeSplitter(name, need(ints, name, "row"),
+                  need(ints, name, "col"),
+                  split.getOrElse(throw new IllegalArgumentException(
+                    s"locator '$name' params needs 'split'")),
+                  ints.getOrElse("step", 1))
               case other => throw new IllegalArgumentException(
                 s"unknown locator type: $other")
             }
           }
-        val fileName = str(c, "filename").get
-        val valueName = str(c, "value_name").get
-        val dataColStart = c.get("data_start_col").asInt
+        val fileName = str(c, "filename").getOrElse(
+          throw new IllegalArgumentException("flattening generator needs filename"))
+        val valueName = str(c, "value_name").getOrElse(
+          throw new IllegalArgumentException("flattening generator needs value_name"))
+        val dataColStart = Option(c.get("data_start_col")).map(_.asInt).getOrElse(
+          throw new IllegalArgumentException("flattening generator needs data_start_col"))
         val dataColEnd = Option(c.get("data_end_col")).map(_.asInt)
         val endFieldCol = Option(c.get("end_field"))
           .map(_.get("column").asInt).getOrElse(-1)
         val endField = Option(c.get("end_field"))
           .map(_.get("value").asText).orNull
-        node.name match {
+        // the reference's opencsv takes a CHAR — a multi-char separator
+        // would silently truncate to its head there; reject loudly instead
+        val sep = str(c, "separator").getOrElse(";")
+        require(sep.length == 1,
+          s"flattening CsvGenerator separator must be one character, got '$sep'")
+        val flat = node.name match {
           case "tuktu.csv.generators.flattening.CsvGenerator" =>
             Spreadsheet.csvFlattened(spark, fileName, valueName,
-              dataColStart, dataColEnd, () => hierarchy(),
-              sep = str(c, "separator").getOrElse(";").head,
+              dataColStart, dataColEnd, () => hierarchy(), sep = sep.head,
               endFieldCol = endFieldCol, endField = endField)
           case "tuktu.csv.generators.flattening.XlsxGenerator" =>
             Spreadsheet.xlsxFlattened(spark, fileName, str(c, "sheet_name"),
@@ -184,6 +202,12 @@ object TuktuCompat {
               () => hierarchy(), endFieldCol = endFieldCol,
               endField = endField, password = str(c, "password"))
         }
+        // flattened=false (the reference DEFAULT) nests the whole record
+        // under resultName — one struct column, the datum shape the
+        // reference's downstream processors expect
+        if (bool(c, "flattened")) flat
+        else flat.select(org.apache.spark.sql.functions
+          .struct(flat.columns.map(col): _*).as(node.result))
 
       // ref: modules/nosql/app/tuktu/nosql/generators/sql.scala:11 —
       // {url, user, password, driver, query, flatten?}: one result row per

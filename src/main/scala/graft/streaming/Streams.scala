@@ -420,20 +420,42 @@ object Streams {
 
   /** Reference `kafka_properties` → structured-streaming source options:
     * bootstrap servers from `bootstrap.servers` (or the legacy
-    * `metadata.broker.list`), the topic as `subscribe`, and every other
-    * property passed through under Spark's `kafka.` prefix. */
+    * `metadata.broker.list`); `auto.offset.reset` translates to
+    * `startingOffsets` (`smallest`→earliest, `largest`→latest — and the
+    * old consumer's DEFAULT is largest, so the fallback is latest, not a
+    * full-topic replay); properties Spark's kafka source hard-rejects or
+    * that are old-consumer implementation details (de/serializers,
+    * enable.auto.commit, zookeeper.connect, consumer timeouts) are
+    * dropped rather than passed through to a guaranteed
+    * IllegalArgumentException; everything else rides under the `kafka.`
+    * prefix. */
   def kafkaSourceOptions(kafkaProperties: Map[String, String],
                          topic: String,
-                         startingOffsets: String = "earliest"): Map[String, String] = {
+                         startingOffsets: String = "latest"): Map[String, String] = {
     val brokers = kafkaProperties.get("bootstrap.servers")
       .orElse(kafkaProperties.get("metadata.broker.list"))
       .getOrElse(throw new IllegalArgumentException(
         "kafka_properties needs bootstrap.servers (or metadata.broker.list)"))
-    val passthrough = (kafkaProperties -
-      ("bootstrap.servers") - ("metadata.broker.list"))
+    val offsets = kafkaProperties.get("auto.offset.reset") match {
+      case Some("smallest") | Some("earliest") => "earliest"
+      case Some("largest") | Some("latest") => "latest"
+      case Some(other) => throw new IllegalArgumentException(
+        s"auto.offset.reset '$other' is not a known offset policy")
+      case None => startingOffsets
+    }
+    // the source manages these itself and REJECTS them as kafka.* options
+    val managed = Set("bootstrap.servers", "metadata.broker.list",
+      "auto.offset.reset", "enable.auto.commit", "key.deserializer",
+      "value.deserializer", "key.serializer", "value.serializer",
+      "interceptor.classes",
+      // old-consumer-only knobs with no new-consumer meaning
+      "zookeeper.connect", "zookeeper.connection.timeout.ms",
+      "consumer.timeout.ms")
+    val passthrough = kafkaProperties
+      .filterNot { case (k, _) => managed(k) }
       .map { case (k, v) => s"kafka.$k" -> v }
     Map("kafka.bootstrap.servers" -> brokers, "subscribe" -> topic,
-      "startingOffsets" -> startingOffsets) ++ passthrough
+      "startingOffsets" -> offsets) ++ passthrough
   }
 
   /** The reference's `to_string`/`charset` step on the kafka value column:
@@ -451,7 +473,7 @@ object Streams {
   def kafkaSource(spark: org.apache.spark.sql.SparkSession,
                   kafkaProperties: Map[String, String], topic: String,
                   toString: Boolean = true, charset: String = "utf-8",
-                  startingOffsets: String = "earliest"): DataFrame = {
+                  startingOffsets: String = "latest"): DataFrame = {
     val base = spark.readStream.format("kafka")
       .options(kafkaSourceOptions(kafkaProperties, topic, startingOffsets))
       .load()
@@ -460,8 +482,11 @@ object Streams {
     else base
   }
 
-  /** Streaming kafka sink: exactly-once via the checkpoint, the write-side
-    * counterpart (same classpath requirement). */
+  /** Streaming kafka sink, the write-side counterpart (same classpath
+    * requirement). Delivery is AT-LEAST-ONCE: the checkpoint makes the
+    * query resumable, but a task retry after a broker ack re-sends — only
+    * file-style sinks get exactly-once from the checkpoint; deduplicate
+    * downstream on a message key if duplicates matter. */
   def kafkaSink(df: DataFrame, brokers: String, topic: String,
                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream.format("kafka")

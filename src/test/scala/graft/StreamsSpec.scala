@@ -61,14 +61,27 @@ class StreamsSpec extends SparkSpec {
   test("kafka option mapping and value decode are live; load() names the missing connector") {
     import graft.streaming.Streams
     val props = Map("metadata.broker.list" -> "b1:9092,b2:9092",
-      "group.id" -> "graft", "auto.offset.reset" -> "smallest")
+      "group.id" -> "graft", "auto.offset.reset" -> "smallest",
+      "zookeeper.connect" -> "zk:2181",
+      "value.deserializer" -> "kafka.serializer.StringDecoder")
     val opts = Streams.kafkaSourceOptions(props, "events")
     assert(opts("kafka.bootstrap.servers") == "b1:9092,b2:9092")
+    // old-consumer auto.offset.reset TRANSLATES (smallest→earliest); it
+    // must never pass through as kafka.* — Spark's source hard-rejects it
     assert(opts("subscribe") == "events" && opts("startingOffsets") == "earliest")
     assert(opts("kafka.group.id") == "graft")
-    assert(opts("kafka.auto.offset.reset") == "smallest")
+    assert(!opts.contains("kafka.auto.offset.reset"))
     assert(!opts.contains("kafka.metadata.broker.list"))
+    // old-consumer implementation details are dropped, not forwarded to a
+    // guaranteed IllegalArgumentException
+    assert(!opts.exists(_._1.contains("zookeeper")))
+    assert(!opts.exists(_._1.contains("deserializer")))
+    // absent auto.offset.reset = the old consumer's default, largest
+    assert(Streams.kafkaSourceOptions(
+      Map("bootstrap.servers" -> "b:9092"), "t")("startingOffsets") == "latest")
     intercept[IllegalArgumentException](Streams.kafkaSourceOptions(Map(), "t"))
+    intercept[IllegalArgumentException](Streams.kafkaSourceOptions(
+      Map("bootstrap.servers" -> "b:9092", "auto.offset.reset" -> "bogus"), "t"))
     // value decode: the reference's to_string/charset step over the kafka
     // value schema (binary), checked on a stand-in frame
     val v = Seq("héllo".getBytes("UTF-8")).toDF("value")
@@ -79,10 +92,13 @@ class StreamsSpec extends SparkSpec {
       .as[String].head()
     assert(v2 == "abc")
     // without the connector jars (this container: no egress, none shipped)
-    // the source fails by NAMING the missing data source, not mis-reading
+    // the source fails with the MISSING-DATA-SOURCE error specifically —
+    // if jars ever appear and load() starts failing on an option instead,
+    // this assert catches the regression rather than masking it
     val ex = intercept[Exception](
       Streams.kafkaSource(spark, props, "events").printSchema())
-    assert(ex.getMessage.toLowerCase.contains("kafka"), ex.getMessage)
+    assert(ex.getMessage.contains("DATA_SOURCE_NOT_FOUND") ||
+      ex.getMessage.toLowerCase.contains("failed to find"), ex.getMessage)
   }
 
   test("tumbling window aggregation with watermark") {

@@ -123,6 +123,36 @@ class TuktuCompatSpec extends SparkSpec {
     assert(got == Set(
       ("Q1", "North", "10"), ("Q1", "North", "20"), ("Q2", "North", "30"),
       ("Q1", "South", "40"), ("Q1", "South", "5.5"), ("Q2", "South", "6")))
+
+    // flattened omitted (the reference DEFAULT is false): the record nests
+    // under the node's result as one struct column
+    val nested = Flow.run(spark,
+      flow.replace(""""flattened": true,""", "")
+        .replace(""""id": "g",""", """"id": "g", "result": "rec",""")).values.head
+    assert(nested.columns.toSeq == Seq("rec"))
+    assert(nested.select("rec.quarter", "rec.sales").as[(String, String)]
+      .collect().toSet.contains(("Q2", "30")))
+
+    // CellRangeSplitter FQCN: a "start-end" cell expands into the range,
+    // columns cycling through it
+    val f2 = new java.io.File(dir, "book2.csv")
+    val w2 = new java.io.PrintWriter(f2)
+    w2.println("1-3,,"); w2.println("x,y,z"); w2.println("END"); w2.close()
+    val flow2 = s"""
+    { "generators": [ {"id": "g",
+        "name": "tuktu.csv.generators.flattening.CsvGenerator",
+        "config": {
+          "filename": "${f2.getAbsolutePath}",
+          "value_name": "v", "flattened": true, "separator": ",",
+          "data_start_col": 0,
+          "end_field": {"column": 0, "value": "END"},
+          "locators": [
+            {"name": "slot", "type": "tuktu.csv.locators.CellRangeSplitter",
+             "params": {"row": 0, "col": 0, "split": "-"}} ]},
+        "next": []} ] }"""
+    val ranged = Flow.run(spark, flow2).values.head
+      .select("slot", "v").as[(String, String)].collect().toSet
+    assert(Set(("1", "x"), ("2", "y"), ("3", "z")).subsetOf(ranged), s"$ranged")
   }
 
   // --- round-3 breadth: the rest of the reference BaseProcessorTestSuite ---
