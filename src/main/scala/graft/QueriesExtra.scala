@@ -133,6 +133,20 @@ object QueriesExtra {
         .orderBy("o_orderkey")
     }),
 
+    // ---------------- Z-order with a STRING dimension (r9): domain ×
+    // size clustering, the crawl-store layout — the string rank is a
+    // lexicographic 5-bit-per-char prefix code, so same-domain rows land
+    // adjacent and the interleave stays pure codegen'd integer work
+    "zorder_domain_key" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      d.select(col("doc_id"),
+        graft.operators.Layout.mortonKey(Seq(
+          graft.operators.Layout.prefixRank(col("source"), bits = 20),
+          graft.operators.Layout.zorderRank(col("n_chars"), 0L, 20000L,
+            bits = 20)), bits = 20).as("zkey"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- window analytics: lag + delta per user
     "window_lead_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -446,6 +460,25 @@ object QueriesExtra {
                (((r1 >> b) & 1) << (2 * b)) | (((r2 >> b) & 1) << (2 * b + 1)))),
              (a, t) -> a | t) AS zkey
          FROM r ORDER BY o_orderkey""",
+    "zorder_domain_key" -> {
+      def code(i: Int) =
+        s"""(CASE WHEN ascii(substr(lower(source), $i, 1)) = 0 THEN 0
+                  WHEN ascii(substr(lower(source), $i, 1)) BETWEEN 97 AND 122
+                    THEN ascii(substr(lower(source), $i, 1)) - 96
+                  ELSE 27 END)"""
+      val r1 = (1 to 4).map(i => s"${code(i)} * ${1L << ((4 - i) * 5)}")
+        .mkString(" + ")
+      s"""WITH r AS (SELECT doc_id,
+           CAST($r1 AS BIGINT) AS r1,
+           ((least(20000, greatest(0, n_chars)) - 0) * 1048575) // 20000 AS r2
+         FROM documents)
+         SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(0, 20), b ->
+               (((r1 >> b) & 1) << (2 * b)) | (((r2 >> b) & 1) << (2 * b + 1)))),
+             (a, t) -> a | t) AS zkey
+         FROM r ORDER BY doc_id"""
+    },
     "window_lead_lag" ->
       """SELECT event_id, user_id,
          epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us

@@ -40,6 +40,28 @@ object Layout {
     floor(((clamped - lit(min)) * top) / span).cast(LongType)
   }
 
+  /** Locality-preserving `bits`-bit rank of a STRING column from its
+    * lowercase prefix: each of ⌈bits/5⌉ leading characters contributes 5
+    * bits (a=1 … z=26; 0 = shorter-than-prefix; anything else = 27), so
+    * lexicographic order is preserved across [a-z] prefixes (non-letters
+    * all rank after z — a locality heuristic, not a collation) and
+    * same-prefix strings — the domain-clustering case — land adjacent.
+    * Pure codegen'd expressions, replayable in SQL. */
+  def prefixRank(c: Column, bits: Int): Column = {
+    require(bits >= 5 && bits <= 30 && bits % 5 == 0,
+      "prefix rank bits must be a multiple of 5 in [5, 30]")
+    val nChars = bits / 5
+    val lowered = lower(c)
+    val codes = (1 to nChars).map { i =>
+      val ch = ascii(substring(lowered, i, 1)) // 0 when past end of string
+      val code = when(ch === 0, lit(0))
+        .when(ch.between('a'.toInt, 'z'.toInt), ch - lit('a'.toInt - 1))
+        .otherwise(lit(27))
+      shiftleft(code.cast(LongType), (nChars - i) * 5)
+    }
+    codes.reduce(_ + _)
+  }
+
   /** Morton key: interleave the bits of `ranks` (each already a `bits`-bit
     * non-negative long; dimension i owns absolute bit positions
     * b·dims + i). dims·bits must fit a signed long (≤ 62). */

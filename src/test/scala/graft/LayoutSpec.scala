@@ -34,6 +34,27 @@ class LayoutSpec extends SparkSpec {
     assert(d(50L) == (50L * 15L) / 100L)     // exact integer scale
   }
 
+  test("prefixRank preserves order on alpha prefixes and pads short strings") {
+    val d = Seq("alpha", "alps", "beta", "a", "", "zz9").toDF("s")
+      .select(col("s"), Layout.prefixRank(col("s"), bits = 20).as("r"))
+      .as[(String, Long)].collect().toMap
+    // 4-char prefix, 5 bits each: lexicographic on [a-z] prefixes
+    assert(d("") < d("a") && d("a") < d("alpha"))
+    assert(d("alpha") < d("alps") && d("alps") < d("beta"))
+    // same 4-char prefix ties (only the prefix ranks)
+    val same = Seq("alphabet", "alphanumeric").toDF("s")
+      .select(Layout.prefixRank(col("s"), bits = 20)).as[Long].collect()
+    assert(same(0) == same(1))
+    // exact code check: "a" -> [1,0,0,0] over 5-bit slots
+    assert(d("a") == (1L << 15))
+    // non-letter chars rank after z (documented heuristic)
+    val zz = Seq(("zz9", "zzz")).toDF("x", "y")
+      .select(Layout.prefixRank(col("x"), 20).as("rx"),
+        Layout.prefixRank(col("y"), 20).as("ry"))
+      .as[(Long, Long)].head()
+    assert(zz._1 > zz._2)
+  }
+
   test("clusterByZorder groups 2-D-near rows into the same range bucket") {
     implicit val s = spark
     // a 32×32 grid: after z-ordering into 16 range buckets, each bucket
