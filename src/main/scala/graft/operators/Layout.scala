@@ -80,6 +80,23 @@ object Layout {
   def zorderKey(cols: Seq[(Column, Long, Long)], bits: Int): Column =
     mortonKey(cols.map { case (c, lo, hi) => zorderRank(c, lo, hi, bits) }, bits)
 
+  /** Caller-owned stats ranges from ONE aggregate pass: (col, min, max)
+    * triples ready for [[zorderKey]]/[[clusterByZorder]]. Degenerate
+    * columns (min == max, or all null) widen by one so the rank math
+    * stays defined. At a real deployment these numbers come from the
+    * table catalog; this is the self-contained path. */
+  def statsRanges(df: DataFrame, cols: Seq[Column]): Seq[(Column, Long, Long)] = {
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c.cast(LongType)).as(s"__mn$i"), max(c.cast(LongType)).as(s"__mx$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      val mn = if (row.isNullAt(2 * i)) 0L else row.getLong(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) mn + 1 else row.getLong(2 * i + 1)
+      (c, mn, if (mx > mn) mx else mn + 1)
+    }
+  }
+
   /** Cluster a DataFrame for writing: range-partition into `numFiles`
     * buckets of the Z-key and sort within each, so the downstream
     * `.write.parquet` emits files whose per-column min/max spans are tight

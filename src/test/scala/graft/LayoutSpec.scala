@@ -55,6 +55,18 @@ class LayoutSpec extends SparkSpec {
     assert(zz._1 > zz._2)
   }
 
+  test("statsRanges: one-pass min/max with degenerate and null columns widened") {
+    val d = Seq((1L, 7L, Option.empty[Long]), (5L, 7L, None), (3L, 7L, None))
+      .toDF("a", "b", "c")
+    val r = Layout.statsRanges(d, Seq(col("a"), col("b"), col("c")))
+    assert(r(0)._2 == 1L && r(0)._3 == 5L)
+    assert(r(1)._2 == 7L && r(1)._3 == 8L, "constant column widens by one")
+    assert(r(2)._2 == 0L && r(2)._3 == 1L, "all-null column gets a unit range")
+    // the triples drop straight into the key
+    val keyed = d.select(Layout.zorderKey(r, bits = 8)).collect()
+    assert(keyed.length == 3)
+  }
+
   test("clusterByZorder groups 2-D-near rows into the same range bucket") {
     implicit val s = spark
     // a 32×32 grid: after z-ordering into 16 range buckets, each bucket
