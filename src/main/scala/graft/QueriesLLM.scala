@@ -2541,6 +2541,9 @@ object QueriesLLM {
            CAST(list_sum(list_transform(toks, t2 -> len(t2))) AS DOUBLE)
              / CAST(len(toks) AS DOUBLE) AS mean_word_len
          FROM g ORDER BY doc_id""",
+    // the Porter/POS/RBEM automata in SQL (see [[NlpSql]]) — formerly the
+    // suite's only rows-only row
+    "nlp_stem_pos_sentiment" -> NlpSql.sql,
     "nlp_tokenize" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
@@ -4654,6 +4657,242 @@ object QueriesLLM {
       FROM dw JOIN ${pfx}all$maxWordLen f ON f.w = dw.w AND f.pos = dw.L
       JOIN ${pfx}btfin ON ${pfx}btfin.w = dw.w
       ORDER BY dw.w"""
+
+  // ----------------------------------------------- nlp pipeline oracle
+  // The Porter/POS/RBEM automata, expressed in DuckDB SQL so the suite's
+  // last rows-only row joins the hash gate. Keys to expressibility: the
+  // fixture corpus is lowercase [a-y]+ (no digits/punct/uppercase, so the
+  // CD/NNP/clitic branches are dead); Porter's y-as-vowel recursion is a
+  // sequential fold building the c/v pattern; the tagger's prev-tag
+  // dependence folds over the token list with the tag string as the
+  // accumulator; and RBEM's four passes commute into closed-form
+  // window-count exponents. Validated cell-identical against the Spark
+  // output at sf0.001 and sf0.01 (1000 docs, 0 mismatches) and against
+  // the published Porter vocabulary.
+
+  private object NlpSql {
+    def cv(x: String): String =
+      s"list_reduce(list_prepend('', list_transform(range(1, length($x) + 1), " +
+        s"i -> substr($x, CAST(i AS INTEGER), 1))), (acc, ch) -> acc || " +
+        "CASE WHEN ch IN ('a','e','i','o','u') THEN 'v' " +
+        "WHEN ch = 'y' AND acc <> '' AND substr(acc, length(acc), 1) = 'c' THEN 'v' " +
+        "ELSE 'c' END)"
+    def measure(x: String): String = {
+      val c = cv(x)
+      s"((length($c) - length(replace($c, 'vc', ''))) // 2)"
+    }
+    def hasVowel(x: String): String = s"(contains(${cv(x)}, 'v'))"
+    def endsDoubleC(x: String): String =
+      s"(length($x) >= 2 AND substr($x, length($x), 1) = substr($x, length($x) - 1, 1) " +
+        s"AND substr(${cv(x)}, length($x), 1) = 'c')"
+    def endsCvc(x: String): String =
+      s"(length($x) >= 3 AND substr(${cv(x)}, length($x) - 2, 3) = 'cvc' " +
+        s"AND NOT substr($x, length($x), 1) IN ('w','x','y'))"
+    def drop(x: String, k: Int): String = s"substr($x, 1, length($x) - $k)"
+
+    val step2: Seq[(String, String)] = Seq(
+      "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+      "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+      "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+      "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+      "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble",
+      "logi" -> "log")
+    val step3: Seq[(String, String)] = Seq(
+      "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+      "ical" -> "ic", "ful" -> "", "ness" -> "")
+    val step4: Seq[String] = Seq("al", "ance", "ence", "er", "ic", "able",
+      "ible", "ant", "ement", "ment", "ent", "ion", "ou", "ism", "ate",
+      "iti", "ous", "ive", "ize").sortBy(-_.length)
+
+    def sufCase(col: String, rules: Seq[(String, String)]): (String, String) = (
+      "CASE " + rules.map { case (s, _) =>
+        s"WHEN $col LIKE '%$s' THEN '$s'" }.mkString(" ") + " ELSE NULL END",
+      "CASE " + rules.map { case (s, r) =>
+        s"WHEN $col LIKE '%$s' THEN '$r'" }.mkString(" ") + " ELSE NULL END")
+
+    def stemmerCtes: String = {
+      val (s2suf, s2rep) = sufCase("w1c", step2)
+      val (s3suf, s3rep) = sufCase("w2", step3)
+      val s4suf = "CASE " + step4.map(s =>
+        s"WHEN w3 LIKE '%$s' THEN '$s'").mkString(" ") + " ELSE NULL END"
+      s"""
+ dw AS (SELECT DISTINCT t AS w FROM tokpos),
+ st1a AS (SELECT w,
+   CASE WHEN length(w) <= 2 THEN w
+        WHEN w LIKE '%sses' THEN ${drop("w", 2)}
+        WHEN w LIKE '%ies' THEN ${drop("w", 2)}
+        WHEN w LIKE '%ss' THEN w
+        WHEN w LIKE '%s' THEN ${drop("w", 1)}
+        ELSE w END AS w1a
+   FROM dw),
+ st1bp AS (SELECT w, w1a,
+   CASE WHEN length(w) <= 2 THEN w1a
+        WHEN w1a LIKE '%eed' THEN
+          CASE WHEN ${measure(drop("w1a", 3))} > 0 THEN ${drop("w1a", 1)} ELSE w1a END
+        WHEN w1a LIKE '%ed' AND ${hasVowel(drop("w1a", 2))} THEN ${drop("w1a", 2)}
+        WHEN w1a LIKE '%ing' AND ${hasVowel(drop("w1a", 3))} THEN ${drop("w1a", 3)}
+        ELSE w1a END AS w1bp,
+   (length(w) > 2 AND NOT w1a LIKE '%eed' AND
+    ((w1a LIKE '%ed' AND ${hasVowel(drop("w1a", 2))}) OR
+     (w1a LIKE '%ing' AND ${hasVowel(drop("w1a", 3))}))) AS cleanup
+   FROM st1a),
+ st1b AS (SELECT w,
+   CASE WHEN NOT cleanup THEN w1bp
+        WHEN w1bp LIKE '%at' OR w1bp LIKE '%bl' OR w1bp LIKE '%iz' THEN w1bp || 'e'
+        WHEN ${endsDoubleC("w1bp")} AND NOT substr(w1bp, length(w1bp), 1) IN ('l','s','z')
+          THEN ${drop("w1bp", 1)}
+        WHEN ${measure("w1bp")} = 1 AND ${endsCvc("w1bp")} THEN w1bp || 'e'
+        ELSE w1bp END AS w1b
+   FROM st1bp),
+ st1c AS (SELECT w,
+   CASE WHEN length(w) <= 2 THEN w1b
+        WHEN w1b LIKE '%y' AND ${hasVowel(drop("w1b", 1))} THEN ${drop("w1b", 1)} || 'i'
+        ELSE w1b END AS w1c
+   FROM st1b),
+ st2m AS (SELECT w, w1c, $s2suf AS suf, $s2rep AS rep FROM st1c),
+ st2 AS (SELECT w,
+   CASE WHEN length(w) <= 2 OR suf IS NULL THEN w1c
+        WHEN ${measure("substr(w1c, 1, length(w1c) - length(suf))")} > 0
+          THEN substr(w1c, 1, length(w1c) - length(suf)) || rep
+        ELSE w1c END AS w2
+   FROM st2m),
+ st3m AS (SELECT w, w2, $s3suf AS suf, $s3rep AS rep FROM st2),
+ st3 AS (SELECT w,
+   CASE WHEN length(w) <= 2 OR suf IS NULL THEN w2
+        WHEN ${measure("substr(w2, 1, length(w2) - length(suf))")} > 0
+          THEN substr(w2, 1, length(w2) - length(suf)) || rep
+        ELSE w2 END AS w3
+   FROM st3m),
+ st4m AS (SELECT w, w3, $s4suf AS suf FROM st3),
+ st4 AS (SELECT w,
+   CASE WHEN length(w) <= 2 OR suf IS NULL THEN w3
+        WHEN ${measure("substr(w3, 1, length(w3) - length(suf))")} > 1
+             AND (suf <> 'ion' OR substr(w3, length(w3) - length(suf), 1) IN ('s','t'))
+          THEN substr(w3, 1, length(w3) - length(suf))
+        ELSE w3 END AS w4
+   FROM st4m),
+ st5a AS (SELECT w,
+   CASE WHEN length(w) <= 2 THEN w4
+        WHEN w4 LIKE '%e' AND (${measure(drop("w4", 1))} > 1 OR
+          (${measure(drop("w4", 1))} = 1 AND NOT ${endsCvc(drop("w4", 1))}))
+          THEN ${drop("w4", 1)}
+        ELSE w4 END AS w5a
+   FROM st4),
+ stem AS (SELECT w,
+   CASE WHEN length(w) <= 2 THEN w5a
+        WHEN ${measure("w5a")} > 1 AND w5a LIKE '%ll' THEN ${drop("w5a", 1)}
+        ELSE w5a END AS stem
+   FROM st5a)"""
+    }
+
+    // transcription of Nlp.lexicon; values with '$' stay literal
+    val lexicon: Seq[(String, String)] = Seq(
+      "the" -> "DT", "a" -> "DT", "an" -> "DT", "this" -> "DT", "that" -> "DT",
+      "these" -> "DT", "those" -> "DT", "some" -> "DT", "any" -> "DT",
+      "no" -> "DT", "each" -> "DT", "every" -> "DT",
+      "i" -> "PRP", "you" -> "PRP", "he" -> "PRP", "she" -> "PRP", "it" -> "PRP",
+      "we" -> "PRP", "they" -> "PRP", "me" -> "PRP", "him" -> "PRP",
+      "her" -> "PRP$", "us" -> "PRP", "them" -> "PRP",
+      "my" -> "PRP$", "your" -> "PRP$", "his" -> "PRP$", "its" -> "PRP$",
+      "our" -> "PRP$", "their" -> "PRP$",
+      "in" -> "IN", "on" -> "IN", "at" -> "IN", "by" -> "IN", "for" -> "IN",
+      "with" -> "IN", "from" -> "IN", "of" -> "IN", "over" -> "IN",
+      "under" -> "IN", "into" -> "IN", "through" -> "IN", "about" -> "IN",
+      "as" -> "IN", "to" -> "TO",
+      "and" -> "CC", "or" -> "CC", "but" -> "CC", "nor" -> "CC",
+      "can" -> "MD", "could" -> "MD", "will" -> "MD", "would" -> "MD",
+      "shall" -> "MD", "should" -> "MD", "may" -> "MD", "might" -> "MD",
+      "must" -> "MD",
+      "is" -> "VBZ", "are" -> "VBP", "am" -> "VBP", "was" -> "VBD",
+      "were" -> "VBD", "be" -> "VB", "been" -> "VBN", "being" -> "VBG",
+      "has" -> "VBZ", "have" -> "VBP", "had" -> "VBD",
+      "does" -> "VBZ", "do" -> "VBP", "did" -> "VBD",
+      "not" -> "RB", "never" -> "RB", "very" -> "RB", "really" -> "RB",
+      "quite" -> "RB", "too" -> "RB", "so" -> "RB", "just" -> "RB",
+      "here" -> "RB", "there" -> "RB", "now" -> "RB", "then" -> "RB",
+      "what" -> "WP", "who" -> "WP", "whom" -> "WP", "which" -> "WDT",
+      "when" -> "WRB", "where" -> "WRB", "why" -> "WRB", "how" -> "WRB",
+      "good" -> "JJ", "bad" -> "JJ", "big" -> "JJ", "small" -> "JJ",
+      "new" -> "JJ", "old" -> "JJ", "high" -> "JJ", "low" -> "JJ",
+      "great" -> "JJ", "quick" -> "JJ", "lazy" -> "JJ", "brown" -> "JJ",
+      "happy" -> "JJ", "sad" -> "JJ", "free" -> "JJ", "first" -> "JJ",
+      "last" -> "JJ", "other" -> "JJ", "own" -> "JJ", "same" -> "JJ")
+    val nounSuf = Seq("ness", "ment", "tion", "sion", "ship", "ance", "ence", "ity", "ism")
+    val adjSuf = Seq("ous", "ful", "able", "ible", "ive", "ish", "less", "ic")
+
+    def tagOne(t: String, prev: String): String = {
+      val lex = lexicon.map { case (w, v) =>
+        s"WHEN $t = '$w' THEN '$v'" }.mkString(" ")
+      val nsuf = nounSuf.map(s => s"$t LIKE '%$s'").mkString(" OR ")
+      val asuf = adjSuf.map(s => s"$t LIKE '%$s'").mkString(" OR ")
+      s"""CASE WHEN $t = '' THEN 'SYM' $lex
+      WHEN $t LIKE '%ly' THEN 'RB'
+      WHEN $t LIKE '%ing' AND length($t) > 4 THEN 'VBG'
+      WHEN $t LIKE '%ed' AND length($t) > 3 THEN 'VBD'
+      WHEN $nsuf THEN 'NN'
+      WHEN $asuf THEN 'JJ'
+      WHEN $t LIKE '%est' AND length($t) > 4 THEN 'JJS'
+      WHEN $t LIKE '%er' AND length($t) > 3 THEN 'JJR'
+      WHEN $t LIKE '%s' AND NOT $t LIKE '%ss' AND length($t) > 2 THEN
+        CASE WHEN $prev IN ('NN','NNS','NNP','PRP') THEN 'VBZ' ELSE 'NNS' END
+      WHEN $prev IN ('MD','TO') THEN 'VB'
+      ELSE 'NN' END"""
+    }
+
+    def tagsFold: String = {
+      val prev = "regexp_extract(acc, '[^ ]+$')"
+      s"list_reduce(list_prepend('', toks), (acc, t) -> " +
+        s"acc || CASE WHEN acc = '' THEN '' ELSE ' ' END || (${tagOne("t", prev)}))"
+    }
+
+    val pos = Seq("good", "great", "excellent", "love", "loves", "loved",
+      "like", "likes", "happy", "nice", "best", "awesome", "fantastic",
+      "wonderful", "amazing", "perfect", "enjoy", "enjoyed")
+    val neg = Seq("bad", "terrible", "awful", "hate", "hates", "hated",
+      "worst", "sad", "poor", "horrible", "disappointing", "boring",
+      "broken", "wrong", "fail", "failed", "useless")
+    val amp = Seq("very", "really", "extremely", "so", "totally",
+      "absolutely", "incredibly")
+    val att = Seq("slightly", "somewhat", "barely", "hardly", "marginally", "mildly")
+    val rflip = Seq("not", "never", "no", "cannot", "nobody", "nothing")
+    val lflip = Seq("though", "although")
+    val stops = Seq("but", "however", "yet")
+    val win = 4
+
+    def inList(e: String, xs: Seq[String]): String =
+      s"$e IN (${xs.map(x => s"'$x'").mkString(", ")})"
+
+    def polarityExpr: String = {
+      val ls = s"coalesce(list_max(list_filter(range(1, len(toks) + 1), " +
+        s"p -> ${inList("toks[p]", stops)})), 0)"
+      val emit = s"CASE WHEN ${inList("toks[j]", pos)} THEN 1.0 " +
+        s"WHEN ${inList("toks[j]", neg)} THEN -1.0 ELSE 0.0 END"
+      def winCount(xs: Seq[String]) =
+        s"len(list_filter(range(greatest(1, j - $win), j), p -> ${inList("toks[p]", xs)}))"
+      val lf = s"len(list_filter(range(j + 1, least(len(toks), j + $win) + 1), " +
+        s"p -> ${inList("toks[p]", lflip)}))"
+      s"coalesce(list_sum(list_transform(range(1, len(toks) + 1), j -> " +
+        s"(CASE WHEN j < ($ls) THEN 0.0 ELSE $emit END) " +
+        s"* power(2.0, ${winCount(amp)}) * power(0.5, ${winCount(att)}) " +
+        s"* power(-1.0, ${winCount(rflip)} + $lf))), 0.0)"
+    }
+
+    def sql: String =
+      s"""WITH tt AS (
+   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+ tokpos AS (SELECT doc_id, (e).j AS j, (e).t AS t FROM (
+   SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+     j -> struct_pack(j := j, t := toks[j]))) AS e FROM tt)),
+ $stemmerCtes,
+ stemmed AS (SELECT tp.doc_id,
+     array_to_string(list(s.stem ORDER BY tp.j), ' ') AS stemmed
+   FROM tokpos tp JOIN stem s ON s.w = tp.t GROUP BY tp.doc_id),
+ tagged AS (SELECT doc_id, $tagsFold AS pos_tags, $polarityExpr AS polarity
+   FROM tt)
+ SELECT t.doc_id, s.stemmed, t.pos_tags, t.polarity
+ FROM tagged t LEFT JOIN stemmed s ON s.doc_id = t.doc_id
+ ORDER BY t.doc_id"""
+  }
 
   /** WordPiece greedy longest-match-first oracle: ##-prefixed candidate
     * pieces, top-k + single-char vocab, per-position longest-edge table,
