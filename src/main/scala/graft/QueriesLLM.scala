@@ -656,6 +656,30 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- RBEM emotion scores (r9): one emission pass per
+    // emotion lexicon through the same modifier machinery. The corpus has
+    // no emotion vocabulary, so deterministic clauses are planted with the
+    // SAME expression as the oracle (the card_scrub pattern) — they
+    // exercise amplifiers, stops, and both flip directions.
+    "nlp_emotion" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" very happy but sad")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" not angry though afraid hate cry")).otherwise(lit("")))
+      val d = rd(s, dir, "documents")
+        .select(col("doc_id"), planted.as("text"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("toks", TextAnalysis.tokens(col("text")))
+      val tagged = Nlp.posTags(d, "toks", "tags")
+      Nlp.emotion(tagged, "toks", "tags", "emo")
+        .select(col("doc_id"),
+          element_at(col("emo"), "happiness").as("happiness"),
+          element_at(col("emo"), "sadness").as("sadness"),
+          element_at(col("emo"), "anger").as("anger"),
+          element_at(col("emo"), "fear").as("fear"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- §2.11 DocumentProcessor — assemble lines into documents
     "document_assembly" -> ((s, dir) => {
       Nlp.assembleDocument(rd(s, dir, "events"), Seq("user_id"), "event_type",
@@ -2544,6 +2568,7 @@ object QueriesLLM {
     // the Porter/POS/RBEM automata in SQL (see [[NlpSql]]) — formerly the
     // suite's only rows-only row
     "nlp_stem_pos_sentiment" -> NlpSql.sql,
+    "nlp_emotion" -> NlpSql.emotionSql,
     "nlp_tokenize" ->
       """WITH t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
@@ -4862,11 +4887,13 @@ object QueriesLLM {
     def inList(e: String, xs: Seq[String]): String =
       s"$e IN (${xs.map(x => s"'$x'").mkString(", ")})"
 
-    def polarityExpr: String = {
+    def polarityWith(posList: Seq[String], negList: Seq[String]): String = {
       val ls = s"coalesce(list_max(list_filter(range(1, len(toks) + 1), " +
         s"p -> ${inList("toks[p]", stops)})), 0)"
-      val emit = s"CASE WHEN ${inList("toks[j]", pos)} THEN 1.0 " +
-        s"WHEN ${inList("toks[j]", neg)} THEN -1.0 ELSE 0.0 END"
+      val emit = s"CASE WHEN ${inList("toks[j]", posList)} THEN 1.0 " +
+        (if (negList.nonEmpty)
+          s"WHEN ${inList("toks[j]", negList)} THEN -1.0 " else "") +
+        "ELSE 0.0 END"
       def winCount(xs: Seq[String]) =
         s"len(list_filter(range(greatest(1, j - $win), j), p -> ${inList("toks[p]", xs)}))"
       val lf = s"len(list_filter(range(j + 1, least(len(toks), j + $win) + 1), " +
@@ -4875,6 +4902,29 @@ object QueriesLLM {
         s"(CASE WHEN j < ($ls) THEN 0.0 ELSE $emit END) " +
         s"* power(2.0, ${winCount(amp)}) * power(0.5, ${winCount(att)}) " +
         s"* power(-1.0, ${winCount(rflip)} + $lf))), 0.0)"
+    }
+
+    def polarityExpr: String = polarityWith(pos, neg)
+
+    // transcription of Nlp.emotionLexicons
+    val emotions: Seq[(String, Seq[String])] = Seq(
+      "happiness" -> Seq("happy", "joy", "delighted", "glad", "cheerful", "love", "enjoy"),
+      "sadness" -> Seq("sad", "unhappy", "depressed", "miserable", "cry", "grief"),
+      "anger" -> Seq("angry", "furious", "mad", "outraged", "annoyed", "hate"),
+      "fear" -> Seq("afraid", "scared", "terrified", "fear", "anxious", "worried"))
+
+    /** rbemEmotion oracle: one emission pass per emotion lexicon with the
+      * same modifier machinery (positive = lexicon, negative = empty). */
+    def emotionSql: String = {
+      val cols = emotions.map { case (emo, lex) =>
+        s"${polarityWith(lex, Nil)} AS $emo" }.mkString(",\n   ")
+      val planted = "text || CASE WHEN doc_id % 5 = 0 THEN ' very happy but sad' ELSE '' END" +
+        " || CASE WHEN doc_id % 7 = 0 THEN ' not angry though afraid hate cry' ELSE '' END"
+      s"""WITH tt AS (
+   SELECT doc_id, string_split_regex(trim(lower($planted)), '\\s+') AS toks FROM documents)
+ SELECT doc_id,
+   $cols
+ FROM tt ORDER BY doc_id"""
     }
 
     def sql: String =
