@@ -179,7 +179,21 @@ object CompatCoverage {
     "tuktu.processors.meta.GeneratorConfigStreamProcessor" ->
       "spawns generator flows per datum; compose statically with Flow branch/fan-out",
     "tuktu.processors.meta.GeneratorStreamProcessor" ->
-      "spawns generator flows per datum; compose statically with Flow branch/fan-out")
+      "spawns generator flows per datum; compose statically with Flow branch/fan-out",
+    // crawler module (live-web ingestion — needs egress; the crawl-DATA
+    // path is the WARC source + Html extract + Url ops)
+    "tuktu.crawler.generators.GenericCrawlerGenerator" ->
+      "live-web htmlunit scraping; read crawl archives via Warc + Html + Url",
+    "tuktu.crawler.generators.WikipediaContentGenerator" ->
+      "live-web htmlunit scraping; read crawl archives via Warc + Html + Url",
+    // deeplearn image classifiers (pretrained weights need egress; the
+    // engine path is Multimodal decode + DeepLearn/spark.ml MLP)
+    "tuktu.deeplearn.processors.image.InceptionClassifier" ->
+      "pretrained weights need egress; Multimodal decode + DeepLearn/spark.ml MLP",
+    "tuktu.deeplearn.processors.image.InceptionTensorClassifier" ->
+      "pretrained weights need egress; Multimodal decode + DeepLearn/spark.ml MLP",
+    "tuktu.deeplearn.processors.image.VGG16Classifier" ->
+      "pretrained weights need egress; Multimodal decode + DeepLearn/spark.ml MLP")
 
   /** Executing FQCNs with one named MODE that rejects (the rest of the
     * processor works): the mode's shape is value-dependent. */

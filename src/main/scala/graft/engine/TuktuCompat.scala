@@ -223,6 +223,20 @@ object TuktuCompat {
           .option("dbtable", s"(${str(c, "query").get}) AS q0")
         str(c, "driver").fold(base)(d => base.option("driver", d)).load()
 
+      // ref: modules/crawler/app/tuktu/crawler/generators/
+      // GenericCrawlerGenerator.scala:27 / WikipediaContentGenerator.scala:32
+      // — live-web htmlunit scraping: needs egress and spawns per-page
+      // scraper actors. The engine's crawl-DATA path is the WARC archive
+      // source + HTML extraction + URL ops (the shape that scales to a
+      // 100 TB crawl instead of re-fetching it).
+      case crawler @ ("tuktu.crawler.generators.GenericCrawlerGenerator"
+                    | "tuktu.crawler.generators.WikipediaContentGenerator") =>
+        throw new UnsupportedOperationException(
+          s"$crawler performs live-web scraping (egress + per-page actors); " +
+            "read crawl archives with graft.sources.Warc, extract text/links " +
+            "with graft.operators.Html, and normalize with graft.operators.Url " +
+            "— see COVERAGE.md (crawler module)")
+
       case other => throw new IllegalArgumentException(s"unsupported compat generator: $other")
     }
   }
@@ -1554,6 +1568,33 @@ object TuktuCompat {
               "datum (scalar vs concatenated array); use priority map1/map2, " +
               "or JSONMergerProcessor for deep second-wins merging")
         }
+
+      // ref: modules/deeplearn/app/tuktu/deeplearn/processors/image/
+      // {Inception,InceptionTensor,VGG16}Classifier.scala — classify an
+      // image URL with pretrained Inception/VGG16 weights loaded from
+      // model downloads (DLGlobal.scala) the container cannot fetch (no
+      // egress). The engine-native path: decode the bytes with
+      // graft.operators.Multimodal and classify features with
+      // graft.ml.DeepLearn (seeded MLP/SdA/DBN) or spark.ml MLP.
+      case dl @ ("tuktu.deeplearn.processors.image.InceptionClassifier"
+               | "tuktu.deeplearn.processors.image.InceptionTensorClassifier"
+               | "tuktu.deeplearn.processors.image.VGG16Classifier") =>
+        throw new UnsupportedOperationException(
+          s"$dl needs pretrained Inception/VGG16 weights fetched over the " +
+            "network (environmental); decode images with " +
+            "graft.operators.Multimodal and classify with graft.ml.DeepLearn " +
+            "(seeded MLP/SdA/DBN) or spark.ml MultilayerPerceptronClassifier " +
+            "— see COVERAGE.md (deeplearn module)")
+
+      // crawler generator names placed in processor position get the same
+      // porting guidance as the generator dispatch
+      case crawler @ ("tuktu.crawler.generators.GenericCrawlerGenerator"
+                    | "tuktu.crawler.generators.WikipediaContentGenerator") =>
+        throw new UnsupportedOperationException(
+          s"$crawler performs live-web scraping (egress + per-page actors); " +
+            "read crawl archives with graft.sources.Warc, extract text/links " +
+            "with graft.operators.Html, and normalize with graft.operators.Url " +
+            "— see COVERAGE.md (crawler module)")
 
       case other => throw new IllegalArgumentException(s"unsupported compat processor: $other")
     }

@@ -19,6 +19,23 @@ class TuktuCompatSpec extends SparkSpec {
     assert(df.select("test").as[String].collect().toSeq == Seq("test"))
   }
 
+  test("the reference's normalization.json flow config runs verbatim") {
+    // ref configs/flowtests/normalization.json: ListGenerator [6,10,-10,-6]
+    // → EOFBuffer → NormalizationTrain(min=-1,max=1, fields defaulting to
+    // every column) → NormalizationApply(fields=[data]); min/max over the
+    // packet are -10/10, so the rescale to [-1,1] is value/10.
+    val json = new String(Files.readAllBytes(
+      Paths.get("/root/reference/configs/flowtests/normalization.json")))
+    val out = Flow.run(spark, json)
+    val df = out.values.head
+    assert(df.columns.toSeq == Seq("data"))
+    val got = df.select("data").as[Double].collect().toSeq.sorted
+    assert(got.size == 4)
+    got.zip(Seq(-1.0, -0.6, 0.6, 1.0)).foreach { case (g, e) =>
+      assert(math.abs(g - e) < 1e-12, s"$g != $e")
+    }
+  }
+
   test("FieldFilterProcessor with reference config schema (path/result/default)") {
     val flow = """
     { "generators": [
