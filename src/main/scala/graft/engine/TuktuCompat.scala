@@ -183,15 +183,25 @@ object TuktuCompat {
         val endField = Option(c.get("end_field"))
           .map(_.get("value").asText).orNull
         // the reference's opencsv takes a CHAR — a multi-char separator
-        // would silently truncate to its head there; reject loudly instead
+        // would silently truncate to its head there; reject loudly instead.
+        // quote/escape ride through to the line parser with the reference's
+        // own defaults (flattening/CsvGenerator.scala:90-98)
         val sep = str(c, "separator").getOrElse(";")
         require(sep.length == 1,
           s"flattening CsvGenerator separator must be one character, got '$sep'")
+        def charOpt(k: String, dflt: Char): Char = str(c, k) match {
+          case None => dflt
+          case Some(v) =>
+            require(v.length == 1,
+              s"flattening CsvGenerator $k must be one character, got '$v'")
+            v.head
+        }
         val flat = node.name match {
           case "tuktu.csv.generators.flattening.CsvGenerator" =>
             Spreadsheet.csvFlattened(spark, fileName, valueName,
               dataColStart, dataColEnd, () => hierarchy(), sep = sep.head,
-              endFieldCol = endFieldCol, endField = endField)
+              endFieldCol = endFieldCol, endField = endField,
+              quote = charOpt("quote", '"'), escape = charOpt("escape", '\\'))
           case "tuktu.csv.generators.flattening.XlsxGenerator" =>
             Spreadsheet.xlsxFlattened(spark, fileName, str(c, "sheet_name"),
               valueName, dataColStart, dataColEnd, () => hierarchy(),

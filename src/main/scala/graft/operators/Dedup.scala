@@ -357,8 +357,9 @@ object Dedup {
     * of MB, comfortably broadcastable; the Bloom at ~10 bits/gram stays in
     * front because it is the cache-resident reject path for the ~100% of
     * grams that are clean). None when the table is empty. */
-  def gramExactProbe(bg: DataFrame): Option[Column => Column] = {
-    val grams = bg.collect().map(_.getLong(0)).sorted
+  def gramExactProbe(bg: DataFrame,
+                     maxGrams: Int = DefaultMaxBenchGrams): Option[Column => Column] = {
+    val grams = collectGramsBounded(bg, maxGrams)
     if (grams.isEmpty) None
     else {
       val b = bg.sparkSession.sparkContext.broadcast(grams)
@@ -367,14 +368,36 @@ object Dedup {
     }
   }
 
+  /** Benchmark-sized driver state is a CONTRACT of the gate probes; this
+    * cap turns a corpus-scale gram table into a clear error instead of a
+    * driver OOM. 32M grams = 256 MB of longs, an eval-suite union's upper
+    * end; raise it deliberately via the maxGrams parameter if a bigger
+    * benchmark suite truly fits the driver. */
+  val DefaultMaxBenchGrams: Int = 32 * 1024 * 1024
+
+  /** Collect a gram table with a hard row cap — `limit(max+1)` bounds the
+    * driver allocation in the SAME single job (no extra count scan): at or
+    * under the cap the limit is a no-op, over it we see max+1 rows and
+    * fail loudly before materializing the rest. */
+  private def collectGramsBounded(bg: DataFrame, maxGrams: Int): Array[Long] = {
+    val rows = bg.limit(maxGrams + 1).collect()
+    require(rows.length <= maxGrams,
+      s"benchmark gram table exceeds $maxGrams grams — the decontamination " +
+        "gate broadcasts the benchmark set and is sized for eval-suite " +
+        "inputs, not corpora; shrink the benchmark or raise maxGrams " +
+        "explicitly if the driver can hold it")
+    rows.map(_.getLong(0)).sorted
+  }
+
   /** Both gate probes from ONE benchmark scan: the gram table collects
     * once (it is eval-suite-sized by contract), the sorted array backs the
     * exact probe, and the Bloom prefilter is built driver-side from the
     * same array — where the separate [[gramBloomProbe]] (count job +
     * bloomFilter job) plus [[gramExactProbe]] (collect job) would scan the
     * tokenize→shingle→distinct pipeline three times. None when empty. */
-  def gramProbes(bg: DataFrame, fpp: Double): Option[(Column => Column, Column => Column)] = {
-    val grams = bg.collect().map(_.getLong(0)).sorted
+  def gramProbes(bg: DataFrame, fpp: Double,
+                 maxGrams: Int = DefaultMaxBenchGrams): Option[(Column => Column, Column => Column)] = {
+    val grams = collectGramsBounded(bg, maxGrams)
     if (grams.isEmpty) None
     else {
       val sc = bg.sparkSession.sparkContext

@@ -276,20 +276,30 @@ object Spreadsheet {
 
   // ------------------------------------------------------------ CSV cousin
 
-  /** Minimal RFC-4180-ish line parser (quotes, escaped quotes). */
-  private[graft] def parseCsvLine(line: String, sep: Char = ','): IndexedSeq[String] = {
+  /** RFC-4180-ish line parser with configurable quote and escape chars,
+    * matching the opencsv CSVReader contract the reference hands its
+    * `quote`/`escape` config to (flattening/CsvGenerator.scala:23,90-98):
+    * the escape char before a quote or escape yields that literal char
+    * (opencsv's isNextCharacterEscapable), a doubled quote inside a quoted
+    * field yields a literal quote, and separators inside quotes are data. */
+  private[graft] def parseCsvLine(line: String, sep: Char = ',',
+                                  quote: Char = '"',
+                                  escape: Char = '\\'): IndexedSeq[String] = {
     val out = collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var inQ = false
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (inQ) {
-        if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') { cur += '"'; i += 1 }
-        else if (c == '"') inQ = false
+      if (c == escape && i + 1 < line.length &&
+          (line.charAt(i + 1) == quote || line.charAt(i + 1) == escape)) {
+        cur += line.charAt(i + 1); i += 1
+      } else if (inQ) {
+        if (c == quote && i + 1 < line.length && line.charAt(i + 1) == quote) { cur += quote; i += 1 }
+        else if (c == quote) inQ = false
         else cur += c
       } else {
-        if (c == '"') inQ = true
+        if (c == quote) inQ = true
         else if (c == sep) { out += cur.result(); cur.clear() }
         else cur += c
       }
@@ -306,10 +316,11 @@ object Spreadsheet {
   def csvFlattened(spark: SparkSession, glob: String, valueName: String,
                    dataColStart: Int, dataColEnd: Option[Int],
                    hierarchy: () => List[ParseNode], sep: Char = ',',
-                   endFieldCol: Int = -1, endField: String = null): DataFrame =
+                   endFieldCol: Int = -1, endField: String = null,
+                   quote: Char = '"', escape: Char = '\\'): DataFrame =
     flattenedDf(spark, glob, { bytes =>
       val raw = new String(bytes, "UTF-8").split("\r?\n", -1)
       (if (raw.nonEmpty && raw.last.isEmpty) raw.init else raw)
-        .iterator.map(parseCsvLine(_, sep))
+        .iterator.map(parseCsvLine(_, sep, quote, escape))
     }, valueName, dataColStart, dataColEnd, hierarchy, endFieldCol, endField)
 }

@@ -376,6 +376,15 @@ object XlsBiff {
     // verifier(16) + hashSize(4) + SHA-1 hash(20)
     require(len >= 14 + headerSize + 60, "BIFF: truncated CryptoAPI FILEPASS")
     val algId = u32(b, hdr + 8)
+    // AlgID 0 means "determined by Flags" ([MS-OFFCRYPTO] 2.3.5.1): with
+    // the fAES bit (0x20) set the header declares AES, which must surface
+    // as an unsupported-algorithm error, not a wrong-password failure from
+    // the RC4 verifier it would otherwise fall through to.
+    val hdrFlags = u32(b, hdr)
+    if (algId == 0L && (hdrFlags & 0x20L) != 0L)
+      throw new UnsupportedOperationException(
+        "BIFF: CryptoAPI header declares AES (AlgID 0 with fAES flag) — " +
+          "only the RC4 variants of [MS-OFFCRYPTO] are implemented")
     require(algId == 0x6801L || algId == 0L,
       s"BIFF: CryptoAPI AlgID 0x${algId.toHexString} is not RC4")
     // KeySize = 0 means the 40-bit default ([MS-OFFCRYPTO] 2.3.5.1)

@@ -162,6 +162,46 @@ class SpreadsheetSpec extends SparkSpec {
     assert(Spreadsheet.parseCsvLine("""a,"b,c",d""") == IndexedSeq("a", "b,c", "d"))
     assert(Spreadsheet.parseCsvLine("x,\"say \"\"hi\"\"\",z") == IndexedSeq("x", "say \"hi\"", "z"))
   }
+
+  test("parseCsvLine honors custom quote and escape chars (opencsv contract)") {
+    // custom quote: separators inside quoted fields are data
+    assert(Spreadsheet.parseCsvLine("a,'b,c',d", ',', quote = '\'') ==
+      IndexedSeq("a", "b,c", "d"))
+    // the default escape '\' yields a literal quote without opening a field
+    assert(Spreadsheet.parseCsvLine("""a,\"x,b""", ',') ==
+      IndexedSeq("a", "\"x", "b"))
+    // escape-the-escape yields one literal escape char
+    assert(Spreadsheet.parseCsvLine("""a\\b,c""", ',') ==
+      IndexedSeq("""a\b""", "c"))
+    // custom escape char '~' escapes the custom quote
+    assert(Spreadsheet.parseCsvLine("a;~'x;'y;z'", ';', quote = '\'', escape = '~') ==
+      IndexedSeq("a", "'x", "y;z"))
+  }
+
+  test("flattening CsvGenerator FQCN plumbs quote/escape; multi-char values reject") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvq").toFile
+    val f = new java.io.File(dir, "q.csv")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("Q1|x")
+    w.println("'a|b'|2")   // custom quote keeps the separator as data
+    w.close()
+    def flow(extra: String) = s"""
+    { "generators": [
+        {"id": "g", "name": "tuktu.csv.generators.flattening.CsvGenerator",
+         "result": "r", "config": {"filename": "${f.getAbsolutePath}",
+           "value_name": "v", "data_start_col": 0, "flattened": true,
+           "separator": "|"$extra,
+           "locators": [{"name": "quarter", "type": "tuktu.csv.locators.Row",
+                         "params": {"offset": 0}}]},
+         "next": []} ],
+      "processors": [] }"""
+    val got = graft.engine.Flow.runSingle(spark, flow(", \"quote\": \"'\""))
+      .select("v").collect().map(_.getString(0)).sorted.toSeq
+    assert(got.contains("a|b"), got.toString)
+    val ex = intercept[Exception](
+      graft.engine.Flow.runSingle(spark, flow(", \"quote\": \"''\"")))
+    assert(ex.getMessage.contains("one character"), ex.getMessage)
+  }
 }
 
 /** Hierarchy factory lives outside the suite so the Spark closure doesn't

@@ -422,6 +422,23 @@ class XlsBiffSpec extends SparkSpec {
       rec(0x0042, Array.tabulate[Byte](31)(i => (i * 29 + 1).toByte)))
     assert(XlsBiff.xorCrypt(XlsBiff.xorCrypt(probe, "k3y", encrypt = true),
       "k3y", encrypt = false).toSeq == probe.toSeq)
+    // GOLDEN PIN for the byte-transform direction and end-seeded index: a
+    // POI/msoffcrypto-produced XOR workbook is unobtainable in this
+    // container (no egress, no POI jars, no python office libs — verified),
+    // so a real-Excel cross-check remains environmental; these fixed
+    // ciphertext bytes pin today's LibreOffice-concordant direction
+    // (encode = rotl3-then-xor; decode = xor-then-rotl5) and the
+    // (bodyStart+length) mod 16 seeding, so any future flip toward the
+    // swapped [MS-OFFCRYPTO] pseudocode labels fails loudly here rather
+    // than silently re-deriving its own inverse.
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    assert(XlsBiff.xorArray("hunter2").toSeq ==
+      hex("e67ae5fa60f9cb1d2d3f8f3f2d1c92c0").toSeq)
+    val golden = hex("03020e00e5727160e9b71e84cbf378c1f42e42001f00f13bc4ef94" +
+      "1b424b53a2d9e4903646c577bc456c159cc4c9d1245f6613b7c1")
+    assert(XlsBiff.xorCrypt(probe, "hunter2", encrypt = true).toSeq == golden.toSeq)
+    assert(XlsBiff.xorCrypt(golden, "hunter2", encrypt = false).toSeq == probe.toSeq)
     // different passwords produce different key arrays (tables engaged)
     assert(XlsBiff.xorArray("aaaa").toSeq != XlsBiff.xorArray("aaab").toSeq)
     assert(XlsBiff.xorKey("abc") != XlsBiff.xorKey("abd"))
@@ -501,6 +518,23 @@ class XlsBiffSpec extends SparkSpec {
         XlsBiff.xlsRows(encrypted, Some("data"), Some("wrong")))
       assert(ex.getMessage.contains("wrong or missing password"), ex.getMessage)
     }
+  }
+
+  test("CryptoAPI header with AlgID 0 + fAES raises unsupported-AES, not wrong-password") {
+    // [MS-OFFCRYPTO] 2.3.5.1: AlgID 0 means "determined by Flags"; with
+    // fAES (0x20) set the header is AES, which must not fall through to
+    // the RC4 verifier and masquerade as a bad password
+    val salt = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    val bofG = rec(0x0809, le(u16(0x0600), u16(0x0005), u16(0), u16(0), u32(0), u32(0)))
+    val filepass = rec(0x002F, le(u16(1), u16(4), u16(2), u32(0x20), u32(32),
+      u32(0x20), u32(0), u32(0), u32(0x8004), u32(128), u32(24), u32(0), u32(0),
+      u32(16), salt, new Array[Byte](16), u32(20), new Array[Byte](20)))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val stream = le(bofG, filepass, eof)
+    val ex = intercept[UnsupportedOperationException](
+      XlsBiff.xlsRows(cfbMini(stream), None, Some("whatever")))
+    assert(ex.getMessage.contains("AES"), ex.getMessage)
+    assert(!ex.getMessage.contains("wrong or missing password"), ex.getMessage)
   }
 
   test("property: XOR and RC4 variants round-trip random record streams under random passwords") {
