@@ -2049,6 +2049,46 @@ object QueriesLLM {
       s.table(name).orderBy("k", "lid", "rid")
     }),
 
+    // ---------------- the EVICTION path of the stream-stream join (r10):
+    // where `streaming_join_2batch` oversizes the watermark so nothing
+    // evicts, this replay undersizes it (60 s against a ~500 s event span)
+    // and feeds a THIRD batch of ids 200-249 whose event times sit far
+    // below the watermark advanced by batch 2 (~wm 449 s). Those rows are
+    // dropped as late on both sides and their state is long evicted, so
+    // their would-be diagonal matches (lid = rid, |Δt| ≤ 3 s ≤ 5 s) must
+    // be ABSENT: the oracle joins only the batch-1/2 id ranges, and any
+    // leak of a 200-249 pair hash-mismatches.
+    "streaming_join_evict_3batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").select(col("doc_id").cast(LongType))
+        .filter(col("doc_id") < 500).orderBy("doc_id").as[Long].collect().toSeq
+      val b1 = ids.filter(_ < 200)
+      val b2 = ids.filter(_ >= 300)
+      val late = ids.filter(i => i >= 200 && i < 250)
+      val inL = MemoryStream[Long]
+      val inR = MemoryStream[Long]
+      val left = inL.toDF.toDF("id").repartition(4, col("id"))
+        .select((col("id") % 50).as("k"), col("id").as("lid"),
+          timestamp_seconds(col("id") + 10).as("lts"))
+      val right = inR.toDF.toDF("id").repartition(4, col("id"))
+        .select((col("id") % 50).as("k"), col("id").as("rid"),
+          timestamp_seconds(col("id") + col("id") % 7 - 3 + 10).as("rts"))
+      val out = graft.streaming.Streams.streamJoin(left, right, Seq("k"),
+        "lts", "rts", watermark = "60 seconds", within = "5 seconds")
+        .select(col("k"), col("lid"), col("rid"))
+      val name = "sjoin3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        inL.addData(b1: _*); inR.addData(b1: _*); q.processAllAvailable()
+        inL.addData(b2: _*); inR.addData(b2: _*); q.processAllAvailable()
+        inL.addData(late: _*); inR.addData(late: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).orderBy("k", "lid", "rid")
+    }),
+
     // ---------------- SFT / preference-data assembly (r8): the
     // post-training half of the pipeline. Pair mining is ONE
     // struct-argmin/argmax groupBy (shuffle carries |prompts| rows);
@@ -2951,6 +2991,17 @@ object QueriesLLM {
            FROM documents WHERE doc_id < 500),
          r AS (SELECT doc_id % 50 AS k, doc_id AS rid, doc_id + doc_id % 7 - 3 AS rt
            FROM documents WHERE doc_id < 500)
+         SELECT l.k AS k, lid, rid FROM l JOIN r
+           ON l.k = r.k AND r.rt BETWEEN l.lt - 5 AND l.lt + 5
+         ORDER BY l.k, lid, rid""",
+    // eviction replay: batch-3 ids 200-249 arrive below the watermark and
+    // must contribute NOTHING, so the oracle joins only the on-time id
+    // ranges (batches 1 and 2); ids 250-299 are never fed at all
+    "streaming_join_evict_3batch" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+           WHERE doc_id < 200 OR (doc_id >= 300 AND doc_id < 500)),
+         l AS (SELECT doc_id % 50 AS k, doc_id AS lid, doc_id AS lt FROM ids),
+         r AS (SELECT doc_id % 50 AS k, doc_id AS rid, doc_id + doc_id % 7 - 3 AS rt FROM ids)
          SELECT l.k AS k, lid, rid FROM l JOIN r
            ON l.k = r.k AND r.rt BETWEEN l.lt - 5 AND l.lt + 5
          ORDER BY l.k, lid, rid""",
