@@ -319,6 +319,23 @@ object QueriesLLM {
         .select(col("vec_id"), col("cosine").as("cos"))
     }),
 
+    // ---------------- deeplearn (r10): distributed 2-layer MLP forward
+    // pass over the embeddings, integer-quantized so it replays exactly —
+    // planted index-formula weights as literals, inputs floored at 2^10,
+    // the one sigmoid floor-quantized at 1e4 (lm_perplexity mitigation),
+    // second layer pure integer arithmetic. Per row: argmax class plus two
+    // integrity sums. The scoring shape for a trained net at 100 TB: no
+    // UDF, no shuffle, model rides the plan as literals.
+    "deeplearn_mlp_forward" -> ((s, dir) => {
+      val d = 64; val h = 8; val o = 4
+      val w1 = (0 until h).map(i => (0 until d).map(j => ((i * 7 + j * 13) % 11 - 5).toLong))
+      val b1 = (0 until h).map(i => ((i % 5) - 2).toLong)
+      val w2 = (0 until o).map(c => (0 until h).map(i => ((c * 5 + i * 3) % 7 - 3).toLong))
+      val b2 = (0 until o).map(c => ((c % 3) - 1).toLong)
+      graft.ml.DeepLearn.quantizedMlpForward(rd(s, dir, "embeddings"),
+        "vec_id", "embedding", w1, b1, w2, b2).orderBy("vec_id")
+    }),
+
     // ---------------- document embeddings by mean-pooling a word-vector
     // table (vectors AS DATA, broadcast-joined; components here are a
     // deterministic hash embedding so the oracle rebuilds the identical
@@ -2692,6 +2709,38 @@ object QueriesLLM {
              AS cos
            FROM e, q WHERE e.vec_id != 0)
          SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10""",
+    // the same planted-weight formulas regenerated in SQL; every step
+    // integer-exact except the floor-quantized sigmoid
+    "deeplearn_mlp_forward" ->
+      """WITH e AS (
+           SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * 1024) AS BIGINT)) AS xq
+           FROM embeddings),
+         hid AS (
+           SELECT vec_id,
+             list_transform(range(8), i ->
+               CAST(floor(10000.0 / (1.0 + exp(-(CAST(
+                 1024 * ((i % 5) - 2) +
+                 CAST(list_sum(list_transform(range(64), j ->
+                   (((i * 7 + j * 13) % 11) - 5) * xq[j + 1])) AS BIGINT)
+               AS DOUBLE) / 8192.0)))) AS BIGINT)) AS a1
+           FROM e),
+         lg AS (
+           SELECT vec_id, a1,
+             list_transform(range(4), c ->
+               ((c % 3) - 1) +
+               CAST(list_sum(list_transform(range(8), i ->
+                 (((c * 5 + i * 3) % 7) - 3) * a1[i + 1])) AS BIGINT)) AS z2
+           FROM hid)
+         SELECT vec_id,
+           CAST(CASE WHEN z2[1] = list_max(z2) THEN 0
+                     WHEN z2[2] = list_max(z2) THEN 1
+                     WHEN z2[3] = list_max(z2) THEN 2
+                     ELSE 3 END AS INT) AS cls,
+           CAST(list_sum(a1) AS BIGINT) AS h_sum,
+           CAST(list_sum(z2) AS BIGINT) AS logit_sum
+         FROM lg ORDER BY vec_id""",
     "doc_embedding_pool" ->
       // same hash-embedding table (byte j of one md5 per word, signed),
       // exact integer sums, one division per dimension, ordered by dim

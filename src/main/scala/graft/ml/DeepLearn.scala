@@ -1,0 +1,439 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/**
+ * Deep-learning family of the reference's `deeplearn` module, two halves:
+ *
+ * 1. SEEDED DRIVER MODELS — denoising autoencoder, RBM, and their stacks
+ *    (SdA, DBN) with a softmax head, recovering the behavior of the
+ *    reference's public-domain Sugomori transcriptions (ref
+ *    modules/deeplearn/app/tuktu/deeplearn/models/{dA,RBM,SdA,DBN,
+ *    HiddenLayer,LogisticRegression}.scala). The reference nets are tiny,
+ *    trained per-packet with sequential SGD from `new Random(1234)` —
+ *    order-dependent by construction, so the driver-model shape (like the
+ *    ARIMA/normalization registry models) IS the faithful one; every
+ *    random draw here follows the reference's consumption order so the
+ *    same seed walks the same stream. The SCALE path for supervised nets
+ *    is [[mlpClassifier]] (spark.ml's distributed L-BFGS MLP below).
+ *
+ *    Reproduced reference contracts worth naming:
+ *    - STANDALONE dA/RBM weight init uses the reference's `1 / n_visible`
+ *      INTEGER division (dA.scala:24, RBM.scala:24): scale 0 for
+ *      n_visible > 1, so weights start at zero yet still consume one
+ *      uniform draw per cell. Stacked nets are unaffected (layers share
+ *      the HiddenLayer's real-division `1.0 / n_in` init).
+ *    - sigmoid is `1/(1 + pow(E, -x))` (dA.scala:63) — pow(E,·), not
+ *      exp(·), which can differ in the last ulp.
+ *    - binomial(1, p) with p outside [0,1] returns 0 WITHOUT drawing.
+ *    - corruption draws one bernoulli only for NONZERO inputs
+ *      (dA.scala:66-75), so rng position depends on the datum.
+ *
+ * 2. A DISTRIBUTED, INTEGER-QUANTIZED FORWARD PASS
+ *    ([[quantizedMlpForward]]) — weights ride `typedlit` literals through
+ *    pure HOF expressions (zip_with/aggregate), inputs quantize to
+ *    integers by a power-of-two scale, and the single transcendental
+ *    (sigmoid) is floor-quantized so the whole pass replays bit-for-bit
+ *    in another engine: the hash-gate formulation, and the shape a
+ *    100 TB scoring pass wants (no UDF, no shuffle, model as literals).
+ */
+object DeepLearn {
+
+  type Mat = Array[Array[Double]]
+
+  /** pow(E,·) form matches the reference's sigmoid bit-for-bit. */
+  def sigmoid(x: Double): Double = 1.0 / (1.0 + math.pow(math.E, -x))
+
+  /** The reference nets' random stream: java.util.Random under
+    * scala.util.Random(1234), one nextDouble per uniform/bernoulli. */
+  final class NetRng(seed: Long = 1234L) {
+    private val r = new java.util.Random(seed)
+    def uniform(lo: Double, hi: Double): Double = r.nextDouble() * (hi - lo) + lo
+    /** One draw; out-of-range p returns 0 without drawing (the reference's
+      * binomial(n,p) guard). */
+    def bernoulli(p: Double): Int =
+      if (p < 0 || p > 1) 0
+      else if (r.nextDouble() < p) 1 else 0
+  }
+
+  /** Row-major U(-a, a) init — the order every reference constructor
+    * consumes its draws in. */
+  private def initMatrix(nOut: Int, nIn: Int, a: Double, rng: NetRng): Mat =
+    Array.tabulate(nOut, nIn)((_, _) => rng.uniform(-a, a))
+
+  private def affine(w: Mat, b: Array[Double], x: Array[Double]): Array[Double] =
+    Array.tabulate(b.length) { i =>
+      var s = b(i); val row = w(i)
+      var j = 0
+      while (j < row.length) { s += row(j) * x(j); j += 1 }
+      s
+    }
+
+  private def toDoubles(x: Array[Int]): Array[Double] = x.map(_.toDouble)
+
+  // ------------------------------------------------------------- sigmoid layer
+  /** Hidden layer of a stack: real-division init scale 1.0/nIn, zero bias;
+    * binary propagation samples one bernoulli per unit (ref
+    * HiddenLayer.scala). */
+  final class SigmoidLayer(val nIn: Int, val nOut: Int, rng: NetRng) {
+    val w: Mat = initMatrix(nOut, nIn, 1.0 / nIn, rng)
+    val b: Array[Double] = new Array[Double](nOut)
+    def activate(x: Array[Double]): Array[Double] = affine(w, b, x).map(sigmoid)
+    def sampleBinary(x: Array[Int], rng: NetRng): Array[Int] =
+      activate(toDoubles(x)).map(rng.bernoulli)
+  }
+
+  // ------------------------------------------------- denoising autoencoder
+  /** Denoising autoencoder (ref dA.scala). Standalone construction keeps
+    * the reference's integer-division init scale (zero for nVisible > 1,
+    * draws still consumed); a stacked layer ties w/hbias to its
+    * SigmoidLayer instead. */
+  final class Autoencoder private (val nVisible: Int, val nHidden: Int,
+                                   val w: Mat, val hbias: Array[Double],
+                                   val vbias: Array[Double]) {
+
+    def hidden(x: Array[Double]): Array[Double] = affine(w, hbias, x).map(sigmoid)
+
+    def reconstructFrom(y: Array[Double]): Array[Double] =
+      Array.tabulate(nVisible) { i =>
+        var s = vbias(i)
+        var j = 0
+        while (j < nHidden) { s += w(j)(i) * y(j); j += 1 }
+        sigmoid(s)
+      }
+
+    def reconstruct(x: Array[Int]): Array[Double] =
+      reconstructFrom(hidden(toDoubles(x)))
+
+    /** Keep-probability corruption: zero inputs stay zero without a draw
+      * (ref dA.scala:66-75). */
+    private def corrupt(x: Array[Int], keep: Double, rng: NetRng): Array[Int] =
+      x.map(v => if (v == 0) 0 else rng.bernoulli(keep))
+
+    /** One SGD step of denoising reconstruction (ref dA.scala:104-140);
+      * n is the packet size the reference divides every update by. */
+    def trainStep(x: Array[Int], lr: Double, corruptionLevel: Double,
+                  n: Int, rng: NetRng): Unit = {
+      val tilde = corrupt(x, 1 - corruptionLevel, rng)
+      val y = hidden(toDoubles(tilde))
+      val z = reconstructFrom(y)
+
+      val dv = Array.tabulate(nVisible)(i => x(i) - z(i))
+      var i = 0
+      while (i < nVisible) { vbias(i) += lr * dv(i) / n; i += 1 }
+
+      val dh = Array.tabulate(nHidden) { k =>
+        var s = 0.0
+        var j = 0
+        while (j < nVisible) { s += w(k)(j) * dv(j); j += 1 }
+        s * y(k) * (1 - y(k))
+      }
+      i = 0
+      while (i < nHidden) { hbias(i) += lr * dh(i) / n; i += 1 }
+
+      i = 0
+      while (i < nHidden) {
+        var j = 0
+        while (j < nVisible) {
+          w(i)(j) += lr * (dh(i) * tilde(j) + dv(j) * y(i)) / n
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  object Autoencoder {
+    /** Standalone: integer-division init scale, fresh biases. */
+    def apply(nVisible: Int, nHidden: Int, rng: NetRng): Autoencoder =
+      new Autoencoder(nVisible, nHidden,
+        initMatrix(nHidden, nVisible, 1 / nVisible, rng),
+        new Array[Double](nHidden), new Array[Double](nVisible))
+    /** Stack layer: w and hbias TIED to the sigmoid layer (ref SdA.scala:38). */
+    def tied(layer: SigmoidLayer): Autoencoder =
+      new Autoencoder(layer.nIn, layer.nOut, layer.w, layer.b,
+        new Array[Double](layer.nIn))
+  }
+
+  // ------------------------------------------------------------------- RBM
+  /** Restricted Boltzmann machine trained by CD-k (ref RBM.scala); same
+    * standalone-vs-tied init contract as [[Autoencoder]]. */
+  final class Rbm private (val nVisible: Int, val nHidden: Int,
+                           val w: Mat, val hbias: Array[Double],
+                           val vbias: Array[Double]) {
+
+    private def propUp(v: Array[Int]): Array[Double] =
+      affine(w, hbias, toDoubles(v)).map(sigmoid)
+
+    private def propDown(h: Array[Int]): Array[Double] =
+      Array.tabulate(nVisible) { i =>
+        var s = vbias(i)
+        var j = 0
+        while (j < nHidden) { s += w(j)(i) * h(j); j += 1 }
+        sigmoid(s)
+      }
+
+    private def sampleH(v: Array[Int], rng: NetRng): (Array[Double], Array[Int]) = {
+      val m = propUp(v); (m, m.map(rng.bernoulli))
+    }
+    private def sampleV(h: Array[Int], rng: NetRng): (Array[Double], Array[Int]) = {
+      val m = propDown(h); (m, m.map(rng.bernoulli))
+    }
+
+    /** One CD-k step (ref RBM.scala:66-100): positive phase uses the MEAN
+      * hidden activation for the weight update and the SAMPLE for the
+      * hidden-bias update, exactly as the reference wrote it. */
+    def cdStep(x: Array[Int], lr: Double, k: Int, n: Int, rng: NetRng): Unit = {
+      val (phMean, phSample) = sampleH(x, rng)
+      var nvSamples: Array[Int] = null
+      var nhMeans: Array[Double] = null
+      var nhSamples: Array[Int] = null
+      var step = 0
+      while (step < k) {
+        val fromH = if (step == 0) phSample else nhSamples
+        val v = sampleV(fromH, rng); nvSamples = v._2
+        val h = sampleH(nvSamples, rng); nhMeans = h._1; nhSamples = h._2
+        step += 1
+      }
+      var i = 0
+      while (i < nHidden) {
+        var j = 0
+        while (j < nVisible) {
+          w(i)(j) += lr * (phMean(i) * x(j) - nhMeans(i) * nvSamples(j)) / n
+          j += 1
+        }
+        hbias(i) += lr * (phSample(i) - nhMeans(i)) / n
+        i += 1
+      }
+      i = 0
+      while (i < nVisible) {
+        vbias(i) += lr * (x(i) - nvSamples(i)) / n
+        i += 1
+      }
+    }
+
+    def reconstruct(v: Array[Int]): Array[Double] = {
+      val h = propUp(v)
+      Array.tabulate(nVisible) { i =>
+        var s = vbias(i)
+        var j = 0
+        while (j < nHidden) { s += w(j)(i) * h(j); j += 1 }
+        sigmoid(s)
+      }
+    }
+  }
+
+  object Rbm {
+    def apply(nVisible: Int, nHidden: Int, rng: NetRng): Rbm =
+      new Rbm(nVisible, nHidden,
+        initMatrix(nHidden, nVisible, 1 / nVisible, rng),
+        new Array[Double](nHidden), new Array[Double](nVisible))
+    def tied(layer: SigmoidLayer): Rbm =
+      new Rbm(layer.nIn, layer.nOut, layer.w, layer.b,
+        new Array[Double](layer.nIn))
+  }
+
+  // ----------------------------------------------------------- softmax head
+  /** Zero-initialized multinomial logistic head (ref
+    * LogisticRegression.scala): max-shifted softmax, per-datum SGD. */
+  final class SoftmaxHead(val nIn: Int, val nOut: Int) {
+    val w: Mat = Array.ofDim[Double](nOut, nIn)
+    val b: Array[Double] = new Array[Double](nOut)
+
+    def softmax(z: Array[Double]): Array[Double] = {
+      // the reference shifts by max(0, z...) — its max starts at 0.0
+      val mx = math.max(0.0, z.max)
+      val e = z.map(v => math.exp(v - mx))
+      val s = e.sum
+      e.map(_ / s)
+    }
+
+    def predict(x: Array[Double]): Array[Double] = softmax(affine(w, b, x))
+
+    def trainStep(x: Array[Int], y: Array[Int], lr: Double, n: Int): Unit = {
+      val p = predict(toDoubles(x))
+      var i = 0
+      while (i < nOut) {
+        val dy = y(i) - p(i)
+        var j = 0
+        while (j < nIn) { w(i)(j) += lr * dy * x(j) / n; j += 1 }
+        b(i) += lr * dy / n
+        i += 1
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ stacked nets
+  /** Shared stack machinery: construction order (per layer: SigmoidLayer
+    * draws, then the tied pretrainer — NO extra draws), stochastic binary
+    * propagation during pretraining/finetuning, deterministic real-valued
+    * activation for prediction (ref SdA.scala / DBN.scala). */
+  sealed abstract class StackedNet(val nIns: Int, val hiddenSizes: Seq[Int],
+                                   val nOuts: Int, seed: Long) {
+    protected val rng = new NetRng(seed)
+    // the reference interleaves (SigmoidLayer, tied dA/RBM) construction;
+    // tied pretrainers consume NO draws, so building all layers first
+    // walks the identical rng stream
+    val layers: Array[SigmoidLayer] = {
+      val out = new Array[SigmoidLayer](hiddenSizes.size)
+      var i = 0
+      while (i < hiddenSizes.size) {
+        val in = if (i == 0) nIns else hiddenSizes(i - 1)
+        out(i) = new SigmoidLayer(in, hiddenSizes(i), rng)
+        i += 1
+      }
+      out
+    }
+    val head = new SoftmaxHead(hiddenSizes.last, nOuts)
+
+    /** Binary-sample x up through `depth` layers (ref pretrain/finetune
+      * propagation). */
+    protected def sampleUpTo(x: Array[Int], depth: Int): Array[Int] = {
+      var cur = x
+      var l = 0
+      while (l < depth) { cur = layers(l).sampleBinary(cur, rng); l += 1 }
+      cur
+    }
+
+    /** Greedy layer-wise pretraining: layer loop outer, then epochs, then
+      * data, re-sampling the propagation fresh per datum. */
+    def pretrain(xs: Array[Array[Int]], lr: Double, epochs: Int): Unit = {
+      var layer = 0
+      while (layer < layers.length) {
+        var e = 0
+        while (e < epochs) {
+          var n = 0
+          while (n < xs.length) {
+            pretrainStep(layer, sampleUpTo(xs(n), layer), lr, xs.length)
+            n += 1
+          }
+          e += 1
+        }
+        layer += 1
+      }
+    }
+
+    protected def pretrainStep(layer: Int, input: Array[Int], lr: Double, n: Int): Unit
+
+    /** Supervised head training over stochastically propagated codes. */
+    def finetune(xs: Array[Array[Int]], ys: Array[Array[Int]],
+                 lr: Double, epochs: Int): Unit = {
+      var e = 0
+      while (e < epochs) {
+        var n = 0
+        while (n < xs.length) {
+          head.trainStep(sampleUpTo(xs(n), layers.length), ys(n), lr, xs.length)
+          n += 1
+        }
+        e += 1
+      }
+    }
+
+    /** Deterministic prediction: real-valued sigmoid activations through
+      * the stack, softmax head on top. */
+    def predict(x: Array[Int]): Array[Double] = {
+      var cur = toDoubles(x)
+      var l = 0
+      while (l < layers.length) { cur = layers(l).activate(cur); l += 1 }
+      head.predict(cur)
+    }
+
+    def predictClass(x: Array[Int]): Int = {
+      val p = predict(x)
+      p.indexOf(p.max)
+    }
+  }
+
+  /** Stacked denoising autoencoder (ref SdA.scala). */
+  final class StackedDenoisingAutoencoder(nIns: Int, hiddenSizes: Seq[Int],
+                                          nOuts: Int, seed: Long = 1234L,
+                                          corruptionLevel: Double = 0.3)
+      extends StackedNet(nIns, hiddenSizes, nOuts, seed) {
+    val autoencoders: IndexedSeq[Autoencoder] =
+      layers.toIndexedSeq.map(Autoencoder.tied)
+    protected def pretrainStep(layer: Int, input: Array[Int], lr: Double, n: Int): Unit =
+      autoencoders(layer).trainStep(input, lr, corruptionLevel, n, rng)
+  }
+
+  /** Deep belief net of stacked RBMs (ref DBN.scala). */
+  final class DeepBeliefNet(nIns: Int, hiddenSizes: Seq[Int], nOuts: Int,
+                            seed: Long = 1234L, cdK: Int = 1)
+      extends StackedNet(nIns, hiddenSizes, nOuts, seed) {
+    val rbms: IndexedSeq[Rbm] = layers.toIndexedSeq.map(Rbm.tied)
+    protected def pretrainStep(layer: Int, input: Array[Int], lr: Double, n: Int): Unit =
+      rbms(layer).cdStep(input, lr, cdK, n, rng)
+  }
+
+  // --------------------------------------------------- spark.ml supervised
+  /** The SCALE path for supervised nets: spark.ml's distributed MLP
+    * (L-BFGS over partitioned gradients) on an array<double> feature
+    * column — what the reference's per-packet SGD becomes on a cluster. */
+  def mlpClassifier(df: DataFrame, featuresCol: String, labelCol: String,
+                    layers: Array[Int], maxIter: Int = 100, seed: Long = 1234L)
+      : org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel = {
+    val prepped = df.withColumn("__dl_features",
+      org.apache.spark.ml.functions.array_to_vector(
+        col(featuresCol).cast(org.apache.spark.sql.types.ArrayType(DoubleType))))
+      .withColumn("__dl_label", col(labelCol).cast(DoubleType))
+    new org.apache.spark.ml.classification.MultilayerPerceptronClassifier()
+      .setLayers(layers).setSeed(seed).setMaxIter(maxIter)
+      .setFeaturesCol("__dl_features").setLabelCol("__dl_label")
+      .fit(prepped)
+  }
+
+  /** Apply a fitted MLP over the same array-column encoding. */
+  def mlpPredict(model: org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel,
+                 df: DataFrame, featuresCol: String, resultCol: String): DataFrame =
+    model.transform(df.withColumn("__dl_features",
+        org.apache.spark.ml.functions.array_to_vector(
+          col(featuresCol).cast(org.apache.spark.sql.types.ArrayType(DoubleType)))))
+      .withColumn(resultCol, col("prediction"))
+      .drop("__dl_features", "prediction", "rawPrediction", "probability")
+
+  // ------------------------------------------- quantized distributed forward
+  /** Distributed 2-layer MLP forward pass with integer-exact replay:
+    *
+    *   xq_j  = floor(x_j · 2^xScaleBits)                 (exact in IEEE)
+    *   z1q_i = b1_i·2^xScaleBits + Σ_j w1_ij·xq_j        (integer)
+    *   a1_i  = floor(1e4 / (1 + exp(-z1q_i / zDenom)))   (the ONE
+    *           transcendental, floor-quantized: divergence window ~1e-12
+    *           per eval, the lm_perplexity mitigation)
+    *   z2q_c = b2_c + Σ_i w2_ci·a1_i                     (integer)
+    *
+    * Output per row: the argmax class (ties → lowest index), Σ a1 and
+    * Σ z2q as integrity sums. Weights are integer literals riding the
+    * plan; everything is HOF expressions over the embedding array — no
+    * UDF, no shuffle, the per-row scoring shape that survives 100 TB.
+    */
+  def quantizedMlpForward(df: DataFrame, idCol: String, embCol: String,
+                          w1: Seq[Seq[Long]], b1: Seq[Long],
+                          w2: Seq[Seq[Long]], b2: Seq[Long],
+                          xScaleBits: Int = 10, zDenom: Double = 8192.0): DataFrame = {
+    val xScale = math.pow(2.0, xScaleBits)
+    val xq = transform(col(embCol), x => floor(x.cast(DoubleType) * xScale).cast(LongType))
+    val z1 = w1.zip(b1).map { case (row, bias) =>
+      aggregate(zip_with(xq, typedlit(row), (x, w) => x * w),
+        lit(bias * xScale.toLong), (acc, v) => acc + v)
+    }
+    val a1 = array(z1.map(z =>
+      floor(lit(10000.0) / (lit(1.0) + exp(-(z.cast(DoubleType) / zDenom))))
+        .cast(LongType)): _*)
+    val z2 = w2.zip(b2).map { case (row, bias) =>
+      aggregate(zip_with(a1, typedlit(row), (a, w) => a * w),
+        lit(bias), (acc, v) => acc + v)
+    }
+    val mx = greatest(z2: _*)
+    val cls = z2.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
+      when(z === mx, lit(i)).otherwise(rest)
+    }
+    // foldRight puts index 0's `when` OUTERMOST so ties resolve to the
+    // lowest index, matching the oracle's CASE order
+    df.select(col(idCol),
+      cls.cast(IntegerType).as("cls"),
+      z1.indices.map(i => element_at(a1, i + 1))
+        .reduce(_ + _).cast(LongType).as("h_sum"),
+      z2.reduce(_ + _).cast(LongType).as("logit_sum"))
+  }
+}
