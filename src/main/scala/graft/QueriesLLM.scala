@@ -231,6 +231,26 @@ object QueriesLLM {
     sb.toString
   }
 
+  /** Shared seeded-SdA demo model for `deeplearn_sda_predict`: the
+    * reference-contract stacked denoising autoencoder (seed 1234, tied
+    * weights, binary pretrain/finetune propagation) trained on a
+    * deterministic driver fixture, then floor-quantized to integer
+    * literals at 2^12 — the SAME integers render into the Spark plan and
+    * the generated DuckDB oracle, so the distributed predict pass replays
+    * the trained net bit-for-bit. */
+  private lazy val sdaDemoWeights
+      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) = {
+    val net = new graft.ml.DeepLearn.StackedDenoisingAutoencoder(
+      16, Seq(8, 6), 3, seed = 1234L)
+    val xs = Array.tabulate(30, 16)((n, j) => if ((n * 7 + j * 3) % 5 < 2) 1 else 0)
+    val ys = Array.tabulate(30, 3)((n, c) => if (n % 3 == c) 1 else 0)
+    net.pretrain(xs, lr = 0.3, epochs = 10)
+    net.finetune(xs, ys, lr = 0.3, epochs = 10)
+    graft.ml.DeepLearn.quantizeStack(net, wScaleBits = 12)
+  }
+  private def sqlList(v: Seq[Long]): String = v.mkString("[", ",", "]")
+  private def sqlMat(m: Seq[Seq[Long]]): String = m.map(sqlList).mkString("[", ",", "]")
+
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
     // ---------------- exact dedup: hash-groupBy
@@ -334,6 +354,20 @@ object QueriesLLM {
       val b2 = (0 until o).map(c => ((c % 3) - 1).toLong)
       graft.ml.DeepLearn.quantizedMlpForward(rd(s, dir, "embeddings"),
         "vec_id", "embedding", w1, b1, w2, b2).orderBy("vec_id")
+    }),
+
+    // ---------------- deeplearn (r11): the seeded SdA's PREDICT path,
+    // stack-deep — a reference-contract net (seed 1234, tied weights)
+    // trained on the driver fixture, weights floor-quantized at 2^12 into
+    // plan literals, then the deterministic inference stack (2 sigmoid
+    // layers + softmax-head argmax) replayed distributed with per-layer
+    // 1e-4 fixed-point sigmoids. Same scan-only scoring shape as
+    // deeplearn_mlp_forward, one layer deeper.
+    "deeplearn_sda_predict" -> ((s, dir) => {
+      val (ls, hw, hb) = sdaDemoWeights
+      graft.ml.DeepLearn.sdaPredictQuantized(
+        rd(s, dir, "embeddings").withColumn("emb16", slice(col("embedding"), 1, 16)),
+        "vec_id", "emb16", ls, hw, hb).orderBy("vec_id")
     }),
 
     // ---------------- document embeddings by mean-pooling a word-vector

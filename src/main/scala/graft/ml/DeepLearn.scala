@@ -411,8 +411,25 @@ object DeepLearn {
                           w1: Seq[Seq[Long]], b1: Seq[Long],
                           w2: Seq[Seq[Long]], b2: Seq[Long],
                           xScaleBits: Int = 10, zDenom: Double = 8192.0): DataFrame = {
+    // loud shape validation: zip/zip_with would otherwise silently
+    // truncate (Scala zip) or null-pad (zip_with) a mismatched model,
+    // and greatest() needs >= 2 output classes
+    require(w1.nonEmpty && w1.head.nonEmpty, "quantizedMlpForward: w1 is empty")
+    require(w1.forall(_.size == w1.head.size),
+      "quantizedMlpForward: w1 rows are ragged")
+    require(w1.size == b1.size,
+      s"quantizedMlpForward: w1 has ${w1.size} rows but b1 has ${b1.size}")
+    require(w2.size == b2.size,
+      s"quantizedMlpForward: w2 has ${w2.size} rows but b2 has ${b2.size}")
+    require(w2.size >= 2,
+      "quantizedMlpForward: need >= 2 output classes (argmax over greatest)")
+    require(w2.forall(_.size == w1.size),
+      s"quantizedMlpForward: w2 row width != hidden size ${w1.size}")
     val xScale = math.pow(2.0, xScaleBits)
-    val xq = transform(col(embCol), x => floor(x.cast(DoubleType) * xScale).cast(LongType))
+    // runtime guard on the data side of the same contract: a wrong-width
+    // embedding would null-pad through zip_with into all-null outputs
+    val emb = assertedWidth(col(embCol), w1.head.size, "quantizedMlpForward")
+    val xq = transform(emb, x => floor(x.cast(DoubleType) * xScale).cast(LongType))
     val z1 = w1.zip(b1).map { case (row, bias) =>
       aggregate(zip_with(xq, typedlit(row), (x, w) => x * w),
         lit(bias * xScale.toLong), (acc, v) => acc + v)
@@ -435,5 +452,127 @@ object DeepLearn {
       z1.indices.map(i => element_at(a1, i + 1))
         .reduce(_ + _).cast(LongType).as("h_sum"),
       z2.reduce(_ + _).cast(LongType).as("logit_sum"))
+  }
+
+  /** Plan-level width guard: a wrong-length array silently null-pads
+    * through `zip_with`, so fail loudly instead. */
+  private def assertedWidth(arr: Column, expected: Int, who: String): Column =
+    when(size(arr) === expected, arr).otherwise(raise_error(concat(
+      lit(s"$who: input array length != $expected, got "),
+      size(arr).cast("string"))))
+
+  /** Export a trained stack's weights as floor-quantized integer literals
+    * for [[sdaPredictQuantized]]: per hidden layer (floor(w·2^bits),
+    * floor(b·2^bits)), then the softmax head's (w, b) the same way. The
+    * head's argmax is scale-invariant, so one shared positive scale
+    * preserves the predicted class up to quantization error. */
+  def quantizeStack(net: StackedNet, wScaleBits: Int = 12)
+      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) = {
+    val s = math.pow(2.0, wScaleBits)
+    def qm(m: Mat): Seq[Seq[Long]] =
+      m.toIndexedSeq.map(_.toIndexedSeq.map(v => math.floor(v * s).toLong))
+    def qv(v: Array[Double]): Seq[Long] =
+      v.toIndexedSeq.map(x => math.floor(x * s).toLong)
+    (net.layers.toIndexedSeq.map(l => (qm(l.w), qv(l.b))),
+      qm(net.head.w), qv(net.head.b))
+  }
+
+  /** Distributed SdA/DBN PREDICT pass — the stack-deep sibling of
+    * [[quantizedMlpForward]]: the deterministic inference path of a seeded
+    * stacked net (real-valued sigmoid activations up the tied-weight
+    * layers, softmax-head argmax on top, ref SdA.scala predict) replayed
+    * as pure HOF expressions with every layer's sigmoid floor-quantized
+    * to 1e-4 fixed point so another engine reproduces it bit-for-bit.
+    *
+    * Scale bookkeeping per layer: inputs arrive at integer scale S (the
+    * first layer's floor(x·2^xScaleBits), thereafter 1e4), weights at
+    * 2^wScaleBits, so z_i = b_i·S + Σ w_ij·in_j sits at S·2^wScaleBits —
+    * the sigmoid divides by exactly that before floor-quantizing back to
+    * [0, 1e4]. The head is argmax-only: softmax is monotone (including the
+    * reference's max(0,·) shift), so integer logits decide the class.
+    * Weights ride the plan as literals; no UDF, no shuffle — the same
+    * 100 TB scan-only scoring shape, now stack-deep. */
+  def sdaPredictQuantized(df: DataFrame, idCol: String, embCol: String,
+                          layers: Seq[(Seq[Seq[Long]], Seq[Long])],
+                          headW: Seq[Seq[Long]], headB: Seq[Long],
+                          xScaleBits: Int = 10, wScaleBits: Int = 12): DataFrame = {
+    require(layers.nonEmpty, "sdaPredictQuantized: no hidden layers")
+    layers.zipWithIndex.foreach { case ((w, b), i) =>
+      require(w.nonEmpty && w.head.nonEmpty, s"sdaPredictQuantized: layer $i is empty")
+      require(w.forall(_.size == w.head.size), s"sdaPredictQuantized: layer $i is ragged")
+      require(w.size == b.size, s"sdaPredictQuantized: layer $i w/b size mismatch")
+    }
+    layers.map(_._1).sliding(2).foreach {
+      case Seq(prev, next) =>
+        require(next.head.size == prev.size,
+          s"sdaPredictQuantized: layer width ${next.head.size} != previous output ${prev.size}")
+      case _ => ()
+    }
+    require(headW.size >= 2 && headW.size == headB.size,
+      "sdaPredictQuantized: head needs >= 2 classes and matching biases")
+    require(headW.forall(_.size == layers.last._1.size),
+      "sdaPredictQuantized: head row width != last hidden size")
+
+    val wScale = math.pow(2.0, wScaleBits)
+    val emb = assertedWidth(col(embCol), layers.head._1.head.size, "sdaPredictQuantized")
+    var act: Column = transform(emb,
+      x => floor(x.cast(DoubleType) * math.pow(2.0, xScaleBits)).cast(LongType))
+    var inScale: Long = 1L << xScaleBits
+    for ((w, b) <- layers) {
+      val z = w.zip(b).map { case (row, bias) =>
+        aggregate(zip_with(act, typedlit(row), (a, wv) => a * wv),
+          lit(bias * inScale), (acc, v) => acc + v)
+      }
+      val denom = inScale.toDouble * wScale
+      act = array(z.map(zc =>
+        floor(lit(10000.0) / (lit(1.0) + exp(-(zc.cast(DoubleType) / denom))))
+          .cast(LongType)): _*)
+      inScale = 10000L
+    }
+    val z3 = headW.zip(headB).map { case (row, bias) =>
+      aggregate(zip_with(act, typedlit(row), (a, wv) => a * wv),
+        lit(bias * inScale), (acc, v) => acc + v)
+    }
+    val mx = greatest(z3: _*)
+    val cls = z3.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
+      when(z === mx, lit(i)).otherwise(rest)
+    }
+    df.select(col(idCol),
+      cls.cast(IntegerType).as("cls"),
+      (0 until layers.last._1.size).map(i => element_at(act, i + 1))
+        .reduce(_ + _).cast(LongType).as("h_sum"),
+      z3.reduce(_ + _).cast(LongType).as("logit_sum"))
+  }
+
+  /** Bridge a spark.ml-TRAINED one-hidden-layer MLP into the quantized
+    * distributed scoring pass: slice the model's packed weight vector
+    * (per affine layer a column-major (out × in) matrix then its bias,
+    * interior sigmoid, softmax head) and floor-quantize into
+    * [[quantizedMlpForward]] literals. Layer-2 biases pre-scale by the
+    * 1e4 sigmoid fixed point × 2^wScaleBits so the integer logits sit at
+    * one shared positive scale — argmax-preserving. Returns
+    * (w1, b1, w2, b2, zDenom) ready to splat into the forward pass with
+    * the same xScaleBits. */
+  def quantizeMlpModel(
+      model: org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel,
+      xScaleBits: Int = 10, wScaleBits: Int = 12)
+      : (Seq[Seq[Long]], Seq[Long], Seq[Seq[Long]], Seq[Long], Double) = {
+    val spec = model.getLayers
+    require(spec.length == 3,
+      s"quantizeMlpModel: expected one hidden layer [in, hidden, out], got ${spec.mkString("[", ",", "]")}")
+    val Array(d, h, o) = spec
+    val wts = model.weights.toArray
+    require(wts.length == d * h + h + h * o + o,
+      s"quantizeMlpModel: weight vector length ${wts.length} != ${d * h + h + h * o + o}")
+    val s = math.pow(2.0, wScaleBits)
+    def q(x: Double): Long = math.floor(x * s).toLong
+    val w1 = (0 until h).map(i => (0 until d).map(j => q(wts(j * h + i))))
+    val b1 = (0 until h).map(i => q(wts(d * h + i)))
+    val off = d * h + h
+    val w2 = (0 until o).map(c => (0 until h).map(i => q(wts(off + i * o + c))))
+    // layer-2 inputs are 1e4-scaled sigmoids, so the bias joins at 1e4·2^bits
+    val b2 = (0 until o).map(c =>
+      math.floor(wts(off + h * o + c) * s * 10000.0).toLong)
+    (w1, b1, w2, b2, math.pow(2.0, xScaleBits + wScaleBits))
   }
 }
