@@ -234,20 +234,40 @@ object QueriesLLM {
   /** Shared seeded-SdA demo model for `deeplearn_sda_predict`: the
     * reference-contract stacked denoising autoencoder (seed 1234, tied
     * weights, binary pretrain/finetune propagation) trained on a
-    * deterministic driver fixture, then floor-quantized to integer
-    * literals at 2^12 — the SAME integers render into the Spark plan and
-    * the generated DuckDB oracle, so the distributed predict pass replays
-    * the trained net bit-for-bit. */
-  private lazy val sdaDemoWeights
-      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) = {
+    * deterministic driver fixture whose classes are PLANTED on input
+    * regions — class c lights bits [5c, 5c+5) over 16 dims plus sparse
+    * pseudo-noise — so the head genuinely discriminates: sign-binarized
+    * embeddings (the query's input encoding) excite whichever region has
+    * the most lit bits and the predicted class VARIES across rows
+    * (non-degeneracy spec-asserted in DeepLearnSpec). */
+  private[graft] lazy val sdaDemoNet: graft.ml.DeepLearn.StackedNet = {
     val net = new graft.ml.DeepLearn.StackedDenoisingAutoencoder(
       16, Seq(8, 6), 3, seed = 1234L)
-    val xs = Array.tabulate(30, 16)((n, j) => if ((n * 7 + j * 3) % 5 < 2) 1 else 0)
+    val xs = Array.tabulate(30, 16) { (n, j) =>
+      val c = n % 3
+      if (j >= c * 5 && j < c * 5 + 5) 1
+      else if ((n * 7 + j * 3) % 7 == 0) 1 else 0
+    }
     val ys = Array.tabulate(30, 3)((n, c) => if (n % 3 == c) 1 else 0)
-    net.pretrain(xs, lr = 0.3, epochs = 10)
-    net.finetune(xs, ys, lr = 0.3, epochs = 10)
-    graft.ml.DeepLearn.quantizeStack(net, wScaleBits = 12)
+    // deep pretraining matters here: at 30 pretrain epochs the head
+    // saturates to one class regardless of finetune length; at 100 the
+    // stack's representation separates the regions (30/30 train accuracy,
+    // 3-class spread over random sign patterns — probed driver-side)
+    net.pretrain(xs, lr = 0.1, epochs = 100)
+    net.finetune(xs, ys, lr = 0.1, epochs = 1000)
+    net
   }
+
+  /** The net floor-quantized to integer literals at 2^12 — the SAME
+    * integers render into the Spark plan (via `typedlit`) and into the
+    * generated DuckDB oracle (via [[sqlList]]/[[sqlMat]]), so the
+    * distributed predict pass replays the trained net bit-for-bit. */
+  private[graft] lazy val sdaDemoWeights
+      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) =
+    graft.ml.DeepLearn.quantizeStack(sdaDemoNet, wScaleBits = 12)
+
+  /** Render quantized weights as DuckDB list literals for the generated
+    * `deeplearn_sda_predict` oracle. */
   private def sqlList(v: Seq[Long]): String = v.mkString("[", ",", "]")
   private def sqlMat(m: Seq[Seq[Long]]): String = m.map(sqlList).mkString("[", ",", "]")
 
@@ -362,11 +382,17 @@ object QueriesLLM {
     // plan literals, then the deterministic inference stack (2 sigmoid
     // layers + softmax-head argmax) replayed distributed with per-layer
     // 1e-4 fixed-point sigmoids. Same scan-only scoring shape as
-    // deeplearn_mlp_forward, one layer deeper.
+    // deeplearn_mlp_forward, one layer deeper. Inputs arrive in the net's
+    // native encoding: the first 16 embedding dims SIGN-BINARIZED to
+    // {0,1} (the stack trained on binary vectors — ref SdA.scala trains
+    // and predicts on Array[Int]), which also makes the class output
+    // vary with each row's sign pattern instead of saturating.
     "deeplearn_sda_predict" -> ((s, dir) => {
       val (ls, hw, hb) = sdaDemoWeights
       graft.ml.DeepLearn.sdaPredictQuantized(
-        rd(s, dir, "embeddings").withColumn("emb16", slice(col("embedding"), 1, 16)),
+        rd(s, dir, "embeddings").withColumn("emb16",
+          transform(slice(col("embedding"), 1, 16),
+            x => when(x > lit(0.0f), lit(1.0)).otherwise(lit(0.0)))),
         "vec_id", "emb16", ls, hw, hb).orderBy("vec_id")
     }),
 
@@ -2775,6 +2801,50 @@ object QueriesLLM {
            CAST(list_sum(a1) AS BIGINT) AS h_sum,
            CAST(list_sum(z2) AS BIGINT) AS logit_sum
          FROM lg ORDER BY vec_id""",
+    // generated oracle: the trained-then-quantized SdA weights render as
+    // list literals (sqlList/sqlMat), one CTE stage per hidden layer with
+    // the same fixed-point bookkeeping as sdaPredictQuantized — inputs at
+    // 2^10 (sign-binarized → exactly {0, 1024}), weights at 2^12, each
+    // sigmoid floor-quantized to 1e4, integer head logits, argmax CASE
+    // with ties to the lowest class index
+    "deeplearn_sda_predict" -> {
+      val (ls, hw, hb) = sdaDemoWeights
+      val sb = new StringBuilder
+      sb ++= """WITH l0 AS (
+           SELECT vec_id, list_transform(embedding[1:16],
+             x -> CAST(CASE WHEN x > 0 THEN 1024 ELSE 0 END AS BIGINT)) AS a0
+           FROM embeddings)"""
+      var inScale = 1024L
+      for (((w, b), i) <- ls.zipWithIndex) {
+        val denom = inScale.toDouble * 4096
+        sb ++= s""",
+         l${i + 1} AS (
+           SELECT vec_id, list_transform(range(${w.size}), i ->
+             CAST(floor(10000.0 / (1.0 + exp(-(CAST(
+               ${sqlList(b)}[i + 1] * $inScale +
+               CAST(list_sum(list_transform(range(${w.head.size}), j ->
+                 ${sqlMat(w)}[i + 1][j + 1] * a$i[j + 1])) AS BIGINT)
+             AS DOUBLE) / $denom)))) AS BIGINT)) AS a${i + 1}
+           FROM l$i)"""
+        inScale = 10000L
+      }
+      val n = ls.size
+      val arms = (0 until hw.size - 1)
+        .map(c => s"WHEN z[${c + 1}] = list_max(z) THEN $c").mkString(" ")
+      sb ++= s""",
+         hd AS (
+           SELECT vec_id, a$n, list_transform(range(${hw.size}), c ->
+             ${sqlList(hb)}[c + 1] * $inScale +
+             CAST(list_sum(list_transform(range(${hw.head.size}), j ->
+               ${sqlMat(hw)}[c + 1][j + 1] * a$n[j + 1])) AS BIGINT)) AS z
+           FROM l$n)
+         SELECT vec_id,
+           CAST(CASE $arms ELSE ${hw.size - 1} END AS INT) AS cls,
+           CAST(list_sum(a$n) AS BIGINT) AS h_sum,
+           CAST(list_sum(z) AS BIGINT) AS logit_sum
+         FROM hd ORDER BY vec_id"""
+      sb.toString
+    },
     "doc_embedding_pool" ->
       // same hash-embedding table (byte j of one md5 per word, signed),
       // exact integer sums, one division per dimension, ordered by dim

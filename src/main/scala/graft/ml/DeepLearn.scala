@@ -429,37 +429,58 @@ object DeepLearn {
     // runtime guard on the data side of the same contract: a wrong-width
     // embedding would null-pad through zip_with into all-null outputs
     val emb = assertedWidth(col(embCol), w1.head.size, "quantizedMlpForward")
-    val xq = transform(emb, x => floor(x.cast(DoubleType) * xScale).cast(LongType))
+    // Each stage materializes into its OWN Project (a named column) before
+    // the next references it: the aggregate/zip_with subtrees contain
+    // lambda variables, which whole-stage codegen's subexpression
+    // elimination skips, so an inlined layer would be re-evaluated once
+    // per downstream reference — multiplicative in depth. CollapseProject
+    // keeps the stages apart because the produced column is non-cheap and
+    // multiply-referenced, and codegen then computes each layer once per
+    // row into a local, still inside one WholeStageCodegen span.
+    val xq = df.select(col(idCol), transform(emb,
+      x => floor(x.cast(DoubleType) * xScale).cast(LongType)).as("__xq"))
     val z1 = w1.zip(b1).map { case (row, bias) =>
-      aggregate(zip_with(xq, typedlit(row), (x, w) => x * w),
+      aggregate(zip_with(col("__xq"), typedlit(row), (x, w) => x * w),
         lit(bias * xScale.toLong), (acc, v) => acc + v)
     }
-    val a1 = array(z1.map(z =>
-      floor(lit(10000.0) / (lit(1.0) + exp(-(z.cast(DoubleType) / zDenom))))
-        .cast(LongType)): _*)
+    // array() would resurrect a null input into a non-null array of null
+    // elements, so re-null explicitly: null embedding → null outputs
+    val hid = xq.select(col(idCol), when(col("__xq").isNull, lit(null))
+      .otherwise(array(z1.map(z =>
+        floor(lit(10000.0) / (lit(1.0) + exp(-(z.cast(DoubleType) / zDenom))))
+          .cast(LongType)): _*)).as("__a1"))
     val z2 = w2.zip(b2).map { case (row, bias) =>
-      aggregate(zip_with(a1, typedlit(row), (a, w) => a * w),
+      aggregate(zip_with(col("__a1"), typedlit(row), (a, w) => a * w),
         lit(bias), (acc, v) => acc + v)
     }
-    val mx = greatest(z2: _*)
-    val cls = z2.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
+    val lg = hid.select(col(idCol), col("__a1"),
+      when(col("__a1").isNull, lit(null)).otherwise(array(z2: _*)).as("__z2"))
+    val zc = w2.indices.map(i => element_at(col("__z2"), i + 1))
+    val mx = greatest(zc: _*)
+    val cls = zc.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
       when(z === mx, lit(i)).otherwise(rest)
     }
     // foldRight puts index 0's `when` OUTERMOST so ties resolve to the
     // lowest index, matching the oracle's CASE order
-    df.select(col(idCol),
-      cls.cast(IntegerType).as("cls"),
-      z1.indices.map(i => element_at(a1, i + 1))
+    lg.select(col(idCol),
+      when(col("__z2").isNull, lit(null).cast(IntegerType))
+        .otherwise(cls.cast(IntegerType)).as("cls"),
+      w1.indices.map(i => element_at(col("__a1"), i + 1))
         .reduce(_ + _).cast(LongType).as("h_sum"),
-      z2.reduce(_ + _).cast(LongType).as("logit_sum"))
+      zc.reduce(_ + _).cast(LongType).as("logit_sum"))
   }
 
-  /** Plan-level width guard: a wrong-length array silently null-pads
-    * through `zip_with`, so fail loudly instead. */
+  /** Plan-level width guard with an explicit null contract: a NULL array
+    * passes through (null in → null out, standard column semantics — one
+    * bad row must not kill a 100 TB job), while a present-but-wrong-width
+    * array fails loudly, because it would otherwise silently null-pad
+    * through `zip_with`. */
   private def assertedWidth(arr: Column, expected: Int, who: String): Column =
-    when(size(arr) === expected, arr).otherwise(raise_error(concat(
-      lit(s"$who: input array length != $expected, got "),
-      size(arr).cast("string"))))
+    when(arr.isNull, arr)
+      .when(size(arr) === expected, arr)
+      .otherwise(raise_error(concat(
+        lit(s"$who: input array length != $expected, got "),
+        size(arr).cast("string"))))
 
   /** Export a trained stack's weights as floor-quantized integer literals
     * for [[sdaPredictQuantized]]: per hidden layer (floor(w·2^bits),
@@ -515,33 +536,48 @@ object DeepLearn {
 
     val wScale = math.pow(2.0, wScaleBits)
     val emb = assertedWidth(col(embCol), layers.head._1.head.size, "sdaPredictQuantized")
-    var act: Column = transform(emb,
+    // One Project PER LAYER (see quantizedMlpForward): the HOF subtrees
+    // carry lambda variables, so codegen CSE cannot deduplicate them —
+    // threading a composite Column through the loop re-inlines the whole
+    // previous stack into every downstream reference, making per-row work
+    // multiplicative in depth. Named per-layer columns keep it additive;
+    // CollapseProject leaves the non-cheap multiply-referenced stages
+    // apart, and they still fuse into one WholeStageCodegen span.
+    var cur: DataFrame = df.select(col(idCol), transform(emb,
       x => floor(x.cast(DoubleType) * math.pow(2.0, xScaleBits)).cast(LongType))
+      .as("__act"))
     var inScale: Long = 1L << xScaleBits
     for ((w, b) <- layers) {
       val z = w.zip(b).map { case (row, bias) =>
-        aggregate(zip_with(act, typedlit(row), (a, wv) => a * wv),
+        aggregate(zip_with(col("__act"), typedlit(row), (a, wv) => a * wv),
           lit(bias * inScale), (acc, v) => acc + v)
       }
       val denom = inScale.toDouble * wScale
-      act = array(z.map(zc =>
-        floor(lit(10000.0) / (lit(1.0) + exp(-(zc.cast(DoubleType) / denom))))
-          .cast(LongType)): _*)
+      // array() would turn a null previous layer into a non-null array of
+      // nulls; re-null so a null embedding yields null outputs end-to-end
+      cur = cur.select(col(idCol), when(col("__act").isNull, lit(null))
+        .otherwise(array(z.map(zc =>
+          floor(lit(10000.0) / (lit(1.0) + exp(-(zc.cast(DoubleType) / denom))))
+            .cast(LongType)): _*)).as("__act"))
       inScale = 10000L
     }
     val z3 = headW.zip(headB).map { case (row, bias) =>
-      aggregate(zip_with(act, typedlit(row), (a, wv) => a * wv),
+      aggregate(zip_with(col("__act"), typedlit(row), (a, wv) => a * wv),
         lit(bias * inScale), (acc, v) => acc + v)
     }
-    val mx = greatest(z3: _*)
-    val cls = z3.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
+    cur = cur.select(col(idCol), col("__act"),
+      when(col("__act").isNull, lit(null)).otherwise(array(z3: _*)).as("__z3"))
+    val zc = headW.indices.map(i => element_at(col("__z3"), i + 1))
+    val mx = greatest(zc: _*)
+    val cls = zc.zipWithIndex.foldRight(lit(-1): Column) { case ((z, i), rest) =>
       when(z === mx, lit(i)).otherwise(rest)
     }
-    df.select(col(idCol),
-      cls.cast(IntegerType).as("cls"),
-      (0 until layers.last._1.size).map(i => element_at(act, i + 1))
+    cur.select(col(idCol),
+      when(col("__z3").isNull, lit(null).cast(IntegerType))
+        .otherwise(cls.cast(IntegerType)).as("cls"),
+      (0 until layers.last._1.size).map(i => element_at(col("__act"), i + 1))
         .reduce(_ + _).cast(LongType).as("h_sum"),
-      z3.reduce(_ + _).cast(LongType).as("logit_sum"))
+      zc.reduce(_ + _).cast(LongType).as("logit_sum"))
   }
 
   /** Bridge a spark.ml-TRAINED one-hidden-layer MLP into the quantized

@@ -280,8 +280,11 @@ object Spreadsheet {
     * matching the opencsv CSVReader contract the reference hands its
     * `quote`/`escape` config to (flattening/CsvGenerator.scala:23,90-98):
     * the escape char before a quote or escape yields that literal char
-    * (opencsv's isNextCharacterEscapable), a doubled quote inside a quoted
-    * field yields a literal quote, and separators inside quotes are data. */
+    * (opencsv's isNextCharacterEscapable) — but only in-quotes or mid-field
+    * (opencsv gates on `inQuotes || inField`; at the very start of an
+    * unquoted field the escape char is a literal) — a doubled quote inside
+    * a quoted field yields a literal quote, and separators inside quotes
+    * are data. */
   private[graft] def parseCsvLine(line: String, sep: Char = ',',
                                   quote: Char = '"',
                                   escape: Char = '\\'): IndexedSeq[String] = {
@@ -291,7 +294,7 @@ object Spreadsheet {
     var i = 0
     while (i < line.length) {
       val c = line.charAt(i)
-      if (c == escape && i + 1 < line.length &&
+      if (c == escape && (inQ || cur.nonEmpty) && i + 1 < line.length &&
           (line.charAt(i + 1) == quote || line.charAt(i + 1) == escape)) {
         cur += line.charAt(i + 1); i += 1
       } else if (inQ) {

@@ -192,4 +192,93 @@ class DeepLearnSpec extends SparkSpec {
     }
     assert(got == want, s"got=$got want=$want")
   }
+
+  test("quantized forward passes keep the null contract: null row → null outputs, wrong width fails loudly") {
+    val w1 = Seq(Seq(1L, 2L), Seq(3L, -1L)); val b1 = Seq(0L, 1L)
+    val w2 = Seq(Seq(1L, 0L), Seq(0L, 1L)); val b2 = Seq(0L, 0L)
+    val df = Seq(
+      (0L, Option(Seq(0.5f, -0.25f))),
+      (1L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val rows = DeepLearn.quantizedMlpForward(df, "vec_id", "embedding",
+        w1, b1, w2, b2).orderBy("vec_id")
+      .as[(Long, Option[Int], Option[Long], Option[Long])].collect().toSeq
+    assert(rows(0)._2.isDefined && rows(0)._3.isDefined && rows(0)._4.isDefined)
+    assert(rows(1) == ((1L, None, None, None)))
+    val sda = DeepLearn.sdaPredictQuantized(df, "vec_id", "embedding",
+        Seq((w1, b1)), w2, b2).orderBy("vec_id")
+      .as[(Long, Option[Int], Option[Long], Option[Long])].collect().toSeq
+    assert(sda(1) == ((1L, None, None, None)))
+    // wrong width still fails loudly (assertedWidth raise_error)
+    val bad = Seq((0L, Seq(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      DeepLearn.quantizedMlpForward(bad, "vec_id", "embedding",
+        w1, b1, w2, b2).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("quantizeMlpModel: quantized forward argmax equals model.transform on planted separable data") {
+    // the spark.ml train → quantize → distributed-score bridge: slice the
+    // packed weight vector, floor-quantize, and the integer forward pass
+    // must predict the same class as the real-valued model
+    val rows = trainX.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.map(_.toDouble).toSeq, if (i < 8) 0 else 1)
+    }.toSeq
+    val df = rows.toDF("vec_id", "features", "label")
+    val m = DeepLearn.mlpClassifier(df, "features", "label",
+      layers = Array(nIn, 8, 2), maxIter = 60)
+    val (w1, b1, w2, b2, zDenom) = DeepLearn.quantizeMlpModel(m)
+    assert(w1.size == 8 && w1.head.size == nIn && w2.size == 2 && w2.head.size == 8)
+    val got = DeepLearn.quantizedMlpForward(df, "vec_id", "features",
+        w1, b1, w2, b2, zDenom = zDenom).orderBy("vec_id")
+      .select("vec_id", "cls").as[(Long, Int)].collect().toMap
+    val want = DeepLearn.mlpPredict(m, df, "features", "pred")
+      .select("vec_id", "pred").as[(Long, Double)].collect().toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, c) => assert(c.toDouble == want(id), s"row $id") }
+    // both recover the planted labels
+    rows.foreach { case (id, _, l) => assert(got(id) == l, s"row $id") }
+  }
+
+  test("sda demo fixture: quantized distributed predict matches the driver net and is non-degenerate") {
+    val net = QueriesLLM.sdaDemoNet
+    val (ls, hw, hb) = QueriesLLM.sdaDemoWeights
+    // the training fixture itself: quantized argmax == real-valued argmax
+    val xs = Array.tabulate(30, 16) { (n, j) =>
+      val c = n % 3
+      if (j >= c * 5 && j < c * 5 + 5) 1
+      else if ((n * 7 + j * 3) % 7 == 0) 1 else 0
+    }
+    val trainPred = xs.map(net.predictClass)
+    assert(xs.indices.forall(n => trainPred(n) == n % 3),
+      s"fixture not learned: ${trainPred.mkString(",")}")
+    // seeded random sign patterns (the query's binarized-embedding input
+    // distribution): classes must VARY, and the quantized pass must agree
+    // with the driver net's real-valued argmax
+    val rng = new java.util.Random(42L)
+    val pats = (0 until 64).map(_ => Array.fill(16)(if (rng.nextBoolean()) 1 else 0))
+    val want = pats.map(net.predictClass)
+    assert(want.distinct.size >= 2, s"degenerate: ${want.distinct.mkString(",")}")
+    val df = pats.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.map(_.toDouble).toSeq)
+    }.toDF("vec_id", "emb")
+    val got = DeepLearn.sdaPredictQuantized(df, "vec_id", "emb", ls, hw, hb)
+      .orderBy("vec_id").select("cls").as[Int].collect().toSeq
+    // 2^12 weight + 1e-4 sigmoid quantization can flip a NEAR-TIE argmax;
+    // any disagreement must be exactly that — a small top-2 softmax margin
+    // on the real-valued net — and rare
+    val diff = got.indices.filter(i => got(i) != want(i))
+    assert(diff.size <= 2, s"too many flips: $diff got=$got want=$want")
+    diff.foreach { i =>
+      val p = net.predict(pats(i)).sorted.reverse
+      assert(p(0) - p(1) < 0.02, s"row $i flipped with margin ${p(0) - p(1)}")
+    }
+    // the training fixture's margins are wide: quantized == real there
+    val trainDf = xs.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.map(_.toDouble).toSeq)
+    }.toSeq.toDF("vec_id", "emb")
+    val trainGot = DeepLearn.sdaPredictQuantized(trainDf, "vec_id", "emb", ls, hw, hb)
+      .orderBy("vec_id").select("cls").as[Int].collect().toSeq
+    assert(trainGot == trainPred.toSeq, s"got=$trainGot want=${trainPred.toSeq}")
+  }
 }

@@ -167,15 +167,25 @@ class SpreadsheetSpec extends SparkSpec {
     // custom quote: separators inside quoted fields are data
     assert(Spreadsheet.parseCsvLine("a,'b,c',d", ',', quote = '\'') ==
       IndexedSeq("a", "b,c", "d"))
-    // the default escape '\' yields a literal quote without opening a field
+    // the escape char escapes ONLY in-quotes or mid-field (opencsv gates
+    // on inQuotes || inField): at the very start of an unquoted field it
+    // is a literal, and the following quote OPENS a quoted section — so
+    // the separator inside stays data
     assert(Spreadsheet.parseCsvLine("""a,\"x,b""", ',') ==
-      IndexedSeq("a", "\"x", "b"))
-    // escape-the-escape yields one literal escape char
+      IndexedSeq("a", """\x,b"""))
+    // mid-field, the escape applies: escaped quote is a literal quote
+    assert(Spreadsheet.parseCsvLine("""a,x\"y,b""", ',') ==
+      IndexedSeq("a", "x\"y", "b"))
+    // escape-the-escape yields one literal escape char (mid-field)
     assert(Spreadsheet.parseCsvLine("""a\\b,c""", ',') ==
       IndexedSeq("""a\b""", "c"))
-    // custom escape char '~' escapes the custom quote
+    // custom escape char '~' at unquoted-field start is likewise literal,
+    // with the quote opening a section (traced against opencsv CSVParser)
     assert(Spreadsheet.parseCsvLine("a;~'x;'y;z'", ';', quote = '\'', escape = '~') ==
-      IndexedSeq("a", "'x", "y;z"))
+      IndexedSeq("a", "~x;y", "z"))
+    // in-quotes, the custom escape escapes the custom quote
+    assert(Spreadsheet.parseCsvLine("'a~'b';c", ';', quote = '\'', escape = '~') ==
+      IndexedSeq("a'b", "c"))
   }
 
   test("flattening CsvGenerator FQCN plumbs quote/escape; multi-char values reject") {
