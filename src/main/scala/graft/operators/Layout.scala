@@ -1,8 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+
+import scala.jdk.CollectionConverters._
 
 /**
  * Data-layout clustering for scan locality (SURVEY §3 scale posture; the
@@ -108,5 +113,48 @@ object Layout {
     val keyed = df.withColumn(keyCol, zorderKey(cols, bits))
     keyed.repartitionByRange(numFiles, col(keyCol))
       .sortWithinPartitions(col(keyCol))
+  }
+
+  /** Per-row-group [min, max] footer statistics for `cols` under a
+    * parquet directory — exactly the numbers a stats-based reader (or a
+    * table format's file index) consults to skip row groups. One
+    * driver-side metadata pass (footers only, no data pages); the proof
+    * surface for "did the layout make the scan prunable". */
+  def rowGroupStats(spark: SparkSession, dir: String, cols: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .flatMap { f =>
+        val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+        try rdr.getFooter.getBlocks.asScala.toSeq.map { b =>
+          val m = b.getColumns.asScala.flatMap { c =>
+            val name = c.getPath.toDotString
+            val st = c.getStatistics
+            if (cols.contains(name) && st != null && st.hasNonNullValue)
+              Some(name -> (st.genericGetMin.asInstanceOf[Number].longValue,
+                st.genericGetMax.asInstanceOf[Number].longValue))
+            else None
+          }.toMap
+          (f.getName, m)
+        } finally rdr.close()
+      }
+  }
+
+  /** How many row groups under `dir` must be READ for a conjunction of
+    * closed-range predicates (a group survives when EVERY predicate's
+    * [lo, hi] intersects its [min, max]; a group missing stats for a
+    * predicated column is conservatively read). Returns (read, total). */
+  def scannedRowGroups(spark: SparkSession, dir: String,
+                       preds: Map[String, (Long, Long)]): (Int, Int) = {
+    val groups = rowGroupStats(spark, dir, preds.keys.toSeq)
+    val read = groups.count { case (_, stats) =>
+      preds.forall { case (c, (lo, hi)) =>
+        stats.get(c).forall { case (mn, mx) => lo <= mx && hi >= mn }
+      }
+    }
+    (read, groups.size)
   }
 }
