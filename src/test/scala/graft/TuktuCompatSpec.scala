@@ -380,6 +380,38 @@ class TuktuCompatSpec extends SparkSpec {
     assert(r.getAs[java.sql.Timestamp]("d").toString.startsWith("2024-03-01"))
   }
 
+  test("ConsoleWriterProcessor is a pass-through, with and without prettify (ref suite shapes)") {
+    // ref BaseProcessorTestSuite:593,610: both configs leave the data
+    // unchanged (the console print is a side effect); prettify only
+    // changes the rendering, never the packet
+    for (cfg <- Seq("{}", """{"prettify": true}""")) {
+      val out = Flow.runSingle(spark, listFlow(
+        """[{"key1": "val1", "key2": "val2"}]""",
+        s"""{"id": "p0", "name": "tuktu.processors.ConsoleWriterProcessor",
+            "result": "result", "config": $cfg, "next": []}"""))
+      val r = out.head
+      assert(out.columns.toSet == Set("key1", "key2"))
+      assert(r.getAs[String]("key1") == "val1" && r.getAs[String]("key2") == "val2")
+    }
+  }
+
+  test("ConvertToBigDecimal: scientific-notation strings, scalar and elementwise (ref suite case)") {
+    // ref BaseProcessorTestSuite:959-985 feeds "1.3e12" and a mixed list
+    // ending in "-1.2e-3"; the mixed list is a string list in the
+    // DataFrame model, converted elementwise like the reference's
+    // anyListToBigDecimal
+    val out = Flow.runSingle(spark, listFlow(
+      """[{"key": "1.3e12", "xs": ["3", "183", "1.337", "-1.2e-3"]}]""",
+      """{"id": "p0", "name": "tuktu.processors.ConvertToBigDecimal",
+         "config": {"field": "key"}, "next": ["p1"]},
+         {"id": "p1", "name": "tuktu.processors.ConvertToBigDecimal",
+          "config": {"field": "xs"}, "next": []}"""))
+    val r = out.head
+    assert(r.getAs[java.math.BigDecimal]("key").longValueExact == 1300000000000L)
+    val xs = r.getAs[scala.collection.Seq[java.math.BigDecimal]]("xs").map(_.doubleValue)
+    assert(xs.toList == List(3.0, 183.0, 1.337, -0.0012))
+  }
+
   test("RunningCountProcessor start_at and per_block (one frame = one packet)") {
     val startAt = Flow.runSingle(spark, listFlow(
       """[{"one": 1}, {"one": 1}, {"one": 1}]""",
