@@ -46,6 +46,11 @@ object DeepLearn {
   /** pow(E,·) form matches the reference's sigmoid bit-for-bit. */
   def sigmoid(x: Double): Double = 1.0 / (1.0 + math.pow(math.E, -x))
 
+  /** Native codegen integer dot product ([[graft.plans.VecDotLong]],
+    * registered as `vec_idot` by `GraftExtensions`) — the quantized
+    * forward passes' per-unit kernel. */
+  private def idot(a: Column, b: Column): Column = call_function("vec_idot", a, b)
+
   /** The reference nets' random stream: java.util.Random under
     * scala.util.Random(1234), one nextDouble per uniform/bernoulli. */
   final class NetRng(seed: Long = 1234L) {
@@ -439,9 +444,11 @@ object DeepLearn {
     // row into a local, still inside one WholeStageCodegen span.
     val xq = df.select(col(idCol), transform(emb,
       x => floor(x.cast(DoubleType) * xScale).cast(LongType)).as("__xq"))
+    // native codegen integer dot (plans.VecDotLong): exact arithmetic, so
+    // bit-identical to the HOF fold it replaces, minus the interpreted
+    // per-element lambda dispatch
     val z1 = w1.zip(b1).map { case (row, bias) =>
-      aggregate(zip_with(col("__xq"), typedlit(row), (x, w) => x * w),
-        lit(bias * xScale.toLong), (acc, v) => acc + v)
+      lit(bias * xScale.toLong) + idot(col("__xq"), typedlit(row))
     }
     // array() would resurrect a null input into a non-null array of null
     // elements, so re-null explicitly: null embedding → null outputs
@@ -450,8 +457,7 @@ object DeepLearn {
         floor(lit(10000.0) / (lit(1.0) + exp(-(z.cast(DoubleType) / zDenom))))
           .cast(LongType)): _*)).as("__a1"))
     val z2 = w2.zip(b2).map { case (row, bias) =>
-      aggregate(zip_with(col("__a1"), typedlit(row), (a, w) => a * w),
-        lit(bias), (acc, v) => acc + v)
+      lit(bias) + idot(col("__a1"), typedlit(row))
     }
     val lg = hid.select(col(idCol), col("__a1"),
       when(col("__a1").isNull, lit(null)).otherwise(array(z2: _*)).as("__z2"))
@@ -549,8 +555,7 @@ object DeepLearn {
     var inScale: Long = 1L << xScaleBits
     for ((w, b) <- layers) {
       val z = w.zip(b).map { case (row, bias) =>
-        aggregate(zip_with(col("__act"), typedlit(row), (a, wv) => a * wv),
-          lit(bias * inScale), (acc, v) => acc + v)
+        lit(bias * inScale) + idot(col("__act"), typedlit(row))
       }
       val denom = inScale.toDouble * wScale
       // array() would turn a null previous layer into a non-null array of
@@ -562,8 +567,7 @@ object DeepLearn {
       inScale = 10000L
     }
     val z3 = headW.zip(headB).map { case (row, bias) =>
-      aggregate(zip_with(col("__act"), typedlit(row), (a, wv) => a * wv),
-        lit(bias * inScale), (acc, v) => acc + v)
+      lit(bias * inScale) + idot(col("__act"), typedlit(row))
     }
     cur = cur.select(col(idCol), col("__act"),
       when(col("__act").isNull, lit(null)).otherwise(array(z3: _*)).as("__z3"))

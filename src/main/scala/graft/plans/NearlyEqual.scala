@@ -70,6 +70,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(children.head, org.apache.spark.sql.types.ArrayType(DoubleType)),
         Cast(children(1), org.apache.spark.sql.types.ArrayType(DoubleType)))))
     ext.injectFunction((
+      new FunctionIdentifier("vec_idot"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_idot"),
+      (children: Seq[Expression]) => VecDotLong(
+        Cast(children.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)),
+        Cast(children(1), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType)))))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_bottomk"),
       new ExpressionInfo(classOf[KmvBottomK].getName, "kmv_bottomk"),
       (children: Seq[Expression]) => {

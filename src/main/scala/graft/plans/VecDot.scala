@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Native dot product over two `array<double>` columns with whole-stage
@@ -170,5 +170,86 @@ case class VecL2Sq(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): VecL2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
+ * Native INTEGER dot product over two `array<bigint>` columns — the
+ * quantized model-scoring hot loop ([[graft.ml.DeepLearn]] forward
+ * passes: per row × per unit × per layer). Exact integer arithmetic, so
+ * unlike the double forms there is not even a rounding-order question:
+ * any evaluation order gives the same bits, and swapping it into an
+ * oracle-checked query cannot change a hash. Null semantics match the
+ * `aggregate(zip_with(a, b, _*_), 0L, _+_)` fold it replaces: null
+ * array, length mismatch (zip_with would null-pad), or any null element
+ * → null. Overflow wraps like Java long multiplication — the same
+ * contract as the HOF form.
+ */
+case class VecDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_idot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_idot needs two array<bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    if (a == null) return null
+    val b = right.eval(input)
+    if (b == null) return null
+    val aa = a.asInstanceOf[ArrayData]
+    val bb = b.asInstanceOf[ArrayData]
+    val n = aa.numElements()
+    if (n != bb.numElements()) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (aa.isNullAt(i) || bb.isNullAt(i)) return null
+      s += aa.getLong(i) * bb.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val i = ctx.freshName("i")
+    val n = ctx.freshName("n")
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        long ${ev.value} = 0L;
+        if (!${leftGen.isNull} && !${rightGen.isNull} &&
+            ${leftGen.value}.numElements() == ${rightGen.value}.numElements()) {
+          ${ev.isNull} = false;
+          int $n = ${leftGen.value}.numElements();
+          for (int $i = 0; $i < $n; $i++) {
+            if (${leftGen.value}.isNullAt($i) || ${rightGen.value}.isNullAt($i)) {
+              ${ev.isNull} = true;
+              ${ev.value} = 0L;
+              break;
+            }
+            ${ev.value} +=
+              ${leftGen.value}.getLong($i) * ${rightGen.value}.getLong($i);
+          }
+        }""")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): VecDotLong =
     copy(left = newLeft, right = newRight)
 }

@@ -1444,6 +1444,40 @@ class LLMOpsSpec extends SparkSpec {
     assert(d == 14.0)
   }
 
+  test("vec_idot: native integer dot ≡ HOF fold, incl. nulls and interpreted eval") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(100) { i =>
+      (i.toLong, Array.fill(16)(rng.nextInt(2000).toLong - 1000),
+        Array.fill(16)(rng.nextInt(2000).toLong - 1000))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val cmp = df.select(
+      call_function("vec_idot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(cmp.forall { case (n, h) => n == h })
+    // null semantics match the fold: null array, length mismatch, null
+    // element → null
+    val edge = Seq(
+      (1L, Some(Seq(1L, 2L)), Option.empty[Seq[Long]]),
+      (2L, Some(Seq(1L, 2L)), Some(Seq(3L))),
+      (3L, Some(Seq(1L, 2L)), Some(Seq(3L, 4L)))
+    ).toDF("id", "a", "b")
+    val e = edge.select(col("id"), call_function("vec_idot", col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(e(1L).isEmpty && e(2L).isEmpty && e(3L).contains(11L))
+    val withNullElem = spark.sql(
+      "SELECT vec_idot(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS d")
+    assert(withNullElem.collect()(0).isNullAt(0))
+    // interpreted path agrees with codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val lit1 = Literal.create(ArrayData.toArrayData(Array(1L, 2L, 3L)),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))
+    assert(graft.plans.VecDotLong(lit1, lit1).eval(null) == 14L)
+  }
+
   test("knnJoin: exact ranks by cosine; IVF form matches with full probes") {
     // two planted clusters around (1,0) and (0,1), one stray
     val vecs = Seq(
