@@ -533,13 +533,11 @@ object QueriesLLM {
         .select(col("vec_id"),
           transform(col("embedding").cast(ArrayType(DoubleType)),
             x => floor(x * 1e6).cast(LongType)).as("q"))
-      val n = e.withColumn("n2",
-        aggregate(zip_with(col("q"), col("q"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      val n = e.withColumn("n2", graft.operators.Similarity.idot(col("q"), col("q")))
       val a = n.select(col("vec_id").as("id1"), col("q").as("q1"), col("n2").as("n21"))
       val b = n.select(col("vec_id").as("id2"), col("q").as("q2"), col("n2").as("n22"))
       a.crossJoin(b).filter(col("id1") < col("id2"))
-        .withColumn("dot",
-          aggregate(zip_with(col("q1"), col("q2"), (x, y) => x * y), lit(0L), (acc, x) => acc + x))
+        .withColumn("dot", graft.operators.Similarity.idot(col("q1"), col("q2")))
         .withColumn("cos", col("dot").cast(DoubleType) /
           (sqrt(col("n21").cast(DoubleType)) * sqrt(col("n22").cast(DoubleType))))
         .filter(col("cos") >= 0.4)

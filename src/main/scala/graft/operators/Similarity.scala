@@ -40,6 +40,11 @@ object Similarity {
     * fold-order/null contract discipline as [[dot]]. */
   def l2sq(a: Column, b: Column): Column = call_function("vec_l2sq", a, b)
 
+  /** Native INTEGER dot product ([[graft.plans.VecDotLong]]) for
+    * integerized/quantized vectors — exact arithmetic, so swapping it for
+    * the HOF fold can never change an oracle hash. */
+  def idot(a: Column, b: Column): Column = call_function("vec_idot", a, b)
+
   /** Executable specification of [[l2sq]]. The per-element cast matches
     * the native expression's array<double> Cast: float inputs must
     * subtract in DOUBLE (subtracting in float first rounds differently). */
@@ -125,8 +130,7 @@ object Similarity {
       .select(col(idCol), col("__e.codes").as("__c"), col("__e.scale").as("__s"))
     val q = enc.filter(col(idCol) === queryId)
       .select(col("__c").as("__qc"), col("__s").as("__qs"))
-    val dotQ = aggregate(zip_with(col("__c"), col("__qc"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val dotQ = idot(col("__c"), col("__qc"))
     enc.crossJoin(broadcast(q))
       .select(col(idCol), dotQ.as("dot_q"), col("__s"), col("__qs"))
       .withColumn("score",
