@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Structural invariants of the scale-critical executed plans — the
+  * properties each round's plan audit checks by hand, pinned as a
+  * regression gate. A query can get slower without breaking these, but
+  * it cannot silently change SHAPE: pick up a cartesian/nested-loop
+  * join, demote a broadcast to a shuffle join, lose whole-stage codegen
+  * on a scoring hot loop, or grow a UDF. Runs on the sf0.001 fixture
+  * (cancelled, not failed, when the test data directory is absent). */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def planOf(name: String): String = {
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not present")
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.toRdd.foreach(_ => ()) // finalize under AQE
+    df.queryExecution.executedPlan.toString
+  }
+  private def codegenSpans(plan: String): Int =
+    raw"\*\((\d+)\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+
+  test("deeplearn forward passes stay scan-only: no joins, no UDFs, codegen'd, orderBy-only exchanges") {
+    for (q <- Seq("deeplearn_mlp_forward", "deeplearn_sda_predict")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q grew a join")
+      assert(!p.contains("UDF") && !p.contains("BatchEvalPython"), s"$q grew a UDF")
+      assert("Exchange".r.findAllIn(p).size <= 2,
+        s"$q has exchanges beyond the oracle orderBy")
+      assert(codegenSpans(p) >= 1, s"$q lost whole-stage codegen")
+    }
+  }
+
+  test("centroids-as-data joins broadcast the small side and never nest loops") {
+    for (q <- Seq("semantic_dedup_join", "ann_knn_join_ivf")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost the broadcast join")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q picked an all-pairs join")
+    }
+  }
+
+  test("LSH candidate generation is banded equality, never all-pairs") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "minhash LSH must join on band buckets, not cross")
+    assert(codegenSpans(p) >= 1, "minhash hashing hot loop lost codegen")
+  }
+
+  test("bounded-heap knn join aggregates without a window over the candidate stream") {
+    val p = planOf("ann_knn_join_heap")
+    assert(!p.contains("Window"), "heap top-k must not sort/window candidates")
+    assert(p.contains("ObjectHashAggregate"), "topk_by should plan as ObjectHashAggregate")
+  }
+
+  test("doc embedding pooling broadcasts the vocab vectors and stays codegen'd") {
+    val p = planOf("doc_embedding_pool")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(codegenSpans(p) >= 1)
+  }
+}
