@@ -1351,6 +1351,18 @@ object QueriesLLM {
       hh.join(exact, Seq("q")).orderBy("q")
     }),
 
+    // ---------------- frequent items (r12): Spark 4's builtin
+    // approx_top_k (DataSketches Misra-Gries counters) — one sketch row
+    // per partition merged to one, no distinct-reduce; re-exploded and
+    // totally ordered (cnt desc, item) before the k-cut. Gated in the
+    // exact regime (capacity ≥ vocab ⇒ no evictions ⇒ exact counts);
+    // the eviction-regime retention guarantee is spec'd in SketchSpec.
+    "freq_items_tokens" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      graft.operators.Sketch.frequentItems(toks, col("w"), k = 10, maxTracked = 256)
+    }),
+
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
@@ -3531,6 +3543,14 @@ object QueriesLLM {
            ex.n_exact
          FROM bk JOIN ex ON bk.source IS NOT DISTINCT FROM ex.source
          ORDER BY bk.source""",
+    "freq_items_tokens" ->
+      // exact regime: capacity ≥ vocab means the sketch counts exactly, so
+      // the oracle is a plain GROUP BY count with the same total order
+      """WITH t AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents)
+         SELECT w AS item, CAST(count(*) AS BIGINT) AS cnt
+         FROM t GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""",
     "cms_heavy_hitters" ->
       // same affine (2j+1, 12289j+741) mod P row hashes over the shared
       // 60-bit token hash; counters are plain GROUP BY sums, estimates are

@@ -155,6 +155,30 @@ object Sketch {
       .filter(col("cms_est") >= minCount)
   }
 
+  // ------------------------------------- frequent items (builtin sketch)
+  /** Approximate most-frequent items via Spark 4's builtin `approx_top_k`
+    * (the DataSketches frequent-items sketch — Misra-Gries counter
+    * family): per-partition state is `maxTracked` counters, merged
+    * sketch-wise into ONE row — no distinct-reduce, no CMS d×w cell
+    * matrix, the cheapest "which keys dominate 100 TB" shape Spark ships
+    * natively. Any item with true count > N/maxTracked is guaranteed
+    * retained. The summary is re-exploded and TOTALLY ordered
+    * (cnt desc, item asc) before the k-cut so ties are deterministic;
+    * when maxTracked ≥ the column's distinct count the sketch never
+    * evicts and counts are EXACT — the regime the DuckDB oracle gates
+    * (`freq_items_tokens`); the eviction regime's retention guarantee is
+    * spec-asserted on planted skew. */
+  def frequentItems(df: DataFrame, value: org.apache.spark.sql.Column,
+                    k: Int, maxTracked: Int = 1024): DataFrame = {
+    require(k >= 1 && maxTracked >= k, "frequentItems needs maxTracked >= k >= 1")
+    df.select(value.as("__v"))
+      .agg(expr(s"approx_top_k(__v, $maxTracked, $maxTracked)").as("__tk"))
+      .select(explode(col("__tk")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ HLL
   /** HyperLogLog (Flajolet et al. 2007) with DETERMINISTIC registers, so
     * the sketch itself replays under the DuckDB oracle — the usual

@@ -583,6 +583,40 @@ class LLMOpsSpec extends SparkSpec {
     assert(c == a)
   }
 
+  test("frequentItems: exact below capacity, retention guarantee under eviction") {
+    import graft.operators.Sketch
+    // exact regime: capacity >= distinct → identical to groupBy count
+    // with the (cnt desc, item) total order
+    val rows = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(100)("gamma") ++ (1 to 50).flatMap(i => Seq.fill(2)(f"tail$i%02d"))
+    val d = rows.map(Tuple1(_)).toDF("v")
+    val got = Sketch.frequentItems(d, col("v"), k = 5, maxTracked = 256)
+      .as[(String, Long)].collect().toSeq
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (item, n) => (-n, item) }.take(5)
+    assert(got == want, s"got=$got want=$want")
+    // partition-invariant in the exact regime (sketch-merge is exact sums)
+    val got13 = Sketch.frequentItems(d.repartition(13), col("v"), k = 5, maxTracked = 256)
+      .as[(String, Long)].collect().toSeq
+    assert(got13 == want)
+    // eviction regime: 3 planted heavies over a 5000-distinct tail with
+    // capacity 64 — the frequent-items guarantee (any item with true
+    // count > N/capacity survives) must hold, ranked first, with
+    // estimates >= true count (the sketch over-counts evicted re-inserts)
+    val skew = Seq.fill(2000)("hot1") ++ Seq.fill(1500)("hot2") ++
+      Seq.fill(1000)("hot3") ++ (1 to 5000).map(i => s"cold$i")
+    val ds = skew.map(Tuple1(_)).toDF("v").repartition(7)
+    val top = Sketch.frequentItems(ds, col("v"), k = 3, maxTracked = 64)
+      .as[(String, Long)].collect().toSeq
+    assert(top.map(_._1) == Seq("hot1", "hot2", "hot3"), s"got $top")
+    val trueCounts = Map("hot1" -> 2000L, "hot2" -> 1500L, "hot3" -> 1000L)
+    top.foreach { case (item, est) =>
+      assert(est >= trueCounts(item), s"$item underestimated: $est")
+      assert(est <= trueCounts(item) + skew.size / 64 * 4,
+        s"$item overestimate beyond sketch error: $est")
+    }
+  }
+
   test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
     import graft.operators.LangModel
     // planted weights with a wide spread: the heavy doc must always be in
