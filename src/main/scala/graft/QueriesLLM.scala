@@ -1363,6 +1363,17 @@ object QueriesLLM {
       graft.operators.Sketch.frequentItems(toks, col("w"), k = 10, maxTracked = 256)
     }),
 
+    // the shard-then-merge route: one sketch per source accumulated,
+    // combined, estimated — sketches as data. Exact regime ⇒ must agree
+    // bit-for-bit with the unsharded route; SAME oracle gates both.
+    "freq_items_union" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      graft.operators.Sketch.frequentItemsSharded(
+        d.select(col("source"),
+          explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w")),
+        col("source"), col("w"), k = 10, maxTracked = 256)
+    }),
+
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
@@ -3546,6 +3557,14 @@ object QueriesLLM {
     "freq_items_tokens" ->
       // exact regime: capacity ≥ vocab means the sketch counts exactly, so
       // the oracle is a plain GROUP BY count with the same total order
+      """WITH t AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+           FROM documents)
+         SELECT w AS item, CAST(count(*) AS BIGINT) AS cnt
+         FROM t GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""",
+    "freq_items_union" ->
+      // the sharded route answers the SAME question: per-source sketches
+      // combined lose nothing in the exact regime
       """WITH t AS (
            SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
            FROM documents)

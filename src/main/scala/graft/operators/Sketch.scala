@@ -179,6 +179,28 @@ object Sketch {
       .limit(k)
   }
 
+  /** Shard-then-merge form of [[frequentItems]]: one frequent-items
+    * sketch per shard (`approx_top_k_accumulate`), combined into a single
+    * summary (`approx_top_k_combine`), then estimated — the sketches ride
+    * AS DATA like the CMS/HLL tables, so per-source or per-day summaries
+    * can persist and merge later without rescanning the corpus. Same
+    * total order and exact-regime determinism contract; in the exact
+    * regime the route must agree bit-for-bit with the unsharded one
+    * (same oracle gates both). */
+  def frequentItemsSharded(df: DataFrame, shard: org.apache.spark.sql.Column,
+                           value: org.apache.spark.sql.Column,
+                           k: Int, maxTracked: Int = 1024): DataFrame = {
+    require(k >= 1 && maxTracked >= k, "frequentItemsSharded needs maxTracked >= k >= 1")
+    df.select(shard.as("__s"), value.as("__v"))
+      .groupBy("__s")
+      .agg(expr(s"approx_top_k_accumulate(__v, $maxTracked)").as("__sk"))
+      .agg(expr(s"approx_top_k_combine(__sk, $maxTracked)").as("__c"))
+      .select(explode(expr(s"approx_top_k_estimate(__c, $maxTracked)")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("item"))
+      .limit(k)
+  }
+
   // ------------------------------------------------------------------ HLL
   /** HyperLogLog (Flajolet et al. 2007) with DETERMINISTIC registers, so
     * the sketch itself replays under the DuckDB oracle — the usual

@@ -615,6 +615,19 @@ class LLMOpsSpec extends SparkSpec {
       assert(est <= trueCounts(item) + skew.size / 64 * 4,
         s"$item overestimate beyond sketch error: $est")
     }
+    // shard-then-merge route: per-shard accumulate + combine must equal
+    // the unsharded route bit-for-bit in the exact regime, and keep the
+    // retention guarantee under eviction
+    val sharded = rows.zipWithIndex.map { case (v, i) => (s"s${i % 5}", v) }
+      .toDF("src", "v")
+    val gotSharded = Sketch.frequentItemsSharded(sharded, col("src"), col("v"),
+      k = 5, maxTracked = 256).as[(String, Long)].collect().toSeq
+    assert(gotSharded == want, s"got=$gotSharded want=$want")
+    val skewSharded = skew.zipWithIndex.map { case (v, i) => (s"s${i % 5}", v) }
+      .toDF("src", "v").repartition(7)
+    val topSharded = Sketch.frequentItemsSharded(skewSharded, col("src"), col("v"),
+      k = 3, maxTracked = 64).as[(String, Long)].collect().toSeq
+    assert(topSharded.map(_._1) == Seq("hot1", "hot2", "hot3"), s"got $topSharded")
   }
 
   test("dsirResample: Gumbel top-k is deterministic, weight-biased, salt-redrawn") {
