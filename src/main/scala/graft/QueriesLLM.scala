@@ -1298,6 +1298,42 @@ object QueriesLLM {
         .orderBy("source")
     }),
 
+    // ---------------- streaming frequent items under the oracle via the
+    // same two-batch replay: Misra-Gries counter state folds across the
+    // batch boundary; in the exact regime counts are exact and monotone
+    // per (source, item), so the final state is max(est) per pair, and
+    // the per-source top-5 must equal the batch GROUP BY count.
+    "streaming_freq_items_2batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .select(col("doc_id").cast("long"), col("source"), col("text"))
+        .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+      val (b1, b2) = docs.partition(_._1 < 250)
+      val in = MemoryStream[(Long, String, String)]
+      val stream = in.toDF.toDF("doc_id", "source", "text")
+        .repartition(4, col("doc_id"))
+      val toks = stream.select(col("source"),
+        explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      val out = graft.streaming.Streams.streamingFrequentItems(
+        toks, "source", "w", maxTracked = 256)
+      val name = "sfreq2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt").desc, col("item"))
+      s.table(name).groupBy(col("source"), col("item"))
+        .agg(max("est").as("cnt"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5).drop("__rn")
+        .orderBy(col("source"), col("cnt").desc, col("item"))
+    }),
+
     // ---------------- tokenizer-vocabulary OOV audit with the vocabulary
     // AS DATA: the top-100-by-frequency token table (deterministic count
     // tie-break) broadcast-left-joins the token stream; per-doc OOV rate
@@ -3570,6 +3606,21 @@ object QueriesLLM {
            FROM documents)
          SELECT w AS item, CAST(count(*) AS BIGINT) AS cnt
          FROM t GROUP BY 1 ORDER BY cnt DESC, item LIMIT 10""",
+    "streaming_freq_items_2batch" ->
+      // the cross-batch state fold must land on the plain per-source
+      // GROUP BY counts, top-5 per source under the (cnt desc, item) order
+      """WITH t AS (
+           SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS item
+           FROM documents),
+         c AS (SELECT source, item, CAST(count(*) AS BIGINT) AS cnt
+               FROM t GROUP BY 1, 2),
+         r AS (SELECT source, item, cnt,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, item) AS rn
+               FROM c)
+         SELECT source, item, cnt FROM r WHERE rn <= 5
+         ORDER BY source, cnt DESC, item""",
     "cms_heavy_hitters" ->
       // same affine (2j+1, 12289j+741) mod P row hashes over the shared
       // 60-bit token hash; counters are plain GROUP BY sums, estimates are

@@ -320,6 +320,54 @@ object Streams {
       .toDF(groupCol, "n_kept", "kmv_est")
   }
 
+  /** Streaming frequent items — the ingestion-time form of
+    * `Sketch.frequentItems`: per group the state is a Misra-Gries counter
+    * map of at most 2·maxTracked entries (CONSTANT vs stream cardinality;
+    * an exact streaming count would hold vocabulary-sized state). Updates
+    * are +1 on a tracked item; when the map exceeds 2·maxTracked it
+    * batch-compresses by the standard MG step (subtract the order
+    * statistic that leaves maxTracked survivors, drop non-positives),
+    * preserving the guarantee that any item with true count >
+    * N/maxTracked stays tracked with undercount ≤ N/maxTracked. Each
+    * batch emits the group's FULL tracked summary; in the exact regime
+    * (distinct values ≤ maxTracked) counts are exact and monotone
+    * non-decreasing per (group, item), so a replay's final state is
+    * max(est) per pair — the property the 2-batch oracle replay gates.
+    * Update output mode. */
+  def streamingFrequentItems(stream: DataFrame, groupCol: String,
+                             valueCol: String, maxTracked: Int = 1024): DataFrame = {
+    require(maxTracked >= 1, "streamingFrequentItems needs maxTracked >= 1")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull) // null value would kill the query at the encoder
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Map[String, Long], (String, String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Map[String, Long]]) =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m ++= _)
+          rows.foreach { case (_, v) =>
+            m.update(v, m.getOrElse(v, 0L) + 1L)
+            if (m.size > 2 * maxTracked) {
+              // subtract the (size − maxTracked)-th smallest count from
+              // everything and drop the non-positive — amortized O(1)/row
+              val pivot = m.values.toIndexedSeq.sorted.apply(m.size - maxTracked - 1)
+              val keep = m.iterator.collect {
+                case (k, c) if c > pivot => k -> (c - pivot)
+              }.toSeq
+              m.clear(); m ++= keep
+            }
+          }
+          state.update(m.toMap)
+          m.iterator.map { case (item, est) => (g, item, est) }.toSeq.iterator
+      }
+      .toDF(groupCol, "item", "est")
+  }
+
   /** Per-row benchmark-contamination tag on a stream — the online gate in
     * front of a training-data ingest: each arriving document is scored for
     * distinct n-gram overlap with a STATIC eval-benchmark set without any

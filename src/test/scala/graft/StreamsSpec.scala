@@ -194,6 +194,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingFrequentItems: cross-batch counter fold equals batch counts; eviction keeps heavies") {
+    implicit val sql = spark.sqlContext
+    // exact regime across a batch boundary: final state (max est per
+    // (group, item) over update-mode emissions) = plain batch counts
+    val in = MemoryStream[(String, String)]
+    val out = Streams.streamingFrequentItems(in.toDF.toDF("grp", "v"), "grp", "v",
+      maxTracked = 32)
+    val q = out.writeStream.format("memory").queryName("sfreq")
+      .outputMode("update").start()
+    try {
+      in.addData(Seq.fill(10)(("g", "a")) ++ Seq.fill(3)(("g", "b")): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(5)(("g", "a")) ++ Seq.fill(4)(("g", "c")): _*)
+      q.processAllAvailable()
+      val fin = spark.sql(
+        "SELECT item, max(est) FROM sfreq WHERE grp = 'g' GROUP BY item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fin == Map("a" -> 15L, "b" -> 3L, "c" -> 4L))
+    } finally q.stop()
+    // eviction regime: a planted heavy item over a wide tail survives MG
+    // compression with est >= true − N/maxTracked (the undercount bound)
+    val in2 = MemoryStream[(String, String)]
+    val out2 = Streams.streamingFrequentItems(in2.toDF.toDF("grp", "v"), "grp", "v",
+      maxTracked = 16)
+    val q2 = out2.writeStream.format("memory").queryName("sfreq2")
+      .outputMode("update").start()
+    try {
+      val n = 2000
+      in2.addData(Seq.fill(500)(("g", "hot")) ++
+        (1 to (n - 500)).map(i => ("g", s"cold$i")): _*)
+      q2.processAllAvailable()
+      val last = spark.sql(
+        "SELECT item, max(est) FROM sfreq2 WHERE grp = 'g' GROUP BY item")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(last.contains("hot"), s"heavy item evicted: ${last.keySet.take(5)}")
+      assert(last("hot") <= 500L && last("hot") >= 500L - n / 16,
+        s"hot est ${last("hot")} outside MG undercount bound")
+      // state is bounded: tracked set ≤ 2·maxTracked
+      assert(last.size <= 32, s"state grew past 2·maxTracked: ${last.size}")
+    } finally q2.stop()
+  }
+
   test("streamingHllDistinct: cross-batch register merge equals the batch fold") {
     import graft.operators.Sketch
     implicit val sql = spark.sqlContext
