@@ -917,6 +917,19 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- sliding-window chunking (r12): BERT-stride /
+    // retrieval-indexing long-doc prep — windows of 64 tokens advancing
+    // by 48 (16-token overlap), final short window kept so no token
+    // drops. Pure per-row sequence+explode, no shuffle; chunk text rides
+    // as its md5 so the artifact stays compact.
+    "chunk_sliding" -> ((s, dir) => {
+      graft.operators.Corpus.chunkSliding(rd(s, dir, "documents"),
+        "doc_id", "text", window = 64, stride = 48)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start"),
+          col("n_toks"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // ---------------- concatenate-and-chunk sequence packing: 8 shards,
     // 512-token sequences over whitespace token counts
     "pack_sequences" -> ((s, dir) => {
@@ -3850,6 +3863,21 @@ object QueriesLLM {
          SELECT doc_id, shuffle_key,
            CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT) AS pos
          FROM k ORDER BY doc_id""",
+    "chunk_sliding" ->
+      // same window/stride arithmetic: starts are range(0, n, 48), the
+      // slice is 1-based inclusive (list_slice), md5 over the identical
+      // space-joined chunk string
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+         c AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM s)
+         SELECT doc_id, CAST(start // 48 AS INT) AS chunk_id,
+           CAST(start AS INT) AS start,
+           CAST(LEAST(64, n - start) AS INT) AS n_toks,
+           md5(array_to_string(list_slice(toks, start + 1, start + 64), ' '))
+             AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
     "pack_sequences" ->
       """WITH t AS (
            SELECT doc_id,

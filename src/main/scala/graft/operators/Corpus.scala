@@ -153,6 +153,37 @@ object Corpus {
       .drop("_um_domain", "_um_full", "_um_thr")
   }
 
+  /** Sliding-window chunking — the long-document prep for
+    * context-bounded models and retrieval indexing: each document's token
+    * sequence splits into windows of `window` tokens advancing by
+    * `stride` (overlap = window − stride; BERT-style striding at
+    * stride < window, disjoint segmentation at stride == window). A
+    * window is emitted for every start in {0, stride, 2·stride, …} below
+    * the token count, so no token is dropped and the final window may be
+    * short. Returns (id, chunk_id, start, n_toks, chunk) with provenance
+    * intact — chunk_id = start / stride.
+    *
+    * Scale shape: pure per-row sequence+explode projection — no shuffle,
+    * no state, embarrassingly parallel; output size is
+    * ≈ corpus · window/stride, the caller's knob. */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   window: Int, stride: Int): DataFrame = {
+    require(window >= 1, "chunkSliding needs window >= 1")
+    require(stride >= 1 && stride <= window,
+      "chunkSliding needs 1 <= stride <= window (stride > window drops tokens)")
+    df.select(col(idCol).as("id"),
+        graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      // tokens() of any string is non-empty (split of "" is [""]), so
+      // sequence(0, n-1, stride) is always well-formed ascending
+      .select(col("id"), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("id"), col("chunk_id"), col("start"),
+        least(lit(window), col("__n") - col("start")).as("n_toks"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(window)), " ").as("chunk"))
+  }
+
   /** Concatenate-and-chunk sequence packing (GPT-style pre-training
     * batching): documents are deterministically sharded by salted id hash,
     * totally ordered within each shard (hash, then id — a reproducible

@@ -167,6 +167,41 @@ class LLMOpsSpec extends SparkSpec {
     }
   }
 
+  test("chunkSliding: overlap invariants, no token dropped, short final window, disjoint at stride==window") {
+    import graft.operators.Corpus
+    // 10 tokens "t0..t9", window 4, stride 3 → starts 0,3,6,9
+    val d = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "single")).toDF("doc_id", "text")
+    val out = Corpus.chunkSliding(d, "doc_id", "text", window = 4, stride = 3)
+      .as[(Long, Int, Int, Int, String)].collect().sortBy(r => (r._1, r._2))
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)))
+    assert(doc1.map(_._5).toSeq == Seq(
+      "t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9", "t9"))
+    // consecutive chunks share window − stride tokens
+    doc1.sliding(2).foreach {
+      case Array(a, b) =>
+        val at = a._5.split(" "); val bt = b._5.split(" ")
+        assert(at.takeRight(at.length - 3).sameElements(bt.take(at.length - 3)))
+      case _ => ()
+    }
+    // no token dropped: every position 0..9 covered by some [start, start+n)
+    val covered = doc1.flatMap(r => r._3 until (r._3 + r._4)).toSet
+    assert(covered == (0 until 10).toSet)
+    // a one-token document yields exactly one one-token chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 1, "single")))
+    // stride == window → disjoint exact partition of the token stream
+    val disjoint = Corpus.chunkSliding(d.filter(col("doc_id") === 1), "doc_id", "text",
+      window = 4, stride = 4).as[(Long, Int, Int, Int, String)].collect()
+    assert(disjoint.map(_._4).sum == 10)
+    assert(disjoint.flatMap(_._5.split(" ")).toSeq == (0 until 10).map(i => s"t$i"))
+    // stride > window rejects loudly (would silently drop tokens)
+    intercept[IllegalArgumentException] {
+      Corpus.chunkSliding(d, "doc_id", "text", window = 4, stride = 5)
+    }
+  }
+
   test("writeShards partitions deterministically and readers prune to one shard") {
     import graft.operators.Corpus
     val d = (0L until 50L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
