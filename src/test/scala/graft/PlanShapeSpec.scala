@@ -59,4 +59,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
     assert(codegenSpans(p) >= 1)
   }
+
+  test("frequent-items sketch merges sketch rows, never the value stream") {
+    val p = planOf("freq_items_tokens")
+    // partial sketch accumulation must sit BELOW the exchange: the only
+    // shuffled rows are per-partition sketches, not the exploded tokens
+    assert(p.contains("partial_approx_top_k"), "map-side sketch partials missing")
+    assert(!p.contains("Join"), "freq_items grew a join")
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "freq_items should shuffle only sketch rows + the final order")
+  }
+
+  test("sliding-window chunking is a stateless projection: no shuffle beyond the oracle order") {
+    val p = planOf("chunk_sliding")
+    assert(!p.contains("Join"))
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "chunkSliding must not shuffle the corpus")
+    assert(codegenSpans(p) >= 1)
+  }
 }
