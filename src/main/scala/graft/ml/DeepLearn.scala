@@ -615,4 +615,43 @@ object DeepLearn {
       math.floor(wts(off + h * o + c) * s * 10000.0).toLong)
     (w1, b1, w2, b2, math.pow(2.0, xScaleBits + wScaleBits))
   }
+
+  /** The ANY-depth spark.ml bridge: slice a trained
+    * `MultilayerPerceptronClassificationModel`'s packed weight vector
+    * (per affine layer a column-major (in × out) block then its bias)
+    * into [[sdaPredictQuantized]] literals — every affine (hidden AND
+    * head) floor-quantized at 2^wScaleBits, the [[quantizeStack]]
+    * convention: the stack scorer itself multiplies each bias by the
+    * incoming activation scale, so the integer logits share one positive
+    * scale (argmax-preserving, softmax monotone).
+    *
+    * A depth-independent caveat the one-layer bridge doesn't have:
+    * spark.ml's interior activation is the real sigmoid and the stack
+    * scorer's is the 1e-4 floor-quantized one, so quantization error
+    * compounds per layer — argmax equality holds on confidently-separated
+    * data (spec-asserted) with near-ties flippable, exactly like
+    * [[quantizeStack]] on driver nets. */
+  def quantizeMlpModelStack(
+      model: org.apache.spark.ml.classification.MultilayerPerceptronClassificationModel,
+      wScaleBits: Int = 12)
+      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) = {
+    val spec = model.getLayers
+    require(spec.length >= 3,
+      s"quantizeMlpModelStack: need >= 1 hidden layer, got ${spec.mkString("[", ",", "]")}")
+    val wts = model.weights.toArray
+    require(wts.length == spec.sliding(2).map { case Array(i, o) => i * o + o }.sum,
+      s"quantizeMlpModelStack: weight vector length ${wts.length} mismatches layer spec")
+    val s = math.pow(2.0, wScaleBits)
+    def q(x: Double): Long = math.floor(x * s).toLong
+    var off = 0
+    val affines = spec.sliding(2).map { case Array(in, out) =>
+      val w = (0 until out).map(i => (0 until in).map(j => q(wts(off + j * out + i))))
+      val b = (0 until out).map(i => wts(off + in * out + i))
+      off += in * out + out
+      (w, b)
+    }.toIndexedSeq
+    val hidden = affines.init.map { case (w, b) => (w, b.map(q)) }
+    val (hw, hbRaw) = affines.last
+    (hidden, hw, hbRaw.map(q))
+  }
 }

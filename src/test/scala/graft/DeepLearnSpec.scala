@@ -240,6 +240,27 @@ class DeepLearnSpec extends SparkSpec {
     rows.foreach { case (id, _, l) => assert(got(id) == l, s"row $id") }
   }
 
+  test("quantizeMlpModelStack: any-depth spark.ml bridge argmax-matches model.transform") {
+    // two hidden layers — the case the one-layer bridge rejects — through
+    // the stack scorer's fixed-point bookkeeping
+    val rows = trainX.zipWithIndex.map { case (x, i) =>
+      (i.toLong, x.map(_.toDouble).toSeq, if (i < 8) 0 else 1)
+    }.toSeq
+    val df = rows.toDF("vec_id", "features", "label")
+    val m = DeepLearn.mlpClassifier(df, "features", "label",
+      layers = Array(nIn, 10, 6, 2), maxIter = 80)
+    intercept[IllegalArgumentException] { DeepLearn.quantizeMlpModel(m) }
+    val (hidden, hw, hb) = DeepLearn.quantizeMlpModelStack(m)
+    assert(hidden.map(_._1.size) == Seq(10, 6) && hw.size == 2)
+    assert(hidden.head._1.head.size == nIn && hw.head.size == 6)
+    val got = DeepLearn.sdaPredictQuantized(df, "vec_id", "features", hidden, hw, hb)
+      .orderBy("vec_id").select("vec_id", "cls").as[(Long, Int)].collect().toMap
+    val want = DeepLearn.mlpPredict(m, df, "features", "pred")
+      .select("vec_id", "pred").as[(Long, Double)].collect().toMap
+    got.foreach { case (id, c) => assert(c.toDouble == want(id), s"row $id") }
+    rows.foreach { case (id, _, l) => assert(got(id) == l, s"row $id") }
+  }
+
   test("sda demo fixture: quantized distributed predict matches the driver net and is non-degenerate") {
     val net = QueriesLLM.sdaDemoNet
     val (ls, hw, hb) = QueriesLLM.sdaDemoWeights
