@@ -173,9 +173,13 @@ object Corpus {
       "chunkSliding needs 1 <= stride <= window (stride > window drops tokens)")
     df.select(col(idCol).as("id"),
         graft.operators.TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // null text → no chunks (nothing to chunk): without the filter,
+      // size(null) = -1 makes sequence(0, -2, stride) THROW at runtime —
+      // one bad row must not kill a corpus-sized job
+      .filter(col("__toks").isNotNull)
       .withColumn("__n", size(col("__toks")))
-      // tokens() of any string is non-empty (split of "" is [""]), so
-      // sequence(0, n-1, stride) is always well-formed ascending
+      // tokens() of any non-null string is non-empty (split of "" is
+      // [""]), so sequence(0, n-1, stride) is always well-formed ascending
       .select(col("id"), col("__toks"), col("__n"),
         posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
           .as(Seq("chunk_id", "start")))

@@ -200,6 +200,13 @@ class LLMOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Corpus.chunkSliding(d, "doc_id", "text", window = 4, stride = 5)
     }
+    // null text → no chunks, and the job survives (size(null) would
+    // otherwise feed sequence() an illegal descending range and throw)
+    val withNull = Seq((1L, Some("a b c")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val nn = Corpus.chunkSliding(withNull, "doc_id", "text", window = 2, stride = 2)
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(nn.map(_._1).toSet == Set(1L))
   }
 
   test("writeShards partitions deterministically and readers prune to one shard") {
