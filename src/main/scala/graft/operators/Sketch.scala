@@ -171,7 +171,9 @@ object Sketch {
   def frequentItems(df: DataFrame, value: org.apache.spark.sql.Column,
                     k: Int, maxTracked: Int = 1024): DataFrame = {
     require(k >= 1 && maxTracked >= k, "frequentItems needs maxTracked >= k >= 1")
-    df.select(value.as("__v"))
+    // approx_top_k COUNTS null as an item; the sketch family's contract
+    // here (CMS, KMV, HLL) is nulls-skipped — filter before the sketch
+    df.select(value.as("__v")).filter(col("__v").isNotNull)
       .agg(expr(s"approx_top_k(__v, $maxTracked, $maxTracked)").as("__tk"))
       .select(explode(col("__tk")).as("e"))
       .select(col("e.item").as("item"), col("e.count").as("cnt"))
@@ -192,6 +194,7 @@ object Sketch {
                            k: Int, maxTracked: Int = 1024): DataFrame = {
     require(k >= 1 && maxTracked >= k, "frequentItemsSharded needs maxTracked >= k >= 1")
     df.select(shard.as("__s"), value.as("__v"))
+      .filter(col("__v").isNotNull) // same nulls-skipped family contract
       .groupBy("__s")
       .agg(expr(s"approx_top_k_accumulate(__v, $maxTracked)").as("__sk"))
       .agg(expr(s"approx_top_k_combine(__sk, $maxTracked)").as("__c"))

@@ -641,6 +641,13 @@ class LLMOpsSpec extends SparkSpec {
     val got13 = Sketch.frequentItems(d.repartition(13), col("v"), k = 5, maxTracked = 256)
       .as[(String, Long)].collect().toSeq
     assert(got13 == want)
+    // nulls are SKIPPED (the sketch-family contract; bare approx_top_k
+    // would count null as an item and let it occupy a top slot)
+    val withNulls = (rows.map(Option(_)) ++ Seq.fill(600)(Option.empty[String]))
+      .map(Tuple1(_)).toDF("v")
+    val gotN = Sketch.frequentItems(withNulls, col("v"), k = 5, maxTracked = 256)
+      .as[(String, Long)].collect().toSeq
+    assert(gotN == want, s"nulls leaked into the summary: $gotN")
     // eviction regime: 3 planted heavies over a 5000-distinct tail with
     // capacity 64 — the frequent-items guarantee (any item with true
     // count > N/capacity survives) must hold, ranked first, with
