@@ -209,6 +209,36 @@ class LLMOpsSpec extends SparkSpec {
     assert(nn.map(_._1).toSet == Set(1L))
   }
 
+  test("chunkSliding property: random docs tile exactly under random window/stride") {
+    import graft.operators.Corpus
+    // seeded sweep over (window, stride, token-count) combinations; every
+    // emitted span must match the driver-side model exactly and the spans
+    // must cover every token position
+    val rng = new scala.util.Random(7L)
+    for (_ <- 1 to 4) {
+      val w = 1 + rng.nextInt(8)
+      val s = 1 + rng.nextInt(w)
+      val docs = (0 until 6).map { d =>
+        val n = 1 + rng.nextInt(30)
+        (d.toLong, (0 until n).map(i => s"t$i").mkString(" "))
+      }
+      val out = Corpus.chunkSliding(docs.toDF("doc_id", "text"), "doc_id", "text", w, s)
+        .as[(Long, Int, Int, Int, String)].collect().groupBy(_._1)
+      docs.foreach { case (id, text) =>
+        val toks = text.split(" ")
+        val n = toks.length
+        val got = out(id).sortBy(_._2)
+        assert(got.map(_._3).toSeq == (0 until n by s).toSeq, s"w=$w s=$s n=$n")
+        got.foreach { case (_, cid, st, nt, chunk) =>
+          assert(cid == st / s)
+          assert(nt == math.min(w, n - st), s"w=$w s=$s n=$n start=$st")
+          assert(chunk == toks.slice(st, st + w).mkString(" "))
+        }
+        assert(got.flatMap(r => r._3 until (r._3 + r._4)).toSet == (0 until n).toSet)
+      }
+    }
+  }
+
   test("writeShards partitions deterministically and readers prune to one shard") {
     import graft.operators.Corpus
     val d = (0L until 50L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
