@@ -1596,6 +1596,16 @@ class LLMOpsSpec extends SparkSpec {
     val withNullElem = spark.sql(
       "SELECT vec_idot(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS d")
     assert(withNullElem.collect()(0).isNullAt(0))
+    // overflow wraps like the HOF fold (documented contract): products
+    // near 2^62 summed past Long.MaxValue agree bit-for-bit
+    val big = Seq((0L, Seq(1L << 31, 1L << 31, 1L << 31), Seq(1L << 31, 1L << 31, 1L << 31)))
+      .toDF("id", "a", "b")
+    val wrap = big.select(
+      call_function("vec_idot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, v) => acc + v).as("hof"))
+      .as[(Long, Long)].head()
+    assert(wrap._1 == wrap._2)
     // interpreted path agrees with codegen
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
