@@ -266,10 +266,79 @@ object QueriesLLM {
       : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) =
     graft.ml.DeepLearn.quantizeStack(sdaDemoNet, wScaleBits = 12)
 
+  /** DBN sibling of [[sdaDemoNet]]: same fixture and inference math
+    * (StackedNet predict is shared), different pretraining (CD-1 RBMs) —
+    * and a deeper recipe, because CD-1 needs more greedy epochs before
+    * the head separates the regions (probed: 300/2000 → 30/30 train
+    * accuracy, 3-class spread over random sign patterns). */
+  private[graft] lazy val dbnDemoNet: graft.ml.DeepLearn.StackedNet = {
+    val net = new graft.ml.DeepLearn.DeepBeliefNet(
+      16, Seq(8, 6), 3, seed = 1234L, cdK = 1)
+    val xs = Array.tabulate(30, 16) { (n, j) =>
+      val c = n % 3
+      if (j >= c * 5 && j < c * 5 + 5) 1
+      else if ((n * 7 + j * 3) % 7 == 0) 1 else 0
+    }
+    val ys = Array.tabulate(30, 3)((n, c) => if (n % 3 == c) 1 else 0)
+    net.pretrain(xs, lr = 0.1, epochs = 300)
+    net.finetune(xs, ys, lr = 0.1, epochs = 2000)
+    net
+  }
+
+  private[graft] lazy val dbnDemoWeights
+      : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) =
+    graft.ml.DeepLearn.quantizeStack(dbnDemoNet, wScaleBits = 12)
+
   /** Render quantized weights as DuckDB list literals for the generated
-    * `deeplearn_sda_predict` oracle. */
+    * stack-predict oracles. */
   private def sqlList(v: Seq[Long]): String = v.mkString("[", ",", "]")
   private def sqlMat(m: Seq[Seq[Long]]): String = m.map(sqlList).mkString("[", ",", "]")
+
+  /** Generated DuckDB oracle for [[graft.ml.DeepLearn.sdaPredictQuantized]]
+    * over sign-binarized 16-dim embedding inputs: one
+    * `list_transform`/`list_sum` CTE per hidden layer with the scorer's
+    * exact fixed-point bookkeeping (inputs at 2^10 — binarized to
+    * {0, 1024} — weights at 2^12, sigmoids floor-quantized to 1e4),
+    * integer head logits, argmax CASE with ties to the lowest class. */
+  private def stackPredictOracleSql(
+      weights: (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long])): String = {
+    val (ls, hw, hb) = weights
+    val sb = new StringBuilder
+    sb ++= """WITH l0 AS (
+           SELECT vec_id, list_transform(embedding[1:16],
+             x -> CAST(CASE WHEN x > 0 THEN 1024 ELSE 0 END AS BIGINT)) AS a0
+           FROM embeddings)"""
+    var inScale = 1024L
+    for (((w, b), i) <- ls.zipWithIndex) {
+      val denom = inScale.toDouble * 4096
+      sb ++= s""",
+         l${i + 1} AS (
+           SELECT vec_id, list_transform(range(${w.size}), i ->
+             CAST(floor(10000.0 / (1.0 + exp(-(CAST(
+               ${sqlList(b)}[i + 1] * $inScale +
+               CAST(list_sum(list_transform(range(${w.head.size}), j ->
+                 ${sqlMat(w)}[i + 1][j + 1] * a$i[j + 1])) AS BIGINT)
+             AS DOUBLE) / $denom)))) AS BIGINT)) AS a${i + 1}
+           FROM l$i)"""
+      inScale = 10000L
+    }
+    val n = ls.size
+    val arms = (0 until hw.size - 1)
+      .map(c => s"WHEN z[${c + 1}] = list_max(z) THEN $c").mkString(" ")
+    sb ++= s""",
+         hd AS (
+           SELECT vec_id, a$n, list_transform(range(${hw.size}), c ->
+             ${sqlList(hb)}[c + 1] * $inScale +
+             CAST(list_sum(list_transform(range(${hw.head.size}), j ->
+               ${sqlMat(hw)}[c + 1][j + 1] * a$n[j + 1])) AS BIGINT)) AS z
+           FROM l$n)
+         SELECT vec_id,
+           CAST(CASE $arms ELSE ${hw.size - 1} END AS INT) AS cls,
+           CAST(list_sum(a$n) AS BIGINT) AS h_sum,
+           CAST(list_sum(z) AS BIGINT) AS logit_sum
+         FROM hd ORDER BY vec_id"""
+    sb.toString
+  }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
 
@@ -389,6 +458,18 @@ object QueriesLLM {
     // vary with each row's sign pattern instead of saturating.
     "deeplearn_sda_predict" -> ((s, dir) => {
       val (ls, hw, hb) = sdaDemoWeights
+      graft.ml.DeepLearn.sdaPredictQuantized(
+        rd(s, dir, "embeddings").withColumn("emb16",
+          transform(slice(col("embedding"), 1, 16),
+            x => when(x > lit(0.0f), lit(1.0)).otherwise(lit(0.0)))),
+        "vec_id", "emb16", ls, hw, hb).orderBy("vec_id")
+    }),
+
+    // the DBN's predict path through the SAME distributed scorer and the
+    // same generated-oracle machinery — pretraining differs (CD-1 RBMs),
+    // inference math is shared, so gating both pins the whole stack family
+    "deeplearn_dbn_predict" -> ((s, dir) => {
+      val (ls, hw, hb) = dbnDemoWeights
       graft.ml.DeepLearn.sdaPredictQuantized(
         rd(s, dir, "embeddings").withColumn("emb16",
           transform(slice(col("embedding"), 1, 16),
@@ -2871,50 +2952,11 @@ object QueriesLLM {
            CAST(list_sum(a1) AS BIGINT) AS h_sum,
            CAST(list_sum(z2) AS BIGINT) AS logit_sum
          FROM lg ORDER BY vec_id""",
-    // generated oracle: the trained-then-quantized SdA weights render as
-    // list literals (sqlList/sqlMat), one CTE stage per hidden layer with
-    // the same fixed-point bookkeeping as sdaPredictQuantized — inputs at
-    // 2^10 (sign-binarized → exactly {0, 1024}), weights at 2^12, each
-    // sigmoid floor-quantized to 1e4, integer head logits, argmax CASE
-    // with ties to the lowest class index
-    "deeplearn_sda_predict" -> {
-      val (ls, hw, hb) = sdaDemoWeights
-      val sb = new StringBuilder
-      sb ++= """WITH l0 AS (
-           SELECT vec_id, list_transform(embedding[1:16],
-             x -> CAST(CASE WHEN x > 0 THEN 1024 ELSE 0 END AS BIGINT)) AS a0
-           FROM embeddings)"""
-      var inScale = 1024L
-      for (((w, b), i) <- ls.zipWithIndex) {
-        val denom = inScale.toDouble * 4096
-        sb ++= s""",
-         l${i + 1} AS (
-           SELECT vec_id, list_transform(range(${w.size}), i ->
-             CAST(floor(10000.0 / (1.0 + exp(-(CAST(
-               ${sqlList(b)}[i + 1] * $inScale +
-               CAST(list_sum(list_transform(range(${w.head.size}), j ->
-                 ${sqlMat(w)}[i + 1][j + 1] * a$i[j + 1])) AS BIGINT)
-             AS DOUBLE) / $denom)))) AS BIGINT)) AS a${i + 1}
-           FROM l$i)"""
-        inScale = 10000L
-      }
-      val n = ls.size
-      val arms = (0 until hw.size - 1)
-        .map(c => s"WHEN z[${c + 1}] = list_max(z) THEN $c").mkString(" ")
-      sb ++= s""",
-         hd AS (
-           SELECT vec_id, a$n, list_transform(range(${hw.size}), c ->
-             ${sqlList(hb)}[c + 1] * $inScale +
-             CAST(list_sum(list_transform(range(${hw.head.size}), j ->
-               ${sqlMat(hw)}[c + 1][j + 1] * a$n[j + 1])) AS BIGINT)) AS z
-           FROM l$n)
-         SELECT vec_id,
-           CAST(CASE $arms ELSE ${hw.size - 1} END AS INT) AS cls,
-           CAST(list_sum(a$n) AS BIGINT) AS h_sum,
-           CAST(list_sum(z) AS BIGINT) AS logit_sum
-         FROM hd ORDER BY vec_id"""
-      sb.toString
-    },
+    // generated oracles: the trained-then-quantized stack weights render
+    // as list literals through stackPredictOracleSql — SdA and DBN share
+    // the inference math, so one builder gates both
+    "deeplearn_sda_predict" -> stackPredictOracleSql(sdaDemoWeights),
+    "deeplearn_dbn_predict" -> stackPredictOracleSql(dbnDemoWeights),
     "doc_embedding_pool" ->
       // same hash-embedding table (byte j of one md5 per word, signed),
       // exact integer sums, one division per dimension, ordered by dim

@@ -302,4 +302,33 @@ class DeepLearnSpec extends SparkSpec {
       .orderBy("vec_id").select("cls").as[Int].collect().toSeq
     assert(trainGot == trainPred.toSeq, s"got=$trainGot want=${trainPred.toSeq}")
   }
+
+  test("dbn demo fixture: quantized distributed predict matches the driver net and is non-degenerate") {
+    // same shared inference path, CD-1-pretrained weights
+    val net = QueriesLLM.dbnDemoNet
+    val (ls, hw, hb) = QueriesLLM.dbnDemoWeights
+    val xs = Array.tabulate(30, 16) { (n, j) =>
+      val c = n % 3
+      if (j >= c * 5 && j < c * 5 + 5) 1
+      else if ((n * 7 + j * 3) % 7 == 0) 1 else 0
+    }
+    val trainPred = xs.map(net.predictClass)
+    assert(xs.indices.forall(n => trainPred(n) == n % 3),
+      s"fixture not learned: ${trainPred.mkString(",")}")
+    val rng = new java.util.Random(42L)
+    val pats = (0 until 64).map(_ => Array.fill(16)(if (rng.nextBoolean()) 1 else 0))
+    val want = pats.map(net.predictClass)
+    assert(want.distinct.size >= 2, s"degenerate: ${want.distinct.mkString(",")}")
+    val df = pats.zipWithIndex.map { case (p, i) =>
+      (i.toLong, p.map(_.toDouble).toSeq)
+    }.toDF("vec_id", "emb")
+    val got = DeepLearn.sdaPredictQuantized(df, "vec_id", "emb", ls, hw, hb)
+      .orderBy("vec_id").select("cls").as[Int].collect().toSeq
+    val diff = got.indices.filter(i => got(i) != want(i))
+    assert(diff.size <= 2, s"too many flips: $diff got=$got want=$want")
+    diff.foreach { i =>
+      val p = net.predict(pats(i)).sorted.reverse
+      assert(p(0) - p(1) < 0.02, s"row $i flipped with margin ${p(0) - p(1)}")
+    }
+  }
 }
