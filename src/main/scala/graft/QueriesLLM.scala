@@ -1466,6 +1466,61 @@ object QueriesLLM {
         col("bg"), k = 64)
     }),
 
+    // ---------------- KLL quantile sketch: per-source doc-length
+    // percentiles through ONE ObjectHashAggregate pair (bounded per-group
+    // state, no sort/window of the corpus), quantiles rank-extracted from
+    // the retained sample by pure HOF folds. k=256 ≥ every dev-SF group,
+    // so the sketch is in its exact regime (= sorted multiset, a multiset
+    // property independent of partitioning) and sits under the hash gate;
+    // the compaction regime's rank-error bound is spec'd (QuantileKllSpec).
+    "quantile_sketch" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), length(col("text")).cast(DoubleType).as("len"))
+      val sk = graft.operators.Sketch.quantileSketch(d, Seq("source"), col("len"), k = 256)
+      graft.operators.Sketch.sketchQuantiles(sk, "qsk",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .select("source", "n", "p50", "p90", "p99")
+        .orderBy("source")
+    }),
+
+    // ---------------- Same percentiles through the merge path: one sketch
+    // per (source, doc_id%4) shard, shards merged RELATIONALLY (explode the
+    // retained samples, weights of equal values add, window cumsum over the
+    // O(shards·k) sample rows — the corpus is never rescanned). Sketches
+    // ride as data (persist per-shard/per-day, union later), and in the
+    // exact regime the merged multiset IS the union multiset, so this
+    // hash-matches quantile_sketch's oracle verbatim.
+    "quantile_sketch_merge" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), (col("doc_id") % 4).as("shard"),
+          length(col("text")).cast(DoubleType).as("len"))
+      val sks = graft.operators.Sketch.quantileSketch(
+        d, Seq("source", "shard"), col("len"), k = 256)
+      graft.operators.Sketch.mergedQuantiles(sks, Seq("source"), "qsk",
+          Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+        .orderBy("source")
+    }),
+
+    // ---------------- Downstream use of the sketch: winsorize doc lengths
+    // at the per-source sketch-p99 — the sketch output (20 rows) broadcasts
+    // back onto the corpus, so the gate is one scan + one broadcast hash
+    // join; the clamped sum stays in integer space (char counts) so the
+    // aggregate is order-free and hash-stable.
+    "winsorize_p99" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("source"), length(col("text")).cast(DoubleType).as("len"))
+      val sk = graft.operators.Sketch.quantileSketch(d, Seq("source"), col("len"), k = 256)
+      val q = graft.operators.Sketch.sketchQuantiles(sk, "qsk", Seq("p99" -> 0.99))
+        .select(col("source").as("__qsrc"), col("p99"))
+      d.join(broadcast(q), col("source") <=> col("__qsrc"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("len") > col("p99"), 1L).otherwise(0L)).as("n_clamped"),
+          sum(least(col("len"), col("p99")).cast(LongType)).as("sum_winsorized"))
+        .orderBy("source")
+    }),
+
     // ---------------- Count-Min heavy hitters: the d×w counter matrix is
     // a DataFrame (order-free integer sums — bit-replayable), candidates
     // are estimated by a broadcast join against the sketch, threshold
@@ -2706,6 +2761,23 @@ object QueriesLLM {
 
   /** dsirWeights' hashed-gram scoring CTEs through `agg` = (doc_id,
     * n_grams, logw_q4) — shared by the weight and resample oracles. */
+  /** Shared by quantile_sketch and quantile_sketch_merge: both paths
+    * answer the exact order statistics in the sketch's exact regime, so
+    * one oracle gates the aggregate AND the relational merge. Lower
+    * quantile at rank ceil(p·n): min v with row_number ≥ target. */
+  private val qsketchOracleSql: String =
+    """WITH v AS (
+         SELECT source, CAST(length(text) AS DOUBLE) AS v
+         FROM documents WHERE text IS NOT NULL),
+       r AS (SELECT source, v,
+               row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+               count(*) OVER (PARTITION BY source) AS n FROM v)
+       SELECT source, CAST(max(n) AS BIGINT) AS n,
+         min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50,
+         min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90,
+         min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99
+       FROM r GROUP BY source ORDER BY source"""
+
   private val dsirWeightCtes: String =
     """t AS (
            SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
@@ -3826,6 +3898,30 @@ object QueriesLLM {
            CAST(nc.n_common AS DOUBLE) / us.n_kept AS jaccard_est,
            floor(CAST(nc.n_common AS DOUBLE) / us.n_kept * ue.union_est) AS inter_est
          FROM us, nc, ue""",
+    "quantile_sketch" ->
+      // exact regime (k=256 ≥ every group): the sketch is the sorted value
+      // multiset at weight 1, so the lower quantile at rank ceil(p·n) is
+      // the exact order statistic — the same rank math as the Spark fold
+      qsketchOracleSql,
+    "quantile_sketch_merge" ->
+      // merged exact-regime shard sketches carry the union multiset, so
+      // the relational merge path answers the SAME order statistics
+      qsketchOracleSql,
+    "winsorize_p99" ->
+      // p99 from the exact-regime sketch, broadcast back, integer clamp sum
+      """WITH v AS (
+           SELECT source, CAST(length(text) AS DOUBLE) AS len
+           FROM documents WHERE text IS NOT NULL),
+         r AS (SELECT source, len,
+                 row_number() OVER (PARTITION BY source ORDER BY len) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n FROM v),
+         q AS (SELECT source, min(CASE WHEN rn >= ceil(0.99 * n) THEN len END) AS p99
+               FROM r GROUP BY source)
+         SELECT v.source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN v.len > q.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+           CAST(sum(CAST(least(v.len, q.p99) AS BIGINT)) AS BIGINT) AS sum_winsorized
+         FROM v JOIN q ON v.source IS NOT DISTINCT FROM q.source
+         GROUP BY v.source ORDER BY v.source""",
     "dsir_resample" ->
       // Gumbel top-k over the same weights: u = (md5-hash + 0.5)/2^60,
       // g_q4 = floor(1e4 * -ln(-ln(u))), keep the 100 largest logw+g keys

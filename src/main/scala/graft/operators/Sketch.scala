@@ -90,6 +90,85 @@ object Sketch {
       .drop("__hk")
   }
 
+  // ------------------------------------------------- quantiles (KLL)
+
+  /** One [[graft.plans.QuantileKll]] sketch per group: (groupCols…, qsk)
+    * with qsk the retained weighted sample `array<struct<v,w>>` sorted by
+    * (v, w). State is O(k·log(n/k)) per group at EVERY stage (map-side
+    * partials ship the sketch, never the group's values), the plan is one
+    * ObjectHashAggregate pair — no sort, no window. Groups with n ≤ k
+    * values are in the EXACT regime: no compaction fires and qsk IS the
+    * sorted value multiset at weight 1, a multiset property independent
+    * of partitioning — which is what puts the dev-SF gate under the
+    * DuckDB hash. Nulls are skipped (sketch-family contract). */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String],
+                     value: org.apache.spark.sql.Column, k: Int = 256): DataFrame = {
+    val gcols = groupCols.map(col)
+    df.groupBy(gcols: _*)
+      .agg(call_function("qsketch", value, lit(k)).as("qsk"))
+  }
+
+  /** Rank-extract lower quantiles from a sketch column: for each (name, p)
+    * the smallest v whose cumulative weight reaches ceil(p·W), W the total
+    * retained weight (emitted as `n`; equals the true group size in the
+    * exact regime). Pure higher-order folds over the already-sorted sample
+    * — no explode, no shuffle, no window. The total weight and each rank
+    * target are materialized as named columns in their own projections so
+    * no lambda subtree is ever re-inlined (HOFs get no codegen CSE). */
+  def sketchQuantiles(df: DataFrame, sketchCol: String,
+                      ps: Seq[(String, Double)]): DataFrame = {
+    val withW = df.withColumn("n",
+      aggregate(col(sketchCol), lit(0L), (acc, x) => acc + x.getField("w")))
+    ps.foldLeft(withW) { case (d, (name, p)) =>
+      d.withColumn(name,
+        quantileAtRank(col(sketchCol), ceil(lit(p) * col("n")).cast(LongType)))
+    }
+  }
+
+  /** Smallest v in the sorted (v, w) sample whose running weight ≥ target:
+    * one left fold carrying (cum, ans), ans latched by coalesce on first
+    * crossing. Empty sketch (all-null group) ⇒ null. */
+  private def quantileAtRank(sk: org.apache.spark.sql.Column,
+                             target: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(sk,
+      struct(lit(0L).as("cum"), lit(null).cast(DoubleType).as("ans")),
+      (acc, x) => {
+        val cum = acc.getField("cum") + x.getField("w")
+        struct(cum.as("cum"),
+          coalesce(acc.getField("ans"),
+            when(cum >= target, x.getField("v"))).as("ans"))
+      },
+      acc => acc.getField("ans"))
+
+  /** The merge path — sketches AS DATA. Input: one sketch row per
+    * (group, shard); shard sketches are merged RELATIONALLY (explode to
+    * (group, v, w) rows, weights of equal values add) and quantiles are
+    * rank-extracted with a window cumsum. Nothing here rescans the corpus:
+    * the window orders O(shards·k·log) retained-sample rows per group, so
+    * persisting per-shard/per-day sketches and merging later is a plain
+    * union — the same ride-as-data contract as the CMS/frequent-items
+    * sketches. In the exact regime the merged multiset is the union
+    * multiset, so this must hash-match the unsharded extraction. */
+  def mergedQuantiles(shardSketches: DataFrame, groupCols: Seq[String],
+                      sketchCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = shardSketches
+      .select(gcols :+ explode(col(sketchCol)).as("__x"): _*)
+      .select(gcols ++ Seq(col("__x.v").as("__v"), col("__x.w").as("__w")): _*)
+      .groupBy(gcols :+ col("__v"): _*).agg(sum(col("__w")).as("__w"))
+    val wCum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(gcols: _*)
+    val cum = rows
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+    cum.groupBy(gcols: _*)
+      .agg(max(col("__tot")).as("n"),
+        ps.map { case (name, p) =>
+          min(when(col("__cum") >= ceil(lit(p) * col("__tot")), col("__v"))).as(name)
+        }: _*)
+  }
+
   private val P31 = 2147483647L // 2^31 − 1, the affine hash family modulus
 
   /** Count-Min sketch (Cormode & Muthukrishnan 2005) built AS DATA: the

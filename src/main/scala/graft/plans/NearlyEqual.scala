@@ -91,6 +91,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KmvBottomK(Cast(children.head, org.apache.spark.sql.types.LongType), k)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("qsketch"),
+      new ExpressionInfo(classOf[QuantileKll].getName, "qsketch"),
+      (children: Seq[Expression]) => {
+        val k = children(1).eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.toInt
+          case s: java.lang.Short => s.toInt
+          case other => throw new IllegalArgumentException(
+            s"qsketch(value, k): k must be a foldable integer literal, got $other")
+        }
+        QuantileKll(Cast(children.head, DoubleType), k)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("topk_by"),
       new ExpressionInfo(classOf[TopKByScore].getName, "topk_by"),
       (children: Seq[Expression]) => {

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+/** KLL quantile sketch (`qsketch` / plans.QuantileKll): exact-regime
+  * multiset identity, partition invariance, weight conservation, merge
+  * path equivalence, compaction-regime state + rank-error bounds, null
+  * handling, k guard, plan shape. */
+class QuantileKllSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+
+  /** Lower quantile at rank ceil(p·n) over an exact multiset. */
+  private def exactQ(vs: Seq[Double], p: Double): Double = {
+    val s = vs.sorted
+    s((math.ceil(p * s.length) - 1).toInt.max(0))
+  }
+
+  test("exact regime: sketch IS the sorted multiset at weight 1, partition-invariant") {
+    val vs = Seq(5.0, 1.0, 3.0, 3.0, 2.0, 9.0, 3.0) // dups retained
+    def sk(parts: Int) = Sketch
+      .quantileSketch(vs.map(v => ("g", v)).toDF("g", "v").repartition(parts),
+        Seq("g"), col("v"), k = 8)
+      .select("qsk").collect()(0).getSeq[Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val one = sk(1)
+    assert(one == vs.sorted.map((_, 1L)))
+    assert(sk(7) == one) // multiset property: any partitioning, same sample
+  }
+
+  test("sketchQuantiles matches exact order statistics in the exact regime") {
+    val vs = (1 to 200).map(i => ((i * 37) % 101).toDouble)
+    val df = vs.zipWithIndex.map { case (v, i) => (s"g${i % 3}", v) }.toDF("g", "v")
+    val got = Sketch.sketchQuantiles(
+        Sketch.quantileSketch(df, Seq("g"), col("v"), k = 256), "qsk", ps)
+      .orderBy("g").collect()
+    val byG = vs.zipWithIndex.groupBy { case (_, i) => s"g${i % 3}" }
+    got.foreach { r =>
+      val g = r.getString(0)
+      val mine = byG(g).map(_._1)
+      assert(r.getLong(r.fieldIndex("n")) == mine.length)
+      ps.foreach { case (name, p) =>
+        assert(r.getDouble(r.fieldIndex(name)) == exactQ(mine, p),
+          s"$g $name")
+      }
+    }
+  }
+
+  test("mergedQuantiles over shard sketches equals the unsharded extraction") {
+    val df = (0 until 300)
+      .map(i => (s"g${i % 2}", i % 5, ((i * 53) % 997).toDouble))
+      .toDF("g", "shard", "v")
+    val whole = Sketch.sketchQuantiles(
+        Sketch.quantileSketch(df, Seq("g"), col("v"), k = 512), "qsk", ps)
+      .select("g", "n", "p50", "p90", "p99").orderBy("g").collect().toSeq
+    val merged = Sketch.mergedQuantiles(
+        Sketch.quantileSketch(df, Seq("g", "shard"), col("v"), k = 512),
+        Seq("g"), "qsk", ps)
+      .select("g", "n", "p50", "p90", "p99").orderBy("g").collect().toSeq
+    assert(whole.nonEmpty && merged == whole)
+  }
+
+  test("compaction regime: bounded state, conserved weight, bounded rank error") {
+    val n = 10000
+    val k = 64
+    // deterministic shuffle of 0..n-1 so ranks are readable off values
+    val vs = (0 until n).map(i => ((i.toLong * 48271) % n).toDouble)
+    val df = vs.map(("g", _)).toDF("g", "v").repartition(4)
+    val sk = Sketch.quantileSketch(df, Seq("g"), col("v"), k = k)
+    val sample = sk.select("qsk").collect()(0).getSeq[Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // state: ≤ k+1 per level, ~log2(n/k)+2 levels — far below n
+    val levels = math.ceil(math.log(n.toDouble / k) / math.log(2)).toInt + 2
+    assert(sample.length <= (k + 1) * levels,
+      s"retained ${sample.length} of $n")
+    assert(sample.length < n / 10)
+    assert(sample.map(_._2).sum == n) // odd-leftover rule conserves weight
+    val got = Sketch.sketchQuantiles(sk, "qsk", ps).collect()(0)
+    assert(got.getLong(got.fieldIndex("n")) == n)
+    ps.foreach { case (name, p) =>
+      // value ≈ rank by construction; each level-i compaction moves any
+      // rank by ≤ 2^i — empirically well inside 5% of n for k=64
+      val err = math.abs(got.getDouble(got.fieldIndex(name)) - exactQ(vs, p))
+      assert(err <= 0.05 * n, s"$name off by $err")
+    }
+  }
+
+  test("nulls are skipped; an all-null group yields empty sketch and null quantiles") {
+    val df = Seq(("a", Some(2.0)), ("a", None), ("a", Some(4.0)), ("b", None))
+      .toDF("g", "v")
+    val out = Sketch.sketchQuantiles(
+        Sketch.quantileSketch(df, Seq("g"), col("v"), k = 8), "qsk", ps)
+      .orderBy("g").collect()
+    assert(out(0).getLong(out(0).fieldIndex("n")) == 2L)
+    assert(out(0).getDouble(out(0).fieldIndex("p50")) == 2.0)
+    assert(out(1).getLong(out(1).fieldIndex("n")) == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("p50")))
+  }
+
+  test("serialize/deserialize round-trips multi-level state") {
+    val agg = plans.QuantileKll(
+      org.apache.spark.sql.catalyst.expressions.Literal(0.0), k = 8)
+    val st = agg.createAggregationBuffer()
+    st.levels(0) ++= Seq(3.0, 1.0)
+    st.levels += scala.collection.mutable.ArrayBuffer(7.0)
+    st.levels += scala.collection.mutable.ArrayBuffer(2.0, 9.0)
+    val back = agg.deserialize(agg.serialize(st))
+    assert(back.levels.map(_.toSeq) == st.levels.map(_.toSeq))
+  }
+
+  test("qsketch rejects k < 8 and non-literal k") {
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    intercept[Exception] {
+      df.groupBy("g").agg(expr("qsketch(v, 4)")).collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT qsketch(1.0, NULL)").collect()
+    }
+  }
+
+  test("plan shape: one ObjectHashAggregate pair, no Window, no Sort of the input") {
+    val df = (0 until 100).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v")
+    val plan = Sketch.sketchQuantiles(
+        Sketch.quantileSketch(df, Seq("g"), col("v"), k = 256), "qsk", ps)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort"), plan)
+  }
+}
