@@ -1392,6 +1392,42 @@ object QueriesLLM {
         .orderBy("source")
     }),
 
+    // ---------------- streaming quantiles under the oracle via the same
+    // two-batch replay: KLL level state folds across the batch boundary
+    // through the IDENTICAL deterministic compaction as the batch
+    // aggregate (shared QuantileKll.insert); n is exact in every regime
+    // (weight conservation), so the final state is the max-n emission per
+    // group, and in the exact regime (k=256 ≥ every dev-SF group) the
+    // emitted p50/p90/p99 are exact order statistics — the SAME oracle as
+    // quantile_sketch gates the cross-batch state.
+    "streaming_quantile_2batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id").cast("long"), col("source"),
+          length(col("text")).cast("double").as("len"))
+        .orderBy("doc_id").as[(Long, String, Double)].collect().toSeq
+      val (b1, b2) = docs.partition(_._1 < 250)
+      val in = MemoryStream[(Long, String, Double)]
+      val stream = in.toDF.toDF("doc_id", "source", "len")
+        .repartition(4, col("doc_id"))
+      val out = graft.streaming.Streams.streamingQuantiles(
+        stream, "source", "len", k = 256)
+      val name = "squant2_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("source"))
+        .agg(max(struct(col("n"), col("p50"), col("p90"), col("p99"))).as("__f"))
+        .select(col("source"), col("__f.n").as("n"), col("__f.p50").as("p50"),
+          col("__f.p90").as("p90"), col("__f.p99").as("p99"))
+        .orderBy("source")
+    }),
+
     // ---------------- streaming frequent items under the oracle via the
     // same two-batch replay: Misra-Gries counter state folds across the
     // batch boundary; in the exact regime counts are exact and monotone
@@ -3906,6 +3942,10 @@ object QueriesLLM {
     "quantile_sketch_merge" ->
       // merged exact-regime shard sketches carry the union multiset, so
       // the relational merge path answers the SAME order statistics
+      qsketchOracleSql,
+    "streaming_quantile_2batch" ->
+      // cross-batch KLL state in the exact regime answers the same exact
+      // order statistics as the batch aggregate — one oracle, three paths
       qsketchOracleSql,
     "winsorize_p99" ->
       // p99 from the exact-regime sketch, broadcast back, integer clamp sum

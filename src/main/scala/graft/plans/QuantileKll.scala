@@ -78,10 +78,7 @@ case class QuantileKll(
 
   override def update(buffer: KllState, input: InternalRow): KllState = {
     val v = child.eval(input)
-    if (v != null) {
-      buffer.levels(0) += v.asInstanceOf[Double]
-      if (buffer.levels(0).length > k) compact(buffer, 0)
-    }
+    if (v != null) QuantileKll.insert(buffer, v.asInstanceOf[Double], k)
     buffer
   }
 
@@ -92,53 +89,16 @@ case class QuantileKll(
       if (src.nonEmpty) {
         while (buffer.levels.length <= i) buffer.levels += ArrayBuffer.empty[Double]
         buffer.levels(i) ++= src
-        if (buffer.levels(i).length > k) compact(buffer, i)
+        if (buffer.levels(i).length > k) QuantileKll.compact(buffer, i, k)
       }
       i += 1
     }
     buffer
   }
 
-  /** Deterministic compaction: sort level `i`, promote the even-indexed
-    * items of the even-length prefix (their weight doubles; each promoted
-    * item stands for itself and its right neighbour, so any rank estimate
-    * is perturbed by at most 2^i per compaction), keep the odd leftover —
-    * if any — at level `i` so TOTAL RETAINED WEIGHT is conserved exactly
-    * (the sketch's `n` is always the true non-null count), cascade upward
-    * on overflow. No random offset — same input multiset and merge order
-    * ⇒ same retained sample. */
-  private def compact(st: KllState, i: Int): Unit = {
-    val lvl = st.levels(i)
-    val sorted = lvl.toArray
-    java.util.Arrays.sort(sorted)
-    if (st.levels.length <= i + 1) st.levels += ArrayBuffer.empty[Double]
-    val up = st.levels(i + 1)
-    lvl.clear()
-    val even = sorted.length & ~1
-    var j = 0
-    while (j < even) { up += sorted(j); j += 2 }
-    if (even < sorted.length) lvl += sorted(sorted.length - 1)
-    if (up.length > k) compact(st, i + 1)
-  }
-
   override def eval(buffer: KllState): Any = {
-    var n = 0
-    var i = 0
-    while (i < buffer.levels.length) { n += buffer.levels(i).length; i += 1 }
-    val vs = new Array[Double](n)
-    val ws = new Array[Long](n)
-    var o = 0
-    i = 0
-    while (i < buffer.levels.length) {
-      val lvl = buffer.levels(i)
-      val w = 1L << i
-      var j = 0
-      while (j < lvl.length) { vs(o) = lvl(j); ws(o) = w; o += 1; j += 1 }
-      i += 1
-    }
-    // sort (v, w) ascending so the emitted sample is canonical
-    val idx = (0 until n).sortBy(p => (vs(p), ws(p)))
-    new GenericArrayData(idx.map(p => InternalRow(vs(p), ws(p))).toArray[Any])
+    val sample = QuantileKll.sample(buffer)
+    new GenericArrayData(sample.map { case (v, w) => InternalRow(v, w) }.toArray[Any])
   }
 
   override def serialize(buffer: KllState): Array[Byte] = {
@@ -189,4 +149,55 @@ object QuantileKll {
       StructField("v", DoubleType, nullable = false),
       StructField("w", LongType, nullable = false))),
     containsNull = false)
+
+  /** One value into the sketch, compacting level 0 on overflow. Shared by
+    * the aggregate's update path and the streaming operator's state step
+    * ([[graft.streaming.Streams.streamingQuantiles]]) so both regimes run
+    * the IDENTICAL deterministic compaction. */
+  def insert(st: KllState, v: Double, k: Int): Unit = {
+    st.levels(0) += v
+    if (st.levels(0).length > k) compact(st, 0, k)
+  }
+
+  /** Deterministic compaction: sort level `i`, promote the even-indexed
+    * items of the even-length prefix (their weight doubles; each promoted
+    * item stands for itself and its right neighbour, so any rank estimate
+    * is perturbed by at most 2^i per compaction), keep the odd leftover —
+    * if any — at level `i` so TOTAL RETAINED WEIGHT is conserved exactly
+    * (the sketch's `n` is always the true non-null count), cascade upward
+    * on overflow. No random offset — same input multiset and merge order
+    * ⇒ same retained sample. */
+  def compact(st: KllState, i: Int, k: Int): Unit = {
+    val lvl = st.levels(i)
+    val sorted = lvl.toArray
+    java.util.Arrays.sort(sorted)
+    if (st.levels.length <= i + 1) st.levels += ArrayBuffer.empty[Double]
+    val up = st.levels(i + 1)
+    lvl.clear()
+    val even = sorted.length & ~1
+    var j = 0
+    while (j < even) { up += sorted(j); j += 2 }
+    if (even < sorted.length) lvl += sorted(sorted.length - 1)
+    if (up.length > k) compact(st, i + 1, k)
+  }
+
+  /** The retained weighted sample, canonically sorted by (v, w) — the
+    * sketch's output form, shared by eval and the streaming emitter. */
+  def sample(st: KllState): Array[(Double, Long)] = {
+    var n = 0
+    var i = 0
+    while (i < st.levels.length) { n += st.levels(i).length; i += 1 }
+    val out = new Array[(Double, Long)](n)
+    var o = 0
+    i = 0
+    while (i < st.levels.length) {
+      val lvl = st.levels(i)
+      val w = 1L << i
+      var j = 0
+      while (j < lvl.length) { out(o) = (lvl(j), w); o += 1; j += 1 }
+      i += 1
+    }
+    out.sortBy(x => (x._1, x._2))(
+      Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+  }
 }

@@ -368,6 +368,56 @@ object Streams {
       .toDF(groupCol, "item", "est")
   }
 
+  /** Streaming per-group quantiles — the ingestion-time form of
+    * `Sketch.quantileSketch` + `sketchQuantiles`: per group the state is
+    * the KLL level array (O(k·log(n/k)) doubles, CONSTANT-ish vs stream
+    * length — an exact streaming percentile would hold every value), fed
+    * through [[graft.plans.QuantileKll.insert]] so the batch aggregate and
+    * the stream run the IDENTICAL deterministic compaction. Every batch
+    * emits the group's current (n, p50, p90, p99) with the same
+    * rank-at-ceil(p·n) math as the batch extractor; `n` is exact in every
+    * regime (weight conservation), so a replay's final state is the
+    * emission with max n per group — the property the 2-batch oracle
+    * replay gates. In the exact regime (group size ≤ k) the emitted
+    * quantiles are exact order statistics. Update output mode. */
+  def streamingQuantiles(stream: DataFrame, groupCol: String,
+                         valueCol: String, k: Int = 256): DataFrame = {
+    require(k >= 8, "qsketch needs k >= 8")
+    import graft.plans.{KllState, QuantileKll}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull) // null primitive kills the encoder
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[Seq[Double]], (String, Long, Double, Double, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, Double)], state: GroupState[Seq[Seq[Double]]]) =>
+          val st = new KllState
+          state.getOption.foreach { levels =>
+            st.levels.clear()
+            levels.foreach(l => st.levels +=
+              scala.collection.mutable.ArrayBuffer.from(l))
+          }
+          rows.foreach(r => QuantileKll.insert(st, r._2, k))
+          state.update(st.levels.map(_.toSeq).toSeq)
+          val sample = QuantileKll.sample(st)
+          var n = 0L
+          sample.foreach(n += _._2)
+          def q(p: Double): Double = {
+            val target = math.ceil(p * n).toLong
+            var cum = 0L
+            var i = 0
+            while (i < sample.length && cum < target) { cum += sample(i)._2; i += 1 }
+            if (i == 0) Double.NaN else sample(i - 1)._1
+          }
+          (g, n, q(0.5), q(0.9), q(0.99))
+      }
+      .toDF(groupCol, "n", "p50", "p90", "p99")
+  }
+
   /** Per-row benchmark-contamination tag on a stream — the online gate in
     * front of a training-data ingest: each arriving document is scored for
     * distinct n-gram overlap with a STATIC eval-benchmark set without any

@@ -121,6 +121,53 @@ class QuantileKllSpec extends SparkSpec {
     }
   }
 
+  test("streamingQuantiles: cross-batch KLL fold equals batch order statistics") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val in = MemoryStream[(String, Double)]
+    val out = graft.streaming.Streams.streamingQuantiles(
+      in.toDF.toDF("grp", "v"), "grp", "v", k = 64)
+    val q = out.writeStream.format("memory").queryName("squant")
+      .outputMode("update").start()
+    val b1 = (1 to 30).map(i => ("g", i.toDouble))
+    val b2 = (31 to 50).map(i => ("g", i.toDouble)) :+ (("h", 7.0))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM squant").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      val fin = rows.groupBy(_._1).map { case (g, rs) => g -> rs.maxBy(_._2) }
+      // exact regime (50 ≤ k): the fold across the batch boundary answers
+      // the same ceil(p·n) order statistics as the batch extractor
+      val all = (b1 ++ b2).filter(_._1 == "g").map(_._2)
+      assert(fin("g") == (("g", 50L, exactQ(all, 0.5), exactQ(all, 0.9), exactQ(all, 0.99))))
+      assert(fin("h") == (("h", 1L, 7.0, 7.0, 7.0)))
+      // first-batch emission answered b1's order statistics, not a prefix guess
+      val firstG = rows.filter(r => r._1 == "g" && r._2 == 30L)
+      assert(firstG.nonEmpty && firstG.head._3 == exactQ(b1.map(_._2), 0.5))
+    } finally q.stop()
+  }
+
+  test("streamingQuantiles compaction regime: n exact across batches, error bounded") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val n = 4000
+    val in = MemoryStream[(String, Double)]
+    val out = graft.streaming.Streams.streamingQuantiles(
+      in.toDF.toDF("grp", "v"), "grp", "v", k = 32)
+    val q = out.writeStream.format("memory").queryName("squantc")
+      .outputMode("update").start()
+    try {
+      val vs = (0 until n).map(i => ("g", ((i.toLong * 48271) % n).toDouble))
+      in.addData(vs.take(n / 2): _*); q.processAllAvailable()
+      in.addData(vs.drop(n / 2): _*); q.processAllAvailable()
+      val fin = spark.sql("SELECT * FROM squantc").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).maxBy(_._1)
+      assert(fin._1 == n) // weight conservation survives the state round-trip
+      assert(math.abs(fin._2 - exactQ(vs.map(_._2), 0.5)) <= 0.05 * n)
+    } finally q.stop()
+  }
+
   test("plan shape: one ObjectHashAggregate pair, no Window, no Sort of the input") {
     val df = (0 until 100).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v")
     val plan = Sketch.sketchQuantiles(
