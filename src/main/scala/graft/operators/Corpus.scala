@@ -44,6 +44,34 @@ object Corpus {
       .drop("__W")
   }
 
+  /** Deterministic per-group uniform sample of exactly min(k, |group|)
+    * rows: the k SMALLEST md5 id-hashes per group, ids breaking hash ties.
+    * Hash order is independent of the data's physical order, so the pick
+    * is a uniform without-replacement sample that is stable run-to-run,
+    * engine-to-engine, and — unlike reservoir sampling — mergeable with no
+    * RNG state: it rides the bounded-heap [[graft.plans.TopKByScore]]
+    * aggregate (score = −hash), so map-side partials reduce every
+    * partition to k rows per group BEFORE the shuffle and the plan is
+    * ObjectHashAggregate — no per-group sort, no window, no corpus
+    * shuffle of non-sampled rows. The fixed-k-per-key shape for building
+    * eval/holdout slices from a 100 TB corpus.
+    *
+    * Returns (groupCols…, id, h) for the sampled rows, h the sampling
+    * hash in [0, P). */
+  def hashBottomKSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        k: Int): DataFrame = {
+    require(k >= 1, "sample size k >= 1")
+    val h = TextAnalysis.tokenHash(col(idCol).cast(StringType)) % Dedup.P
+    df.select((groupCols.map(col) :+ col(idCol).cast(LongType).as("__id") :+
+        h.as("__h")): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("topk_by", -col("__h").cast(DoubleType), col("__id"),
+        lit(k)).as("__bk"))
+      .select((groupCols.map(col) :+ explode(col("__bk")).as("__e")): _*)
+      .select((groupCols.map(col) :+ col("__e.id").as(idCol) :+
+        (-col("__e.score")).cast(LongType).as("h")): _*)
+  }
+
   /** Temperature-weighted mixture sampling over a domain column (the
     * multilingual/multi-source balancing step: raw web corpora are dominated
     * by a few giant domains; training mixtures want flatter shares).

@@ -779,4 +779,85 @@ object Dedup {
       .select(col("node").as(idCol), col("cluster"),
         (col("node") === col("__keeper")).as("keep"))
   }
+
+  // ------------------------------------------- winnowing fingerprints (MOSS)
+  /** POSITIONAL n-gram hashes: [[shingleHashesFromTokens]] without the
+    * distinct — winnowing selects by position, so every occurrence keeps
+    * its slot. Same rolling fold, same hash space [0, P). */
+  def posShingleHashes(thCol: Column, n: Int = 3): Column =
+    when(size(thCol) < n, array().cast(ArrayType(LongType)))
+      .otherwise(transform(sequence(lit(1), size(thCol) - (n - 1)), i =>
+        (1 until n).foldLeft(element_at(thCol, i))((h, k) =>
+          (h * 131 + element_at(thCol, i + k)) % P)))
+
+  /** Positions per document are packed next to the hash in one BIGINT key
+    * (h·2²⁰ + (2²⁰−1−pos)); documents are bounded at 2²⁰ n-grams by this
+    * contract — beyond that, winnow per shard. */
+  val WinnowPosBound: Long = 1L << 20
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS local document-fingerprinting scheme; the
+    * reference has no counterpart, this is the training-pipeline extra).
+    * Over each document's positional n-gram hash sequence, every window of
+    * `w` consecutive hashes contributes its minimum — RIGHTMOST position on
+    * hash ties, the paper's robust-winnowing rule — and duplicate
+    * (hash, pos) selections collapse. Guarantees (paper §2): every
+    * substring match of length ≥ w+n−1 tokens shares at least one
+    * fingerprint; expected density 2/(w+1). Documents shorter than one full
+    * window contribute their global minimum (one fingerprint), so no
+    * non-empty document fingerprints to nothing.
+    *
+    * The tie rule rides a single BIGINT: key = h·2²⁰ + (2²⁰−1−pos), so a
+    * plain `min` over the trailing window picks (min hash, max pos).
+    * Shape: token hashes → positional shingle fold → posexplode → ONE
+    * bounded window (w rows, per-doc ordering — never a corpus sort) →
+    * distinct. The distinct's hash shuffle is the only corpus-wide wide
+    * stage; per-doc sort extents are bounded by document length.
+    *
+    * Returns (idCol, pos long — 0-based n-gram position, fp long — the
+    * selected n-gram hash in [0, P)). */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = WinnowPosBound
+    val grams = df
+      .withColumn("__th", tokenHashes(col(textCol)))
+      .withColumn("__sh", posShingleHashes(col("__th"), n))
+      .select(col(idCol), size(col("__sh")).as("__ng"),
+        posexplode(col("__sh")).as(Seq("__p", "__h")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+      .rowsBetween(-(w - 1), Window.currentRow)
+    grams
+      .withColumn("__key", col("__h") * B + (lit(B - 1) - col("__p")))
+      .withColumn("__mk", min(col("__key")).over(win))
+      // full windows only, except the one partial window of a short doc
+      .filter(col("__p") >= least(lit(w - 1), col("__ng") - 1))
+      .select(col(idCol), col("__mk")).distinct()
+      .select(col(idCol),
+        (lit(B - 1) - pmod(col("__mk"), lit(B))).as("pos"),
+        expr(s"__mk div ${B}").as("fp"))
+  }
+
+  /** Candidate near-duplicate pairs from shared winnowing fingerprints —
+    * the inverted-index shape: (fp → docs), self-join inside each
+    * fingerprint bucket, count shared fingerprints per pair, keep pairs
+    * sharing ≥ `minShared`. Position-independent: matching compares hash
+    * sets, positions only localize the match afterwards. `maxBucket` drops
+    * stop-fingerprints (an n-gram selected in more than that many docs —
+    * boilerplate), the standard inverted-index guard that also bounds the
+    * bucket join's fan-out at corpus scale. */
+  def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, w: Int = 4, minShared: Int = 2,
+                       maxBucket: Int = 50): DataFrame = {
+    val sel = winnowFingerprints(df, idCol, textCol, n, w)
+      .select(col(idCol).as("__doc"), col("fp")).distinct()
+    val keep = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxBucket).select("fp")
+    val pruned = sel.join(keep, Seq("fp"))
+    pruned.select(col("fp"), col("__doc").as("doc_a"))
+      .join(pruned.select(col("fp"), col("__doc").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

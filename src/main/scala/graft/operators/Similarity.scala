@@ -756,4 +756,66 @@ object Similarity {
       .select(col("id"), col("neighbor_id"), col("rank").cast(IntegerType),
         col("cosine"))
   }
+
+  // ----------------------------------- random projection (JL compression)
+  /** Deterministic Rademacher ±1 sign for (output dim `i`, input dim `j`):
+    * parity of an md5 bit — reproducible anywhere, same recipe family as
+    * [[planeComponent]]. */
+  private def rprojSign(i: Int, j: Int): Double = {
+    val h = java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"rproj:$i:$j").substring(0, 15), 16)
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** The dOut×dIn ±1 sign matrix as driver-side literals — tiny
+    * (dOut·dIn ≤ a few KB), rendered into BOTH the Spark plan and the
+    * DuckDB oracle so the projection replays bit-for-bit. */
+  def rprojSigns(dOut: Int, dIn: Int): Seq[Seq[Double]] =
+    (0 until dOut).map(i => (0 until dIn).map(j => rprojSign(i, j)))
+
+  /** Johnson–Lindenstrauss random projection with a Rademacher matrix
+    * (Achlioptas 2003, JCSS 66(4) — database-friendly ±1 projections):
+    * out_i = ⟨signs_i, x⟩ / √dOut. Each output dim is ONE native [[dot]]
+    * loop against a plan-literal sign row — dOut codegen'd primitive loops
+    * per row, no UDF, no shuffle, the matrix rides the plan exactly like
+    * the deeplearn scoring weights. The 100 TB story: project once, then
+    * every downstream distance costs dOut ≪ dIn multiplies and the
+    * shuffled payload shrinks by dIn/dOut. Distortion is the JL bound
+    * (‖Px‖² concentrates around ‖x‖²; spec-measured on the fixture). */
+  def randomProject(df: DataFrame, vecCol: String, dIn: Int, dOut: Int,
+                    out: String): DataFrame = {
+    val signs = rprojSigns(dOut, dIn)
+    val scale = lit(math.sqrt(dOut.toDouble))
+    df.withColumn(out, array((0 until dOut).map { i =>
+      dot(col(vecCol), array(signs(i).map(lit(_)): _*)) / scale
+    }: _*))
+  }
+
+  /** Two-stage compressed-domain retrieval: stage 1 ranks the corpus by
+    * cosine in the dOut-dim PROJECTED space and keeps the top `m`
+    * candidates; stage 2 re-scores only those `m` rows with exact
+    * full-dim cosine and keeps the top `k`. At scale, stage 1 is the only
+    * corpus-wide pass (dOut/dIn of brute-force FLOPs, and the projected
+    * vectors are what you'd actually materialize/cache at 100 TB); stage 2
+    * is a broadcast join over m rows. Both stages are deterministic
+    * (id-tie-broken TakeOrderedAndProject), so recall vs [[cosineTopK]] is
+    * a measurable, replayable number rather than a distributional claim. */
+  def rprojRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                      queryId: Long, dIn: Int, dOut: Int, m: Int,
+                      k: Int): DataFrame = {
+    val proj = randomProject(df.select(col(idCol), col(vecCol)), vecCol, dIn, dOut, "__p")
+    val q = proj.filter(col(idCol) === queryId)
+      .select(col("__p").as("__qp"), col(vecCol).as("__qv"))
+    val cand = proj.crossJoin(broadcast(q.select("__qp")))
+      .select(col(idCol), cosine(col("__p"), col("__qp")).as("pcos"))
+      .filter(col(idCol) =!= queryId && col("pcos").isNotNull)
+      .orderBy(col("pcos").desc, col(idCol).asc)
+      .limit(m)
+    df.join(broadcast(cand.select(idCol)), Seq(idCol))
+      .crossJoin(broadcast(q.select("__qv")))
+      .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos"))
+      .filter(col("cos").isNotNull)
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }
