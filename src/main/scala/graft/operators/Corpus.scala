@@ -56,6 +56,14 @@ object Corpus {
     * shuffle of non-sampled rows. The fixed-k-per-key shape for building
     * eval/holdout slices from a 100 TB corpus.
     *
+    * ID CONTRACT (mirrors topk_by's own null-skip contract): `idCol` must
+    * be unique within each group and castable to BIGINT. Ids that are null
+    * or fail the cast become null and are SKIPPED by the aggregate (the
+    * row silently leaves the sampling frame), and duplicate ids collapse
+    * to one (hash, id) entry — so "exactly min(k, |group|) rows" holds
+    * only for unique, BIGINT-castable ids. Non-numeric ids should be
+    * pre-hashed to a surrogate (e.g. [[TextAnalysis.tokenHash]]) first.
+    *
     * Returns (groupCols…, id, h) for the sampled rows, h the sampling
     * hash in [0, P). */
   def hashBottomKSample(df: DataFrame, groupCols: Seq[String], idCol: String,

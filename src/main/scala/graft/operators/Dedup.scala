@@ -804,8 +804,11 @@ object Dedup {
     * (hash, pos) selections collapse. Guarantees (paper §2): every
     * substring match of length ≥ w+n−1 tokens shares at least one
     * fingerprint; expected density 2/(w+1). Documents shorter than one full
-    * window contribute their global minimum (one fingerprint), so no
-    * non-empty document fingerprints to nothing.
+    * window contribute their global minimum (one fingerprint), so every
+    * document with at least `n` tokens (i.e. at least one n-gram) yields at
+    * least one fingerprint; documents with fewer than `n` tokens have no
+    * n-grams and fingerprint to nothing, exactly like
+    * [[shingleHashesFromTokens]].
     *
     * The tie rule rides a single BIGINT: key = h·2²⁰ + (2²⁰−1−pos), so a
     * plain `min` over the trailing window picks (min hash, max pos).
@@ -814,17 +817,30 @@ object Dedup {
     * distinct. The distinct's hash shuffle is the only corpus-wide wide
     * stage; per-doc sort extents are bounded by document length.
     *
+    * The packed-key contract is ENFORCED in the plan: a document with more
+    * than `posBound` n-grams would alias position bits into the hash field
+    * and silently corrupt (pos, fp) decodes, so such rows fail loudly with
+    * `raise_error` instead (winnow oversize documents per shard, or raise
+    * `posBound` — the key has 63−⌈log₂P⌉ = 32 spare bits above the default).
+    *
     * Returns (idCol, pos long — 0-based n-gram position, fp long — the
     * selected n-gram hash in [0, P)). */
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, w: Int = 4): DataFrame = {
+                         n: Int = 3, w: Int = 4,
+                         posBound: Long = WinnowPosBound): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = WinnowPosBound
+    val B = posBound
     val grams = df
       .withColumn("__th", tokenHashes(col(textCol)))
       .withColumn("__sh", posShingleHashes(col("__th"), n))
       .select(col(idCol), size(col("__sh")).as("__ng"),
         posexplode(col("__sh")).as(Seq("__p", "__h")))
+      .withColumn("__ng",
+        when(col("__ng") > B, raise_error(concat(
+          lit(s"winnowFingerprints: document "), col(idCol).cast(StringType),
+          lit(s" has "), col("__ng").cast(StringType),
+          lit(s" n-grams > posBound=$B; winnow per shard or raise posBound"))))
+          .otherwise(col("__ng")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
       .rowsBetween(-(w - 1), Window.currentRow)
     grams
