@@ -2660,6 +2660,54 @@ object QueriesLLM {
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1), "vec_id", "q", k = 4)
         .orderBy("src_id")
+    }),
+
+    // ---------------- winnowing fingerprints (r14): MOSS document
+    // fingerprinting — positional shingle hashes, per-window min with the
+    // robust rightmost-tie rule packed into one BIGINT key, distinct. The
+    // per-row-heavy md5 stage fans out on doc_id exactly like minhash and
+    // the window reuses that partitioning.
+    "winnow_fingerprints" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.winnowFingerprints(d, "doc_id", "text", n = 3, w = 4)
+        .orderBy("doc_id", "pos")
+    }),
+
+    // ---------------- winnowing candidate pairs (r14): inverted index over
+    // the selected fingerprints, stop-fingerprint pruning, bucket
+    // self-join, >= minShared shared fingerprints per pair.
+    "winnow_candidates" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.winnowCandidates(d, "doc_id", "text", n = 3, w = 4,
+        minShared = 2, maxBucket = 50)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ---------------- deterministic per-group bottom-k-hash sample (r14):
+    // k smallest salted id-hashes per source via the bounded-heap topk_by
+    // aggregate — map-side partials reduce each partition to k rows per
+    // group BEFORE the shuffle (the fixed-k holdout-slice shape at 100 TB).
+    "hash_bottomk_sample" -> ((s, dir) => {
+      graft.operators.Corpus.hashBottomKSample(
+        rd(s, dir, "documents"), Seq("source"), "doc_id", k = 5)
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---------------- JL random-projection rerank retrieval (r14): stage 1
+    // ranks the corpus by cosine in the 16-dim PROJECTED space (sign matrix
+    // rides the plan as literals, dOut native dot loops/row), keeps top
+    // m=50; stage 2 re-scores those 50 exactly in the full 64 dims via a
+    // broadcast join. The only corpus-wide pass runs at dOut/dIn = 1/4 of
+    // brute-force FLOPs.
+    "rproj_rerank_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      graft.operators.Similarity.rprojRerankTopK(e, "vec_id", "v",
+        queryId = 7L, dIn = 64, dOut = 16, m = 50, k = 10)
+        .select(col("vec_id"), col("cos"))
     }))
 
   /** IVF-PQ oracle: ann_ivf_topk's assignment/probe CTEs restricted to the
@@ -2813,6 +2861,35 @@ object QueriesLLM {
          min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90,
          min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99
        FROM r GROUP BY source ORDER BY source"""
+
+  /** Shared by the winnowing oracles: positional shingle hashes (the
+    * minhash fold WITHOUT distinct — winnowing selects by position), packed
+    * keys h·2²⁰ + (2²⁰−1−pos), per-window slice min from q = min(w, ng) to
+    * ng (1-based), distinct, decode. n=3, w=4, posBound=2²⁰ — the query
+    * defaults. */
+  private val winnowCtes: String =
+    """t AS (
+         SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+         FROM documents),
+       h AS (SELECT doc_id, list_transform(toks,
+               t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647) AS th
+             FROM t),
+       sh AS (SELECT doc_id, CASE WHEN len(th) < 3 THEN CAST([] AS BIGINT[]) ELSE
+               list_transform(range(1, len(th) - 2 + 1),
+                 i -> (((th[i] * 131 + th[i+1]) % 2147483647) * 131 + th[i+2])
+                   % 2147483647)
+             END AS gh FROM h),
+       kk AS (SELECT doc_id, len(gh) AS ng,
+               list_transform(range(1, len(gh) + 1),
+                 q -> gh[q] * 1048576 + (1048575 - (q - 1))) AS keys
+             FROM sh WHERE len(gh) > 0),
+       mm AS (SELECT doc_id,
+               list_distinct(list_transform(range(least(4, ng), ng + 1),
+                 q -> list_min(keys[greatest(1, q - 3) : q]))) AS mks
+             FROM kk),
+       fpu AS (SELECT doc_id, unnest(mks) AS mk FROM mm),
+       dec AS (SELECT doc_id, CAST(1048575 - (mk % 1048576) AS BIGINT) AS pos,
+               CAST(mk // 1048576 AS BIGINT) AS fp FROM fpu)"""
 
   private val dsirWeightCtes: String =
     """t AS (
@@ -5088,6 +5165,64 @@ object QueriesLLM {
                  ORDER BY margin DESC, tgt_id) AS rb FROM c)
          SELECT src_id, tgt_id, cos_q, nsum_src, nsum_tgt, margin
          FROM b WHERE rb = 1 ORDER BY src_id"""
+    },
+
+    // same positional shingle fold as dedup_minhash_sig (no distinct),
+    // then the packed-key window min (h*2^20 + (2^20-1-pos), so plain min
+    // = min hash / rightmost position) replayed as a list slice min
+    "winnow_fingerprints" ->
+      s"WITH $winnowCtes SELECT doc_id, pos, fp FROM dec ORDER BY doc_id, pos",
+    "winnow_candidates" ->
+      s"""WITH $winnowCtes,
+         sel AS (SELECT DISTINCT doc_id AS doc, fp FROM dec),
+         keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+         pr AS (SELECT s.fp, s.doc FROM sel s JOIN keep USING (fp))
+         SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS shared
+         FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc < b.doc
+         GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
+
+    // k smallest (md5(id) % P, id) per source — rank replay of the
+    // bounded-heap aggregate
+    "hash_bottomk_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 2147483647 AS hh
+         FROM documents),
+         r AS (SELECT source, doc_id, hh,
+           row_number() OVER (PARTITION BY source ORDER BY hh, doc_id) AS rn
+         FROM h)
+         SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(hh AS BIGINT) AS h
+         FROM r WHERE rn <= 5 ORDER BY source, doc_id""",
+
+    // the 16x64 Rademacher sign matrix rendered as a literal (same values
+    // the Spark plan carries), identical fold orders both stages
+    "rproj_rerank_topk" -> {
+      val mat = graft.operators.Similarity.rprojSigns(16, 64)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      def dotSql(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def cosSql(a: String, b: String) =
+        s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0
+             THEN NULL
+             ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+           END"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sm AS (SELECT $mat AS m),
+         proj AS (SELECT vec_id, v, list_transform(range(16), i ->
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(v, sm.m[i + 1]), p -> p[1] * p[2])),
+               (x, y) -> x + y) / ${math.sqrt(16.0)}) AS p
+           FROM e, sm),
+         q AS (SELECT p AS qp, v AS qv FROM proj WHERE vec_id = 7),
+         st1 AS (SELECT proj.vec_id, ${cosSql("proj.p", "q.qp")} AS pcos
+                 FROM proj, q WHERE proj.vec_id != 7),
+         cand AS (SELECT vec_id FROM st1 WHERE pcos IS NOT NULL
+                  ORDER BY pcos DESC, vec_id ASC LIMIT 50),
+         st2 AS (SELECT e.vec_id, ${cosSql("e.v", "q.qv")} AS cos
+                 FROM e JOIN cand USING (vec_id), q)
+         SELECT vec_id, cos FROM st2 WHERE cos IS NOT NULL
+         ORDER BY cos DESC, vec_id ASC LIMIT 10"""
     })
 
   /** DuckDB replay of `Unigram.pieceVocab` + `segmentWords`: the Viterbi
