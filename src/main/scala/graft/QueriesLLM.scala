@@ -289,10 +289,58 @@ object QueriesLLM {
       : (Seq[(Seq[Seq[Long]], Seq[Long])], Seq[Seq[Long]], Seq[Long]) =
     graft.ml.DeepLearn.quantizeStack(dbnDemoNet, wScaleBits = 12)
 
+  /** Shared demo HMM for `hmm_viterbi_decode`: 3 states / 4 symbols,
+    * supervised ML counts with add-one smoothing over a deterministic
+    * labeled fixture (states cycle per sequence offset; symbols correlate
+    * with the state via `st*2 + t%2 + [t%5==0]` so transitions AND
+    * emissions are non-uniform and the Viterbi path is informative).
+    * Trained PURELY in Scala — data-independent, so the generated oracle
+    * can render the log parameters as literals at class-init time like the
+    * SdA/DBN weights; `HmmSpec` pins it equal to `HMM.fitSupervised` on
+    * the same rows, keeping the distributed trainer under the same
+    * contract. */
+  private[graft] lazy val hmmDemoFixture: Seq[(Int, Int, Int, Int)] =
+    // (seq, t, state, symbol)
+    for (sq <- 0 until 6; t <- 0 until 20) yield {
+      val st = (sq + t) % 3
+      val sym = (st * 2 + t % 2 + (if (t % 5 == 0) 1 else 0)) % 4
+      (sq, t, st, sym)
+    }
+
+  private[graft] lazy val hmmDemoModel: graft.ml.HmmModel = {
+    val nStates = 3; val nSymbols = 4
+    val init = hmmDemoFixture.filter(_._2 == 0).groupBy(_._3).view.mapValues(_.size)
+    val trans = hmmDemoFixture.groupBy(_._1).values.flatMap { sq =>
+      sq.sortBy(_._2).sliding(2).collect { case Seq(a, b) => (a._3, b._3) }
+    }.toSeq.groupBy(identity).view.mapValues(_.size)
+    val emit = hmmDemoFixture.groupBy(r => (r._3, r._4)).view.mapValues(_.size)
+    def norm(counts: Seq[Double]): Array[Double] = {
+      val tot = counts.sum
+      counts.map(c => math.log(c / tot)).toArray
+    }
+    graft.ml.HmmModel(
+      pi = norm((0 until nStates).map(s => init.getOrElse(s, 0) + 1.0)),
+      a = (0 until nStates).map(p =>
+        norm((0 until nStates).map(s => trans.getOrElse((p, s), 0) + 1.0))).toArray,
+      b = (0 until nStates).map(s =>
+        norm((0 until nSymbols).map(o => emit.getOrElse((s, o), 0) + 1.0))).toArray)
+  }
+
   /** Render quantized weights as DuckDB list literals for the generated
     * stack-predict oracles. */
   private def sqlList(v: Seq[Long]): String = v.mkString("[", ",", "]")
   private def sqlMat(m: Seq[Seq[Long]]): String = m.map(sqlList).mkString("[", ",", "]")
+
+  /** Double literals for generated oracles: Scala's `Double.toString` is
+    * the shortest round-trip decimal, and a correctly-rounded parse
+    * recovers the EXACT bits of every trained log parameter — but DuckDB
+    * types bare decimal literals as DECIMAL (whose arithmetic then
+    * overflows at DECIMAL(18)), so the lists are cast to DOUBLE[] wholesale
+    * (parenthesized: a bare `::DOUBLE[][i]` subscript misparses). */
+  private def sqlDList(v: Seq[Double]): String =
+    v.mkString("([", ",", "]::DOUBLE[])")
+  private def sqlDMat(m: Seq[Array[Double]]): String =
+    m.map(_.mkString("[", ",", "]")).mkString("([", ",", "]::DOUBLE[][])")
 
   /** Generated DuckDB oracle for [[graft.ml.DeepLearn.sdaPredictQuantized]]
     * over sign-binarized 16-dim embedding inputs: one
@@ -338,6 +386,46 @@ object QueriesLLM {
            CAST(list_sum(z) AS BIGINT) AS logit_sum
          FROM hd ORDER BY vec_id"""
     sb.toString
+  }
+
+  /** Generated DuckDB oracle for `hmm_viterbi_decode`: the trained model's
+    * log parameters render as double literals (exact bits — see
+    * [[sqlDList]]) and a recursive CTE replays the Viterbi DP with the
+    * decoder's exact operation order — each candidate is ONE addition
+    * `delta[p] + a[p][s]`, the winner ONE addition `best + b[s][o_t]`, so
+    * every delta is bit-identical; ties resolve to the lowest state on
+    * both sides (Scala `maxBy` keeps the first maximum, `list_position`
+    * returns the first match). Paths are carried forward per state
+    * (forward path-carrying with first-argmax ≡ psi backtracking with
+    * first-argmax pointers). */
+  private def hmmViterbiOracleSql(m: graft.ml.HmmModel): String = {
+    val n = m.nStates
+    val pi = sqlDList(m.pi.toSeq)
+    val a = sqlDMat(m.a.toSeq)
+    val b = sqlDMat(m.b.toSeq)
+    val cand = s"list_transform(range($n), p -> delta[p+1] + $a[p+1][s+1])"
+    s"""WITH RECURSIVE src AS (
+         SELECT doc_id % 16 AS seq_id, doc_id AS ord,
+                CAST(n_chars % 4 AS INT) AS sym
+         FROM documents),
+       obs AS (SELECT seq_id, list(sym ORDER BY ord) AS o
+               FROM src GROUP BY seq_id),
+       dp AS (
+         SELECT seq_id, o, 1 AS t,
+           list_transform(range($n), s -> $pi[s+1] + $b[s+1][o[1]+1]) AS delta,
+           list_transform(range($n), s -> [CAST(s AS INT)]) AS paths
+         FROM obs
+         UNION ALL
+         SELECT seq_id, o, t + 1,
+           list_transform(range($n), s ->
+             list_max($cand) + $b[s+1][o[t+1]+1]),
+           list_transform(range($n), s ->
+             paths[list_position($cand, list_max($cand))] || [CAST(s AS INT)])
+         FROM dp WHERE t < len(o))
+       SELECT seq_id,
+         array_to_string(paths[list_position(delta, list_max(delta))], ',') AS path,
+         list_max(delta) AS log_delta
+       FROM dp WHERE t = len(o) ORDER BY seq_id"""
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
@@ -475,6 +563,91 @@ object QueriesLLM {
           transform(slice(col("embedding"), 1, 16),
             x => when(x > lit(0.0f), lit(1.0)).otherwise(lit(0.0)))),
         "vec_id", "emb16", ls, hw, hb).orderBy("vec_id")
+    }),
+
+    // ---------------- HMM Viterbi decode (r14): the trained-then-decode
+    // path under the hash gate. The demo model is fixture-trained at
+    // class-init (pure Scala, spec-pinned equal to HMM.fitSupervised);
+    // documents fold into 16 symbol sequences and each is decoded on
+    // executors with the model as closure literals — the oracle replays
+    // the DP in a recursive CTE over the SAME log parameters, bit-exact
+    // (see hmmViterbiOracleSql). One shuffle on the sequence key.
+    "hmm_viterbi_decode" -> ((s, dir) => {
+      val obs = rd(s, dir, "documents")
+        .select((col("doc_id") % 16).as("seq_id"), col("doc_id").as("ord"),
+          (col("n_chars") % 4).cast("int").as("sym"))
+      graft.ml.HMM.decodeAllDelta(obs, "seq_id", "ord", "sym", hmmDemoModel)(s)
+        .orderBy("seq_id")
+    }),
+
+    // ---------------- FP-Growth frequent itemsets (r14): transactions are
+    // divisibility patterns of doc_id over moduli {2,3,4,5,6} — nested
+    // (m4 ⊂ m2, m6 ⊂ m2 ∩ m3) so multi-item sets genuinely pass the
+    // threshold. minSupport 0.12 sits far from every itemset's true
+    // frequency (nearest: 1/6 ≈ 0.167 above, 1/10 below), so the
+    // ceil(minSupport·N) boundary is unambiguous at any SF. The oracle
+    // enumerates all 31 candidate itemsets over the 5-item universe and
+    // counts support relationally — an independent algorithm (brute
+    // subset-counting) agreeing with the FP-tree on the exact support
+    // counts, not just the survivor list.
+    "fpgrowth_itemsets" -> ((s, dir) => {
+      val tx = rd(s, dir, "documents").select(col("doc_id"),
+        filter(array(Seq(2, 3, 4, 5, 6).map(m =>
+          when(col("doc_id") % m === 0, lit(s"m$m"))): _*),
+          x => x.isNotNull).as("items"))
+      graft.ml.ML.fpGrowth(tx, "items", minSupport = 0.12, minConfidence = 0.6)
+        .freqItemsets
+        .select(array_join(array_sort(col("items")), ",").as("itemset"), col("freq"))
+        .orderBy("itemset")
+    }),
+
+    // ---------------- MinMax normalization (r14, ref NormalizationProcessor):
+    // fit+transform over two derived features. The affine is exactly
+    // replayable: min/max are selections (no summation), the transform is
+    // ONE subtraction and ONE division per value (×1.0 and +0.0 from the
+    // default [0,1] range are IEEE identities), constant columns hit the
+    // documented 0.5 branch.
+    "minmax_scale" -> ((s, dir) => {
+      import org.apache.spark.ml.functions.vector_to_array
+      val d = rd(s, dir, "documents").select(col("doc_id"),
+        col("n_chars").cast("double").as("f1"),
+        (col("doc_id") % 97).cast("double").as("f2"))
+      graft.ml.ML.minMaxScale(d, Seq("f1", "f2"), "scaled")
+        .select(col("doc_id"),
+          element_at(vector_to_array(col("scaled")), 1).as("s1"),
+          element_at(vector_to_array(col("scaled")), 2).as("s2"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- one-hot encoding (r14, ref DummyVariableProcessor):
+    // StringIndexer(alphabetAsc) + OneHotEncoder(dropLast) over `lang`.
+    // Output reduced to integers (index, vector size, active position —
+    // -1 for the dropped last category), so the gate is exact: the oracle
+    // rebuilds the alphabetical index with dense_rank.
+    "onehot_encode" -> ((s, dir) => {
+      import org.apache.spark.ml.functions.vector_to_array
+      graft.ml.ML.oneHot(
+          rd(s, dir, "documents").select(col("doc_id"), col("lang")),
+          "lang", "vec")
+        .select(col("doc_id"), col("lang"),
+          size(vector_to_array(col("vec"))).as("vec_size"),
+          (array_position(vector_to_array(col("vec")), 1.0) - 1L).as("active"))
+        .orderBy("doc_id")
+    }),
+
+    // ---------------- missing-value imputation (r14, ref
+    // MissingvaluesProcessor): Imputer in mode strategy — the only exactly
+    // replayable one (mean is summation-order-dependent, median is
+    // approxQuantile). The planted distribution makes the mode STRICTLY
+    // unique at every prefix size (4-3-2 split per decade of doc_id), so
+    // neither engine's tie rule is load-bearing.
+    "impute_mode" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 10 === 9, lit(null).cast("double"))
+          .otherwise(when(col("doc_id") % 10 < 4, lit(1.0))
+            .otherwise(when(col("doc_id") % 10 < 7, lit(2.0))
+              .otherwise(lit(3.0)))).as("v"))
+      graft.ml.ML.impute(d, Seq("v"), strategy = "mode").orderBy("doc_id")
     }),
 
     // ---------------- document embeddings by mean-pooling a word-vector
@@ -1420,6 +1593,61 @@ object QueriesLLM {
       try {
         in.addData(b1: _*); q.processAllAvailable()
         in.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("source"))
+        .agg(max(struct(col("n"), col("p50"), col("p90"), col("p99"))).as("__f"))
+        .select(col("source"), col("__f.n").as("n"), col("__f.p50").as("p50"),
+          col("__f.p90").as("p90"), col("__f.p99").as("p99"))
+        .orderBy("source")
+    }),
+
+    // ---------------- the EVICTION path of the streaming quantile sketch
+    // (r14, mirroring streaming_join_evict_3batch): event-time TTL —
+    // group "evict" gets docs 0-99 in batch 1 (event times ~1000 s), then
+    // batch 2 carries only "keep" with event times ~50000 s, advancing
+    // the watermark far past evict's armed timeout (watermark-at-arm 0 +
+    // 1 h = 3600 s), so its state is removed in the watermark-advance
+    // batch the engine runs after batch 2. Batch 3 re-feeds "evict" with
+    // docs 100-299: the sketch restarted from empty, so its max-n
+    // emission is n=200 over docs 100-299 ONLY — if eviction leaked,
+    // batch 3 would emit n=300 with quantiles over 0-299 and the hash
+    // would mismatch. "keep" receives data in batches 1-2 only, so its
+    // max-n emission (docs 300-499 cumulative) is insensitive to its own
+    // later eviction. Every clock here is the DATA's (watermark), so the
+    // replay is deterministic and reaches quiescence — a wall-clock
+    // (processing-time) TTL cannot be gated this way at all:
+    // FlatMapGroupsWithStateExec.shouldRunAnotherBatch is unconditionally
+    // true for it and both processAllAvailable and Trigger.AvailableNow
+    // spin forever (measured; see the ttlTimeoutConf scaladoc).
+    "streaming_quantile_evict_3batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val docs = rd(s, dir, "documents")
+        .filter(col("text").isNotNull && col("doc_id") < 500)
+        .select(col("doc_id").cast("long"),
+          length(col("text")).cast("double").as("len"))
+        .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      def grp(lo: Long, hi: Long, g: String, base: Long) =
+        docs.filter(d => d._1 >= lo && d._1 < hi)
+          .map(d => (d._1, g, d._2, base + d._1 % 50))
+      val b1 = grp(0, 100, "evict", 1000L) ++ grp(300, 400, "keep", 1000L)
+      val b2 = grp(400, 500, "keep", 50000L)
+      val b3 = grp(100, 300, "evict", 100000L)
+      val in = MemoryStream[(Long, String, Double, Long)]
+      val stream = in.toDF.toDF("doc_id", "source", "len", "tsec")
+        .withColumn("ts", timestamp_seconds(col("tsec")))
+        .repartition(4, col("doc_id"))
+      val out = graft.streaming.Streams.streamingQuantiles(
+        stream, "source", "len", k = 256,
+        stateTtl = Some("1 hour"), eventTimeCol = Some("ts"))
+      val name = "squant3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        in.addData(b3: _*); q.processAllAvailable()
       } finally q.stop()
       s.table(name).groupBy(col("source"))
         .agg(max(struct(col("n"), col("p50"), col("p90"), col("p99"))).as("__f"))
@@ -2629,6 +2857,26 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- social keyword tagger (r14, ref TwitterTagger
+    // keywords branch): all four flag combinations under one gate — exact
+    // token match (single word + multi-word phrase), case-insensitive
+    // substring, case-sensitive substring (matches nothing on the
+    // lowercase corpus, pinning that the flag actually skips the lower
+    // fold). Pure codegen expressions; tags joined to a string for the
+    // pandas gate. Safe to replay: the corpus has no newlines/VT, so the
+    // Java-vs-RE2 `$`/`\s` edge differences can't bite.
+    "keyword_tagger" -> ((s, dir) => {
+      import graft.operators.TextAnalysis.Keyword
+      graft.operators.TextAnalysis.keywordTagger(
+          rd(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text",
+          Seq(Keyword("the", exact = true), Keyword("Data", caseSensitive = true),
+            Keyword("spark"), Keyword("fast sort", exact = true)),
+          "tags")
+        .select(col("doc_id"), array_join(col("tags"), ",").as("tags"))
+        .orderBy("doc_id")
+    }),
+
     // ---------------- high-entropy secret scan (r8): planted md5 digests
     // (high entropy) and repeated filler (near-zero) ride the corpus; the
     // entropy score is all-integer so the threshold replays exactly
@@ -3142,6 +3390,72 @@ object QueriesLLM {
     // the inference math, so one builder gates both
     "deeplearn_sda_predict" -> stackPredictOracleSql(sdaDemoWeights),
     "deeplearn_dbn_predict" -> stackPredictOracleSql(dbnDemoWeights),
+    "hmm_viterbi_decode" -> hmmViterbiOracleSql(hmmDemoModel),
+    "fpgrowth_itemsets" ->
+      // brute subset-count over the 5-item universe: every non-empty mask
+      // of {m2,m3,m4,m5,m6}, support = transactions containing ALL masked
+      // items, keep freq >= ceil(0.12 * N) — FP-Growth's exact minCount
+      """WITH tx AS (
+           SELECT doc_id % 2 = 0 AS b2, doc_id % 3 = 0 AS b3,
+                  doc_id % 4 = 0 AS b4, doc_id % 5 = 0 AS b5,
+                  doc_id % 6 = 0 AS b6
+           FROM documents),
+         n AS (SELECT count(*) AS cnt FROM tx),
+         sup AS (
+           SELECT m,
+             concat_ws(',',
+               CASE WHEN (m & 1)  > 0 THEN 'm2' END,
+               CASE WHEN (m & 2)  > 0 THEN 'm3' END,
+               CASE WHEN (m & 4)  > 0 THEN 'm4' END,
+               CASE WHEN (m & 8)  > 0 THEN 'm5' END,
+               CASE WHEN (m & 16) > 0 THEN 'm6' END) AS itemset,
+             (SELECT count(*) FROM tx WHERE
+                ((m & 1)  = 0 OR b2) AND ((m & 2)  = 0 OR b3) AND
+                ((m & 4)  = 0 OR b4) AND ((m & 8)  = 0 OR b5) AND
+                ((m & 16) = 0 OR b6)) AS freq
+           FROM (SELECT range AS m FROM range(1, 32)))
+         SELECT itemset, CAST(freq AS BIGINT) AS freq FROM sup, n
+         WHERE freq >= CAST(ceil(0.12 * cnt) AS BIGINT)
+         ORDER BY itemset""",
+    "minmax_scale" ->
+      // MinMaxScaler's exact arithmetic at the default [0,1] output range:
+      // (x - min) * (scale/range) — a precomputed RECIPROCAL multiply, not
+      // a division (1-ulp different; the division form fails the gate) —
+      // and 0.5 for 0-range columns
+      """WITH v AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS f1,
+                      CAST(doc_id % 97 AS DOUBLE) AS f2 FROM documents),
+         m AS (SELECT min(f1) AS m1, max(f1) AS x1,
+                      min(f2) AS m2, max(f2) AS x2 FROM v)
+         SELECT doc_id,
+           CASE WHEN x1 - m1 = 0 THEN 0.5
+                ELSE (f1 - m1) * (CAST(1.0 AS DOUBLE) / (x1 - m1)) END AS s1,
+           CASE WHEN x2 - m2 = 0 THEN 0.5
+                ELSE (f2 - m2) * (CAST(1.0 AS DOUBLE) / (x2 - m2)) END AS s2
+         FROM v, m ORDER BY doc_id""",
+    "onehot_encode" ->
+      // alphabetAsc index via dense_rank over the distinct categories;
+      // dropLast: vector has nl-1 slots, the last category activates none
+      """WITH k AS (SELECT count(DISTINCT lang) AS nl FROM documents),
+         r AS (SELECT lang, dense_rank() OVER (ORDER BY lang) - 1 AS idx
+               FROM (SELECT DISTINCT lang FROM documents)),
+         d AS (SELECT doc_id, lang FROM documents)
+         SELECT d.doc_id, d.lang, CAST(k.nl - 1 AS INT) AS vec_size,
+           CAST(CASE WHEN r.idx < k.nl - 1 THEN r.idx ELSE -1 END AS BIGINT)
+             AS active
+         FROM d JOIN r USING (lang), k ORDER BY d.doc_id""",
+    "impute_mode" ->
+      // mode = (count desc, value asc) first — unique by construction here,
+      // so the ORDER BY tie rule never decides
+      """WITH v AS (SELECT doc_id,
+             CASE WHEN doc_id % 10 = 9 THEN NULL
+                  WHEN doc_id % 10 < 4 THEN CAST(1.0 AS DOUBLE)
+                  WHEN doc_id % 10 < 7 THEN CAST(2.0 AS DOUBLE)
+                  ELSE CAST(3.0 AS DOUBLE) END AS v
+           FROM documents),
+         m AS (SELECT v AS fill FROM v WHERE v IS NOT NULL
+               GROUP BY v ORDER BY count(*) DESC, v ASC LIMIT 1)
+         SELECT doc_id, coalesce(v.v, m.fill) AS v FROM v, m
+         ORDER BY doc_id""",
     "doc_embedding_pool" ->
       // same hash-embedding table (byte j of one md5 per word, signed),
       // exact integer sums, one division per dimension, ordered by dim
@@ -4024,6 +4338,25 @@ object QueriesLLM {
       // cross-batch KLL state in the exact regime answers the same exact
       // order statistics as the batch aggregate — one oracle, three paths
       qsketchOracleSql,
+    "streaming_quantile_evict_3batch" ->
+      // after the TTL eviction, "evict"'s max-n emission covers docs
+      // 100-299 ONLY (batch 3 restarted from empty state); "keep" covers
+      // its full 300-499 feed — any state leak across the eviction
+      // boundary inflates n and shifts every quantile
+      """WITH v AS (
+           SELECT CASE WHEN doc_id >= 100 AND doc_id < 300 THEN 'evict'
+                       ELSE 'keep' END AS source,
+                  CAST(length(text) AS DOUBLE) AS v
+           FROM documents
+           WHERE text IS NOT NULL AND doc_id >= 100 AND doc_id < 500),
+         r AS (SELECT source, v,
+                 row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n FROM v)
+         SELECT source, CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN rn >= ceil(0.5 * n) THEN v END) AS p50,
+           min(CASE WHEN rn >= ceil(0.9 * n) THEN v END) AS p90,
+           min(CASE WHEN rn >= ceil(0.99 * n) THEN v END) AS p99
+         FROM r GROUP BY source ORDER BY source""",
     "winsorize_p99" ->
       // p99 from the exact-regime sketch, broadcast back, integer clamp sum
       """WITH v AS (
@@ -5070,6 +5403,18 @@ object QueriesLLM {
          SELECT id, label AS pred_label, votes, best_cos_q
          FROM b WHERE rb = 1 ORDER BY id"""
     },
+
+    "keyword_tagger" ->
+      // same four keywords: exact = token-boundary regex on the lowered
+      // text, substring = contains; tag order follows the keyword list
+      """SELECT doc_id, concat_ws(',',
+           CASE WHEN regexp_matches(lower(text), '(^|\s)the(\s|$)')
+                THEN 'the' END,
+           CASE WHEN contains(text, 'Data') THEN 'Data' END,
+           CASE WHEN contains(lower(text), 'spark') THEN 'spark' END,
+           CASE WHEN regexp_matches(lower(text), '(^|\s)fast sort(\s|$)')
+                THEN 'fast sort' END) AS tags
+         FROM documents ORDER BY doc_id""",
 
     // ---------------- code-vs-prose routing (r8): identical synthetic
     // snippet, counts via global regexp_replace ('g' — DuckDB defaults to

@@ -78,3 +78,58 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Dev tool: KLL quantile-sketch scale probe — measures, at sf0.1 ×
+  * {1, 4, 10} copies, (a) the max retained per-group sample size and
+  * (b) the wall-time of the full sketch + extraction. The claim under
+  * test is the operator's 100 TB contract: per-group state is
+  * O(k·log(n/k)) at EVERY stage — the state column must grow by at most
+  * a couple of compaction LEVELS (log₂ of the copy factor) while the
+  * input grows 10×, and wall-time must stay ~linear in rows (scan-bound,
+  * no corpus sort/window). Results go in SCALE.md §"quantile sketch
+  * state plateau".
+  *
+  * Run: sbt "runMain graft.QuantileProbe [sfDir] [k] [reps]" */
+object QuantileProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(256)
+    val reps = args.lift(2).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkEntry.tune(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d0 = Tables.read(spark, sfDir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("source"), length(col("text")).cast(DoubleType).as("v"))
+    for (copies <- Seq(1, 4, 10)) {
+      // per-copy epsilon keeps values distinct so compaction can't cheat
+      // by collapsing exact duplicates it would not see in real data
+      val d = (0 until copies).map(c =>
+          d0.select(col("source"), (col("v") + lit(c * 1e-3)).as("v")))
+        .reduce(_ unionByName _)
+        .repartition(cpus.toInt * 2)
+        .localCheckpoint()
+      val n = d.count()
+      val sk = graft.operators.Sketch.quantileSketch(d, Seq("source"), col("v"), k = k)
+      val maxState = sk.select(max(size(col("qsk")))).head.getInt(0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        graft.operators.Sketch.sketchQuantiles(
+            graft.operators.Sketch.quantileSketch(d, Seq("source"), col("v"), k = k),
+            "qsk", Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val med = times.sorted.apply(times.size / 2)
+      println(f"[probe] quantile_sketch copies=$copies rows=$n k=$k " +
+        f"maxStateRows=$maxState runs=${times.map(t => f"$t%.2f").mkString(",")} " +
+        f"median=$med%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -38,6 +38,17 @@ final case class HmmModel(pi: Array[Double], a: Array[Array[Double]], b: Array[A
   /** Viterbi path plus its raw-space max path probability — the reference
     * HMMApplyDecodeProcessor's `delta` (ViterbiAlgorithm result._1). */
   def decodeWithDelta(obs: Seq[Int]): (Double, Seq[Int]) = {
+    val (ld, path) = decodeWithLogDelta(obs)
+    (math.exp(ld), path)
+  }
+
+  /** Viterbi path plus the LOG-space max path probability. Kept exp-free:
+    * every delta is a chain of IEEE additions of the model's log
+    * parameters in a fixed left-to-right order, so a SQL replay of the
+    * same DP over the same literals is bit-identical (the exact-replay
+    * property the `hmm_viterbi_decode` oracle gates); `decodeWithDelta`'s
+    * exp would re-introduce a transcendental at the output boundary. */
+  def decodeWithLogDelta(obs: Seq[Int]): (Double, Seq[Int]) = {
     val n = nStates
     val T = obs.length
     val delta = Array.ofDim[Double](T, n)
@@ -51,7 +62,7 @@ final case class HmmModel(pi: Array[Double], a: Array[Array[Double]], b: Array[A
     val path = new Array[Int](T)
     path(T - 1) = (0 until n).maxBy(delta(T - 1))
     for (t <- T - 2 to 0 by -1) path(t) = psi(t + 1)(path(t + 1))
-    (math.exp(delta(T - 1).max), path.toSeq)
+    (delta(T - 1).max, path.toSeq)
   }
 }
 
@@ -101,6 +112,28 @@ object HMM {
         (key, model.decode(obs), model.logLikelihood(obs))
       }
       .toDF(seqCol, "states", "log_likelihood")
+  }
+
+  /** Decode every sequence in parallel, emitting the Viterbi path (comma-
+    * joined) and the LOG-space max path probability — the oracle-gated
+    * sibling of [[decodeAll]] (ref HMMApplyDecodeProcessor appends both
+    * the path and its delta; modules/ml/app/tuktu/ml/processors/hmm/
+    * HMM.scala:107). Same shape: one shuffle on the sequence key, the
+    * model broadcast via closure, per-group DP on executors. */
+  def decodeAllDelta(df: DataFrame, seqCol: String, orderCol: String,
+                     symbolCol: String, model: HmmModel)
+                    (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    df.select(col(seqCol).cast("long"), col(orderCol).cast("long"),
+        col(symbolCol).cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroups { (key, rows) =>
+        val obs = rows.toSeq.sortBy(_._2).map(_._3)
+        val (logDelta, path) = model.decodeWithLogDelta(obs)
+        (key, path.mkString(","), logDelta)
+      }
+      .toDF(seqCol, "path", "log_delta")
   }
 
   // -------------------------------------------------- unsupervised training

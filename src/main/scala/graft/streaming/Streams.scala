@@ -23,6 +23,56 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Streams {
 
+  /** Eviction clock for the sketch streamers' idle-group TTL. Two modes:
+    *
+    *  - `eventTimeCol` set (requires `stateTtl`): EventTimeTimeout — a
+    *    group is evicted once the stream's WATERMARK advances `stateTtl`
+    *    past the group's last update. Deterministic (the clock is the
+    *    data, not the wall), replay-gateable, and reaches quiescence:
+    *    `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` re-triggers
+    *    only while the watermark advances, so `processAllAvailable` /
+    *    `Trigger.AvailableNow` terminate. The operator stamps a 0-second
+    *    watermark on the column; callers needing late-data slack should
+    *    pre-watermark upstream instead.
+    *  - `eventTimeCol` empty, `stateTtl` set: ProcessingTimeTimeout —
+    *    wall-clock idle eviction (the near-dup streamer's contract).
+    *    CAUTION: `shouldRunAnotherBatch` is unconditionally true for this
+    *    mode, so the zero-interval test trigger busy-spins no-data
+    *    batches and `processAllAvailable`/`AvailableNow` NEVER return
+    *    (measured, not theoretical) — use only under interval triggers in
+    *    long-running queries.
+    */
+  private def ttlTimeoutConf(stateTtl: Option[String],
+                             eventTimeCol: Option[String]): GroupStateTimeout =
+    (stateTtl, eventTimeCol) match {
+      case (Some(_), Some(_)) => GroupStateTimeout.EventTimeTimeout
+      case (Some(_), None)    => GroupStateTimeout.ProcessingTimeTimeout
+      case (None, _)          => GroupStateTimeout.NoTimeout
+    }
+
+  /** Arm the group's TTL after an update, on whichever clock is active. */
+  private def armTtl(state: GroupState[_], stateTtl: Option[String],
+                     eventTime: Boolean): Unit =
+    stateTtl.foreach { ttl =>
+      if (eventTime)
+        state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs, 0L), ttl)
+      else state.setTimeoutDuration(ttl)
+    }
+
+  /** Stamp the 0-delay watermark the EventTimeTimeout mode needs. */
+  private def withTtlWatermark(stream: DataFrame,
+                               eventTimeCol: Option[String]): DataFrame =
+    eventTimeCol.fold(stream)(c => stream.withWatermark(c, "0 seconds"))
+
+  /** The event-time column threaded through the streamer's projection —
+    * the analyzer requires the WATERMARKED ATTRIBUTE in the
+    * flatMapGroupsWithState child's output (watermark metadata rides on
+    * the attribute, not the plan), so it must survive the select even
+    * though the state function never reads it; a constant stands in when
+    * no event-time TTL is configured so the row shape stays uniform. */
+  private def ttlEventTime(eventTimeCol: Option[String]): Column =
+    eventTimeCol.map(col).getOrElse(lit(new java.sql.Timestamp(0L)))
+
   /** Tumbling event-time window aggregation with watermark
     * (ref: TimestampNormalizerProcessor.scala:17 + GroupByProcessor). */
   def tumblingAgg(df: DataFrame, tsCol: String, duration: String, watermark: String,
@@ -237,9 +287,19 @@ object Streams {
     * across batches by construction. Update output mode; all three output
     * columns are monotone (n_zero and sum_scaled never increase, hll_est
     * never decreases), so the final state of a replay is
-    * min/min/max per group over the emitted updates. */
+    * min/min/max per group over the emitted updates.
+    *
+    * Per-group state is m bytes, but group CARDINALITY is unbounded —
+    * keyed by e.g. URL domain at 100 TB ingest the state store grows
+    * monotonically under NoTimeout. `stateTtl` (e.g. "1 hour") evicts
+    * idle groups — on the watermark clock when `eventTimeCol` is given
+    * (deterministic, replay-gated), else on the wall clock (see
+    * [[ttlTimeoutConf]] for the contract and the busy-spin caution); an
+    * evicted group that reappears restarts its registers from zero. */
   def streamingHllDistinct(stream: DataFrame, groupCol: String,
-                           valueCol: String, p: Int = 8): DataFrame = {
+                           valueCol: String, p: Int = 8,
+                           stateTtl: Option[String] = None,
+                           eventTimeCol: Option[String] = None): DataFrame = {
     require(p >= 4 && p <= 16, "HLL precision p in [4, 16]")
     val spark = stream.sparkSession
     import spark.implicits._
@@ -248,35 +308,43 @@ object Streams {
     val m = 1 << p
     val p1 = 61 - p
     val c = graft.operators.Sketch.hllConstant(p)
-    stream
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
+    withTtlWatermark(stream, eventTimeCol)
       .select(col(groupCol).cast("string").as("g"),
-        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"))
+        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"),
+        ttlEventTime(eventTimeCol).as("et"))
       .filter(col("h").isNotNull) // null value ⇒ null hash ⇒ encoder throw
-      .as[(String, Long)]
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Array[Byte], (String, Long, Long, Double)](
-        GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[(String, Long)], state: GroupState[Array[Byte]]) =>
-          val regs = state.getOption.getOrElse(new Array[Byte](m))
-          rows.foreach { case (_, h) =>
-            val b = (h >>> width).toInt
-            val low = h & mask
-            // rank = leading zeros within the low `width` bits + 1 — the
-            // same integer as the batch path's width+1 − length(bin(low))
-            val rho =
-              if (low == 0L) width + 1
-              else java.lang.Long.numberOfLeadingZeros(low) + width - 63
-            if (rho > regs(b)) regs(b) = rho.toByte
+      .flatMapGroupsWithState[Array[Byte], (String, Long, Long, Double)](
+        OutputMode.Update, timeoutConf) {
+        (g: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val regs = state.getOption.getOrElse(new Array[Byte](m))
+            rows.foreach { case (_, h, _) =>
+              val b = (h >>> width).toInt
+              val low = h & mask
+              // rank = leading zeros within the low `width` bits + 1 — the
+              // same integer as the batch path's width+1 − length(bin(low))
+              val rho =
+                if (low == 0L) width + 1
+                else java.lang.Long.numberOfLeadingZeros(low) + width - 63
+              if (rho > regs(b)) regs(b) = rho.toByte
+            }
+            state.update(regs)
+            armTtl(state, stateTtl, evTime)
+            var nz = 0L; var sum = 0L; var i = 0
+            while (i < m) {
+              val r = regs(i)
+              if (r == 0) nz += 1
+              sum += 1L << (p1 - r)
+              i += 1
+            }
+            Iterator.single((g, nz, sum, math.floor(c / sum.toDouble)))
           }
-          state.update(regs)
-          var nz = 0L; var sum = 0L; var i = 0
-          while (i < m) {
-            val r = regs(i)
-            if (r == 0) nz += 1
-            sum += 1L << (p1 - r)
-            i += 1
-          }
-          (g, nz, sum, math.floor(c / sum.toDouble))
       }
       .toDF(groupCol, "n_zero", "sum_scaled", "hll_est")
   }
@@ -288,34 +356,47 @@ object Streams {
     * every batch emits the group's current (n_kept, kmv_est) with the
     * batch estimator's exact arithmetic, so a converged stream reports the
     * identical estimate. Update output mode (each batch re-emits touched
-    * groups); pair with the same TTL caution as the near-dup operator. */
+    * groups). Per-group state is k longs but group cardinality is not
+    * bounded: `stateTtl` evicts idle groups on the watermark clock when
+    * `eventTimeCol` is given, else the wall clock (see [[ttlTimeoutConf]]);
+    * a reappearing group restarts its bottom-k from empty. */
   def streamingKmvDistinct(stream: DataFrame, groupCol: String,
-                           valueCol: String, k: Int = 64): DataFrame = {
+                           valueCol: String, k: Int = 64,
+                           stateTtl: Option[String] = None,
+                           eventTimeCol: Option[String] = None): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val spark = stream.sparkSession
     import spark.implicits._
     val two60 = 1152921504606846976.0
-    stream
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
+    withTtlWatermark(stream, eventTimeCol)
       .select(col(groupCol).cast("string").as("g"),
-        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"))
+        graft.operators.TextAnalysis.tokenHash(col(valueCol)).as("h"),
+        ttlEventTime(eventTimeCol).as("et"))
       // a null value hashes to null and the (String, Long) encoder throws
       // on a null primitive at runtime — one bad record would kill the
       // whole streaming query; drop it here, matching the batch estimator
       .filter(col("h").isNotNull)
-      .as[(String, Long)]
+      .as[(String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Array[Long], (String, Long, Double)](
-        GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[(String, Long)], state: GroupState[Array[Long]]) =>
-          // merge the batch's hashes into the bottom-k: sort-distinct the
-          // union, truncate — O((k + batch) log(k + batch)) per group-batch
-          val merged = (state.getOption.getOrElse(Array.empty[Long]).iterator ++
-            rows.map(_._2)).toArray.distinct.sorted.take(k)
-          state.update(merged)
-          val est =
-            if (merged.length < k) merged.length.toDouble
-            else math.floor((k - 1).toDouble * two60 / merged.last)
-          (g, merged.length.toLong, est)
+      .flatMapGroupsWithState[Array[Long], (String, Long, Double)](
+        OutputMode.Update, timeoutConf) {
+        (g: String, rows: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[Array[Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // merge the batch's hashes into the bottom-k: sort-distinct the
+            // union, truncate — O((k + batch) log(k + batch)) per group-batch
+            val merged = (state.getOption.getOrElse(Array.empty[Long]).iterator ++
+              rows.map(_._2)).toArray.distinct.sorted.take(k)
+            state.update(merged)
+            armTtl(state, stateTtl, evTime)
+            val est =
+              if (merged.length < k) merged.length.toDouble
+              else math.floor((k - 1).toDouble * two60 / merged.last)
+            Iterator.single((g, merged.length.toLong, est))
+          }
       }
       .toDF(groupCol, "n_kept", "kmv_est")
   }
@@ -333,37 +414,51 @@ object Streams {
     * (distinct values ≤ maxTracked) counts are exact and monotone
     * non-decreasing per (group, item), so a replay's final state is
     * max(est) per pair — the property the 2-batch oracle replay gates.
-    * Update output mode. */
+    * Update output mode. Per-group state is ≤ 2·maxTracked counters but
+    * group cardinality is not bounded: `stateTtl` evicts idle groups on
+    * the watermark clock when `eventTimeCol` is given, else the wall
+    * clock (see [[ttlTimeoutConf]]); a reappearing group restarts its
+    * counters from empty. */
   def streamingFrequentItems(stream: DataFrame, groupCol: String,
-                             valueCol: String, maxTracked: Int = 1024): DataFrame = {
+                             valueCol: String, maxTracked: Int = 1024,
+                             stateTtl: Option[String] = None,
+                             eventTimeCol: Option[String] = None): DataFrame = {
     require(maxTracked >= 1, "streamingFrequentItems needs maxTracked >= 1")
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
+    withTtlWatermark(stream, eventTimeCol)
       .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("string").as("v"))
+        col(valueCol).cast("string").as("v"),
+        ttlEventTime(eventTimeCol).as("et"))
       .filter(col("v").isNotNull) // null value would kill the query at the encoder
-      .as[(String, String)]
+      .as[(String, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[Map[String, Long], (String, String, Long)](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[(String, String)], state: GroupState[Map[String, Long]]) =>
-          val m = scala.collection.mutable.HashMap.empty[String, Long]
-          state.getOption.foreach(m ++= _)
-          rows.foreach { case (_, v) =>
-            m.update(v, m.getOrElse(v, 0L) + 1L)
-            if (m.size > 2 * maxTracked) {
-              // subtract the (size − maxTracked)-th smallest count from
-              // everything and drop the non-positive — amortized O(1)/row
-              val pivot = m.values.toIndexedSeq.sorted.apply(m.size - maxTracked - 1)
-              val keep = m.iterator.collect {
-                case (k, c) if c > pivot => k -> (c - pivot)
-              }.toSeq
-              m.clear(); m ++= keep
+        OutputMode.Update, timeoutConf) {
+        (g: String, rows: Iterator[(String, String, java.sql.Timestamp)],
+         state: GroupState[Map[String, Long]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            state.getOption.foreach(m ++= _)
+            rows.foreach { case (_, v, _) =>
+              m.update(v, m.getOrElse(v, 0L) + 1L)
+              if (m.size > 2 * maxTracked) {
+                // subtract the (size − maxTracked)-th smallest count from
+                // everything and drop the non-positive — amortized O(1)/row
+                val pivot = m.values.toIndexedSeq.sorted.apply(m.size - maxTracked - 1)
+                val keep = m.iterator.collect {
+                  case (k, c) if c > pivot => k -> (c - pivot)
+                }.toSeq
+                m.clear(); m ++= keep
+              }
             }
+            state.update(m.toMap)
+            armTtl(state, stateTtl, evTime)
+            m.iterator.map { case (item, est) => (g, item, est) }.toSeq.iterator
           }
-          state.update(m.toMap)
-          m.iterator.map { case (item, est) => (g, item, est) }.toSeq.iterator
       }
       .toDF(groupCol, "item", "est")
   }
@@ -379,41 +474,57 @@ object Streams {
     * regime (weight conservation), so a replay's final state is the
     * emission with max n per group — the property the 2-batch oracle
     * replay gates. In the exact regime (group size ≤ k) the emitted
-    * quantiles are exact order statistics. Update output mode. */
+    * quantiles are exact order statistics. Update output mode.
+    * Per-group state is O(k·log(n/k)) doubles but group cardinality is
+    * not bounded: `stateTtl` evicts idle groups on the watermark clock
+    * when `eventTimeCol` is given, else the wall clock (see
+    * [[ttlTimeoutConf]]); a reappearing group restarts its sketch — and
+    * its exact `n` — from empty, the property the 3-batch eviction
+    * replay gates. */
   def streamingQuantiles(stream: DataFrame, groupCol: String,
-                         valueCol: String, k: Int = 256): DataFrame = {
+                         valueCol: String, k: Int = 256,
+                         stateTtl: Option[String] = None,
+                         eventTimeCol: Option[String] = None): DataFrame = {
     require(k >= 8, "qsketch needs k >= 8")
     import graft.plans.{KllState, QuantileKll}
     val spark = stream.sparkSession
     import spark.implicits._
-    stream
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
+    withTtlWatermark(stream, eventTimeCol)
       .select(col(groupCol).cast("string").as("g"),
-        col(valueCol).cast("double").as("v"))
+        col(valueCol).cast("double").as("v"),
+        ttlEventTime(eventTimeCol).as("et"))
       .filter(col("v").isNotNull) // null primitive kills the encoder
-      .as[(String, Double)]
+      .as[(String, Double, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[Seq[Seq[Double]], (String, Long, Double, Double, Double)](
-        GroupStateTimeout.NoTimeout) {
-        (g: String, rows: Iterator[(String, Double)], state: GroupState[Seq[Seq[Double]]]) =>
-          val st = new KllState
-          state.getOption.foreach { levels =>
-            st.levels.clear()
-            levels.foreach(l => st.levels +=
-              scala.collection.mutable.ArrayBuffer.from(l))
+      .flatMapGroupsWithState[Seq[Seq[Double]], (String, Long, Double, Double, Double)](
+        OutputMode.Update, timeoutConf) {
+        (g: String, rows: Iterator[(String, Double, java.sql.Timestamp)],
+         state: GroupState[Seq[Seq[Double]]]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = new KllState
+            state.getOption.foreach { levels =>
+              st.levels.clear()
+              levels.foreach(l => st.levels +=
+                scala.collection.mutable.ArrayBuffer.from(l))
+            }
+            rows.foreach(r => QuantileKll.insert(st, r._2, k))
+            state.update(st.levels.map(_.toSeq).toSeq)
+            armTtl(state, stateTtl, evTime)
+            val sample = QuantileKll.sample(st)
+            var n = 0L
+            sample.foreach(n += _._2)
+            def q(p: Double): Double = {
+              val target = math.ceil(p * n).toLong
+              var cum = 0L
+              var i = 0
+              while (i < sample.length && cum < target) { cum += sample(i)._2; i += 1 }
+              if (i == 0) Double.NaN else sample(i - 1)._1
+            }
+            Iterator.single((g, n, q(0.5), q(0.9), q(0.99)))
           }
-          rows.foreach(r => QuantileKll.insert(st, r._2, k))
-          state.update(st.levels.map(_.toSeq).toSeq)
-          val sample = QuantileKll.sample(st)
-          var n = 0L
-          sample.foreach(n += _._2)
-          def q(p: Double): Double = {
-            val target = math.ceil(p * n).toLong
-            var cum = 0L
-            var i = 0
-            while (i < sample.length && cum < target) { cum += sample(i)._2; i += 1 }
-            if (i == 0) Double.NaN else sample(i - 1)._1
-          }
-          (g, n, q(0.5), q(0.9), q(0.99))
       }
       .toDF(groupCol, "n", "p50", "p90", "p99")
   }

@@ -92,6 +92,27 @@ class HMMSpec extends SparkSpec {
     assert(out.pi.toSeq == init.pi.toSeq && out.a.map(_.toSeq).toSeq == init.a.map(_.toSeq).toSeq)
   }
 
+  test("hmm_viterbi_decode's demo model equals fitSupervised on the same fixture") {
+    // the oracle query trains its model in pure Scala at class-init (the
+    // generated SQL needs the literals data-independently); this pins that
+    // local trainer bit-equal to the distributed fitSupervised path, so
+    // the DuckDB gate transitively covers supervised training too
+    val fx = QueriesLLM.hmmDemoFixture
+      .map { case (sq, t, st, sym) => (sq.toLong, t.toLong, st, sym) }
+      .toDF("seq", "t", "state", "symbol")
+    val fitted = HMM.fitSupervised(fx, "seq", "t", "state", "symbol",
+      nStates = 3, nSymbols = 4)
+    val demo = QueriesLLM.hmmDemoModel
+    assert(fitted.pi.toSeq == demo.pi.toSeq)
+    assert(fitted.a.map(_.toSeq).toSeq == demo.a.map(_.toSeq).toSeq)
+    assert(fitted.b.map(_.toSeq).toSeq == demo.b.map(_.toSeq).toSeq)
+    // and the decoder exposes the log-space delta the oracle replays
+    val obs = genSeq(3, 9).map(_._2)
+    val (ld, path) = demo.decodeWithLogDelta(obs)
+    assert(ld <= 0.0 && path.length == obs.length)
+    assert(demo.decodeWithDelta(obs) == ((math.exp(ld), path)))
+  }
+
   test("predictSteps draws a reproducible walk over valid symbols") {
     val w1 = HMM.predictSteps(model, 20, seed = 7)
     val w2 = HMM.predictSteps(model, 20, seed = 7)

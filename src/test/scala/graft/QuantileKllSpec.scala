@@ -168,6 +168,51 @@ class QuantileKllSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("adversarial distributions at n >> k stay inside the deterministic-compactor envelope") {
+    // The classic adversaries for a deterministic even-index compactor:
+    // sorted-ascending input (every compaction drops from the same flank),
+    // reverse-sorted, and heavy-duplicate (one value owns half the mass,
+    // so compaction keeps collapsing equal items). Documented envelope:
+    // each level-i compaction moves any rank by ≤ 2^i and level i sees
+    // ≤ n/(k·2^i) compactions, so total rank error is O(n·log₂(n/k)/k);
+    // asserted here with constant 1 — and with the same weight
+    // conservation and state bound as the shuffled case, since neither
+    // depends on the input order.
+    val n = 20000
+    val k = 64
+    val envelope = n.toDouble * (math.log(n.toDouble / k) / math.log(2)) / k
+    val cases: Seq[(String, Seq[Double])] = Seq(
+      "sorted-ascending" -> (0 until n).map(_.toDouble),
+      "reverse-sorted" -> (0 until n).map(i => (n - 1 - i).toDouble),
+      "heavy-duplicate" -> (0 until n).map(i =>
+        if (i % 2 == 0) (n / 2).toDouble else ((i.toLong * 48271) % n).toDouble))
+    cases.foreach { case (label, vs) =>
+      // single partition: preserves the adversarial arrival order end-to-end
+      val sk = Sketch.quantileSketch(
+        vs.map(("g", _)).toDF("g", "v").coalesce(1), Seq("g"), col("v"), k = k)
+      val sample = sk.select("qsk").collect()(0).getSeq[Row](0)
+        .map(r => (r.getDouble(0), r.getLong(1)))
+      val levels = math.ceil(math.log(n.toDouble / k) / math.log(2)).toInt + 2
+      assert(sample.length <= (k + 1) * levels, s"$label state ${sample.length}")
+      assert(sample.map(_._2).sum == n, s"$label weight")
+      val got = Sketch.sketchQuantiles(sk, "qsk", ps).collect()(0)
+      assert(got.getLong(got.fieldIndex("n")) == n, label)
+      ps.foreach { case (name, p) =>
+        val est = got.getDouble(got.fieldIndex(name))
+        // rank error via the true multiset: |#{v < est} .. #{v <= est}|
+        // straddles the realized rank, so distance from ceil(p·n) to the
+        // nearest edge of that interval is the exact rank displacement
+        val target = math.ceil(p * n)
+        val lo = vs.count(_ < est)
+        val hi = vs.count(_ <= est)
+        val rankErr =
+          if (target < lo) lo - target else if (target > hi) target - hi else 0.0
+        assert(rankErr <= envelope,
+          s"$label $name rank error $rankErr > envelope $envelope")
+      }
+    }
+  }
+
   test("plan shape: one ObjectHashAggregate pair, no Window, no Sort of the input") {
     val df = (0 until 100).map(i => (s"g${i % 4}", i.toDouble)).toDF("g", "v")
     val plan = Sketch.sketchQuantiles(

@@ -194,6 +194,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sketch streamers: event-time TTL evicts idle groups, survivors keep folding") {
+    implicit val sql = spark.sqlContext
+    // KMV exercises the shared armTtl/ttlTimeoutConf path (quantiles get
+    // the oracle replay): batch 1 arms both groups at watermark(0) + 60 s
+    // with event times 1-5 s (watermark stays below the deadline, so
+    // nothing fires early); batch 2 feeds only "live" at ~1000 s, pushing
+    // the watermark past both deadlines — the engine's watermark-advance
+    // batch then removes both states, which is fine for "live" (no more
+    // data; its cumulative batch-2 emission already happened) and is the
+    // eviction under test for "idle". Batch 3 re-feeds "idle": its
+    // bottom-k restarts (n_kept counts the batch-3 value only).
+    val in = MemoryStream[(String, String, Long)]
+    val out = Streams.streamingKmvDistinct(
+      in.toDF.toDF("grp", "v", "sec").withColumn("ts", timestamp_seconds(col("sec"))),
+      "grp", "v", k = 16, stateTtl = Some("60 seconds"), eventTimeCol = Some("ts"))
+    val q = out.writeStream.format("memory").queryName("skmvttl")
+      .outputMode("update").start()
+    try {
+      in.addData((1 to 5).map(i => ("idle", s"a$i", i.toLong)) ++
+        (1 to 4).map(i => ("live", s"b$i", i.toLong)): _*)
+      q.processAllAvailable()
+      in.addData((5 to 7).map(i => ("live", s"b$i", 1000L + i)): _*)
+      q.processAllAvailable()
+      in.addData(Seq(("idle", "c1", 1100L)): _*)
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM skmvttl").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      val lastIdle = rows.zipWithIndex.filter(_._1._1 == "idle").maxBy(_._2)._1
+      assert(lastIdle._2 == 1L, s"idle state leaked across TTL: $lastIdle")
+      val lastLive = rows.zipWithIndex.filter(_._1._1 == "live").maxBy(_._2)._1
+      assert(lastLive._2 == 7L, s"live group lost state: $lastLive")
+    } finally q.stop()
+  }
+
   test("streamingFrequentItems: cross-batch counter fold equals batch counts; eviction keeps heavies") {
     implicit val sql = spark.sqlContext
     // exact regime across a batch boundary: final state (max est per
