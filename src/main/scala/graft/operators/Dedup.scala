@@ -812,10 +812,20 @@ object Dedup {
     *
     * The tie rule rides a single BIGINT: key = h·2²⁰ + (2²⁰−1−pos), so a
     * plain `min` over the trailing window picks (min hash, max pos).
-    * Shape: token hashes → positional shingle fold → posexplode → ONE
-    * bounded window (w rows, per-doc ordering — never a corpus sort) →
-    * distinct. The distinct's hash shuffle is the only corpus-wide wide
+    * Shape: token hashes → positional shingle fold → posexplode_outer →
+    * ONE bounded window (w rows, per-doc ordering — never a corpus sort)
+    * → distinct. The distinct's hash shuffle is the only corpus-wide wide
     * stage; per-doc sort extents are bounded by document length.
+    *
+    * The explode must be the OUTER form: for a plain posexplode,
+    * `InferFiltersFromGenerate` adds `size(__sh) > 0` below the Generate
+    * and predicate pushdown then substitutes the WHOLE shingle expression
+    * into that per-row Filter — with the md5 token-hash transform inlined
+    * into each of the fold's three element_at references, so every gram
+    * re-evaluates the full token-hash array (~300 md5 per gram; measured
+    * 58 s at sf0.1 vs ~1 s fixed). posexplode_outer infers nothing; the
+    * empty-doc rows it keeps are dropped by one cheap null filter on the
+    * generator OUTPUT, which cannot be pushed below the Generate.
     *
     * The packed-key contract is ENFORCED in the plan: a document with more
     * than `posBound` n-grams would alias position bits into the hash field
@@ -834,7 +844,8 @@ object Dedup {
       .withColumn("__th", tokenHashes(col(textCol)))
       .withColumn("__sh", posShingleHashes(col("__th"), n))
       .select(col(idCol), size(col("__sh")).as("__ng"),
-        posexplode(col("__sh")).as(Seq("__p", "__h")))
+        posexplode_outer(col("__sh")).as(Seq("__p", "__h")))
+      .filter(col("__h").isNotNull) // outer-explode's empty-doc rows
       .withColumn("__ng",
         when(col("__ng") > B, raise_error(concat(
           lit(s"winnowFingerprints: document "), col(idCol).cast(StringType),

@@ -70,6 +70,22 @@ class PlanShapeSpec extends SparkSpec {
       "freq_items should shuffle only sketch rows + the final order")
   }
 
+  test("winnowing evaluates the token-hash transform once: no inferred-filter expression blowup") {
+    // A plain posexplode lets InferFiltersFromGenerate add `size(__sh) > 0`
+    // below the Generate; predicate pushdown then inlines the md5
+    // token-hash transform into each of the shingle fold's element_at
+    // references, re-evaluating the full token-hash array PER GRAM
+    // (measured 58 s vs ~1 s at sf0.1). The fixed shape uses
+    // posexplode_outer + a null filter on the generator OUTPUT, leaving
+    // exactly one md5 transform in the plan.
+    // count in the AQE final plan only — the toString appends an
+    // "== Initial Plan ==" duplicate of every stage
+    val p = planOf("winnow_fingerprints").split("== Initial Plan ==")(0)
+    assert("md5".r.findAllIn(p).size <= 1,
+      "winnow_fingerprints re-inlines the token-hash transform " +
+        s"(${"md5".r.findAllIn(p).size} md5 sites — InferFiltersFromGenerate pushdown is back)")
+  }
+
   test("sliding-window chunking is a stateless projection: no shuffle beyond the oracle order") {
     val p = planOf("chunk_sliding")
     assert(!p.contains("Join"))
