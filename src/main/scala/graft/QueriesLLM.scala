@@ -816,6 +816,26 @@ object QueriesLLM {
         .orderBy("vec_id")
     }),
 
+    // ---------------- SEMANTIC decontamination (r14): the embedding
+    // sibling of `decontaminate` — n-gram overlap misses paraphrased eval
+    // leakage, so every corpus vector is scored by max cosine against the
+    // benchmark slice (vec_id % 23, which also plants exact self-hits at
+    // cosine 1.0). Bench rides as ONE broadcast row of (vec, norm)
+    // structs; the corpus pays a single scan with an order-free greatest
+    // fold (each pair cosine is independent, so collect_list's
+    // non-deterministic order can't move the max). Integerized vectors
+    // make every pair cosine bit-replayable.
+    "semantic_decontaminate" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding").cast(ArrayType(DoubleType)),
+            x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
+      Dedup.semanticDecontaminate(e, e.filter(col("vec_id") % 23 === 0),
+          "vec_id", "q", tau = 0.9)
+        .select(col("vec_id"), col("max_cos"), col("suspect"))
+        .orderBy("vec_id")
+    }),
+
     // ---------------- LSH ANN top-k (the approximate scale path). The
     // md5-derived hyperplanes are deterministic, so the ENTIRE approximate
     // pipeline — sign-bit buckets, 4-table candidate set, exact re-rank —
@@ -3620,6 +3640,26 @@ object QueriesLLM {
                      FROM comp JOIN cs ON comp.vec_id = cs.vec_id)
           SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, rn = 1 AS keep
           FROM ranked ORDER BY vec_id"""
+    },
+    "semantic_decontaminate" -> {
+      // each pair cosine is ONE exact dot (same left-to-right fold as
+      // vec_dot), two sqrt, one multiply, one divide; max is order-free,
+      // so the relational MAX equals the Spark greatest-fold bit-for-bit
+      def dot(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def nrm(a: String) = s"sqrt(${dot(a, a)})"
+      s"""WITH e AS (
+            SELECT vec_id, list_transform(embedding::DOUBLE[], x -> floor(x * 1000000)) AS q
+            FROM embeddings),
+          b AS (SELECT q AS bv, ${nrm("q")} AS bn FROM e
+                WHERE vec_id % 23 = 0 AND ${nrm("q")} > 0),
+          n AS (SELECT vec_id, q, ${nrm("q")} AS nq FROM e),
+          p AS (SELECT n.vec_id, max(${dot("n.q", "b.bv")} / (n.nq * b.bn)) AS max_cos
+                FROM n CROSS JOIN b WHERE n.nq > 0 GROUP BY n.vec_id)
+          SELECT n.vec_id, p.max_cos,
+            coalesce(p.max_cos >= 0.9, FALSE) AS suspect
+          FROM n LEFT JOIN p ON n.vec_id = p.vec_id ORDER BY n.vec_id"""
     },
     "ivf_assign_join" ->
       // centroid ids ARE the low vec_ids; argmin squared-L2 with ties to

@@ -333,6 +333,46 @@ object Dedup {
     minhashBase(bench, idCol, textCol, n, k = 0, collectShingles = true)
       .select(explode(col("sh")).as("g")).distinct()
 
+  /** SEMANTIC benchmark decontamination — the embedding sibling of
+    * [[decontaminate]]: n-gram overlap misses paraphrased or translated
+    * eval leakage, so flag every corpus item whose max cosine against ANY
+    * benchmark embedding reaches `tau`. Returns (idCol, max_cos, suspect);
+    * `max_cos` is null (and suspect false) for zero-norm corpus vectors
+    * (cosine undefined) and when the benchmark has no nonzero vectors
+    * (nothing can leak).
+    *
+    * 100 TB shape: the benchmark is eval-suite-sized by nature, so it
+    * rides as ONE aggregated broadcast row — an array of (vec, norm)
+    * structs — and the corpus pays a single SCAN with a per-row max-fold
+    * over that array: no shuffle, no groupBy, streaming-composable. Each
+    * pair's cosine is computed independently and `greatest` is exact and
+    * order-free, so the non-deterministic collect_list order cannot change
+    * the result (unlike a summation fold). |bench|·d doubles must fit a
+    * broadcast (a 100k × 1k eval suite ≈ 800 MB — beyond that, shard the
+    * bench and OR the flags). On integerized vectors every pair cosine is
+    * one exact dot, two sqrt, one multiply, one divide — bit-replayable. */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val benchRow = bench
+      .select(v.as("__bv"), Similarity.norm(v).as("__bn"))
+      .filter(col("__bn") > 0)
+      .agg(collect_list(struct(col("__bv"), col("__bn"))).as("__bench"))
+    // corpus norm staged BELOW the join: one d-dim fold per row, not one
+    // per (row, bench element) — a project can't inline through the join
+    val withN = corpus.withColumn("__n", Similarity.norm(v))
+    val maxCos = when(col("__n") > 0 && size(col("__bench")) > 0,
+      aggregate(col("__bench"), lit(-1.0), (acc, b) =>
+        greatest(acc, Similarity.dot(v, b.getField("__bv")) /
+          (col("__n") * b.getField("__bn")))))
+      .otherwise(lit(null).cast(DoubleType))
+    withN.crossJoin(broadcast(benchRow))
+      .withColumn("max_cos", maxCos)
+      .withColumn("suspect", coalesce(col("max_cos") >= tau, lit(false)))
+      .drop("__bench", "__n")
+  }
+
   /** Broadcast-Bloom membership probe over a gram table; None when the
     * table is empty (nothing can leak, and Spark's bloomFilter NPEs on
     * empty input). A UDF is the only public seam to Spark's BloomFilter

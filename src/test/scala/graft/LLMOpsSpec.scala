@@ -834,6 +834,32 @@ class LLMOpsSpec extends SparkSpec {
     assert(out(4L) == ((4L, true)), "singletons keep themselves")
   }
 
+  test("semanticDecontaminate flags paraphrase-level cosine hits, null-safe on zero norms") {
+    // bench spans the x and y axes; corpus: an exact bench hit (cos 1), a
+    // paraphrase-level tilt (cos ≈ 0.948 to x̂), an orthogonal vector
+    // (max cos 0 — clean), and a zero vector (cosine undefined → null/false)
+    val bench = Seq(Seq(2.0, 0.0, 0.0), Seq(0.0, 3.0, 0.0)).toDF("v")
+    val corpus = Seq(
+      (1L, Seq(5.0, 0.0, 0.0)),  // parallel to bench x̂: max_cos = 1.0
+      (2L, Seq(3.0, 0.0, 1.0)),  // cos to x̂ = 3/sqrt(10) ≈ 0.9487 ≥ τ
+      (3L, Seq(0.0, 0.0, 7.0)),  // orthogonal to both: max_cos = 0.0
+      (4L, Seq(0.0, 0.0, 0.0)))  // zero norm: null, never suspect
+      .toDF("id", "v")
+    val out = Dedup.semanticDecontaminate(corpus, bench, "id", "v", tau = 0.9)
+      .select("id", "max_cos", "suspect").collect()
+      .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2))))
+      .toMap
+    assert(out(1L) == ((Some(1.0), true)))
+    assert(out(2L)._2 && math.abs(out(2L)._1.get - 3.0 / math.sqrt(10.0)) < 1e-12)
+    assert(out(3L) == ((Some(0.0), false)))
+    assert(out(4L) == ((None, false)))
+    // empty benchmark (all zero-norm): nothing can leak — every row clean
+    val noBench = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+    val clean = Dedup.semanticDecontaminate(corpus, noBench, "id", "v", tau = 0.9)
+      .select("id", "max_cos", "suspect").collect()
+    assert(clean.forall(r => r.isNullAt(1) && !r.getBoolean(2)))
+  }
+
   test("simhash: identical texts equal, near texts close, far texts far") {
     val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
       .as[(Long, Long)].collect().toMap
