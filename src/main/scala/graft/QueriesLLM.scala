@@ -2953,6 +2953,19 @@ object QueriesLLM {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // ---------------- winnowing match-span localization (r14): the MOSS
+    // reporting step — candidate pairs' shared fingerprints joined back on
+    // fp, each side's hit positions merged gaps-and-islands style (gap =
+    // w+n-1, the guarantee window) into token spans with per-span hit
+    // counts. The windows run per (pair, side) — never a corpus ordering.
+    "winnow_match_spans" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      Dedup.winnowMatchSpans(d, "doc_id", "text", n = 3, w = 4,
+        minShared = 2, maxBucket = 50)
+        .orderBy("doc_a", "doc_b", "side", "span_start")
+    }),
+
     // ---------------- deterministic per-group bottom-k-hash sample (r14):
     // k smallest salted id-hashes per source via the bounded-heap topk_by
     // aggregate — map-side partials reduce each partition to k rows per
@@ -5565,6 +5578,37 @@ object QueriesLLM {
          SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(count(*) AS BIGINT) AS shared
          FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc < b.doc
          GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY doc_a, doc_b""",
+
+    "winnow_match_spans" ->
+      // same fingerprint/pair CTEs as winnow_candidates, then per-(pair,
+      // side) gaps-and-islands over the matched positions (gap 6 = w+n-1),
+      // spans closed at max(pos)+n tokens
+      s"""WITH $winnowCtes,
+         sel AS (SELECT DISTINCT doc_id AS doc, fp FROM dec),
+         keep AS (SELECT fp FROM sel GROUP BY fp HAVING count(*) <= 50),
+         pr AS (SELECT s.fp, s.doc FROM sel s JOIN keep USING (fp)),
+         pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b
+                   FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc < b.doc
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+         hits AS (SELECT p.doc_a, p.doc_b, fa.pos AS pa, fb.pos AS pb
+                  FROM pairs p
+                  JOIN dec fa ON fa.doc_id = p.doc_a
+                  JOIN dec fb ON fb.doc_id = p.doc_b AND fb.fp = fa.fp),
+         sides AS (SELECT DISTINCT doc_a, doc_b, 'a' AS side, pa AS pos FROM hits
+                   UNION SELECT DISTINCT doc_a, doc_b, 'b', pb FROM hits),
+         isl AS (SELECT doc_a, doc_b, side, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_a, doc_b, side
+                          ORDER BY pos) > 6 THEN 1 ELSE 0 END AS nw
+                 FROM sides),
+         grp AS (SELECT doc_a, doc_b, side, pos,
+                   sum(nw) OVER (PARTITION BY doc_a, doc_b, side ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS island
+                 FROM isl)
+         SELECT doc_a, doc_b, side, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 3 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_fps
+         FROM grp GROUP BY doc_a, doc_b, side, island
+         ORDER BY doc_a, doc_b, side, span_start""",
 
     // k smallest (md5(id) % P, id) per source — rank replay of the
     // bounded-heap aggregate

@@ -905,6 +905,59 @@ object Dedup {
         expr(s"__mk div ${B}").as("fp"))
   }
 
+  /** Match-span localization behind [[winnowCandidates]] — the MOSS
+    * paper's actual reporting step (SWA 2003 §4: positions localize the
+    * match once fingerprint sets have selected the pair). For every
+    * candidate pair, join the two documents' fingerprint sets on the
+    * shared hash and merge each side's hit POSITIONS into token spans:
+    * consecutive hits within `gap` n-gram positions coalesce (default
+    * w+n−1 — the guarantee window: a true shared run of that length
+    * always contributes a fingerprint, so real matches can't leave holes
+    * wider than it), and each island widens by n−1 to cover the final
+    * n-gram's tokens. Returns one row per (pair, side, span):
+    * (doc_a, doc_b, side 'a'|'b', span_start, span_end — token positions,
+    * end exclusive, n_fps — fingerprint hits inside the span).
+    *
+    * 100 TB shape: the fingerprint tables are density-2/(w+1) samples of
+    * the corpora (never the token streams), the pair join is inverted-
+    * index-bucketed by fp exactly like [[winnowCandidates]], and the
+    * island merge windows over (pair, side) — per-pair hit counts, never
+    * corpus-wide ordering. */
+  def winnowMatchSpans(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, w: Int = 4, minShared: Int = 2,
+                       maxBucket: Int = 50, gap: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = if (gap > 0) gap else w + n - 1
+    val fps = winnowFingerprints(df, idCol, textCol, n, w)
+      .select(col(idCol).as("__doc"), col("pos"), col("fp"))
+    val pairs = winnowCandidates(df, idCol, textCol, n, w, minShared, maxBucket)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = pairs
+      .join(fps.select(col("__doc").as("doc_a"), col("pos").as("__pa"),
+        col("fp")), Seq("doc_a"))
+      .join(fps.select(col("__doc").as("doc_b"), col("pos").as("__pb"),
+        col("fp")), Seq("doc_b", "fp"))
+    val sides = hits.select(col("doc_a"), col("doc_b"), lit("a").as("side"),
+        col("__pa").as("pos"))
+      .unionAll(hits.select(col("doc_a"), col("doc_b"), lit("b").as("side"),
+        col("__pb").as("pos")))
+      .distinct() // one fp can hit the same position via several partners
+    val byPos = Window.partitionBy(col("doc_a"), col("doc_b"), col("side"))
+      .orderBy(col("pos"))
+    sides
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byPos) > g, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(
+        Window.partitionBy(col("doc_a"), col("doc_b"), col("side"))
+          .orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("side"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n).as("span_end"), // last gram covers n tokens
+        count(lit(1)).as("n_fps"))
+      .drop("__island")
+  }
+
   /** Candidate near-duplicate pairs from shared winnowing fingerprints —
     * the inverted-index shape: (fp → docs), self-join inside each
     * fingerprint bucket, count shared fingerprints per pair, keep pairs

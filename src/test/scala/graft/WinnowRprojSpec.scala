@@ -87,6 +87,33 @@ class WinnowRprojSpec extends SparkSpec {
     assert(ok.count() > 0)
   }
 
+  test("winnowMatchSpans: one span per side covering the planted run, disjoint docs absent") {
+    // a 20-token shared run: 18 interior n-grams, window minima slide at
+    // least every w grams, so each side collects several shared
+    // fingerprints with gaps <= w < gap=w+n-1 — exactly ONE island/side
+    val shared = (0 until 20).map(i => s"run$i").mkString(" ")
+    val a = s"${filler("pre", 3)} $shared ${filler("suf", 3)}" // run tokens [3, 23)
+    val b = s"$shared ${filler("tail", 5)}"                    // run tokens [0, 20)
+    val c = filler("other", 30)                                // no overlap
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("id", "text")
+    val spans = Dedup.winnowMatchSpans(df, "id", "text", n = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(spans.nonEmpty && spans.forall(s => s._1 == 1L && s._2 == 2L),
+      s"only the planted pair may report spans: ${spans.mkString(";")}")
+    val aS = spans.filter(_._3 == "a")
+    val bS = spans.filter(_._3 == "b")
+    assert(aS.length == 1 && bS.length == 1,
+      s"one merged span per side: a=${aS.mkString(";")} b=${bS.mkString(";")}")
+    // matched grams are run-interior only (boundary grams mix filler):
+    // a-side grams in [3, 20] -> token span within [3, 23); b within [0, 20)
+    assert(aS.head._4 >= 3 && aS.head._5 <= 23 && aS.head._6 >= 2, aS.head.toString)
+    assert(bS.head._4 >= 0 && bS.head._5 <= 20 && bS.head._6 >= 2, bS.head.toString)
+    // both sides saw the same shared fingerprints, just at shifted positions
+    assert(aS.head._6 == bS.head._6)
+    assert(aS.head._4 - bS.head._4 == 3 && aS.head._5 - bS.head._5 == 3)
+  }
+
   test("hashBottomKSample: exactly min(k, |group|) rows, matching the k smallest hashes") {
     val rows = (0L until 200L).map(i => (s"g${i % 5}", i)) ++
       Seq(("tiny", 9001L), ("tiny", 9002L)) // |group| < k
