@@ -922,15 +922,26 @@ object Dedup {
     * the corpora (never the token streams), the pair join is inverted-
     * index-bucketed by fp exactly like [[winnowCandidates]], and the
     * island merge windows over (pair, side) — per-pair hit counts, never
-    * corpus-wide ordering. */
+    * corpus-wide ordering. The fingerprint table is computed ONCE and
+    * `persist()`ed (it feeds the candidate join and both position joins —
+    * four consumers that would otherwise each re-run the full
+    * tokenize/shingle/window pipeline over the corpus, and ReuseExchange
+    * cannot dedup them because each build mints fresh attribute IDs).
+    * The cache holds the sampled fingerprints, never the corpus; callers
+    * running many winnowing jobs in one session can `clearCache()`.
+    *
+    * `gap=None` selects the guarantee window w+n−1; an explicit value is
+    * always honored. */
   def winnowMatchSpans(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, w: Int = 4, minShared: Int = 2,
-                       maxBucket: Int = 50, gap: Int = 0): DataFrame = {
+                       maxBucket: Int = 50, gap: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = if (gap > 0) gap else w + n - 1
+    val g = gap.getOrElse(w + n - 1)
+    require(g > 0, s"winnowMatchSpans: gap must be positive, got $g")
     val fps = winnowFingerprints(df, idCol, textCol, n, w)
       .select(col(idCol).as("__doc"), col("pos"), col("fp"))
-    val pairs = winnowCandidates(df, idCol, textCol, n, w, minShared, maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = winnowCandidatesFrom(fps, "__doc", minShared, maxBucket)
       .select(col("doc_a"), col("doc_b"))
     val hits = pairs
       .join(fps.select(col("__doc").as("doc_a"), col("pos").as("__pa"),
@@ -968,9 +979,22 @@ object Dedup {
     * bucket join's fan-out at corpus scale. */
   def winnowCandidates(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, w: Int = 4, minShared: Int = 2,
-                       maxBucket: Int = 50): DataFrame = {
-    val sel = winnowFingerprints(df, idCol, textCol, n, w)
-      .select(col(idCol).as("__doc"), col("fp")).distinct()
+                       maxBucket: Int = 50): DataFrame =
+    winnowCandidatesFrom(winnowFingerprints(df, idCol, textCol, n, w),
+      idCol, minShared, maxBucket)
+
+  /** [[winnowCandidates]] over a PRECOMPUTED fingerprint table (any frame
+    * with `idCol` and an `fp` column, e.g. [[winnowFingerprints]] output).
+    * The distinct (doc, fp) set is `persist()`ed because the plan consumes
+    * it three times — the document-frequency aggregate and both sides of
+    * the bucket self-join — and without the cache each consumer re-runs
+    * the whole upstream pipeline (fresh attribute IDs defeat
+    * ReuseExchange). The cached set is the density-2/(w+1) fingerprint
+    * sample, never the corpus. */
+  def winnowCandidatesFrom(fps: DataFrame, idCol: String,
+                           minShared: Int = 2, maxBucket: Int = 50): DataFrame = {
+    val sel = fps.select(col(idCol).as("__doc"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keep = sel.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxBucket).select("fp")
     val pruned = sel.join(keep, Seq("fp"))

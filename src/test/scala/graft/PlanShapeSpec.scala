@@ -86,6 +86,27 @@ class PlanShapeSpec extends SparkSpec {
         s"(${"md5".r.findAllIn(p).size} md5 sites — InferFiltersFromGenerate pushdown is back)")
   }
 
+  test("winnowing spans/candidates compute the fingerprint table once (cached, bounded exchanges)") {
+    // r14 regression class: winnowMatchSpans rebuilt winnowFingerprints for
+    // every consumer (candidates + both position joins); each build minted
+    // fresh attribute IDs, defeating ReuseExchange — 55 exchanges, ~6 corpus
+    // passes, 6.95 s idle. The repaired shape persists the fingerprint table
+    // and derives candidates from it. Marker: every CONSTRUCTED fingerprint
+    // pipeline mints its own window-min output attribute (`AS __mk#N`), so
+    // the count of distinct __mk ids in the plan string = the number of
+    // times the pipeline was built (cached-relation re-prints share the id).
+    // Exactly one build, and it must sit under an InMemoryRelation so the
+    // multi-consumer DAG reads the cache instead of re-executing it.
+    for (q <- Seq("winnow_match_spans", "winnow_candidates")) {
+      val p = planOf(q)
+      val mkIds = raw"AS __mk#(\d+)L".r.findAllMatchIn(p).map(_.group(1)).toSet
+      assert(mkIds.size == 1,
+        s"$q builds the fingerprint pipeline ${mkIds.size} times (attr ids $mkIds) — recompute is back")
+      assert(p.contains("InMemoryTableScan"),
+        s"$q no longer caches the fingerprint table")
+    }
+  }
+
   test("sliding-window chunking is a stateless projection: no shuffle beyond the oracle order") {
     val p = planOf("chunk_sliding")
     assert(!p.contains("Join"))
