@@ -2464,6 +2464,46 @@ object QueriesLLM {
         .agg(max("running_count").as("n")).orderBy("key")
     }),
 
+    // ---------------- the EVICTION path of the streaming running count
+    // (r15, mirroring streaming_quantile_evict_3batch): event-time TTL —
+    // key "evict" counts docs 0-99 in batch 1 (event times ~1000 s), then
+    // batch 2 carries only "keep" at ~50000 s, advancing the watermark
+    // past evict's armed deadline (watermark-at-arm 0 + 1 h), so its
+    // counter is removed in the watermark-advance batch. Batch 3 re-feeds
+    // "evict" with docs 100-299: the counter restarted from zero, so its
+    // max emission is 200 — a leak would emit 300 and mismatch. "keep"
+    // receives data in batches 1-2 only (max emission 200 = its full
+    // feed), insensitive to its own later eviction.
+    "streaming_runcount_evict_3batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id").cast(LongType))
+        .orderBy("doc_id").as[Long].collect().toSeq
+      def grp(lo: Long, hi: Long, g: String, base: Long) =
+        ids.filter(id => id >= lo && id < hi).map(id => (g, base + id % 50))
+      val b1 = grp(0, 100, "evict", 1000L) ++ grp(300, 400, "keep", 1000L)
+      val b2 = grp(400, 500, "keep", 50000L)
+      val b3 = grp(100, 300, "evict", 100000L)
+      val in = MemoryStream[(String, Long)]
+      val out = graft.streaming.Streams.runningCountPerKey(
+        in.toDF.toDF("source", "tsec")
+          .withColumn("ts", timestamp_seconds(col("tsec")))
+          .repartition(4, col("source")),
+        "source", stateTtl = Some("1 hour"), eventTimeCol = Some("ts"))
+      val name = "srun3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        in.addData(b3: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).groupBy(col("key"))
+        .agg(max("running_count").as("n")).orderBy("key")
+    }),
+
     // ---------------- watermark-BOUNDED streaming dedup under the hash
     // gate (r8): the production path — dropDuplicatesWithinWatermark's
     // state is evicted once the watermark passes entry time + delay, so
@@ -2538,6 +2578,53 @@ object QueriesLLM {
       try {
         in.addData(b1: _*); q.processAllAvailable() // buffer only
         in.addData(b2data ++ signals: _*); q.processAllAvailable() // release
+      } finally q.stop()
+      s.table(name).orderBy("key", "payload")
+    }),
+
+    // ---------------- the EVICTION path of the streaming signal buffer
+    // (r15): a key whose signal never arrives holds its full buffered
+    // payload forever — the worst NoTimeout leak class (payload, not a
+    // counter). Event-time TTL replay: "evict" buffers docs 0-99 in
+    // batch 1 (event times ~1000 s, deadline = watermark-at-arm 0 +
+    // 49500 s), "keep" buffers docs 300-399. Batch 2 buffers keep's docs
+    // 400-499 at ~50000 s, re-arming keep at watermark(~1049) + 49500 =
+    // ~50549 s, and advances the watermark to ~50049 s: PAST evict's
+    // 49500 s deadline (buffer dropped) but BEFORE keep's (buffer held).
+    // Batch 3 feeds evict docs 100-299 plus a signal row for BOTH keys:
+    // evict releases 100-299 only (batch-1 payloads were evicted — a
+    // leak re-emits 0-99 and mismatches), keep releases its full 300-499
+    // (an over-eager TTL loses 300-399 and mismatches). Both failure
+    // directions hash-gated.
+    "streaming_signal_evict_3batch" -> ((s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val ids = rd(s, dir, "documents").filter(col("doc_id") < 500)
+        .select(col("doc_id").cast(LongType))
+        .orderBy("doc_id").as[Long].collect().toSeq
+      def grp(lo: Long, hi: Long, g: String, base: Long) =
+        ids.filter(id => id >= lo && id < hi)
+          .map(id => (g, false, id.toString, id, base + id % 50))
+      val b1 = grp(0, 100, "evict", 1000L) ++ grp(300, 400, "keep", 1000L)
+      val b2 = grp(400, 500, "keep", 50000L)
+      val b3 = grp(100, 300, "evict", 60000L) ++ Seq(
+        ("evict", true, null: String, 0L, 60000L),
+        ("keep", true, null: String, 0L, 60000L))
+      val in = MemoryStream[(String, Boolean, String, Long, Long)]
+      val out = graft.streaming.Streams.signalBuffer(
+        in.toDF.toDF("k", "sig", "payload", "seq", "tsec")
+          .withColumn("ts", timestamp_seconds(col("tsec")))
+          .repartition(4, col("k")),
+        "k", "sig", "payload", "seq",
+        stateTtl = Some("49500 seconds"), eventTimeCol = Some("ts"))
+      val name = "ssig3_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(b1: _*); q.processAllAvailable()
+        in.addData(b2: _*); q.processAllAvailable()
+        in.addData(b3: _*); q.processAllAvailable()
       } finally q.stop()
       s.table(name).orderBy("key", "payload")
     }),
@@ -5251,6 +5338,17 @@ object QueriesLLM {
          FROM documents WHERE source IS NOT NULL
          GROUP BY source ORDER BY key""",
 
+    // ---------------- running-count eviction (r15): after the TTL fires,
+    // "evict"'s max emission counts its batch-3 re-feed only (docs
+    // 100-299 → 200); "keep" counted its full batches-1-2 feed (docs
+    // 300-499 → 200). A state leak across the eviction makes evict 300.
+    "streaming_runcount_evict_3batch" ->
+      """SELECT CASE WHEN doc_id < 300 THEN 'evict' ELSE 'keep' END AS key,
+                CAST(count(*) AS BIGINT) AS n
+         FROM documents
+         WHERE doc_id >= 100 AND doc_id < 500
+         GROUP BY 1 ORDER BY key""",
+
     // ---------------- watermark-bounded streaming dedup (r8): emitted =
     // batch 1 + expired re-emits + new keys; alive-key dups (docs
     // 330..339) suppressed
@@ -5279,6 +5377,18 @@ object QueriesLLM {
          FROM documents d
          WHERE d.source IS NOT NULL
            AND ('0x' || substr(md5(d.source), 1, 15))::BIGINT % 2 = 0
+         ORDER BY key, payload""",
+
+    // ---------------- signal-buffer eviction (r15): evict's batch-1
+    // payloads (docs 0-99) were TTL-dropped before its signal, so the
+    // release covers docs 100-299 only; keep's buffer survived and
+    // releases its full 300-499 feed. Leak → 0-99 reappear; over-eager
+    // TTL → 300-399 vanish.
+    "streaming_signal_evict_3batch" ->
+      """SELECT CASE WHEN doc_id < 300 THEN 'evict' ELSE 'keep' END AS key,
+                CAST(doc_id AS VARCHAR) AS payload
+         FROM documents
+         WHERE doc_id >= 100 AND doc_id < 500
          ORDER BY key, payload""",
 
     // ---------------- streaming session windows (r8): batch

@@ -43,12 +43,19 @@ object Streams {
     *    long-running queries.
     */
   private def ttlTimeoutConf(stateTtl: Option[String],
-                             eventTimeCol: Option[String]): GroupStateTimeout =
+                             eventTimeCol: Option[String]): GroupStateTimeout = {
+    // eventTimeCol without stateTtl would silently run NoTimeout while
+    // still stamping a 0-second watermark — a misconfigured TTL must fail
+    // loudly, not leak state forever
+    require(stateTtl.isDefined || eventTimeCol.isEmpty,
+      "eventTimeCol selects the eviction clock for stateTtl and requires it; " +
+        "pass stateTtl (e.g. Some(\"1 hour\")) or drop eventTimeCol")
     (stateTtl, eventTimeCol) match {
       case (Some(_), Some(_)) => GroupStateTimeout.EventTimeTimeout
       case (Some(_), None)    => GroupStateTimeout.ProcessingTimeTimeout
       case (None, _)          => GroupStateTimeout.NoTimeout
     }
+  }
 
   /** Arm the group's TTL after an update, on whichever clock is active. */
   private def armTtl(state: GroupState[_], stateTtl: Option[String],
@@ -109,18 +116,37 @@ object Streams {
 
   /** Per-key running count over the whole stream via explicit state
     * (ref: RunningCountProcessor.scala stream scope). Emits (key, runningCount)
-    * per input row batch. */
-  def runningCountPerKey(df: DataFrame, keyCol: String): DataFrame = {
+    * per input row batch.
+    *
+    * State is one long per key, but KEY CARDINALITY is unbounded — at
+    * 100 TB ingest keyed by e.g. URL the store grows monotonically under
+    * NoTimeout. `stateTtl` evicts idle keys on the watermark clock when
+    * `eventTimeCol` is given (deterministic, replay-gateable), else the
+    * wall clock (see [[ttlTimeoutConf]] for the busy-spin caution); an
+    * evicted key that reappears restarts its count from zero. */
+  def runningCountPerKey(df: DataFrame, keyCol: String,
+                         stateTtl: Option[String] = None,
+                         eventTimeCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.selectExpr(s"CAST($keyCol AS STRING) AS k")
-      .as[String]
-      .groupByKey(identity)
-      .mapGroupsWithState[Long, (String, Long)](GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[String], state: GroupState[Long]) =>
-          val next = state.getOption.getOrElse(0L) + rows.size
-          state.update(next)
-          (key, next)
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
+    withTtlWatermark(df, eventTimeCol)
+      .select(col(keyCol).cast("string").as("k"),
+        ttlEventTime(eventTimeCol).as("et"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (String, Long)](
+        OutputMode.Update, timeoutConf) {
+        (key: String, rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val next = state.getOption.getOrElse(0L) + rows.size
+            state.update(next)
+            armTtl(state, stateTtl, evTime)
+            Iterator.single((key, next))
+          }
       }
       .toDF("key", "running_count")
   }
@@ -136,37 +162,56 @@ object Streams {
     * a micro-batch (the group shuffle sorts on key only), so the release
     * rule is batch-granular and deterministic: all of the batch's data rows
     * are buffered first, then any signal in the batch releases the entire
-    * buffer — including this batch's rows — in `orderCol` order. */
+    * buffer — including this batch's rows — in `orderCol` order.
+    *
+    * State risk at 100 TB: a key whose signal NEVER arrives holds its full
+    * buffered payload forever — worse than a leaked counter. `stateTtl`
+    * evicts such keys, DISCARDING the unreleased buffer (the reference's
+    * actor-mailbox shape has the same drop-on-death semantics) — on the
+    * watermark clock when `eventTimeCol` is given (deterministic,
+    * replay-gateable), else the wall clock (see [[ttlTimeoutConf]]). A
+    * later data row for an evicted key starts a fresh buffer. */
   def signalBuffer(unioned: DataFrame, keyCol: String, isSignalCol: String,
-                   payloadCol: String, orderCol: String): DataFrame = {
+                   payloadCol: String, orderCol: String,
+                   stateTtl: Option[String] = None,
+                   eventTimeCol: Option[String] = None): DataFrame = {
     val spark = unioned.sparkSession
     import spark.implicits._
+    val timeoutConf = ttlTimeoutConf(stateTtl, eventTimeCol)
+    val evTime = eventTimeCol.isDefined
     // signal rows naturally carry null payload/seq after the union — the
     // primitive tuple fields must never see a null or deserialization kills
     // the query, so default sig/seq explicitly
-    unioned
-      .selectExpr(s"CAST($keyCol AS STRING) AS k",
-        s"coalesce(CAST($isSignalCol AS BOOLEAN), false) AS sig",
-        s"CAST($payloadCol AS STRING) AS payload",
-        s"coalesce(CAST($orderCol AS BIGINT), 0) AS seq")
-      .as[(String, Boolean, String, Long)]
+    withTtlWatermark(unioned, eventTimeCol)
+      .select(expr(s"CAST($keyCol AS STRING)").as("k"),
+        expr(s"coalesce(CAST($isSignalCol AS BOOLEAN), false)").as("sig"),
+        expr(s"CAST($payloadCol AS STRING)").as("payload"),
+        expr(s"coalesce(CAST($orderCol AS BIGINT), 0)").as("seq"),
+        ttlEventTime(eventTimeCol).as("et"))
+      .as[(String, Boolean, String, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[List[(Long, String)], (String, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, Boolean, String, Long)],
+        OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[(String, Boolean, String, Long, java.sql.Timestamp)],
          state: GroupState[List[(Long, String)]]) =>
-          val batch = rows.toList
-          val buffered = state.getOption.getOrElse(Nil) :::
-            batch.collect { case (_, false, p, s) => (s, p) }
-          if (batch.exists(_._2)) {
-            // remove (not update-to-empty): an empty-list entry per released
-            // key would grow the state store without bound at high key
-            // cardinality; the entry is recreated on the key's next data row
-            state.remove()
-            buffered.sortBy(_._1).iterator.map { case (_, p) => (key, p) }
+          if (state.hasTimedOut) {
+            // the key's signal never arrived within the TTL: drop the buffer
+            state.remove(); Iterator.empty
           } else {
-            state.update(buffered)
-            Iterator.empty
+            val batch = rows.toList
+            val buffered = state.getOption.getOrElse(Nil) :::
+              batch.collect { case (_, false, p, s, _) => (s, p) }
+            if (batch.exists(_._2)) {
+              // remove (not update-to-empty): an empty-list entry per released
+              // key would grow the state store without bound at high key
+              // cardinality; the entry is recreated on the key's next data row
+              state.remove()
+              buffered.sortBy(_._1).iterator.map { case (_, p) => (key, p) }
+            } else {
+              state.update(buffered)
+              armTtl(state, stateTtl, evTime)
+              Iterator.empty
+            }
           }
       }
       .toDF("key", "payload")

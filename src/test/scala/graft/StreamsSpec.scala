@@ -219,12 +219,16 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       in.addData(Seq(("idle", "c1", 1100L)): _*)
       q.processAllAvailable()
+      // update-mode memory tables guarantee no row ORDER, so assert the
+      // per-group emission MULTISET (one emission per touched batch):
+      // a leak would make idle's batch-3 emission 6, an over-eager TTL
+      // would lose live's fold (batch-2 emission below 7)
       val rows = spark.sql("SELECT * FROM skmvttl").collect()
         .map(r => (r.getString(0), r.getLong(1)))
-      val lastIdle = rows.zipWithIndex.filter(_._1._1 == "idle").maxBy(_._2)._1
-      assert(lastIdle._2 == 1L, s"idle state leaked across TTL: $lastIdle")
-      val lastLive = rows.zipWithIndex.filter(_._1._1 == "live").maxBy(_._2)._1
-      assert(lastLive._2 == 7L, s"live group lost state: $lastLive")
+      val idleEmits = rows.filter(_._1 == "idle").map(_._2).sorted.toSeq
+      assert(idleEmits == Seq(1L, 5L), s"idle state leaked across TTL: $idleEmits")
+      val liveEmits = rows.filter(_._1 == "live").map(_._2).sorted.toSeq
+      assert(liveEmits == Seq(4L, 7L), s"live group lost state: $liveEmits")
     } finally q.stop()
   }
 
