@@ -30,6 +30,28 @@ object Bench {
     for ((_, fn) <- suite)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+    // Run-level contention calibration (r15): the interleaved medians and
+    // the slowest-10 retime below both compare the run against ITSELF, so
+    // a box that is uniformly slow for the whole window (r14: every query
+    // 1.5-2.7x, contended:[] — the detector was blind by construction)
+    // passes undetected. Time one fixed cheap sentinel query before and
+    // after the suite: the pair is emitted for round-over-round comparison
+    // against its banked idle median (SCALE.md), and the run stamps itself
+    // contended when the two disagree by >1.3x (load changed mid-run) or
+    // when SPARK_GRAFT_SENTINEL_BANK (banked idle seconds) is set and
+    // either sample exceeds 1.3x the bank.
+    val sentinelName = "field_filter"
+    def timeSentinel(): Double = {
+      val fn = suite.find(_._1 == sentinelName).get._2
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.sorted.apply(2)
+    }
+    val sentinelBefore = timeSentinel()
     // Median of `reps` runs, but INTERLEAVED: run the whole suite once per
     // pass instead of back-to-back reps per query. The box is CPU-noisy with
     // multi-second load spikes; back-to-back reps let one sustained spike
@@ -76,6 +98,17 @@ object Bench {
     val contended = retimes.collect {
       case (name, med, re) if re > 0 && (med / re > 1.5 || re / med > 1.5) => name
     }
+    val sentinelAfter = timeSentinel()
+    val sentinelBank = sys.env.get("SPARK_GRAFT_SENTINEL_BANK").map(_.toDouble)
+    // ratio alone trips on JVM noise when the sentinel is sub-0.1 s (tiny
+    // sf), so mid-run drift also needs a 50 ms absolute gap
+    val runContended =
+      (math.max(sentinelBefore, sentinelAfter) /
+        math.max(1e-9, math.min(sentinelBefore, sentinelAfter)) > 1.3 &&
+        math.abs(sentinelBefore - sentinelAfter) > 0.05) ||
+      sentinelBank.exists(b => math.max(sentinelBefore, sentinelAfter) > 1.3 * b)
+    val sentinelJson =
+      f""""sentinel_before":$sentinelBefore%.3f,"sentinel_after":$sentinelAfter%.3f,"run_contended":$runContended"""
     val retimesJson = retimes.map { case (name, med, re) =>
       "\"" + name + "\":{\"median\":" + med + ",\"retime\":" + re + "}"
     }.mkString("{", ",", "}")
@@ -85,7 +118,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"retimes":$retimesJson,"contended":$contendedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"errors":$errors,"retimes":$retimesJson,"contended":$contendedJson,$sentinelJson,"sf":"$sfDir"}"""
     // The verbose line goes ONLY to the sidecar: printing it to stdout ate
     // most of the harness's bounded 2000-char output tail and left the
     // machine-readable compact line truncated mid-JSON (r8's artifact had
@@ -115,7 +148,7 @@ object Bench {
     // keep the whole compact line well under half the 2000-char tail so it
     // survives even with an sbt [success] trailer and a partial prior line
     // in the same window
-    val budget = 700 - errCompact.length - contCompact0.length
+    val budget = 700 - errCompact.length - contCompact0.length - sentinelJson.length
     val entries = byTime.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
     val keepN = {
       var acc = 0; var n = 0
@@ -126,7 +159,7 @@ object Bench {
     val restSum = byTime.drop(keepN).map(_._2).filter(_ >= 0).sum
     val qsCompact = (if (keepN < entries.size) kept :+ ("\"_other\":" + fmt(restSum)) else kept)
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"errors":$errCompact,"contended":$contCompact0,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,"errors":$errCompact,"contended":$contCompact0,$sentinelJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
