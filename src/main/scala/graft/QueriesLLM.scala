@@ -1750,6 +1750,25 @@ object QueriesLLM {
         col("bg"), k = 64)
     }),
 
+    // ---------------- all-pairs KMV set algebra (r15): every source
+    // pair's bigram-vocabulary union/Jaccard/intersection estimates from
+    // ONE corpus scan — per-source bounded-heap bottom-64 sketches, then
+    // pure array algebra over the |G|² sketch rows (the KMV merge
+    // property: bottom-k of a union = k smallest of the retained sets).
+    // The "which sources share vocabulary" pre-check that orders
+    // cross-corpus dedup passes at 100 TB.
+    "kmv_pairwise_overlap" -> ((s, dir) => {
+      val toks = rd(s, dir, "documents")
+        .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
+      val bigrams = toks.filter(size(col("__toks")) >= 2)
+        .select(col("source"),
+          explode(transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => concat(element_at(col("__toks"), i), lit(" "),
+              element_at(col("__toks"), i + 1)))).as("bg"))
+      graft.operators.Sketch.kmvPairwiseOverlap(bigrams, "source", col("bg"), k = 64)
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---------------- KLL quantile sketch: per-source doc-length
     // percentiles through ONE ObjectHashAggregate pair (bounded per-group
     // state, no sort/window of the corpus), quantiles rank-extracted from
@@ -3060,6 +3079,21 @@ object QueriesLLM {
     "hash_bottomk_sample" -> ((s, dir) => {
       graft.operators.Corpus.hashBottomKSample(
         rd(s, dir, "documents"), Seq("source"), "doc_id", k = 5)
+        .orderBy("source", "doc_id")
+    }),
+
+    // ---------------- weighted without-replacement sample (r15): priority
+    // sampling (Duffield–Lund–Thorup) — per-source k-row samples weighted
+    // by doc length, with the unbiased ŵ = max(w, τ) estimator column that
+    // lets the slice answer subset-sum questions (token budgets per
+    // source) without a second corpus pass. Hash-deterministic priorities,
+    // bounded-heap aggregate, broadcast join-back — unsampled rows never
+    // shuffle.
+    "priority_sample" -> ((s, dir) => {
+      graft.operators.Corpus.prioritySample(
+        rd(s, dir, "documents").filter(col("text").isNotNull)
+          .withColumn("w", length(col("text")).cast(DoubleType)),
+        Seq("source"), "doc_id", "w", k = 8)
         .orderBy("source", "doc_id")
     }),
 
@@ -4465,6 +4499,46 @@ object QueriesLLM {
            CAST(nc.n_common AS DOUBLE) / us.n_kept AS jaccard_est,
            floor(CAST(nc.n_common AS DOUBLE) / us.n_kept * ue.union_est) AS inter_est
          FROM us, nc, ue""",
+    "kmv_pairwise_overlap" ->
+      // per-source bottom-64 via window rank, pairs by source inequality,
+      // union bottom-64 re-ranked per pair, coincidence counted against
+      // both sides' retained sets — identical CASE/arithmetic order
+      """WITH t AS (
+           SELECT source, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         bg AS (SELECT source, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS bg
+                FROM t WHERE len(toks) >= 2),
+         hh AS (SELECT DISTINCT source, ('0x' || substr(md5(bg), 1, 15))::BIGINT AS h FROM bg),
+         rn AS (SELECT source, h,
+                  row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn FROM hh),
+         bk AS (SELECT source, h FROM rn WHERE rn <= 64),
+         srcs AS (SELECT DISTINCT source FROM bk),
+         pr AS (SELECT a.source AS sa, b.source AS sb
+                FROM srcs a JOIN srcs b ON a.source < b.source),
+         uh AS (SELECT pr.sa, pr.sb, k.h FROM pr
+                JOIN bk k ON k.source = pr.sa OR k.source = pr.sb
+                GROUP BY 1, 2, 3),
+         urn AS (SELECT sa, sb, h,
+                   row_number() OVER (PARTITION BY sa, sb ORDER BY h ASC) AS rn FROM uh),
+         uk AS (SELECT sa, sb, h FROM urn WHERE rn <= 64),
+         st AS (SELECT sa, sb, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+                FROM uk GROUP BY 1, 2),
+         cm AS (SELECT u.sa, u.sb, CAST(count(*) AS BIGINT) AS n_common
+                FROM uk u
+                JOIN bk ka ON ka.source = u.sa AND ka.h = u.h
+                JOIN bk kb ON kb.source = u.sb AND kb.h = u.h
+                GROUP BY 1, 2),
+         fin AS (SELECT st.sa, st.sb, st.n_kept,
+                   CAST(coalesce(cm.n_common, 0) AS BIGINT) AS n_common,
+                   CASE WHEN st.n_kept < 64 THEN CAST(st.n_kept AS DOUBLE)
+                        ELSE floor(63.0 * 1152921504606846976.0 / CAST(st.hk AS DOUBLE)) END
+                     AS union_est,
+                   CAST(coalesce(cm.n_common, 0) AS DOUBLE) / st.n_kept AS jaccard_est
+                 FROM st LEFT JOIN cm ON cm.sa = st.sa AND cm.sb = st.sb)
+         SELECT sa AS source_a, sb AS source_b, n_kept, n_common, union_est,
+           jaccard_est, floor(jaccard_est * union_est) AS inter_est
+         FROM fin ORDER BY source_a, source_b""",
+
     "quantile_sketch" ->
       // exact regime (k=256 ≥ every group): the sketch is the sorted value
       // multiset at weight 1, so the lower quantile at rank ceil(p·n) is
@@ -5732,6 +5806,26 @@ object QueriesLLM {
          FROM h)
          SELECT source, CAST(doc_id AS BIGINT) AS doc_id, CAST(hh AS BIGINT) AS h
          FROM r WHERE rn <= 5 ORDER BY source, doc_id""",
+
+    // priority sampling rank replay: q = w / ((md5(id)+1)/2^60) — the same
+    // two correctly-rounded IEEE divisions as the Spark plan — rank DESC
+    // with id tie-break, tau = the 9th priority (k+1) or 0
+    "priority_sample" ->
+      """WITH w AS (SELECT source, doc_id, CAST(length(text) AS DOUBLE) AS weight
+                    FROM documents WHERE text IS NOT NULL),
+         q AS (SELECT source, doc_id, weight,
+                 weight / (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   + 1 AS DOUBLE) / 1152921504606846976.0) AS q
+               FROM w),
+         r AS (SELECT source, doc_id, weight, q,
+                 row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rn
+               FROM q),
+         tk AS (SELECT source, max(CASE WHEN rn = 9 THEN q ELSE 0 END) AS tau
+                FROM r GROUP BY source)
+         SELECT r.source, CAST(r.doc_id AS BIGINT) AS doc_id, r.weight,
+           r.q AS priority, tk.tau, greatest(r.weight, tk.tau) AS w_hat
+         FROM r JOIN tk ON tk.source IS NOT DISTINCT FROM r.source
+         WHERE r.rn <= 8 ORDER BY r.source, r.doc_id""",
 
     // the 16x64 Rademacher sign matrix rendered as a literal (same values
     // the Spark plan carries), identical fold orders both stages

@@ -80,6 +80,61 @@ object Corpus {
         (-col("__e.score")).cast(LongType).as("h")): _*)
   }
 
+  /** Weighted without-replacement sample of k rows per group via PRIORITY
+    * SAMPLING (Duffield–Lund–Thorup, JACM 54(6) 2007 — "Priority sampling
+    * for estimation of arbitrary subset sums"): each row gets priority
+    * q = w / u with u = (hash(id)+1)/2⁶⁰ ∈ (0, 1], the k largest
+    * priorities per group are the sample, and τ = the (k+1)-th largest
+    * priority (0 when the group holds ≤ k rows) gives each sampled row the
+    * unbiased weight estimator ŵ = max(w, τ): Σ ŵ over the sample
+    * estimates any subset's total weight, the property that makes a k-row
+    * slice of a 100 TB corpus answer weighted questions (token-hour
+    * budgeting, per-source loss mass) without a second pass.
+    *
+    * Everything is hash-deterministic — u is an md5-derived rational, both
+    * divisions are single correctly-rounded IEEE ops — so the sample and
+    * the estimator columns replay bit-for-bit in the DuckDB oracle (the
+    * reason priorities are preferred here over Efraimidis–Spirakis
+    * exponential keys, whose ln() is not correctly rounded and may differ
+    * in the last ulp across libms). Ties break by smaller id, matching
+    * [[graft.plans.TopKByScore]].
+    *
+    * Scale shape: one bounded-heap `topk_by` aggregate (k+1 entries per
+    * group at every stage, map-side partials ship k+1 pairs per
+    * (partition, group) — no sort, no window), then the k·|G|-row sample
+    * broadcast-joins the corpus scan once to recover the original weight —
+    * unsampled rows are never shuffled. Same id contract as
+    * [[hashBottomKSample]]: unique BIGINT-castable ids, nulls skipped.
+    * Weights must be positive; a null weight nulls the priority and the
+    * aggregate skips the row.
+    *
+    * Returns (groupCols…, id, weight, priority, tau, w_hat). */
+  def prioritySample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, "sample size k >= 1")
+    val two60 = 1152921504606846976.0 // 2^60, the hash domain
+    val gcols = groupCols.map(col)
+    val u = (TextAnalysis.tokenHash(col(idCol).cast(StringType)) + lit(1L))
+      .cast(DoubleType) / lit(two60)
+    val q = col(weightCol).cast(DoubleType) / u
+    val sampled = df
+      .select(gcols :+ col(idCol).cast(LongType).as("__id") :+ q.as("__q"): _*)
+      .groupBy(gcols: _*)
+      .agg(call_function("topk_by", col("__q"), col("__id"), lit(k + 1)).as("__tk"))
+      .withColumn("tau",
+        when(size(col("__tk")) === k + 1,
+          element_at(col("__tk"), k + 1).getField("score")).otherwise(lit(0.0)))
+      .select(gcols ++ Seq(explode(slice(col("__tk"), 1, k)).as("__e"), col("tau")): _*)
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++ Seq(
+        col("__e.id").as("__sid"), col("__e.score").as("priority"), col("tau")): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .foldLeft(col(idCol).cast(LongType) === col("__sid"))(_ && _)
+    df.select(gcols :+ col(idCol) :+ col(weightCol).cast(DoubleType).as("weight"): _*)
+      .join(broadcast(sampled), cond)
+      .select(gcols ++ Seq(col(idCol), col("weight"), col("priority"), col("tau"),
+        greatest(col("weight"), col("tau")).as("w_hat")): _*)
+  }
+
   /** Temperature-weighted mixture sampling over a domain column (the
     * multilingual/multi-source balancing step: raw web corpora are dominated
     * by a few giant domains; training mixtures want flatter shares).

@@ -399,4 +399,53 @@ object Sketch {
         floor(col("jaccard_est") * col("union_est")).cast(DoubleType))
       .select("n_kept", "n_common", "union_est", "jaccard_est", "inter_est")
   }
+
+  /** ALL-PAIRS KMV set algebra over grouped sketches — [[kmvOverlap]]
+    * generalized from two corpora to every pair of groups, with the corpus
+    * scanned ONCE: per group the bounded-heap `kmv_bottomk` aggregate
+    * retains the k smallest distinct hashes (map-side partials ship k longs
+    * per (partition, group)), and every pairwise union/Jaccard/intersection
+    * estimate is pure ARRAY ALGEBRA over those sketch rows — bottom-k of a
+    * union is the k smallest of the two retained sets (the KMV merge
+    * property), and membership of a union-minimum in both sides is exact
+    * (h ∈ bottom-k(A∪B) ∧ h ∈ A ⟹ h ∈ bottom-k(A)). The pair join is
+    * |G|² SKETCH rows (a broadcast nested loop over k-long arrays), never
+    * data: at 100 TB this answers "which sources share vocabulary" — the
+    * pre-check that orders cross-corpus dedup passes — for the cost of one
+    * scan plus |G|² · k array ops.
+    *
+    * Estimator arithmetic is the [[kmvDistinct]] form (one IEEE division,
+    * bit-stable cross-engine). Groups with a null-only value column are
+    * dropped (sketch-family contract); a null GROUP sketches normally but
+    * joins into no pair (SQL `<` on null), matching the oracle.
+    *
+    * Returns one row per unordered pair (g_a < g_b): (groupCol_a,
+    * groupCol_b, n_kept, n_common, union_est, jaccard_est, inter_est). */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String,
+                         value: org.apache.spark.sql.Column,
+                         k: Int = 64): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val sk = df.select(col(groupCol).as("__g"), TextAnalysis.tokenHash(value).as("__h"))
+      .groupBy("__g")
+      .agg(call_function("kmv_bottomk", col("__h"), lit(k)).as("__bk"))
+      .filter(size(col("__bk")) > 0)
+    val pairs = sk.select(col("__g").as(s"${groupCol}_a"), col("__bk").as("__ba"))
+      .join(broadcast(sk.select(col("__g").as(s"${groupCol}_b"), col("__bk").as("__bb"))),
+        col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+    pairs
+      .withColumn("__u", slice(array_sort(array_union(col("__ba"), col("__bb"))), 1, k))
+      .withColumn("n_kept", size(col("__u")).cast(LongType))
+      .withColumn("n_common", size(array_intersect(col("__u"),
+        array_intersect(col("__ba"), col("__bb")))).cast(LongType))
+      .withColumn("union_est",
+        when(col("n_kept") < k, col("n_kept").cast(DoubleType))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(TWO60) /
+            element_at(col("__u"), k).cast(DoubleType)).cast(DoubleType)))
+      .withColumn("jaccard_est",
+        col("n_common").cast(DoubleType) / col("n_kept"))
+      .withColumn("inter_est",
+        floor(col("jaccard_est") * col("union_est")).cast(DoubleType))
+      .select(col(s"${groupCol}_a"), col(s"${groupCol}_b"), col("n_kept"),
+        col("n_common"), col("union_est"), col("jaccard_est"), col("inter_est"))
+  }
 }

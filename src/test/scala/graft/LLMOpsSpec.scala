@@ -589,6 +589,76 @@ class LLMOpsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sort "), "HLL must not plan a sort")
   }
 
+  test("kmvPairwiseOverlap: pairwise estimates agree with kmvOverlap, exact regime, invariance") {
+    import graft.operators.Sketch
+    val rows = (1 to 1500).map(i => ("a", s"item-$i")) ++
+      (1001 to 2500).map(i => ("b", s"item-$i")) ++
+      (5000 to 5030).map(i => ("c", s"other-$i"))
+    val df = rows.toDF("grp", "v")
+    val out = Sketch.kmvPairwiseOverlap(df, "grp", col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")), s"pairs: ${out.keySet}")
+    // the (a, b) pair must equal the two-corpus kmvOverlap on the same data
+    // (the pairwise path is the same estimator over grouped sketches)
+    val ref = Sketch.kmvOverlap(
+      df.filter(col("grp") === "a").select("v"),
+      df.filter(col("grp") === "b").select("v"), col("v"), k = 64).head()
+    assert(out(("a", "b")) ==
+      ((ref.getLong(0), ref.getLong(1), ref.getDouble(2), ref.getDouble(3), ref.getDouble(4))))
+    // c is tiny (31 values) and disjoint: unions with it stay estimates of
+    // disjoint sets — zero coincidences, jaccard 0
+    assert(out(("a", "c"))._2 == 0L && out(("a", "c"))._4 == 0.0)
+    // exact regime: two tiny overlapping groups, union below k
+    val tiny = Sketch.kmvPairwiseOverlap(
+      Seq(("x", "p"), ("x", "q"), ("y", "q"), ("y", "r")).toDF("grp", "v"),
+      "grp", col("v"), k = 64).head()
+    assert(tiny.getLong(2) == 3L && tiny.getDouble(4) == 3.0)
+    assert(tiny.getDouble(5) == 1.0 / 3)
+    // partitioning/order invariance (the sketches are set properties)
+    val shuffled = Sketch.kmvPairwiseOverlap(
+      df.orderBy(col("v").desc).repartition(7), "grp", col("v"), k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(shuffled == out)
+  }
+
+  test("prioritySample: sample size, tau semantics, subset-sum estimator, invariance") {
+    import graft.operators.Corpus
+    val big = (0L until 300L).map(i => ("big", i, 1.0 + (i % 7).toDouble))
+    val small = (1000L until 1005L).map(i => ("small", i, 2.0))
+    val df = (big ++ small).toDF("grp", "id", "w")
+    val k = 16
+    val out = Corpus.prioritySample(df, Seq("grp"), "id", "w", k)
+    val rows = out.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    // exactly min(k, |group|) rows per group
+    val byGrp = rows.groupBy(_._1)
+    assert(byGrp("big").length == k && byGrp("small").length == 5)
+    // a group below k has tau = 0 and w_hat = w exactly (the sample IS the
+    // group; the subset-sum estimate is exact)
+    assert(byGrp("small").forall(r => r._5 == 0.0 && r._6 == r._3))
+    assert(byGrp("small").map(_._6).sum == 10.0)
+    // a full group's tau is positive and every sampled priority >= tau
+    // (the k largest priorities are kept, tau is the (k+1)-th)
+    val tauBig = byGrp("big").head._5
+    assert(tauBig > 0.0 && byGrp("big").forall(_._5 == tauBig))
+    assert(byGrp("big").forall(_._4 >= tauBig))
+    // w_hat = max(w, tau) rowwise; the DLT estimator sums to the right
+    // order of magnitude (unbiasedness is an expectation over the hash,
+    // so assert a loose band, not equality)
+    assert(byGrp("big").forall(r => r._6 == math.max(r._3, tauBig)))
+    val exact = big.map(_._3).sum
+    val est = byGrp("big").map(_._6).sum
+    assert(est > exact * 0.4 && est < exact * 2.5, s"estimator off: $est vs $exact")
+    // partitioning/order invariance (hash priorities, mergeable heap)
+    val again = Corpus.prioritySample(
+      df.orderBy(col("id").desc).repartition(5), Seq("grp"), "id", "w", k)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(again == rows.toSet)
+  }
+
   test("kmvOverlap: Jaccard estimate from sketch coincidences, exact edges") {
     import graft.operators.Sketch
     val a = (1 to 1500).map(i => Tuple1(s"item-$i")).toDF("v")

@@ -97,6 +97,10 @@ class PlanShapeSpec extends SparkSpec {
     // times the pipeline was built (cached-relation re-prints share the id).
     // Exactly one build, and it must sit under an InMemoryRelation so the
     // multi-consumer DAG reads the cache instead of re-executing it.
+    // clearCache first: a winnow cache registered earlier in the session
+    // (another spec's build of the same query) substitutes in with ITS
+    // original attr ids, which double-counts __mk without any recompute.
+    spark.catalog.clearCache()
     for (q <- Seq("winnow_match_spans", "winnow_candidates")) {
       val p = planOf(q)
       val mkIds = raw"AS __mk#(\d+)L".r.findAllMatchIn(p).map(_.group(1)).toSet
