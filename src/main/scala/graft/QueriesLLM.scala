@@ -1234,6 +1234,22 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- interpolated Kneser–Ney bigram scoring (r15): the
+    // standard n-gram smoothing (continuation counts + absolute discount),
+    // trained on even docs and scoring odd docs so every branch fires —
+    // seen bigram (discounted ML + backoff), unseen bigram under a seen
+    // context (pure backoff), unseen context (continuation-only).
+    "kn_bigram_score" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      val train = d.filter(col("doc_id") % 2 === 0)
+      val test = d.filter(col("doc_id") % 2 === 1)
+      val (bigrams, contexts, cont, totals) =
+        graft.operators.LangModel.trainKneserNey(train, "doc_id", "text")
+      graft.operators.LangModel.scoreKneserNey(test, "doc_id", "text",
+        bigrams, contexts, cont, totals, d = 0.75)
+        .orderBy("doc_id")
+    }),
+
     // ---------------- cross-corpus near-dup (crawl-over-crawl dedup):
     // even doc_ids play the incoming crawl, odd ones the retained corpus
     "cross_corpus_dedup" -> ((s, dir) => {
@@ -3976,6 +3992,50 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "kn_bigram_score" ->
+      // identical expression tree to the Spark side: discounted ML +
+      // interpolation weight × add-one-smoothed continuation probability,
+      // unseen context → continuation only; each ln term floor-quantized
+      // at 1e4 (the scoreBigram mitigation contract)
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         p AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(a := toks[i], b := toks[i+1]))) AS pr
+               FROM t WHERE len(toks) >= 2),
+         pairs AS (SELECT doc_id, pr.a AS a, pr.b AS b FROM p),
+         tr AS (SELECT a, b FROM pairs WHERE doc_id % 2 = 0),
+         big AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM tr GROUP BY 1, 2),
+         ctx AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a,
+                   CAST(count(*) AS BIGINT) AS n_follow FROM big GROUP BY 1),
+         cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS n_prec FROM big GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM big),
+         v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+               FROM (SELECT unnest(toks) AS tok FROM t WHERE doc_id % 2 = 0)),
+         sc AS (SELECT doc_id, a, b FROM pairs WHERE doc_id % 2 = 1),
+         terms AS (
+           SELECT sc.doc_id,
+             CAST(floor(1e4 * ln(
+               CASE WHEN ctx.c_a IS NOT NULL THEN
+                 greatest(CAST(coalesce(big.c_ab, 0) AS DOUBLE) - 0.75, 0.0)
+                     / CAST(ctx.c_a AS DOUBLE)
+                   + 0.75 * CAST(ctx.n_follow AS DOUBLE) / CAST(ctx.c_a AS DOUBLE)
+                     * ((CAST(coalesce(cnt.n_prec, 0) AS DOUBLE) + 1.0)
+                        / (CAST((SELECT n_types FROM tot) AS DOUBLE)
+                           + CAST((SELECT vocab_size FROM v) AS DOUBLE)))
+               ELSE (CAST(coalesce(cnt.n_prec, 0) AS DOUBLE) + 1.0)
+                    / (CAST((SELECT n_types FROM tot) AS DOUBLE)
+                       + CAST((SELECT vocab_size FROM v) AS DOUBLE))
+               END)) AS BIGINT) AS term
+           FROM sc LEFT JOIN big USING (a, b) LEFT JOIN ctx USING (a)
+                   LEFT JOIN cnt USING (b)),
+         agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(term) AS BIGINT) AS kn_logprob_q4
+                 FROM terms GROUP BY 1)
+         SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(g.kn_logprob_q4, 0) AS BIGINT) AS kn_logprob_q4
+         FROM documents d LEFT JOIN agg g USING (doc_id)
+         WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id""",
+
     "cross_corpus_dedup" -> {
       val perm = (0 until 16).map { j =>
         s"list_min(list_transform(gh, x -> (x * ${2L * j + 1} + ${12289L * j + 741}) % 2147483647))"

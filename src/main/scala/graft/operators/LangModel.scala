@@ -81,6 +81,80 @@ object LangModel {
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)
   }
 
+  /** Interpolated Kneser–Ney bigram counts (Kneser & Ney 1995; Chen &
+    * Goodman 1999's empirical study made it the standard n-gram
+    * smoothing): alongside the raw (a, b, c_ab) table, KN needs the
+    * type-diversity statistics — n_follow(a) = distinct continuations of
+    * each context, n_prec(b) = distinct contexts preceding each word (the
+    * continuation counts that make "Francisco" unlikely outside "San"),
+    * and the distinct-bigram-type total. All three derive from the
+    * already-reduced bigram table, so training stays two map-side-combined
+    * shuffles + type-count aggregations over the TYPE table (≪ corpus) —
+    * the model never touches the driver.
+    *
+    * Returns (bigrams (a, b, c_ab), contexts (a, c_a, n_follow),
+    * cont (b, n_prec), totals 1-row (n_types, vocab_size)). */
+  def trainKneserNey(df: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val pairs = bigramPairs(df, idCol, textCol)
+    val bigrams = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+    val contexts = bigrams.groupBy(col("a"))
+      .agg(sum(col("c_ab")).as("c_a"), count(lit(1)).as("n_follow"))
+    val cont = bigrams.groupBy(col("b")).agg(count(lit(1)).as("n_prec"))
+    val vocab = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .agg(count_distinct(col("tok")).as("vocab_size"))
+    val totals = bigrams.agg(count(lit(1)).as("n_types")).crossJoin(vocab)
+    (bigrams, contexts, cont, totals)
+  }
+
+  /** Per-document interpolated Kneser–Ney bigram log-probability with
+    * absolute discount `d`:
+    *
+    *   P(b|a) = max(c_ab − d, 0)/c_a + d·n_follow(a)/c_a · P_cont(b)
+    *   P_cont(b) = (n_prec(b) + 1) / (n_types + V)
+    *
+    * with the continuation distribution add-one smoothed over the
+    * distinct-bigram-type space so every word — including out-of-vocab —
+    * keeps positive mass, and an UNSEEN CONTEXT backing off to P_cont(b)
+    * entirely (the interpolation weight is undefined at c_a = 0). Each log
+    * term is quantized floor(1e4·term) under the same ln-mitigation
+    * contract as [[scoreBigram]]; everything else is single
+    * correctly-rounded IEEE ops, replayable in the oracle.
+    *
+    * Scale shape mirrors [[scoreBigram]]: the scored corpus's bigram
+    * stream left-joins the count tables (AQE broadcasts them when they
+    * fit), totals ride as a broadcast 1-row frame, no UDFs, no driver
+    * loops. Returns (id, n_bigrams, kn_logprob_q4); documents with fewer
+    * than two tokens score (0, 0). */
+  def scoreKneserNey(df: DataFrame, idCol: String, textCol: String,
+                     bigrams: DataFrame, contexts: DataFrame,
+                     cont: DataFrame, totals: DataFrame,
+                     d: Double = 0.75): DataFrame = {
+    require(d > 0 && d < 1, s"absolute discount in (0, 1), got $d")
+    val pairs = bigramPairs(df, idCol, textCol)
+    val withT = pairs.crossJoin(broadcast(totals))
+    val pc = (coalesce(col("n_prec"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+      (col("n_types").cast(DoubleType) + col("vocab_size").cast(DoubleType))
+    val pSeen =
+      greatest(coalesce(col("c_ab"), lit(0L)).cast(DoubleType) - lit(d), lit(0.0)) /
+        col("c_a").cast(DoubleType) +
+      lit(d) * col("n_follow").cast(DoubleType) / col("c_a").cast(DoubleType) * pc
+    val term = floor(lit(1e4) *
+      log(when(col("c_a").isNotNull, pSeen).otherwise(pc)))
+    val scored = withT
+      .join(bigrams, Seq("a", "b"), "left")
+      .join(contexts, Seq("a"), "left")
+      .join(cont, Seq("b"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("kn_logprob_q4"))
+    val base = df.select(col(idCol))
+    base.join(scored, base(idCol) === scored("id"), "left")
+      .select(base(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("kn_logprob_q4"), lit(0L)).as("kn_logprob_q4"))
+  }
+
   /** DSIR's final selection step (Xie et al. 2023 §2.3): k documents
     * sampled without replacement with probability ∝ importance weight via
     * the Gumbel top-k trick — key = log w + Gumbel(0,1), keep the k

@@ -659,6 +659,54 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == rows.toSet)
   }
 
+  test("scoreKneserNey: distribution normalizes, backoff branches, short docs") {
+    import graft.operators.LangModel
+    // trained corpus: contexts with different continuation diversity
+    val train = Seq(
+      (0L, "san francisco san diego san francisco"),
+      (2L, "new york new jersey"),
+      (4L, "the cat the dog the cat sat")).toDF("doc_id", "text")
+    val (big, ctx, cont, tot) = LangModel.trainKneserNey(train, "doc_id", "text")
+    val vocab = train.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("t"))
+      .distinct().as[String].collect().sorted
+    // KN exactness: for a SEEN context a, sum over the trained vocab of
+    // P(b|a) = 1 exactly — the discounted ML mass (c_a − d·n_follow)/c_a
+    // plus d·n_follow/c_a times Σ P_cont(b) = (Σ n_prec + V)/(n_types + V)
+    // = 1. Recover each P from single-bigram docs' quantized log terms.
+    for (a <- Seq("san", "the")) {
+      val probes = vocab.zipWithIndex.toSeq
+        .map { case (b, i) => (i.toLong, s"$a $b") }.toDF("doc_id", "text")
+      val scored = LangModel.scoreKneserNey(probes, "doc_id", "text",
+        big, ctx, cont, tot).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val total = vocab.indices.map(i => math.exp(scored(i.toLong) / 1e4)).sum
+      // each P is floor-quantized at 1e-4 nats, so the sum undershoots 1
+      // by at most vocab·1e-4
+      assert(total <= 1.0 + 1e-9 && total > 1.0 - vocab.length * 2e-4,
+        s"sum_b P(b|$a) = $total")
+    }
+    // unseen context backs off to the continuation distribution alone:
+    // "zzz francisco" scores ln P_cont(francisco), independent of context
+    val bo = LangModel.scoreKneserNey(
+      Seq((0L, "zzz francisco"), (1L, "qqq francisco")).toDF("doc_id", "text"),
+      "doc_id", "text", big, ctx, cont, tot).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bo(0L) == bo(1L) && bo(0L)._1 == 1L)
+    // short docs score (0, 0)
+    val short = LangModel.scoreKneserNey(
+      Seq((9L, "lonely")).toDF("doc_id", "text"),
+      "doc_id", "text", big, ctx, cont, tot).head()
+    assert(short.getLong(1) == 0L && short.getLong(2) == 0L)
+    // diverse context ("san": follows = {francisco, diego}) discounts less
+    // per continuation than a one-way context would: sanity that a seen
+    // bigram outscores the same word under an unseen context
+    val cmp = LangModel.scoreKneserNey(
+      Seq((0L, "san francisco"), (1L, "zzz francisco")).toDF("doc_id", "text"),
+      "doc_id", "text", big, ctx, cont, tot).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cmp(0L) > cmp(1L), s"seen bigram must outscore backoff: $cmp")
+  }
+
   test("kmvOverlap: Jaccard estimate from sketch coincidences, exact edges") {
     import graft.operators.Sketch
     val a = (1 to 1500).map(i => Tuple1(s"item-$i")).toDF("v")
