@@ -1234,6 +1234,18 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- pairwise Jensen–Shannon source drift (r15): exact
+    // unigram-distribution divergence per source pair — the frequency-
+    // sensitive complement to kmv_pairwise_overlap's set estimate. One
+    // token-count pass; only shared tokens join (one-sided JS mass
+    // collapses analytically); all aggregates integer-quantized so the
+    // sums are order-free.
+    "js_divergence_pairwise" -> ((s, dir) => {
+      graft.operators.LangModel.jsDivergencePairwise(
+        rd(s, dir, "documents"), "source", "text")
+        .orderBy("source_a", "source_b")
+    }),
+
     // ---------------- interpolated Kneser–Ney bigram scoring (r15): the
     // standard n-gram smoothing (continuation counts + absolute discount),
     // trained on even docs and scoring odd docs so every branch fires —
@@ -3992,6 +4004,31 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "js_divergence_pairwise" ->
+      // identical expression tree: p = c/n IEEE divisions, per-term
+      // floor(1e4·…) ln quantization, 1e9 mass integerization, js_est
+      // derived from the integer sums with the fixed ln2 literal
+      """WITH t AS (
+           SELECT source, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+         n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         p AS (SELECT c.source, c.tok, CAST(c.c AS DOUBLE) / CAST(n.n AS DOUBLE) AS p
+               FROM c JOIN n USING (source)),
+         sh AS (SELECT a.source AS g_a, b.source AS g_b, a.p AS p, b.p AS q
+                FROM p a JOIN p b ON a.tok = b.tok AND a.source < b.source),
+         agg AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS n_shared,
+                   CAST(sum(CAST(floor(1e4 * (p * ln(2.0 * p / (p + q))
+                     + q * ln(2.0 * q / (p + q)))) AS BIGINT)) AS BIGINT) AS shared_q4,
+                   CAST(sum(CAST(floor(1e9 * p) AS BIGINT)) AS BIGINT) AS pa_q9,
+                   CAST(sum(CAST(floor(1e9 * q) AS BIGINT)) AS BIGINT) AS qb_q9
+                 FROM sh GROUP BY 1, 2)
+         SELECT g_a AS source_a, g_b AS source_b, n_shared, shared_q4, pa_q9, qb_q9,
+           0.5 * (CAST(shared_q4 AS DOUBLE) / 1e4) + 0.5 * 0.6931471805599453 *
+             ((1.0 - CAST(pa_q9 AS DOUBLE) / 1e9) + (1.0 - CAST(qb_q9 AS DOUBLE) / 1e9))
+             AS js_est
+         FROM agg ORDER BY source_a, source_b""",
+
     "kn_bigram_score" ->
       // identical expression tree to the Spark side: discounted ML +
       // interpolation weight × add-one-smoothed continuation probability,

@@ -337,6 +337,60 @@ object LangModel {
         coalesce(col("logw_q4"), lit(0L)).as("logw_q4"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between the groups' unigram token
+    * distributions — the exact distributional drift metric beside
+    * [[graft.operators.Sketch.kmvPairwiseOverlap]]'s set-overlap estimate
+    * (sources can share vocabulary yet use it with very different
+    * frequencies; JS sees that, set overlap can't). 0 = identical usage,
+    * ln 2 = disjoint support.
+    *
+    * Shape: one token-count aggregation (map-side combined, result is
+    * vocabulary-sized per group), then ONE inner join on the token across
+    * group pairs — only SHARED tokens join, because the one-sided terms of
+    * JS collapse analytically: a token only in P contributes
+    * ½·p·ln 2, so the one-sided mass is ½·ln 2·(2 − Σ_shared p − Σ_shared q)
+    * and never needs the anti-join sides. Per-token fan-out is bounded by
+    * the group count, the corpus itself is touched once.
+    *
+    * Determinism: p = c/n are single IEEE divisions; each shared-token log
+    * term is floor-quantized at 1e4 (the [[scoreBigram]] ln mitigation) and
+    * the probability masses integerize at 1e9 before summing, so every
+    * aggregate is an integer sum — order-free — and `js_est` derives from
+    * those integers with fixed literals. Pairs sharing NO token are absent
+    * from the output (their JS is exactly ln 2).
+    *
+    * Returns (groupCol_a, groupCol_b, n_shared, shared_q4, pa_q9, qb_q9,
+    * js_est). */
+  def jsDivergencePairwise(df: DataFrame, groupCol: String,
+                           textCol: String): DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("__g"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("__g")).agg(sum(col("c")).as("n"))
+    val probs = counts.join(totals, Seq("__g"))
+      .select(col("__g"), col("tok"),
+        (col("c").cast(DoubleType) / col("n").cast(DoubleType)).as("p"))
+    val sh = probs.select(col("__g").as(s"${groupCol}_a"), col("tok"), col("p"))
+      .join(probs.select(col("__g").as(s"${groupCol}_b"), col("tok"),
+        col("p").as("q")), Seq("tok"))
+      .filter(col(s"${groupCol}_a") < col(s"${groupCol}_b"))
+    val m = col("p") + col("q")
+    val term = floor(lit(1e4) *
+      (col("p") * log(lit(2.0) * col("p") / m) +
+       col("q") * log(lit(2.0) * col("q") / m)))
+    sh.groupBy(col(s"${groupCol}_a"), col(s"${groupCol}_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(term).as("shared_q4"),
+        sum(floor(lit(1e9) * col("p"))).as("pa_q9"),
+        sum(floor(lit(1e9) * col("q"))).as("qb_q9"))
+      .withColumn("js_est",
+        lit(0.5) * (col("shared_q4").cast(DoubleType) / lit(1e4)) +
+          lit(0.5) * lit(0.6931471805599453) *
+            ((lit(1.0) - col("pa_q9").cast(DoubleType) / lit(1e9)) +
+             (lit(1.0) - col("qb_q9").cast(DoubleType) / lit(1e9))))
+  }
+
   /** Adjacent token pairs per document: explode + per-doc lead window (the
     * codegen path — array HOFs are interpreted). */
   private def bigramPairs(df: DataFrame, idCol: String,

@@ -659,6 +659,28 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == rows.toSet)
   }
 
+  test("jsDivergencePairwise: zero for identical usage, absent when disjoint, inside (0, ln 2)") {
+    import graft.operators.LangModel
+    val df = Seq(
+      (1L, "a", "x y x z"), (2L, "b", "x y x z"), // identical distributions
+      (3L, "c", "q q r"),                         // disjoint support
+      (4L, "d", "x x x x y")                      // shared support, shifted mass
+    ).toDF("id", "grp", "text")
+    val out = LangModel.jsDivergencePairwise(df, "grp", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(6))).toMap
+    // c shares no token with anyone → its pairs are absent (JS = ln 2)
+    assert(out.keySet == Set(("a", "b"), ("a", "d"), ("b", "d")), s"${out.keySet}")
+    // identical usage → every shared term is ln(1) = 0 and the one-sided
+    // mass vanishes up to the 1e9 integerization (≤ vocab ulps)
+    assert(out(("a", "b"))._1 == 3L)
+    assert(math.abs(out(("a", "b"))._2) < 1e-6, s"js(a,b)=${out(("a", "b"))._2}")
+    // shifted mass on shared support: strictly inside (0, ln 2)
+    val jsAD = out(("a", "d"))._2
+    assert(jsAD > 0.0 && jsAD < 0.6931471805599453, s"js(a,d)=$jsAD")
+    // symmetric construction: (a,d) and (b,d) see identical distributions
+    assert(out(("a", "d")) == out(("b", "d")))
+  }
+
   test("scoreKneserNey: distribution normalizes, backoff branches, short docs") {
     import graft.operators.LangModel
     // trained corpus: contexts with different continuation diversity
