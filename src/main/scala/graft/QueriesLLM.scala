@@ -1234,6 +1234,19 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- reciprocal-rank fusion (r15): the standard hybrid-
+    // retrieval combiner, here fusing two query vectors' exact cosine
+    // top-10 lists (multi-query fusion). Rank-only, integerized
+    // contributions — no score calibration, order-free sums.
+    "rrf_fuse_topk" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+      val la = Similarity.cosineTopK(e, "vec_id", "embedding", queryId = 0, k = 10)
+      val lb = Similarity.cosineTopK(e, "vec_id", "embedding", queryId = 42, k = 10)
+      graft.operators.Similarity.rrfFuse(
+        Seq((la, "vec_id", "cosine"), (lb, "vec_id", "cosine")), c = 60, k = 10)
+        .orderBy(col("rrf_q").desc, col("id").asc)
+    }),
+
     // ---------------- pairwise Jensen–Shannon source drift (r15): exact
     // unigram-distribution divergence per source pair — the frequency-
     // sensitive complement to kmv_pairwise_overlap's set estimate. One
@@ -4004,6 +4017,32 @@ object QueriesLLM {
          SELECT d.doc_id, CAST(coalesce(g.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(g.logprob_q4, 0) AS BIGINT) AS logprob_q4
          FROM documents d LEFT JOIN agg g USING (doc_id) ORDER BY d.doc_id""",
+    "rrf_fuse_topk" ->
+      // both cosine lists ranked in one pass (rn per query id), rank-only
+      // integer contributions floor(1e12/(60+rn)), order-free sum
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id IN (0, 42)),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(e.v, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)
+             / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(e.v, e.v), p -> p[1] * p[2])), (a, b) -> a + b))
+                * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                 list_transform(list_zip(q.qv, q.qv), p -> p[1] * p[2])), (a, b) -> a + b)))
+             AS cos
+           FROM e, q WHERE e.vec_id != q.qid),
+         topk AS (SELECT qid, vec_id, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+           FROM scored),
+         contrib AS (SELECT vec_id AS id,
+             CAST(floor(1e12 / (60.0 + rn)) AS BIGINT) AS contrib
+           FROM topk WHERE rn <= 10),
+         agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lists,
+             CAST(sum(contrib) AS BIGINT) AS rrf_q FROM contrib GROUP BY 1)
+         SELECT id, n_lists, rrf_q, CAST(rrf_q AS DOUBLE) / 1e12 AS rrf_score
+         FROM agg ORDER BY rrf_q DESC, id ASC LIMIT 10""",
+
     "js_divergence_pairwise" ->
       // identical expression tree: p = c/n IEEE divisions, per-term
       // floor(1e4·…) ln quantization, 1e9 mass integerization, js_est

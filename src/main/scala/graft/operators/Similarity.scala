@@ -818,4 +818,40 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
+    * several ranked lists — the standard hybrid-retrieval combiner
+    * (BM25 ⊕ dense ANN, multi-query fusion, ensemble rerankers): each list
+    * contributes 1/(c + rank) per id, ids are scored by the sum, top k win.
+    * Rank-only fusion needs no score calibration across lists, which is
+    * exactly why it is the default hybrid combiner.
+    *
+    * Each input is (list, idCol, scoreCol) with higher score = better;
+    * ranks are derived deterministically (score desc, id asc). The
+    * un-partitioned rank window is BY DESIGN: inputs are top-k lists
+    * (k rows), never corpora — fuse retrieval OUTPUTS, not scans. The
+    * contribution integerizes as floor(10¹²/(c + rank)) so the per-id sum
+    * is an order-free integer (equal ranks ⟹ equal contributions,
+    * bit-stable cross-engine); `rrf_score` = rrf_q/10¹² rides along.
+    *
+    * Returns the fused top `k`: (id, n_lists, rrf_q, rrf_score), ties by
+    * smaller id. */
+  def rrfFuse(lists: Seq[(DataFrame, String, String)], c: Int = 60,
+              k: Int = 10): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one list")
+    require(c >= 1, "rrf constant c >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = lists.map { case (df, idCol, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.withColumn("__r", row_number().over(w))
+        .select(col(idCol).cast(LongType).as("id"), floor(lit(1e12) /
+          (lit(c.toDouble) + col("__r").cast(DoubleType))).as("__contrib"))
+    }
+    ranked.reduce(_ unionAll _)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("__contrib")).as("rrf_q"))
+      .withColumn("rrf_score", col("rrf_q").cast(DoubleType) / lit(1e12))
+      .orderBy(col("rrf_q").desc, col("id").asc)
+      .limit(k)
+  }
 }

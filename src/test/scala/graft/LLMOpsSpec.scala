@@ -659,6 +659,28 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == rows.toSet)
   }
 
+  test("rrfFuse: rank-only fusion, consensus beats one high rank, ties by id") {
+    import graft.operators.Similarity
+    // list A: 10 > 20 > 30; list B: 30 > 20 > 40
+    val la = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "s")
+    val lb = Seq((30L, 5.0), (20L, 4.0), (40L, 3.0)).toDF("id", "s")
+    val out = Similarity.rrfFuse(Seq((la, "id", "s"), (lb, "id", "s")), c = 60, k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def contrib(r: Int) = math.floor(1e12 / (60.0 + r)).toLong
+    // two-list presence beats any single-list rank: 2/(c+2) > 1/(c+1) for
+    // c > 58, and among two-list ids 1/x convexity puts ranks (1,3) just
+    // above (2,2)
+    assert(out(20L) == ((2L, 2 * contrib(2))))
+    assert(out(10L) == ((1L, contrib(1))) && out(30L) == ((2L, contrib(1) + contrib(3))))
+    assert(out(30L)._2 > out(20L)._2 && out(20L)._2 > out(10L)._2)
+    assert(out(40L) == ((1L, contrib(3))))
+    // scores that tie within a list rank deterministically by id asc
+    val tied = Seq((7L, 1.0), (3L, 1.0)).toDF("id", "s")
+    val t = Similarity.rrfFuse(Seq((tied, "id", "s")), c = 60, k = 2).collect()
+    assert(t.map(_.getLong(0)).toSeq == Seq(3L, 7L))
+    assert(t.map(_.getLong(2)).toSeq == Seq(contrib(1), contrib(2)))
+  }
+
   test("jsDivergencePairwise: zero for identical usage, absent when disjoint, inside (0, ln 2)") {
     import graft.operators.LangModel
     val df = Seq(
