@@ -1880,6 +1880,21 @@ object QueriesLLM {
       hh.join(exact, Seq("q")).orderBy("q")
     }),
 
+    // ---------------- CMS heavy-change between snapshots (r15): a 25%
+    // slice plays the previous release, the other 75% the new one (an
+    // asymmetric split so real drift exists); tokens whose CMS-estimated
+    // count moved >= 200 surface. Two d×w counter matrices are the only
+    // corpus passes; the delta join is candidate-sized.
+    "cms_heavy_change" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+      def toks(cond: org.apache.spark.sql.Column) = d.filter(cond)
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      graft.operators.Sketch.cmsHeavyChange(
+        toks(col("doc_id") % 4 === 0), toks(col("doc_id") % 4 =!= 0),
+        col("tok"), minDelta = 200L, d = 4, w = 1024)
+        .orderBy("q")
+    }),
+
     // ---------------- frequent items (r12): Spark 4's builtin
     // approx_top_k (DataSketches Misra-Gries counters) — one sketch row
     // per partition merged to one, no distinct-reduce; re-exploded and
@@ -4511,6 +4526,39 @@ object QueriesLLM {
                 FROM tok GROUP BY 1)
          SELECT est.q, est.cms_est, ex.n_exact FROM est JOIN ex USING (q)
          WHERE est.cms_est >= 500 ORDER BY q""",
+    "cms_heavy_change" ->
+      // the cms_heavy_hitters cell machinery twice (doc-parity snapshots),
+      // candidate set = union of both token streams, delta = after − before
+      """WITH t AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+         hB AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+                FROM tok WHERE doc_id % 4 = 0),
+         hA AS (SELECT tok, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 2147483647 AS h
+                FROM tok WHERE doc_id % 4 != 0),
+         cmsB AS (SELECT r.j, (hB.h * (2*r.j + 1) + (12289*r.j + 741)) % 2147483647 % 1024 AS cell,
+                    CAST(count(*) AS BIGINT) AS cnt
+                  FROM hB, (SELECT unnest(range(4)) AS j) r GROUP BY 1, 2),
+         cmsA AS (SELECT r.j, (hA.h * (2*r.j + 1) + (12289*r.j + 741)) % 2147483647 % 1024 AS cell,
+                    CAST(count(*) AS BIGINT) AS cnt
+                  FROM hA, (SELECT unnest(range(4)) AS j) r GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT tok FROM tok),
+         qc AS (SELECT cand.tok, r.j,
+                  (('0x' || substr(md5(cand.tok), 1, 15))::BIGINT % 2147483647
+                    * (2*r.j + 1) + (12289*r.j + 741)) % 2147483647 % 1024 AS cell
+                FROM cand, (SELECT unnest(range(4)) AS j) r),
+         eB AS (SELECT qc.tok AS q, min(coalesce(cmsB.cnt, 0)) AS est_before
+                FROM qc LEFT JOIN cmsB ON cmsB.j = qc.j AND cmsB.cell = qc.cell
+                GROUP BY 1),
+         eA AS (SELECT qc.tok AS q, min(coalesce(cmsA.cnt, 0)) AS est_after
+                FROM qc LEFT JOIN cmsA ON cmsA.j = qc.j AND cmsA.cell = qc.cell
+                GROUP BY 1)
+         SELECT eB.q, eB.est_before, eA.est_after,
+           eA.est_after - eB.est_before AS delta
+         FROM eB JOIN eA USING (q)
+         WHERE abs(eA.est_after - eB.est_before) >= 200 ORDER BY q""",
+
     "hll_distinct" ->
       // deterministic HLL p=8: bucket = h >> 52, rank = 53 − length(bin(low))
       // (low = 0 ⇒ 53); harmonic sum as the exact integer Σ 2^(53−ρ) plus

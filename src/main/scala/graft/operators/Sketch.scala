@@ -234,6 +234,36 @@ object Sketch {
       .filter(col("cms_est") >= minCount)
   }
 
+  /** Heavy-CHANGE detection between two snapshots (Cormode & Muthukrishnan's
+    * CMS applied to the change-detection problem): build one sketch per
+    * snapshot, point-query every candidate against both, keep candidates
+    * whose estimated delta moves ≥ `minDelta`. The crawl-drift monitor:
+    * "which tokens/domains/urls surged or collapsed between releases"
+    * answered from two d×w counter matrices — at 100 TB the sketches are
+    * the only corpus-sized passes, the delta join is candidate-sized, and
+    * at steady state the candidate set is any cheap head (last release's
+    * frequent items) rather than the distinct scan used here.
+    *
+    * Error contract: each estimate one-sided (est ≥ true, ≤ true + ε·N
+    * w.h.p.), so the DELTA is two-sided within ±ε·(N₁+N₂) — `minDelta`
+    * must sit above that noise floor to mean anything. A candidate absent
+    * from a snapshot estimates ≥ 0 there, so appear/disappear events
+    * surface naturally.
+    *
+    * Returns (q, est_before, est_after, delta) for |delta| ≥ minDelta. */
+  def cmsHeavyChange(before: DataFrame, after: DataFrame,
+                     value: org.apache.spark.sql.Column, minDelta: Long,
+                     d: Int = 4, w: Int = 1024): DataFrame = {
+    val cb = cmsBuild(before, value, d, w).localCheckpoint()
+    val ca = cmsBuild(after, value, d, w).localCheckpoint()
+    val cand = before.select(value.as("q")).unionAll(after.select(value.as("q")))
+    val eb = cmsEstimate(cb, cand, "q", d, w).withColumnRenamed("cms_est", "est_before")
+    val ea = cmsEstimate(ca, cand, "q", d, w).withColumnRenamed("cms_est", "est_after")
+    eb.join(ea, Seq("q"))
+      .withColumn("delta", col("est_after") - col("est_before"))
+      .filter(abs(col("delta")) >= minDelta)
+  }
+
   // ------------------------------------- frequent items (builtin sketch)
   /** Approximate most-frequent items via Spark 4's builtin `approx_top_k`
     * (the DataSketches frequent-items sketch — Misra-Gries counter

@@ -659,6 +659,25 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == rows.toSet)
   }
 
+  test("cmsHeavyChange: planted surge and collapse surface, stable keys don't") {
+    import graft.operators.Sketch
+    val before = (Seq.fill(500)("stable") ++ Seq.fill(300)("fading") ++
+      Seq.fill(10)("rising")).toDF("v")
+    val after = (Seq.fill(505)("stable") ++ Seq.fill(20)("fading") ++
+      Seq.fill(400)("rising")).toDF("v")
+    val out = Sketch.cmsHeavyChange(before, after, col("v"), minDelta = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.contains("rising") && out.contains("fading"), s"$out")
+    assert(!out.contains("stable"), s"stable key flagged: $out")
+    // CMS one-sided error: every estimate >= its true count; the planted
+    // deltas keep their signs and clear the threshold
+    val (rb, ra, rd) = out("rising")
+    assert(rb >= 10L && ra >= 400L && rd >= 100L)
+    val (fb, fa, fd) = out("fading")
+    assert(fb >= 300L && fa >= 20L && fd <= -100L)
+  }
+
   test("rrfFuse: rank-only fusion, consensus beats one high rank, ties by id") {
     import graft.operators.Similarity
     // list A: 10 > 20 > 30; list B: 30 > 20 > 40
