@@ -111,6 +111,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("priority sampling aggregates without a window and broadcast-joins the sample back") {
+    val p = planOf("priority_sample")
+    assert(!p.contains("Window"), "prioritySample must not rank via a corpus window")
+    assert(p.contains("BroadcastHashJoin"), "the k·|G|-row sample lost its broadcast join-back")
+    assert(!p.contains("SortMergeJoin"), "sample join-back demoted to a shuffle join")
+    assert(p.contains("ObjectHashAggregate"), "topk_by should plan as ObjectHashAggregate")
+  }
+
+  test("pairwise KMV overlap never sorts or windows; the pair join is sketch-rows only") {
+    val p = planOf("kmv_pairwise_overlap")
+    assert(!p.contains("Window"), "kmvPairwiseOverlap grew a window")
+    assert(!p.contains("SortMergeJoin"), "the |G|²-sketch pair join must stay broadcast")
+    assert(p.contains("ObjectHashAggregate"), "kmv_bottomk should plan as ObjectHashAggregate")
+  }
+
   test("sliding-window chunking is a stateless projection: no shuffle beyond the oracle order") {
     val p = planOf("chunk_sliding")
     assert(!p.contains("Join"))
