@@ -1234,6 +1234,28 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- retrieval rank-eval metrics (r15): recall@10 / MRR
+    // / NDCG@10 of the JL two-stage rerank graded against exact cosine
+    // truth for three query vectors — the SCALE.md recall table as a
+    // hash-gated query (both stages deterministic, so every metric is a
+    // fixed number).
+    "rank_eval_rproj" -> ((s, dir) => {
+      val e = rd(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val qids = Seq(0L, 7L, 42L)
+      val predicted = qids.map { q =>
+        Similarity.rprojRerankTopK(e, "vec_id", "v", q,
+          dIn = 64, dOut = 16, m = 50, k = 10).withColumn("qid", lit(q))
+      }.reduce(_ unionAll _)
+      val truth = qids.map { q =>
+        Similarity.cosineTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+          queryId = q, k = 10).withColumn("qid", lit(q))
+      }.reduce(_ unionAll _)
+      graft.operators.Similarity.rankEval(predicted, truth,
+        "qid", "vec_id", "cos", k = 10)
+        .orderBy("qid")
+    }),
+
     // ---------------- reciprocal-rank fusion (r15): the standard hybrid-
     // retrieval combiner, here fusing two query vectors' exact cosine
     // top-10 lists (multi-query fusion). Rank-only, integerized
@@ -6013,6 +6035,71 @@ object QueriesLLM {
 
     // the 16x64 Rademacher sign matrix rendered as a literal (same values
     // the Spark plan carries), identical fold orders both stages
+    "rank_eval_rproj" -> {
+      // the rproj_rerank CTEs replayed per query id (predicted lists) +
+      // exact-cosine truth lists, then the metric algebra: integerized
+      // 1e9·ln2/ln(rank+1) discounts, IEEE divisions of the integer sums
+      val mat = graft.operators.Similarity.rprojSigns(16, 64)
+        .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      def dotSql(a: String, b: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE,
+             list_transform(list_zip($a, $b), p -> p[1] * p[2])), (x, y) -> x + y)"""
+      def cosSql(a: String, b: String) =
+        s"""CASE WHEN sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}) = 0
+             THEN NULL
+             ELSE ${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))
+           END"""
+      def perQid(q: Long) =
+        s"""q$q AS (SELECT p AS qp, v AS qv FROM proj WHERE vec_id = $q),
+         s1$q AS (SELECT proj.vec_id, ${cosSql("proj.p", s"q$q.qp")} AS pcos
+                 FROM proj, q$q WHERE proj.vec_id != $q),
+         c$q AS (SELECT vec_id FROM s1$q WHERE pcos IS NOT NULL
+                 ORDER BY pcos DESC, vec_id ASC LIMIT 50),
+         s2$q AS (SELECT e.vec_id, ${cosSql("e.v", s"q$q.qv")} AS cos
+                 FROM e JOIN c$q USING (vec_id), q$q),
+         p$q AS (SELECT CAST($q AS BIGINT) AS qid, vec_id, cos FROM s2$q
+                 WHERE cos IS NOT NULL ORDER BY cos DESC, vec_id ASC LIMIT 10),
+         ts$q AS (SELECT e.vec_id, ${cosSql("e.v", s"q$q.qv")} AS cos
+                 FROM e, q$q WHERE e.vec_id != $q),
+         t$q AS (SELECT CAST($q AS BIGINT) AS qid, vec_id FROM ts$q
+                 WHERE cos IS NOT NULL ORDER BY cos DESC, vec_id ASC LIMIT 10)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         sm AS (SELECT $mat AS m),
+         proj AS MATERIALIZED (SELECT vec_id, v, list_transform(range(16), i ->
+             list_reduce(list_prepend(0.0::DOUBLE,
+               list_transform(list_zip(v, sm.m[i + 1]), p -> p[1] * p[2])),
+               (x, y) -> x + y) / ${math.sqrt(16.0)}) AS p
+           FROM e, sm),
+         ${perQid(0L)}, ${perQid(7L)}, ${perQid(42L)},
+         pred AS (SELECT * FROM p0 UNION ALL SELECT * FROM p7
+                  UNION ALL SELECT * FROM p42),
+         tru AS (SELECT * FROM t0 UNION ALL SELECT * FROM t7
+                 UNION ALL SELECT * FROM t42),
+         prr AS (SELECT qid, vec_id, row_number() OVER
+                   (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rn
+                 FROM pred),
+         nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_rel FROM tru GROUP BY 1),
+         hits AS (SELECT p.qid, p.rn FROM prr p
+                  JOIN tru t ON t.qid = p.qid AND t.vec_id = p.vec_id
+                  WHERE p.rn <= 10),
+         hagg AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits,
+             CAST(sum(CAST(floor(1e9 * 0.6931471805599453 / ln(rn + 1.0)) AS BIGINT))
+               AS BIGINT) AS dcg_q9,
+             1.0 / min(rn) AS mrr
+           FROM hits GROUP BY 1),
+         idcg AS (SELECT qid, n_rel,
+             CAST(list_sum(list_transform(range(1, least(10, n_rel) + 1),
+               i -> CAST(floor(1e9 * 0.6931471805599453 / ln(i + 1.0)) AS BIGINT)))
+               AS BIGINT) AS idcg_q9
+           FROM nrel)
+         SELECT i.qid, i.n_rel, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(h.n_hits, 0) AS DOUBLE) / CAST(i.n_rel AS DOUBLE) AS recall_at_k,
+           coalesce(h.mrr, 0.0) AS mrr,
+           CAST(coalesce(h.dcg_q9, 0) AS BIGINT) AS dcg_q9, i.idcg_q9,
+           CAST(coalesce(h.dcg_q9, 0) AS DOUBLE) / CAST(i.idcg_q9 AS DOUBLE) AS ndcg_at_k
+         FROM idcg i LEFT JOIN hagg h USING (qid) ORDER BY i.qid"""
+    },
+
     "rproj_rerank_topk" -> {
       val mat = graft.operators.Similarity.rprojSigns(16, 64)
         .map(_.mkString("[", ",", "]")).mkString("[", ",", "]")

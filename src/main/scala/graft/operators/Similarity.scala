@@ -819,6 +819,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** Retrieval rank metrics as a relational operator: given a PREDICTED
+    * result table (query, item, score) and a TRUTH table (query, item —
+    * binary relevance), compute per query the standard eval suite at
+    * cutoff `k`: hits, recall@k, MRR, and binary-gain NDCG@k
+    * (DCG = Σ_hits 1/log₂(rank+1), IDCG over the first min(k, n_rel)
+    * ranks). This is how retrieval quality gets graded at corpus scale —
+    * one rank window over the per-query result LISTS (k rows each, never
+    * a corpus), one hash join against truth, one aggregate.
+    *
+    * Ranks derive deterministically (score desc, item asc). Every
+    * discount term integerizes as floor(10⁹·ln2/ln(rank+1)) — ONE ln site
+    * per term under the usual quantization mitigation — so DCG/IDCG are
+    * order-free integer sums; `recall_at_k`, `mrr`, `ndcg_at_k` are
+    * single IEEE divisions of those integers. Queries present in truth
+    * but missing from predicted (or hitless) report zeros.
+    *
+    * Returns (qCol, n_rel, n_hits, recall_at_k, mrr, dcg_q9, idcg_q9,
+    * ndcg_at_k). */
+  def rankEval(predicted: DataFrame, truth: DataFrame, qCol: String,
+               itemCol: String, scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, "cutoff k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val ln2 = 0.6931471805599453
+    val w = Window.partitionBy(col(qCol)).orderBy(col(scoreCol).desc, col(itemCol).asc)
+    val pr = predicted.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col(qCol).as("__q"), col(itemCol).as("__it"), col("__r"))
+    val tr = truth.select(col(qCol).as("__q"), col(itemCol).as("__it")).distinct()
+    val nRel = tr.groupBy(col("__q")).agg(count(lit(1)).as("n_rel"))
+    val dcgTerm = floor(lit(1e9) * lit(ln2) / log(col("__r").cast(DoubleType) + lit(1.0)))
+    val hits = pr.join(tr, Seq("__q", "__it"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_hits"),
+        sum(dcgTerm).as("dcg_q9"),
+        (lit(1.0) / min(col("__r"))).as("mrr"))
+    val idcg = nRel.withColumn("idcg_q9",
+      aggregate(
+        transform(sequence(lit(1), least(lit(k), col("n_rel")).cast(IntegerType)),
+          i => floor(lit(1e9) * lit(ln2) / log(i.cast(DoubleType) + lit(1.0)))),
+        lit(0L), (acc, x) => acc + x))
+    idcg.join(hits, Seq("__q"), "left")
+      .select(col("__q").as(qCol), col("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) /
+          col("n_rel").cast(DoubleType)).as("recall_at_k"),
+        coalesce(col("mrr"), lit(0.0)).as("mrr"),
+        coalesce(col("dcg_q9"), lit(0L)).as("dcg_q9"),
+        col("idcg_q9"),
+        (coalesce(col("dcg_q9"), lit(0L)).cast(DoubleType) /
+          col("idcg_q9").cast(DoubleType)).as("ndcg_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) of
     * several ranked lists — the standard hybrid-retrieval combiner
     * (BM25 ⊕ dense ANN, multi-query fusion, ensemble rerankers): each list

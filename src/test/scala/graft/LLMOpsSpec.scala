@@ -659,6 +659,33 @@ class LLMOpsSpec extends SparkSpec {
     assert(again == rows.toSet)
   }
 
+  test("rankEval: hand-computed recall/MRR/NDCG, truth-only queries report zeros") {
+    import graft.operators.Similarity
+    val predicted = Seq(
+      (1L, 100L, 0.9), (1L, 200L, 0.8), (1L, 300L, 0.7), // q1: ranks 1,2,3
+      (3L, 500L, 0.5), (3L, 400L, 0.5)                   // q3: tie → id asc
+    ).toDF("qid", "item", "score")
+    val truth = Seq(
+      (1L, 100L), (1L, 300L), (1L, 999L), // q1 hits at ranks 1 and 3
+      (2L, 700L),                         // q2: truth only, no predictions
+      (3L, 500L)                          // q3: hit at rank 2 (400 wins the tie)
+    ).toDF("qid", "item")
+    val out = Similarity.rankEval(predicted, truth, "qid", "item", "score", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6), r.getDouble(7))).toMap
+    def f(r: Int) = math.floor(1e9 * 0.6931471805599453 / math.log(r + 1.0)).toLong
+    val (nRel1, nHits1, rec1, mrr1, dcg1, idcg1, ndcg1) = out(1L)
+    assert((nRel1, nHits1) == ((3L, 2L)) && rec1 == 2.0 / 3 && mrr1 == 1.0)
+    assert(dcg1 == f(1) + f(3) && idcg1 == f(1) + f(2) + f(3))
+    assert(ndcg1 == dcg1.toDouble / idcg1.toDouble)
+    // q2 never predicted: zero hits, zero mrr, idcg over min(k, n_rel)=1
+    assert(out(2L) == ((1L, 0L, 0.0, 0.0, 0L, f(1), 0.0)))
+    // q3's tie ranks 400 first (id asc), so the hit on 500 lands at rank 2
+    val (_, nHits3, _, mrr3, dcg3, _, _) = out(3L)
+    assert(nHits3 == 1L && mrr3 == 0.5 && dcg3 == f(2))
+  }
+
   test("cmsHeavyChange: planted surge and collapse surface, stable keys don't") {
     import graft.operators.Sketch
     val before = (Seq.fill(500)("stable") ++ Seq.fill(300)("fading") ++
