@@ -1234,6 +1234,20 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- per-source Spearman rank correlation (r15): exact
+    // end to end — doubled average ranks stay integers through ties,
+    // every moment is an integer sum, ρ is one fixed double expression.
+    // Ranks derive from the value-count table (value-cardinality-sized
+    // windows per group), never a corpus sort.
+    "spearman_corr" -> ((s, dir) => {
+      val d = rd(s, dir, "documents")
+        .withColumn("len", length(col("text")).cast(LongType))
+        .withColumn("ntok",
+          size(graft.operators.TextAnalysis.tokens(col("text"))).cast(LongType))
+      graft.ml.Stats.spearmanCorr(d, Seq("source"), "len", "ntok")
+        .orderBy("source")
+    }),
+
     // ---------------- retrieval rank-eval metrics (r15): recall@10 / MRR
     // / NDCG@10 of the JL two-stage rerank graded against exact cosine
     // truth for three query vectors — the SCALE.md recall table as a
@@ -6035,6 +6049,41 @@ object QueriesLLM {
 
     // the 16x64 Rademacher sign matrix rendered as a literal (same values
     // the Spark plan carries), identical fold orders both stages
+    "spearman_corr" ->
+      // doubled-average-rank algebra: 2·avgRank = 2·cumCount − tieCount + 1
+      // from the value-count table, integer moment sums, one double ρ
+      """WITH b AS (
+           SELECT source, CAST(length(text) AS BIGINT) AS x,
+             CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS y
+           FROM documents WHERE text IS NOT NULL),
+         cx AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         rx AS (SELECT source, x,
+                  2 * sum(c) OVER (PARTITION BY source ORDER BY x ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS rx
+                FROM cx),
+         cy AS (SELECT source, y, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         ry AS (SELECT source, y,
+                  2 * sum(c) OVER (PARTITION BY source ORDER BY y ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS ry
+                FROM cy),
+         j AS (SELECT b.source, rx.rx, ry.ry FROM b
+               JOIN rx ON rx.source IS NOT DISTINCT FROM b.source AND rx.x = b.x
+               JOIN ry ON ry.source IS NOT DISTINCT FROM b.source AND ry.y = b.y),
+         agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(rx) AS BIGINT) AS sx2, CAST(sum(ry) AS BIGINT) AS sy2,
+                   CAST(sum(rx * ry) AS BIGINT) AS sxy4,
+                   CAST(sum(rx * rx) AS BIGINT) AS sxx4,
+                   CAST(sum(ry * ry) AS BIGINT) AS syy4
+                 FROM j GROUP BY 1)
+         SELECT source, n, sx2, sy2, sxy4, sxx4, syy4,
+           (CAST(n AS DOUBLE) * CAST(sxy4 AS DOUBLE)
+              - CAST(sx2 AS DOUBLE) * CAST(sy2 AS DOUBLE)) /
+           (sqrt(CAST(n AS DOUBLE) * CAST(sxx4 AS DOUBLE)
+              - CAST(sx2 AS DOUBLE) * CAST(sx2 AS DOUBLE)) *
+            sqrt(CAST(n AS DOUBLE) * CAST(syy4 AS DOUBLE)
+              - CAST(sy2 AS DOUBLE) * CAST(sy2 AS DOUBLE))) AS spearman_rho
+         FROM agg ORDER BY source""",
+
     "rank_eval_rproj" -> {
       // the rproj_rerank CTEs replayed per query id (predicted lists) +
       // exact-cosine truth lists, then the metric algebra: integerized

@@ -67,6 +67,69 @@ object Stats {
     g.select(explode(array(pairs: _*)).as("__e")).select(col("__e.*"))
   }
 
+  /** Per-group Spearman rank correlation — Pearson over average ranks,
+    * kept EXACT end to end: ranks ride as DOUBLED average ranks
+    * (2·avgRank = 2·cumCount − tieCount + 1, an integer even for tie
+    * runs), every moment is an integer sum, and ρ is one fixed double
+    * expression over those integers — no quantization mitigation needed
+    * anywhere, bit-stable cross-engine.
+    *
+    * Scale shape: ranks come from the VALUE-COUNT table, not the rows —
+    * distinct (group, value) counts, a cumulative-count window over that
+    * (per group, value-cardinality-sized — never the corpus), joined back
+    * to rows by (group, value), then one moment aggregation. The corpus is
+    * scanned twice (count + join-back) and never globally sorted. Integer
+    * headroom: Σ(2r)² ≤ 4n³ keeps the sums in a BIGINT for groups up to
+    * ~1M rows; beyond that, bucket values first (Spearman over quantile
+    * bins) — the statistic is rank-based, so binning is the standard
+    * extreme-scale fallback.
+    *
+    * Null x or y drops the ROW (both ranks must exist). Returns one row
+    * per group: (groupCols…, n, sx2, sy2, sxy4, sxx4, syy4, spearman_rho)
+    * with ρ = (n·sxy4 − sx2·sy2) / √((n·sxx4 − sx2²)·(n·syy4 − sy2²)) —
+    * the doubled-rank scaling cancels. A constant column (zero rank
+    * variance) divides by zero and yields IEEE NaN, matching DuckDB. */
+  def spearmanCorr(df: DataFrame, groupCols: Seq[String], xCol: String,
+                   yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val base = df
+      .select(gcols :+ col(xCol).cast(DoubleType).as("__x") :+
+        col(yCol).cast(DoubleType).as("__y"): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // the rank table's keys are RENAMED and joined null-safely: a null
+    // GROUP is a real group (cf. mixtureSample) and must keep its ranks
+    def rank2(vc: String, out: String): DataFrame = {
+      val cnts = base.groupBy(gcols :+ col(vc): _*).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(gcols: _*).orderBy(col(vc).asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cnts.withColumn("__cum", sum(col("__c")).over(w))
+        .select(groupCols.map(c => col(c).as(s"__$out$c")) :+
+          col(vc).as(s"__v$out") :+
+          (lit(2L) * col("__cum") - col("__c") + lit(1L)).as(out): _*)
+    }
+    def cond(vc: String, out: String) =
+      groupCols.map(c => col(c) <=> col(s"__$out$c"))
+        .foldLeft(col(vc) === col(s"__v$out"))(_ && _)
+    val ranked = base
+      .join(rank2("__x", "__rx"), cond("__x", "__rx"))
+      .join(rank2("__y", "__ry"), cond("__y", "__ry"))
+    val n = col("n").cast(DoubleType)
+    ranked.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("sx2"), sum(col("__ry")).as("sy2"),
+        sum(col("__rx") * col("__ry")).as("sxy4"),
+        sum(col("__rx") * col("__rx")).as("sxx4"),
+        sum(col("__ry") * col("__ry")).as("syy4"))
+      .withColumn("spearman_rho",
+        (n * col("sxy4").cast(DoubleType) -
+          col("sx2").cast(DoubleType) * col("sy2").cast(DoubleType)) /
+        (sqrt(n * col("sxx4").cast(DoubleType) -
+            col("sx2").cast(DoubleType) * col("sx2").cast(DoubleType)) *
+         sqrt(n * col("syy4").cast(DoubleType) -
+            col("sy2").cast(DoubleType) * col("sy2").cast(DoubleType))))
+  }
+
   /** Covariance matrix, long-form (ref CovarianceProcessor,
     * StatisticsProcessors.scala:189): population covariance from the same
     * single-pass sums. */

@@ -52,4 +52,30 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(m(("a", "b")) - 4.0 / 3) < 1e-12)
     assert(math.abs(m(("b", "b")) - 8.0 / 3) < 1e-12)
   }
+
+  test("spearmanCorr: monotone ±1, tie-averaged ranks, rank-not-value sensitivity") {
+    import graft.ml.Stats
+    import spark.implicits._
+    // group "up": strictly increasing but non-linear (x² vs x) — Spearman
+    // sees the monotone RANKS and reports exactly 1, where Pearson
+    // wouldn't; group "down": reversed → exactly −1
+    val up = (1 to 10).map(i => ("up", i.toLong, (i.toLong * i)))
+    val down = (1 to 10).map(i => ("down", i.toLong, (11 - i).toLong))
+    // group "tied": x = 1,2,2,4 vs y = 10,20,20,40 — identical tie
+    // structure on both sides → rho exactly 1 under AVERAGE ranks
+    val tied = Seq(("tied", 1L, 10L), ("tied", 2L, 20L),
+      ("tied", 2L, 20L), ("tied", 4L, 40L))
+    val df = (up ++ down ++ tied).toDF("grp", "x", "y")
+    val out = Stats.spearmanCorr(df, Seq("grp"), "x", "y").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(7))).toMap
+    assert(out("up")._1 == 10L && math.abs(out("up")._2 - 1.0) < 1e-12)
+    assert(out("down")._1 == 10L && math.abs(out("down")._2 + 1.0) < 1e-12)
+    assert(math.abs(out("tied")._2 - 1.0) < 1e-12, s"tied rho: ${out("tied")}")
+    // a known non-trivial value: x=1..5 vs y=(1,3,2,5,4): d²=(0,1,1,1,1),
+    // rho = 1 − 6·4/(5·24) = 0.8
+    val mid = (Seq((1L, 1L), (2L, 3L), (3L, 2L), (4L, 5L), (5L, 4L)))
+      .map { case (a, b) => ("m", a, b) }.toDF("grp", "x", "y")
+    val rho = Stats.spearmanCorr(mid, Seq("grp"), "x", "y").head().getDouble(7)
+    assert(math.abs(rho - 0.8) < 1e-12, s"rho=$rho")
+  }
 }
