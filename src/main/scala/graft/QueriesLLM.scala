@@ -1234,6 +1234,19 @@ object QueriesLLM {
         .orderBy("doc_id")
     }),
 
+    // ---------------- per-group midrank quantile normalization (r15):
+    // the score-calibration step — each doc's length mapped to its
+    // source's empirical CDF position, so one global threshold means the
+    // same thing in every source. Exact integer rank algebra, one IEEE
+    // division.
+    "midrank_normalize" -> ((s, dir) => {
+      val d = rd(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast(LongType).as("len"))
+      graft.ml.Stats.midrankNormalize(d, Seq("source"), "len", "cdf")
+        .orderBy("doc_id")
+    }),
+
     // ---------------- per-source Spearman rank correlation (r15): exact
     // end to end — doubled average ranks stay integers through ties,
     // every moment is an integer sum, ρ is one fixed double expression.
@@ -6049,6 +6062,24 @@ object QueriesLLM {
 
     // the 16x64 Rademacher sign matrix rendered as a literal (same values
     // the Spark plan carries), identical fold orders both stages
+    "midrank_normalize" ->
+      // midrank CDF = (2·cumCount − tieCount + 1) / (2·n) from the
+      // value-count table, joined back null-safely per (source, value)
+      """WITH b AS (
+           SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len
+           FROM documents WHERE text IS NOT NULL),
+         c AS (SELECT source, len, CAST(count(*) AS BIGINT) AS c
+               FROM b GROUP BY 1, 2),
+         r AS (SELECT source, len,
+                 CAST(2 * sum(c) OVER (PARTITION BY source ORDER BY len ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - c + 1 AS DOUBLE)
+                 / CAST(2 * sum(c) OVER (PARTITION BY source) AS DOUBLE) AS cdf
+               FROM c)
+         SELECT b.doc_id, b.source, b.len, r.cdf
+         FROM b JOIN r ON r.source IS NOT DISTINCT FROM b.source AND r.len = b.len
+         ORDER BY b.doc_id""",
+
     "spearman_corr" ->
       // doubled-average-rank algebra: 2·avgRank = 2·cumCount − tieCount + 1
       // from the value-count table, integer moment sums, one double ρ

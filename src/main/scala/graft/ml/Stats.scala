@@ -130,6 +130,43 @@ object Stats {
             col("sy2").cast(DoubleType) * col("sy2").cast(DoubleType))))
   }
 
+  /** Per-group midrank quantile normalization — map each value to its
+    * empirical CDF position cdf = (2·cumCount − tieCount + 1) / (2·n),
+    * the average-rank CDF in (0, 1]. The score-calibration step for
+    * mixing heterogeneous quality signals across sources: after
+    * normalization every group's column is uniform on its own rank scale,
+    * so one global threshold means the same thing in every group
+    * (a per-group "keep the top 30%" as a single filter).
+    *
+    * Same exact integer rank algebra and scale shape as [[spearmanCorr]]:
+    * ranks come from the value-count table (per-group value-cardinality-
+    * sized window, never a corpus sort), joined back null-safely, and the
+    * CDF is ONE IEEE division of integers — bit-stable cross-engine.
+    * Rows with a null value are passed through with a null CDF. Appends
+    * `out` to the input frame. */
+  def midrankNormalize(df: DataFrame, groupCols: Seq[String],
+                       valueCol: String, out: String = "cdf"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val vals = df.select(gcols :+ col(valueCol).cast(DoubleType).as("__v"): _*)
+      .filter(col("__v").isNotNull)
+    val cnts = vals.groupBy(gcols :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(gcols: _*).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(gcols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranks = cnts
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(tot))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+ col("__v") :+
+        ((lit(2L) * col("__cum") - col("__c") + lit(1L)).cast(DoubleType) /
+          (lit(2L) * col("__n")).cast(DoubleType)).as(out): _*)
+    val cond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .foldLeft(col(valueCol).cast(DoubleType) === col("__v"))(_ && _)
+    df.join(ranks, cond, "left")
+      .drop((groupCols.map(c => s"__g_$c") :+ "__v"): _*)
+  }
+
   /** Covariance matrix, long-form (ref CovarianceProcessor,
     * StatisticsProcessors.scala:189): population covariance from the same
     * single-pass sums. */

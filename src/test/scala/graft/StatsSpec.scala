@@ -78,4 +78,27 @@ class StatsSpec extends SparkSpec {
     val rho = Stats.spearmanCorr(mid, Seq("grp"), "x", "y").head().getDouble(7)
     assert(math.abs(rho - 0.8) < 1e-12, s"rho=$rho")
   }
+
+  test("midrankNormalize: midrank CDF positions, ties share, null passthrough") {
+    import graft.ml.Stats
+    import spark.implicits._
+    // group g: values 10, 20, 20, 40 → avgRank/n CDFs 1/4, 2.5/4, 2.5/4,
+    // 4/4; a second group normalizes on its OWN scale
+    val df = Seq(("g", 1L, Some(10L)), ("g", 2L, Some(20L)),
+      ("g", 3L, Some(20L)), ("g", 4L, Some(40L)),
+      ("h", 5L, Some(7L)), ("h", 6L, Some(9L)),
+      ("h", 7L, None)).toDF("grp", "id", "v")
+    val out = Stats.midrankNormalize(df, Seq("grp"), "v", "cdf").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out(1L).contains(0.25) && out(2L).contains(0.625) &&
+      out(3L).contains(0.625) && out(4L).contains(1.0), s"$out")
+    assert(out(5L).contains(0.5) && out(6L).contains(1.0))
+    // null value rows pass through with a null CDF
+    assert(out(7L).isEmpty)
+    // the calibration property: a global cdf > 0.5 filter keeps each
+    // group's own upper half regardless of the groups' raw scales
+    val kept = Stats.midrankNormalize(df, Seq("grp"), "v", "cdf")
+      .filter(col("cdf") > 0.5).select("id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 6L))
+  }
 }
