@@ -34,6 +34,28 @@ object QueriesLLM {
     try f finally s.conf.set(key, old)
   }
 
+  /** Scale-adaptive fan-out before a per-row-heavy stage (r15, guide §2.5
+    * "input skew" / §2.2): the SF fixtures are single parquet files, so a
+    * scan (and the bench's cached InMemoryRelation) is ONE partition and a
+    * tokenize/hash/encode-heavy first stage runs on one core — StageProbe
+    * measured 0.8-3.0 s single-task stages in exactly the queries that
+    * lacked the r7 fan-out discipline. Repartition on `key` ONLY when the
+    * input has fewer partitions than the session's parallelism: at 100 TB
+    * a real scan already has thousands of splits, so this is a no-op there
+    * (an unconditional repartition would ADD a full-corpus shuffle in
+    * front of map-side-aggregating consumers); locally it spreads the
+    * per-row work across every core. Keyed by the column downstream
+    * grouping uses, so where a corpus-sized exchange exists anyway the
+    * fan-out subsumes it (hash(key) satisfies any clustering that
+    * includes key). */
+  private def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // toRdd (not .rdd): no row-deserializer codegen. Callers pass scan/
+    // select-only frames, so building the RDD lineage runs no job.
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p, key)
+    else df
+  }
+
   /** Deterministic WARC fixture for `corpus_build_warc`: every document
     * becomes one `200 text/html` WARC response (body =
     * `<html><body><p>{text}</p></body></html>` in UTF-8, target URI
@@ -659,7 +681,10 @@ object QueriesLLM {
     // — the earlier per-component digests made vocab synthesis 16 md5
     // calls per word and the slowest non-streaming query in the suite.
     "doc_embedding_pool" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      // fanOut: tokenize+explode+pooling ran as ONE task on the single-file
+      // scan (StageProbe: 3.0 s in one task); doc_id is the pooling
+      // groupBy's key, so the exchange is subsumed downstream
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       // the token stream feeds two consumers (vocab distinct + pooling),
       // but pinning it is a measured LOSS (2.9 s → 3.8 s at sf0.1): the
       // corpus×tokens materialization costs more than re-running the
@@ -812,7 +837,9 @@ object QueriesLLM {
             x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
       val cents = e.orderBy("vec_id").limit(16)
         .select(col("q")).collect().map(_.getSeq[Double](0).toArray).toSeq
-      Dedup.semanticDedup(e, "vec_id", "q", cents, tau = 0.4)
+      // fanOut: 16-centroid assignment + per-cell sort ran on the
+      // single-file scan's one partition before
+      Dedup.semanticDedup(fanOut(e, col("vec_id")), "vec_id", "q", cents, tau = 0.4)
         .orderBy("vec_id")
     }),
 
@@ -882,7 +909,10 @@ object QueriesLLM {
     // ---------------- BPE encoding with corpus-trained merges: distinct
     // words encoded once, broadcast-joined back to per-doc counts
     "bpe_encode" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      // fanOut: train's word-count pass and the per-doc encode both ran
+      // single-task on the single-file scan (StageProbe)
+      val docs = fanOut(rd(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
       val (merges, vocab) = graft.operators.Bpe.train(
         docs.select("text"), "text", bpeMerges)(s)
       graft.operators.Bpe.encodeCountsFromVocab(docs, "doc_id", "text",
@@ -904,7 +934,10 @@ object QueriesLLM {
         .orderBy("step")
     }),
     "bpe_bytes_encode" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents").select("doc_id", "text")
+      // fanOut: same shape as bpe_encode (byte-level pretokenize is the
+      // per-row-heaviest variant; StageProbe: 1.6 s of single-task stages)
+      val docs = fanOut(rd(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id"))
       val (merges, vocab) = graft.operators.Bpe.trainBytes(
         docs.select("text"), "text", bpeMerges)
       graft.operators.Bpe.encodeCountsFromVocabBytes(docs, "doc_id", "text",
@@ -1229,7 +1262,9 @@ object QueriesLLM {
     // ---------------- bigram-LM self-scoring (CCNet-style perplexity
     // filtering): per-doc add-one-smoothed log-prob, integerized per term
     "lm_perplexity" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      // fanOut: two tokenize+bigram passes + vocab pass, all single-task on
+      // the single-file scan before (StageProbe)
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       graft.operators.LangModel.selfScore(d, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -1267,15 +1302,18 @@ object QueriesLLM {
     // hash-gated query (both stages deterministic, so every metric is a
     // fixed number).
     "rank_eval_rproj" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
+      // fanOut both scan shapes: 3 rproj + 3 exact-cosine corpus passes
+      // each ran single-task on the single-file embeddings scan
+      val e = fanOut(rd(s, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      val eRaw = fanOut(rd(s, dir, "embeddings"), col("vec_id"))
       val qids = Seq(0L, 7L, 42L)
       val predicted = qids.map { q =>
         Similarity.rprojRerankTopK(e, "vec_id", "v", q,
           dIn = 64, dOut = 16, m = 50, k = 10).withColumn("qid", lit(q))
       }.reduce(_ unionAll _)
       val truth = qids.map { q =>
-        Similarity.cosineTopK(rd(s, dir, "embeddings"), "vec_id", "embedding",
+        Similarity.cosineTopK(eRaw, "vec_id", "embedding",
           queryId = q, k = 10).withColumn("qid", lit(q))
       }.reduce(_ unionAll _)
       graft.operators.Similarity.rankEval(predicted, truth,
@@ -1314,7 +1352,7 @@ object QueriesLLM {
     // seen bigram (discounted ML + backoff), unseen bigram under a seen
     // context (pure backoff), unseen context (continuation-only).
     "kn_bigram_score" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       val train = d.filter(col("doc_id") % 2 === 0)
       val test = d.filter(col("doc_id") % 2 === 1)
       val (bigrams, contexts, cont, totals) =
@@ -1382,12 +1420,15 @@ object QueriesLLM {
     // ann_knn_join): explicit integerized centroids, 2-probe candidate
     // join, exact re-rank — the whole pipeline under the hash gate
     "ann_knn_join_ivf" -> ((s, dir) => {
-      val e = rd(s, dir, "embeddings")
+      val e0 = rd(s, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding").cast(ArrayType(DoubleType)),
             x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
-      val cents = e.filter(col("vec_id") < 32).orderBy("vec_id")
+      val cents = e0.filter(col("vec_id") < 32).orderBy("vec_id")
         .select("q").collect().map(_.getSeq[Double](0).toArray).toSeq
+      // fanOut: the 8-centroid assignment + candidate join + exact rerank
+      // ran on 1-2 tasks of the single-file scan (StageProbe: ~2.8 s)
+      val e = fanOut(e0, col("vec_id"))
       graft.operators.Similarity.knnJoinIvf(e, "vec_id", "q", cents,
         k = 3, nProbe = 2)
         .orderBy("id", "rank")
@@ -1422,8 +1463,8 @@ object QueriesLLM {
             x => floor(x * 1e6)).cast(ArrayType(DoubleType)).as("q"))
       val cents = e.filter(col("vec_id") < 64)
         .select(col("vec_id").as("centroid_id"), col("q").as("centroid"))
-      Dedup.semanticDedup(e, "vec_id", "q", cents, tau = 0.4,
-          "centroid_id", "centroid")
+      Dedup.semanticDedup(fanOut(e, col("vec_id")), "vec_id", "q", cents,
+          tau = 0.4, "centroid_id", "centroid")
         .orderBy("vec_id")
     }),
 
@@ -1508,7 +1549,8 @@ object QueriesLLM {
     // decontaminate uses as its benchmark); every other document is scored
     // by its hashed-unigram+bigram likelihood ratio, per-term quantized
     "dsir_weights" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      // fanOut: same single-task scoring pass as dsir_resample
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       graft.operators.LangModel.dsirWeights(
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text")
@@ -1520,7 +1562,7 @@ object QueriesLLM {
     // deterministic, oracle-replayable form of production HLL sketches;
     // exact count rides along to show the estimate lands
     "kmv_distinct" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      val toks = fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
       // size >= 2 guard: sequence(1, k) is DESCENDING for k < 1
       val bigrams = toks.filter(size(col("__toks")) >= 2)
@@ -1567,7 +1609,7 @@ object QueriesLLM {
     // m-bounded groupBy-max, the shape to ship when even the distinct-hash
     // table is too big to shuffle.
     "hll_distinct" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      val toks = fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
       val bigrams = toks.filter(size(col("__toks")) >= 2)
         .select(col("source"),
@@ -1588,7 +1630,7 @@ object QueriesLLM {
     // shard-then-combine cardinality sketch (per-shard registers ride as
     // m-row data; no re-scan of any shard to get the global count).
     "hll_union" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      val toks = fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(col("source"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
       val bigrams = toks.filter(size(col("__toks")) >= 2)
         .select(col("source"),
@@ -1827,7 +1869,7 @@ object QueriesLLM {
     // (union / Jaccard / intersection estimates) — the cheap pre-check
     // before a full cross-corpus dedup, bit-replayed by the oracle
     "kmv_overlap" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      val toks = fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), graft.operators.TextAnalysis.tokens(col("text")).as("__toks"))
       val bigrams = toks.filter(size(col("__toks")) >= 2)
         .select(col("doc_id"),
@@ -1920,7 +1962,10 @@ object QueriesLLM {
     // keeps the head; exact counts ride along to exhibit the one-sided
     // (overestimate-only) error contract
     "cms_heavy_hitters" -> ((s, dir) => {
-      val toks = rd(s, dir, "documents")
+      // fanOut: tokenize+4-way CMS hashing ran single-task (StageProbe
+      // 0.86 s); at scale the adaptive guard is a no-op so the global
+      // sketch aggregation keeps its shuffle-free map-side shape
+      val toks = fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
       val hh = graft.operators.Sketch.cmsHeavyHitters(
         toks, col("tok"), minCount = 500L, d = 4, w = 1024)
@@ -1935,7 +1980,8 @@ object QueriesLLM {
     // count moved >= 200 surface. Two d×w counter matrices are the only
     // corpus passes; the delta join is candidate-sized.
     "cms_heavy_change" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      // fanOut: two full tokenize+CMS passes, both single-task before
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       def toks(cond: org.apache.spark.sql.Column) = d.filter(cond)
         .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
       graft.operators.Sketch.cmsHeavyChange(
@@ -1970,7 +2016,9 @@ object QueriesLLM {
     // ---------------- DSIR's final selection: Gumbel top-k resampling
     // ∝ importance weight (deterministic md5 uniforms, quantized draws)
     "dsir_resample" -> ((s, dir) => {
-      val d = rd(s, dir, "documents")
+      // fanOut: the hashed-ngram scoring pass ran single-task (StageProbe:
+      // 3 × ~0.45 s 1-task stages through dsirWeights)
+      val d = fanOut(rd(s, dir, "documents"), col("doc_id"))
       val w = graft.operators.LangModel.dsirWeights(
         d.filter(col("doc_id") % 97 =!= 0), d.filter(col("doc_id") % 97 === 0),
         "doc_id", "text")
@@ -2113,13 +2161,17 @@ object QueriesLLM {
     // WIRING, not just each stage alone.
     "corpus_build_warc" -> ((s, dir) => {
       val fixture = warcFixture(s, dir)
+      // fan out BEFORE Html.extract (r15): the extract chain ran inside the
+      // 4-file WARC scan stage (StageProbe: 2.2 s single-task); only the
+      // cheap uri-regexp stays in the scan, the heavy markup strip rides
+      // the 32-way doc_id partitioning the downstream stages reuse
       val pages = graft.sources.Warc.htmlResponses(
         graft.sources.Warc.read(s, fixture + "/seg-*.warc"))
         .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast(LongType).as("doc_id"), col("html"))
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       val docs = graft.operators.Html.extract(pages, "html", "text")
         .select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       // gate = the word-count / word-length / alpha-fraction rules: the
       // synthetic corpus has no English stopword signal, so the full
       // battery's required-stopword rule (hash-checked by gopher_filter)
@@ -2160,7 +2212,8 @@ object QueriesLLM {
           lit("\nthis page has { code } in it.")).otherwise(lit("")),
         when(col("doc_id") % 17 === 0,
           lit("\nlorem ipsum dolor sit amet consectetur.")).otherwise(lit("")))
-      TextAnalysis.c4Filter(d.select(col("doc_id"), page.as("page")), "page")
+      TextAnalysis.c4Filter(
+        fanOut(d, col("doc_id")).select(col("doc_id"), page.as("page")), "page")
         .select(col("doc_id"), col("clean"), col("n_lines"), col("n_kept"),
           col("has_lorem"), col("has_brace"), col("keep"))
         .orderBy("doc_id")
@@ -2244,7 +2297,7 @@ object QueriesLLM {
         ("q_stream", "stream"), ("q_stream", "window"), ("q_stream", "batch"))
         .toDF("query_id", "term")
       graft.operators.TextAnalysis.bm25TopKJoin(
-        rd(s, dir, "documents"), "doc_id", "text", qt, k = 15)
+        fanOut(rd(s, dir, "documents"), col("doc_id")), "doc_id", "text", qt, k = 15)
         .orderBy(col("query_id"), col("score_q").desc, col("doc_id"))
     }),
 
@@ -2305,7 +2358,8 @@ object QueriesLLM {
     // corpora grow the image population, not the per-hash multiplicity.
     "multimodal_phash_neardup" -> ((s, dir) => {
       import s.implicits._
-      val ids = rd(s, dir, "documents").select(col("doc_id"))
+      val ids = fanOut(rd(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"))
         .filter(col("doc_id") < 1000).as[Long]
       val bin = ids.mapPartitions { it =>
         it.map { id =>
@@ -2905,7 +2959,7 @@ object QueriesLLM {
             lit("o"), lit("Ã³")),
           lit("e"), lit("Ã©")),
         lit(" â€œquoteâ€¦â€“"))
-      rd(s, dir, "documents")
+      fanOut(rd(s, dir, "documents"), col("doc_id"))
         .select(col("doc_id"), corrupt.as("bad"))
         .select(col("doc_id"),
           graft.operators.Cleanup.mojibakeCount(col("bad")).as("n_bad"),
@@ -2962,7 +3016,7 @@ object QueriesLLM {
         .orderBy("doc_id")),
     "span_corrupt" -> ((s, dir) =>
       graft.operators.Corpus.spanCorrupt(
-        rd(s, dir, "documents"), "doc_id", "text", maskPct = 15)
+        fanOut(rd(s, dir, "documents"), col("doc_id")), "doc_id", "text", maskPct = 15)
         .select(col("id").as("doc_id"), col("input"), col("target"),
           col("n_masked"), col("n_groups"))
         .orderBy("doc_id")),
@@ -2976,7 +3030,7 @@ object QueriesLLM {
       // (variable-length [a-f] runs) so the DP sees hundreds of distinct
       // words at many lengths; the oracle appends the identical expression
       val wf = graft.operators.Unigram.wordFreqs(
-        rd(s, dir, "documents").select(col("doc_id"),
+        fanOut(rd(s, dir, "documents"), col("doc_id")).select(col("doc_id"),
           concat(col("text"), lit(" "),
             md5(col("doc_id").cast(StringType))).as("text")),
         "text")
@@ -2993,7 +3047,7 @@ object QueriesLLM {
     // as BPE/unigram, same enriched corpus as unigram_segment
     "wordpiece_segment" -> ((s, dir) => {
       val wf = graft.operators.Unigram.wordFreqs(
-        rd(s, dir, "documents").select(col("doc_id"),
+        fanOut(rd(s, dir, "documents"), col("doc_id")).select(col("doc_id"),
           concat(col("text"), lit(" "),
             md5(col("doc_id").cast(StringType))).as("text")),
         "text")
@@ -3006,7 +3060,7 @@ object QueriesLLM {
     // machinery: counts from round-1 segmentations, chars floored at 1,
     // re-segment — both DP rounds under one oracle
     "unigram_em" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents").select(col("doc_id"),
+      val docs = fanOut(rd(s, dir, "documents"), col("doc_id")).select(col("doc_id"),
         concat(col("text"), lit(" "),
           md5(col("doc_id").cast(StringType))).as("text"))
       // wf feeds four consumers across two DP rounds — materialize the
@@ -3024,9 +3078,13 @@ object QueriesLLM {
     // ---------------- the same DP applied corpus-wide: per-document
     // subword counts — the tokenizer-budget signal packing needs
     "unigram_doc_tokens" -> ((s, dir) => {
-      val docs = rd(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"), lit(" "),
-          md5(col("doc_id").cast(StringType))).as("text"))
+      // fanOut: wordFreqs' tokenize and the per-doc regexp explode both ran
+      // single-task (StageProbe: ~4.5 s of 1-task stages); doc_id is the
+      // per-doc aggregation's key
+      val docs = fanOut(rd(s, dir, "documents"), col("doc_id"))
+        .select(col("doc_id"),
+          concat(col("text"), lit(" "),
+            md5(col("doc_id").cast(StringType))).as("text"))
       val wf = graft.operators.Unigram.wordFreqs(docs, "text")
       val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
         maxPieceLen = 6)

@@ -20,6 +20,17 @@ object SparkEntry {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    // r15: the JVM-wide whole-stage-codegen class cache defaults to 100
+    // entries (StaticSQLConf.CODEGEN_CACHE_MAX_ENTRIES). This suite runs
+    // 239 distinct queries per pass — thousands of distinct codegen
+    // fragments — so at the default size every fragment is evicted between
+    // passes and EVERY execution re-pays Janino compilation (measured:
+    // wall − stageWallSum ≈ 1-1.5 s of driver time per query while task
+    // time is milliseconds; see OPTIMIZATION_r15.md). Any long-lived
+    // production driver that serves a workload of many distinct queries
+    // wants the same setting; 4096 compiled classes ≈ tens of MB of
+    // metaspace, trivial against the driver heap.
+    .config("spark.sql.codegen.cache.maxEntries", "4096")
   // NOTE (r7): r6 carried a harness-wide 256 KB maxPartitionBytes + 512 KB
   // AQE advisory here so the per-row-heavy text operators would fan out on
   // the single-file SF tables — but the global knob taxed every small query

@@ -391,15 +391,23 @@ object LangModel {
              (lit(1.0) - col("qb_q9").cast(DoubleType) / lit(1e9))))
   }
 
-  /** Adjacent token pairs per document: explode + per-doc lead window (the
-    * codegen path — array HOFs are interpreted). */
+  /** Adjacent-token pairs per document, derived directly from the token
+    * array (r15, guide §2.4): the old posexplode → Window(id, pos) → lead
+    * form paid a corpus-sized sort (and, un-fanned, an exchange) PER CALL —
+    * and [[selfScore]] calls this twice. Every consumer aggregates the
+    * pairs order-free (groupBy counts / per-id sums), so the same multiset
+    * built by indexed array access is plan-equivalent with zero windows:
+    * one explode, all codegen. */
   private def bigramPairs(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
-    val ex = df.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    ex.withColumn("b", lead(col("tok"), 1).over(w))
-      .filter(col("b").isNotNull)
-      .select(col("id"), col("tok").as("a"), col("b"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("__toks"))
+      // sequence(1, n-1) is DESCENDING for n < 2 — guard like kmv_distinct
+      .filter(size(col("__toks")) >= 2)
+      .select(col("id"),
+        explode(transform(sequence(lit(1), size(col("__toks")) - 1), i =>
+          struct(element_at(col("__toks"), i).as("a"),
+            element_at(col("__toks"), i + 1).as("b")))).as("__p"))
+      .select(col("id"), col("__p.a").as("a"), col("__p.b").as("b"))
   }
 }
