@@ -1308,9 +1308,15 @@ object QueriesLLM {
         .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
       val eRaw = fanOut(rd(s, dir, "embeddings"), col("vec_id"))
       val qids = Seq(0L, 7L, 42L)
+      // the JL projection is query-independent: project the corpus ONCE and
+      // checkpoint the (id, vec, proj) table — before, each of the 3
+      // queries' 2 projected-table consumers re-ran the 16×64 dot pass
+      // (StageProbe: 6 corpus projection stages where 1 suffices)
+      val proj = Similarity.randomProject(e, "v", dIn = 64, dOut = 16, "__p")
+        .localCheckpoint()
       val predicted = qids.map { q =>
-        Similarity.rprojRerankTopK(e, "vec_id", "v", q,
-          dIn = 64, dOut = 16, m = 50, k = 10).withColumn("qid", lit(q))
+        Similarity.rprojRerankTopKFrom(proj, "vec_id", "v", q,
+          m = 50, k = 10).withColumn("qid", lit(q))
       }.reduce(_ unionAll _)
       val truth = qids.map { q =>
         Similarity.cosineTopK(eRaw, "vec_id", "embedding",
@@ -3034,6 +3040,9 @@ object QueriesLLM {
           concat(col("text"), lit(" "),
             md5(col("doc_id").cast(StringType))).as("text")),
         "text")
+        // wf feeds pieceVocab + segmentWords (each rescans it): checkpoint
+        // the vocabulary-sized table once — the unigram_em discipline
+        .localCheckpoint()
       val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
         maxPieceLen = 6)
       graft.operators.Unigram.segmentWords(wf, vocab, maxPieceLen = 6,
@@ -3051,6 +3060,8 @@ object QueriesLLM {
           concat(col("text"), lit(" "),
             md5(col("doc_id").cast(StringType))).as("text")),
         "text")
+        // wf feeds vocab + encodeWords: checkpoint once (unigram_em style)
+        .localCheckpoint()
       val vocab = graft.operators.WordPiece.vocab(wf, k = 500, maxPieceLen = 6)
       graft.operators.WordPiece.encodeWords(wf, vocab, maxPieceLen = 6,
         maxWordLen = 16).orderBy("w")
@@ -3085,7 +3096,11 @@ object QueriesLLM {
         .select(col("doc_id"),
           concat(col("text"), lit(" "),
             md5(col("doc_id").cast(StringType))).as("text"))
+      // wf feeds pieceVocab + segmentWords, each of which rescans it —
+      // without the checkpoint the corpus wordFreqs pass re-ran ~6x
+      // (StageProbe: six 32-task stages of 6-10 s CPU each)
       val wf = graft.operators.Unigram.wordFreqs(docs, "text")
+        .localCheckpoint()
       val vocab = graft.operators.Unigram.pieceVocab(wf, k = 500,
         maxPieceLen = 6)
       val segs = graft.operators.Unigram.segmentWords(wf, vocab,

@@ -75,7 +75,13 @@ object LangModel {
   }
 
   /** Train on the corpus itself and score every document (the self-scoring
-    * variant used for intra-corpus outlier filtering). */
+    * variant used for intra-corpus outlier filtering).
+    *
+    * r15 note: checkpointing ONE shared bigramPairs stream for train+score
+    * was tried and is a measured LOSS (ppl_buckets warm 2.3 → 2.8 s at
+    * sf0.1): the corpus-token-sized pairs materialization costs more than
+    * re-running the cheap array-indexed pairs pass — the same verdict the
+    * doc_embedding_pool token stream reached. Recompute stays. */
   def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (contexts, bigrams, vocab) = trainBigram(df, idCol, textCol)
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)

@@ -802,8 +802,20 @@ object Similarity {
     * a measurable, replayable number rather than a distributional claim. */
   def rprojRerankTopK(df: DataFrame, idCol: String, vecCol: String,
                       queryId: Long, dIn: Int, dOut: Int, m: Int,
-                      k: Int): DataFrame = {
-    val proj = randomProject(df.select(col(idCol), col(vecCol)), vecCol, dIn, dOut, "__p")
+                      k: Int): DataFrame =
+    rprojRerankTopKFrom(
+      randomProject(df.select(col(idCol), col(vecCol)), vecCol, dIn, dOut, "__p"),
+      idCol, vecCol, queryId, m, k)
+
+  /** [[rprojRerankTopK]] over a PRECOMPUTED projection (any frame with
+    * idCol, vecCol and a `__p` projected column, i.e. [[randomProject]]
+    * output) — r15: the projection is query-INDEPENDENT, so a multi-query
+    * evaluation (`rank_eval_rproj`: 3 queries × 2 consumers of the
+    * projected table each) should project the corpus once, checkpoint the
+    * (id, vec, proj) table, and fan the per-query top-k passes off that —
+    * the winnowCandidatesFrom factoring. */
+  def rprojRerankTopKFrom(proj: DataFrame, idCol: String, vecCol: String,
+                          queryId: Long, m: Int, k: Int): DataFrame = {
     val q = proj.filter(col(idCol) === queryId)
       .select(col("__p").as("__qp"), col(vecCol).as("__qv"))
     val cand = proj.crossJoin(broadcast(q.select("__qp")))
@@ -811,7 +823,10 @@ object Similarity {
       .filter(col(idCol) =!= queryId && col("pcos").isNotNull)
       .orderBy(col("pcos").desc, col(idCol).asc)
       .limit(m)
-    df.join(broadcast(cand.select(idCol)), Seq(idCol))
+    // stage 2 reads (id, vec) off proj; column pruning drops __p, so in the
+    // delegated single-query path this is the identical df scan as before
+    proj.select(col(idCol), col(vecCol))
+      .join(broadcast(cand.select(idCol)), Seq(idCol))
       .crossJoin(broadcast(q.select("__qv")))
       .select(col(idCol), cosine(col(vecCol), col("__qv")).as("cos"))
       .filter(col("cos").isNotNull)
