@@ -81,7 +81,18 @@ object LangModel {
     * was tried and is a measured LOSS (ppl_buckets warm 2.3 → 2.8 s at
     * sf0.1): the corpus-token-sized pairs materialization costs more than
     * re-running the cheap array-indexed pairs pass — the same verdict the
-    * doc_embedding_pool token stream reached. Recompute stays. */
+    * doc_embedding_pool token stream reached. Recompute stays.
+    *
+    * Also tried (r15): checkpointing the REDUCED bigram-type table inside
+    * trainBigram/trainKneserNey so its 2-4 consumers stop replaying the
+    * pairs pass. Measured loss too (same-harness 5-rep medians, sf0.1:
+    * kn_bigram_score 3.14 → 3.34 s, lm_perplexity 2.21 → 2.66 s,
+    * ppl_buckets_hist 2.33 → 2.60 s): this fixture's text is
+    * high-entropy, so the "reduced" type table is nearly pair-stream-sized
+    * and materializing it costs more than the replays it saves. On a
+    * natural-language corpus (types ≪ tokens) the checkpoint is the right
+    * call — callers scoring a 100 TB corpus against a trained LM should
+    * persist the model tables themselves before fanning out. */
   def selfScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val (contexts, bigrams, vocab) = trainBigram(df, idCol, textCol)
     scoreBigram(df, idCol, textCol, contexts, bigrams, vocab)
@@ -321,8 +332,16 @@ object LangModel {
     }
     val srcG = grams(source)
     val tgtG = grams(target)
+    // checkpoint the bucket HISTOGRAMS (r15): each is <= `buckets` (10k)
+    // rows REGARDLESS of corpus size — DSIR's hashed model is the fixed
+    // bucket space, so this materialization is scale-free. Without it the
+    // two totals below each replayed the full tokenize+gram pass (StageProbe:
+    // 4 heavy 32-task corpus stages where 2 suffice — cT/totT and cS/totS
+    // are separate jobs, so ReuseExchange cannot dedup them).
     val cT = tgtG.groupBy(col("bucket")).agg(count(lit(1)).as("c_t"))
+      .localCheckpoint()
     val cS = srcG.groupBy(col("bucket")).agg(count(lit(1)).as("c_s"))
+      .localCheckpoint()
     val totT = cT.agg(coalesce(sum(col("c_t")), lit(0L)).as("tot_t"))
     val totS = cS.agg(coalesce(sum(col("c_s")), lit(0L)).as("tot_s"))
     val term = floor(lit(1e4) *
