@@ -2171,8 +2171,14 @@ object QueriesLLM {
       // 4-file WARC scan stage (StageProbe: 2.2 s single-task); only the
       // cheap uri-regexp stays in the scan, the heavy markup strip rides
       // the 32-way doc_id partitioning the downstream stages reuse
+      // minPartitions = parallelism (r15): binaryFiles' default sizing
+      // packed all 4 small segments into ONE split, so the WARC parse ran
+      // serially (StageProbe: 1.24 s in 1 task). The hint restores the
+      // documented one-task-per-segment split; at crawl scale segment
+      // count >> cores, so the hint is a no-op there.
       val pages = graft.sources.Warc.htmlResponses(
-        graft.sources.Warc.read(s, fixture + "/seg-*.warc"))
+        graft.sources.Warc.read(s, fixture + "/seg-*.warc",
+          minPartitions = s.sparkContext.defaultParallelism))
         .select(regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
           .cast(LongType).as("doc_id"), col("html"))
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))

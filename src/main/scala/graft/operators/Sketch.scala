@@ -256,7 +256,16 @@ object Sketch {
                      d: Int = 4, w: Int = 1024): DataFrame = {
     val cb = cmsBuild(before, value, d, w).localCheckpoint()
     val ca = cmsBuild(after, value, d, w).localCheckpoint()
+    // distinct + checkpoint the candidate set ONCE (r15): cmsEstimate
+    // distincts its query side internally, so without this cut BOTH
+    // estimate joins replayed the before∪after tokenize pass (StageProbe:
+    // two 64-task corpus stages where one suffices). The candidate set is
+    // the distinct-value vocabulary — the query's own output domain, far
+    // below the corpus stream — so one materialization is scale-free. The
+    // isNotNull filter mirrors cmsEstimate's own, keeping semantics
+    // byte-identical.
     val cand = before.select(value.as("q")).unionAll(after.select(value.as("q")))
+      .filter(col("q").isNotNull).distinct().localCheckpoint()
     val eb = cmsEstimate(cb, cand, "q", d, w).withColumnRenamed("cms_est", "est_before")
     val ea = cmsEstimate(ca, cand, "q", d, w).withColumnRenamed("cms_est", "est_after")
     eb.join(ea, Seq("q"))
