@@ -308,10 +308,14 @@ object Dedup {
   def decontaminateBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
-    // the bench side is small relative to the corpus by contract; recomputing
-    // it (count, bloom build, verify join) beats a persist() whose unpersist
-    // could only fire before the caller materializes the lazy result
-    val bg = benchGrams(bench, idCol, textCol, n)
+    // the bench side is eval-suite-sized by contract; its gram table has
+    // THREE consumers (count job, bloom-build job, exact verify join), each
+    // of which replayed the bench tokenize+shingle+distinct pipeline. A
+    // localCheckpoint materializes it once and — unlike the persist() the
+    // r8 comment rejected — needs no unpersist hook: the blocks free with
+    // the RDD when the caller's result is GC'd (r15; StageProbe showed the
+    // three replays as separate 32-task stages)
+    val bg = benchGrams(bench, idCol, textCol, n).localCheckpoint()
     gramBloomProbe(bg, fpp) match {
       case None =>
         // nothing to leak
