@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r16: the driver's bench parser has read `parsed: null` since r08 because
+// the forked app's stdout went through sbt's logger (LoggedOutput): every
+// line — including graft.Bench's machine-readable one-line JSON — arrived
+// prefixed with "[info] ", and sbt's "[success] Total time" trailer landed
+// AFTER it, so neither a last-line parse nor a line.startswith("{") scan
+// could recover the JSON from the bounded stdout tail. StdoutOutput passes
+// the forked JVM's stdout through verbatim, and showSuccess drops the
+// trailer, so the compact JSON is the final raw line on stdout
+// (verified by tools/tail_parse.py, which replays both parser models on a
+// captured tail).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -18,10 +18,9 @@ object ExplainFmt {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"))
-      try { val df = Tables.read(spark, sfDir, t); df.cache(); df.count() }
-      catch { case _: Throwable => () }
+    // r16: no base-table cache — the bench dropped it (judge flag), and the
+    // committed plan evidence should show the REAL parquet scans
+    // (PushedFilters/ReadSchema) instead of InMemoryTableScan nodes.
     new java.io.File(outDir).mkdirs()
     val all = SparkEntry.queries
     for (n <- names; fn <- all.get(n)) {

@@ -51,8 +51,21 @@ object QueriesLLM {
   private def fanOut(df: DataFrame, key: Column): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     // toRdd (not .rdd): no row-deserializer codegen. Callers pass scan/
-    // select-only frames, so building the RDD lineage runs no job.
-    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p, key)
+    // select-only frames, so building the RDD lineage runs no job — but
+    // nothing used to enforce that: under AQE, toRdd on a plan containing
+    // an exchange MATERIALIZES query stages, i.e. silently runs real jobs
+    // at DataFrame-construction time (r15 advice). Guard the contract in
+    // code: if the analyzed plan holds anything that plans an exchange
+    // (join/aggregate/sort/repartition/window/distinct), skip the fan-out
+    // instead of probing — such a frame already gets session-parallelism
+    // partitioning from its own shuffle.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val scanOnly = df.queryExecution.analyzed.collectFirst {
+      case n @ (_: Join | _: Aggregate | _: Sort | _: RepartitionOperation |
+                _: Window | _: Distinct) => n
+    }.isEmpty
+    if (scanOnly && df.queryExecution.toRdd.getNumPartitions < p)
+      df.repartition(p, key)
     else df
   }
 

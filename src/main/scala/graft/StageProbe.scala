@@ -22,10 +22,8 @@ object StageProbe {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (t <- Seq("region", "nation", "customer", "supplier", "part", "orders",
-                  "lineitem", "events", "documents", "embeddings"))
-      try { val df = Tables.read(spark, sfDir, t); df.cache(); df.count() }
-      catch { case _: Throwable => () }
+    // r16: no base-table cache — probe the stages the re-baselined bench
+    // actually runs (parquet scans, not InMemoryTableScan).
 
     case class St(name: String, submitted: Long, var completed: Long = 0L,
                   var runMs: Long = 0L, var gcMs: Long = 0L,
@@ -64,7 +62,18 @@ object StageProbe {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[probe] $n FAILED: $e") }
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain
+      // Drain the async listener bus FOR REAL before snapshotting: a fixed
+      // sleep(300) could still leave onTaskEnd/onStageCompleted undelivered
+      // under load, yielding completed=0 stages and undercounted metrics in
+      // the very tool used to justify optimizations (r15 advice).
+      // listenerBus/waitUntilEmpty are private[spark] in Scala but public
+      // in bytecode — reflect; fall back to the old sleep if that breaks.
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, java.lang.Long.valueOf(10000L))
+      } catch { case _: Throwable => Thread.sleep(300) }
       spark.sparkContext.removeSparkListener(listener)
       val snap = stages.synchronized(stages.values.toVector)
       val totalStage = snap.map(s => math.max(0L, s.completed - s.submitted)).sum

@@ -422,7 +422,14 @@ object LangModel {
     * and [[selfScore]] calls this twice. Every consumer aggregates the
     * pairs order-free (groupBy counts / per-id sums), so the same multiset
     * built by indexed array access is plan-equivalent with zero windows:
-    * one explode, all codegen. */
+    * one explode, all codegen.
+    *
+    * Equivalence dependency (r15 advice): the old posexplode form carried a
+    * `b.isNotNull` filter that this form drops. That is safe ONLY because
+    * [[TextAnalysis.tokens]] (whitespace split) can never yield null array
+    * elements — if tokens() ever changes to emit nulls, this form keeps
+    * null-containing pairs the old form dropped; re-add
+    * `a.isNotNull && b.isNotNull` then. */
   private def bigramPairs(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     df.select(col(idCol).as("id"),

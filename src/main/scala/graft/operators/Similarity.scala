@@ -727,7 +727,20 @@ object Similarity {
     * frame, `vecs` = (__kid, __kv). The cell join carries only scalar ids
     * (the LSH band-join discipline) — vectors join back once per DISTINCT
     * surviving pair, so the dedup of multi-cell collisions shuffles ids,
-    * never the embedding payloads. */
+    * never the embedding payloads.
+    *
+    * Exchange sharing (r16, guide §2.4 "two operations keyed the same way
+    * share one exchange"): the pair stream is hash(id)-repartitioned ONCE
+    * and that partitioning is reused three times — the multi-cell dedup
+    * (ClusteredDistribution(id, neighbor_id) is satisfied by hash(id)),
+    * the id-side payload join, and the final top-k window, which previously
+    * each planned their own exchange. The neighbor-side payload join runs
+    * FIRST so the id-side join is last and its output partitioning feeds
+    * the window directly. Payload-bytes note: the two vecs joins are
+    * byte-minimal at scale — any single-join "struct-pack" form (union the
+    * two key streams, pivot per pair) moves |V| + 2·|pairs| vector
+    * payloads through its pair-group exchange vs 2·|V| + |pairs| here,
+    * and |pairs| ≈ nProbe·|cell|·N ≥ |V| by construction. */
   private def knnJoinIvfFrom(assigned: DataFrame, vecs: DataFrame,
                              k: Int): DataFrame = {
     val home = assigned.select(col("__home").as("__cell"),
@@ -736,11 +749,13 @@ object Similarity {
       explode(col("__probes")).as("__cell"))
     val pairs = probing.join(home, Seq("__cell"))
       .filter(col("id") =!= col("neighbor_id"))
-      .select(col("id"), col("neighbor_id")).distinct()
+      .select(col("id"), col("neighbor_id"))
+      .repartition(col("id"))
+      .distinct()
     val scored = pairs
-      .join(vecs.select(col("__kid").as("id"), col("__kv").as("__v1")), Seq("id"))
       .join(vecs.select(col("__kid").as("neighbor_id"), col("__kv").as("__v2")),
         Seq("neighbor_id"))
+      .join(vecs.select(col("__kid").as("id"), col("__kv").as("__v1")), Seq("id"))
       .select(col("id"), col("neighbor_id"),
         cosine(col("__v1"), col("__v2")).as("cosine"))
     topKPerId(scored, k)

@@ -86,28 +86,26 @@ class PlanShapeSpec extends SparkSpec {
         s"(${"md5".r.findAllIn(p).size} md5 sites — InferFiltersFromGenerate pushdown is back)")
   }
 
-  test("winnowing spans/candidates compute the fingerprint table once (cached, bounded exchanges)") {
+  test("winnowing spans/candidates compute the fingerprint table once (checkpointed, bounded exchanges)") {
     // r14 regression class: winnowMatchSpans rebuilt winnowFingerprints for
     // every consumer (candidates + both position joins); each build minted
     // fresh attribute IDs, defeating ReuseExchange — 55 exchanges, ~6 corpus
-    // passes, 6.95 s idle. The repaired shape persists the fingerprint table
-    // and derives candidates from it. Marker: every CONSTRUCTED fingerprint
-    // pipeline mints its own window-min output attribute (`AS __mk#N`), so
-    // the count of distinct __mk ids in the plan string = the number of
-    // times the pipeline was built (cached-relation re-prints share the id).
-    // Exactly one build, and it must sit under an InMemoryRelation so the
-    // multi-consumer DAG reads the cache instead of re-executing it.
-    // clearCache first: a winnow cache registered earlier in the session
-    // (another spec's build of the same query) substitutes in with ITS
-    // original attr ids, which double-counts __mk without any recompute.
-    spark.catalog.clearCache()
+    // passes, 6.95 s idle. The repaired shape materializes the fingerprint
+    // table ONCE and derives candidates from it; since r16 the
+    // materialization is a localCheckpoint (instance-tied blocks — every
+    // invocation pays its own build; a bare persist leaked across bench
+    // reps via CacheManager, r15 judge finding). Marker: every CONSTRUCTED
+    // fingerprint pipeline mints its own window-min output attribute
+    // (`AS __mk#N`); after the eager checkpoint the consumer plan must
+    // contain ZERO builds (the pipeline ran once, eagerly, at construction)
+    // and read the materialized RDD instead.
     for (q <- Seq("winnow_match_spans", "winnow_candidates")) {
       val p = planOf(q)
       val mkIds = raw"AS __mk#(\d+)L".r.findAllMatchIn(p).map(_.group(1)).toSet
-      assert(mkIds.size == 1,
-        s"$q builds the fingerprint pipeline ${mkIds.size} times (attr ids $mkIds) — recompute is back")
-      assert(p.contains("InMemoryTableScan"),
-        s"$q no longer caches the fingerprint table")
+      assert(mkIds.isEmpty,
+        s"$q builds the fingerprint pipeline ${mkIds.size} times in-plan (attr ids $mkIds) — recompute is back")
+      assert(p.contains("ExistingRDD") || p.contains("LogicalRDD"),
+        s"$q no longer reads the checkpointed fingerprint table")
     }
   }
 
